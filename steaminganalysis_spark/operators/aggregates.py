@@ -1,0 +1,235 @@
+"""Aggregation operators (SURVEY.md §2 B.4) — including the flagship.
+
+The flagship ``q_daily_rollup`` is the batch analog of the reference
+pipeline (KafkaApp.scala:52-74): parse order events, classify paid vs
+placed, bucket by event-time day, and aggregate (total orders, paid
+orders, paid fee) per day. Fixture mapping per FIXTURES.md:
+``event_type='purchase'`` ↔ ``flag=="1"``, ``value`` ↔ ``fee``.
+
+Scale notes: every query here is a single ``groupBy().agg`` —
+Catalyst plans partial (map-side) + final HashAggregate around one
+hash-partitioned exchange, exactly the reference's reduceByKey combiner
+strategy (KafkaApp.scala:67-69) but codegen'd and spill-aware. Group-key
+cardinality (days, flags, types) is tiny relative to input, so the
+shuffle moves only partial aggregates — this holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.registry import SQL_DSUM, dsum, query
+from steaminganalysis_spark.sources import load
+
+__all__ = ["daily_rollup"]
+
+def _purchase():
+    return F.col("event_type") == "purchase"
+
+
+def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference flagship (KafkaApp.scala:58-74) on the events table:
+    per event-time day — total events, paid events, paid-fee sum."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("total"),
+            F.count(F.when(_purchase(), 1)).alias("success"),
+            dsum(F.when(_purchase(), F.col("value")).otherwise(0.0)).alias("fee"),
+        )
+    )
+
+
+query(
+    "q_daily_rollup",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS total,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS success,
+           {SQL_DSUM("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS fee
+    FROM events
+    GROUP BY 1
+    """,
+)(daily_rollup)
+
+
+@query(
+    "q_time_buckets",
+    oracle=f"""
+    WITH b AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             strftime(ts, '%H') AS hour,
+             strftime(ts, '%M') AS minute,
+             value, event_type
+      FROM events
+    )
+    SELECT day, hour, minute,
+           COUNT(*) AS total,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS success,
+           {SQL_DSUM("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS fee
+    FROM b
+    GROUP BY GROUPING SETS ((day), (day, hour), (day, hour, minute))
+    """,
+)
+def time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three calendar grains the reference README promises
+    (README.md:4 '以天/时/分钟的维度统计'; the code derives hour/minute at
+    KafkaApp.scala:59-60 then drops them) — one GROUPING SETS pass, so
+    the input is scanned and shuffled once for all grains."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "HH").alias("hour"),
+        F.date_format("ts", "mm").alias("minute"),
+        "value",
+        "event_type",
+    )
+    ev.createOrReplaceTempView("_tb_events")
+    return spark.sql(
+        f"""
+        SELECT day, hour, minute,
+               COUNT(*) AS total,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS success,
+               {SQL_DSUM("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS fee
+        FROM _tb_events
+        GROUP BY GROUPING SETS ((day), (day, hour), (day, hour, minute))
+        """
+    )
+
+
+@query(
+    "q_agg_basic",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM("l_quantity")} AS sum_qty,
+           {SQL_DSUM("l_extendedprice")} AS sum_base_price,
+           {SQL_DSUM("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+           {SQL_DSUM("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           {SQL_DSUM("l_quantity")} / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: count/sum/min/max/avg with
+    filtered scan. Predicate + the 8-column projection push into the
+    parquet reader (verified via .explain PushedFilters/ReadSchema)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+            ).alias("sum_charge"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            (dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Catalyst expands to a two-phase aggregate
+    (Expand + partial distinct + final), keeping the distinct shuffle
+    keyed on (group, value) so no single reducer sees all values."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL estimate differs from exact by design
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB answer to
+    COUNT(DISTINCT) — fixed-size sketch per partition, merged, no
+    distinct shuffle. Checked rows-only (estimate vs exact tolerance is
+    asserted in tests/test_llm_and_approx.py instead)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {SQL_DSUM("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           {SQL_DSUM("o_totalprice")} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dsum(F.col("o_totalprice")).alias("sum_price")
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS linenumbers,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey < 100
+    GROUP BY l_orderkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list), emitted sorted+joined so the
+    value hash is order-insensitive (FIXTURES.md §3)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("l_linenumber")))).alias(
+                "linenumbers"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )

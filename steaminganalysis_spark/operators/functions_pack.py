@@ -1,0 +1,200 @@
+"""Scalar function packs (SURVEY.md §2 B.7): string, datetime, math,
+array (higher-order), JSON. Each pack is one wide query exercising many
+built-ins — all JVM-side, whole-stage-codegen'd expressions; no Python
+in any of these paths.
+
+The JSON pack is the engine's analog of the reference's fastjson parse
+(KafkaApp.scala:52: ``JSON.parseObject(line.value())``) — here a typed
+``from_json`` against a declared schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.registry import query
+from steaminganalysis_spark.schemas import PROPS_SCHEMA
+from steaminganalysis_spark.sources import load
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           substring(p_name, 1, 8) AS name8,
+           upper(p_brand) AS brand_uc,
+           lower(p_type) AS type_lc,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           trim('  ' || p_brand || ' ') AS trimmed,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           replace(p_name, ' ', '_') AS name_us,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           CASE WHEN starts_with(p_type, 'a') THEN 1 ELSE 0 END AS starts_a
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String pack — includes the reference's substring date-part idiom
+    (KafkaApp.scala:58-60 uses substring(0,10)/(11,13)/(14,16))."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.lower("p_type").alias("type_lc"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.when(F.startswith(F.col("p_type"), F.lit("a")), 1).otherwise(0).alias("starts_a"),
+    )
+
+
+@query(
+    "q_fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS od,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INT) AS days_to_2002,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS od_plus30,
+           CAST(strftime(o_orderdate, '%Y') AS INT) AS y_str
+    FROM orders
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime pack — the idiomatic replacement for the reference's
+    substring calendar bucketing (KafkaApp.scala:58-60). Calendar values
+    emitted as strings/ints, never raw timestamps (determinism)."""
+    o = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(od, "yyyy-MM-dd").alias("od"),
+        F.year(od).alias("y"),
+        F.month(od).alias("m"),
+        F.dayofmonth(od).alias("d"),
+        # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday..6 → align.
+        (F.dayofweek(od) - 1).alias("dow"),
+        F.quarter(od).alias("q"),
+        F.date_format(F.date_trunc("month", od), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), od).alias("days_to_2002"),
+        F.date_format(od + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("od_plus30"),
+        F.date_format(od, "yyyy").cast("int").alias("y_str"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 1) AS price_r1,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+           abs(o_totalprice - 200000.0) AS dist_200k,
+           round(sqrt(o_totalprice), 6) AS price_sqrt,
+           round(ln(o_totalprice + 1), 6) AS price_ln,
+           round(pow(o_totalprice / 100000.0, 2), 6) AS price_pow,
+           CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+           CAST(((o_orderkey % 7) + 7) % 7 AS BIGINT) AS pmod7,
+           greatest(o_totalprice, 150000.0) AS hi,
+           least(o_totalprice, 150000.0) AS lo,
+           CAST(sign(o_totalprice - 150000.0) AS DOUBLE) AS sgn
+    FROM orders
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math pack. Transcendentals (sqrt/ln/pow) rounded to 6 decimals —
+    libm vs JDK StrictMath can differ in the final ulp."""
+    o = load(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(tp, 1).alias("price_r1"),
+        F.floor(tp).alias("price_floor"),
+        F.ceil(tp).alias("price_ceil"),
+        F.abs(tp - 200000.0).alias("dist_200k"),
+        F.round(F.sqrt(tp), 6).alias("price_sqrt"),
+        F.round(F.log(tp + 1), 6).alias("price_ln"),
+        F.round(F.pow(tp / 100000.0, 2), 6).alias("price_pow"),
+        (F.col("o_orderkey") % 7).alias("mod7"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("long").alias("pmod7"),
+        F.greatest(tp, F.lit(150000.0)).alias("hi"),
+        F.least(tp, F.lit(150000.0)).alias("lo"),
+        F.signum(tp - 150000.0).alias("sgn"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_sum,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           round(CAST(list_sort(embedding)[len(embedding)] AS DOUBLE), 6) AS max_elem
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order pack over the embeddings table: transform,
+    filter, aggregate (fold), sort — all JVM-side lambda expressions,
+    the building blocks of the similarity kernels in llm.py."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    as_double = F.transform(emb, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(emb).alias("dim"),
+        F.round(emb[0].cast("double"), 6).alias("first_elem"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("vec_sum"),
+        F.round(
+            F.aggregate(
+                F.transform(emb, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("max_elem"),
+    )
+
+
+@query(
+    "q_json_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+    FROM events
+    """,
+)
+def json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing of the events.props blob — the reference's
+    fastjson ``JSON.parseObject`` (KafkaApp.scala:52) done Spark-style:
+    ``from_json`` with a declared schema (Catalyst prunes unreferenced
+    json fields from the parse)."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json(F.col("props"), PROPS_SCHEMA).alias("j")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        (F.col("j.k") % 10).alias("k_mod10"),
+    )

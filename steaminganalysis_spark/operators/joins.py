@@ -1,0 +1,244 @@
+"""Join operators (SURVEY.md §2 B.3).
+
+Scale posture: dimension tables (region/nation/supplier/part/customer at
+TPC-H ratios) are broadcast — no shuffle of the fact side; fact-fact
+joins (lineitem ⋈ orders) shuffle on the join key and AQE handles skew.
+The as-of join is expressed as union + window (single shuffle on the
+partition key) instead of a range cross-join, which is the only shape
+that survives a 100 TB event table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.registry import SQL_DSUM, dsum, query
+from steaminganalysis_spark.sources import load
+
+
+@query(
+    "q_join_inner",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           {SQL_DSUM("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact inner equi-join (lineitem ⋈ orders) + aggregate.
+    Catalyst picks the physical strategy (sort-merge at scale, broadcast
+    if one side fits under AQE); both sides prune to join+agg columns."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT r_name,
+           COUNT(*) AS n_lines,
+           {SQL_DSUM("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact ⋈ three broadcast dims (supplier→nation→region).
+    Explicit broadcast() hints — the dim chain is joined without ever
+    shuffling lineitem; the only exchange is the final tiny group-by.
+    This is the plan shape that must hold at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_outer",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE({SQL_DSUM("o_totalprice")}, 0.0) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders;
+    COUNT(col) vs COUNT(*) null semantics exercised deliberately."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.nk == s.nk, "full").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): probe side streams, no row multiplication,
+    build side reduced to distinct keys."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT a.p_brand AS brand,
+           COUNT(*) AS n_dominated_pairs
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+    GROUP BY a.p_brand
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi component (brand) + non-equi range predicate
+    (size <). Spark plans the equi part as the join key and applies the
+    range as a post-join filter — so this is NOT a cross join even
+    though the predicate is non-equi; only within-brand pairs
+    materialize."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") < F.col("b.p_size")),
+        )
+        .groupBy(F.col("a.p_brand").alias("brand"))
+        .agg(F.count("*").alias("n_dominated_pairs"))
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'click' THEN ts END AS click_ts
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ), filled AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN strftime(ts, '%Y-%m-%d %H:%M:%S.%f') END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      FROM (SELECT user_id, ts, event_id, value, event_type FROM events
+            WHERE event_type IN ('purchase', 'click'))
+    )
+    SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, last_click_ts
+    FROM filled
+    WHERE event_type = 'purchase'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent STRICTLY PRIOR
+    click by the same user. Expressed as a single-shuffle union+window
+    (partition by user, order by time, last_value IGNORE NULLS over a
+    trailing frame) rather than a range join — at 100 TB a range join
+    explodes; this shape shuffles each event exactly once.
+    Timestamps emitted as strings per the determinism conventions."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("user_id", "ts", "event_id", "value", "event_type")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    filled = ev.withColumn(
+        "last_click_ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.date_format("ts", fmt)),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return filled.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        "last_click_ts",
+    )

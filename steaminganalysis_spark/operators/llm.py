@@ -1,0 +1,581 @@
+"""LLM-data-pipeline operators (SURVEY.md §2 B.9; BASELINE.json
+north star): deduplication (exact / n-gram Jaccard / MinHash-LSH /
+SimHash), similarity search over embeddings, and text analysis
+(token stats, language ID, quality scoring, fingerprinting).
+
+Scale design notes:
+- Exact dedup is a hash-groupBy (one shuffle on the text hash — never
+  on the text itself, so wide rows don't inflate the exchange).
+- N-gram Jaccard dedup joins on shingles: candidate generation only
+  materializes pairs that share ≥1 shingle; at 100 TB you run the
+  MinHash-LSH variant (`q_dedup_near`) whose candidate set is bounded
+  by LSH bands, then verify candidates exactly — that is the classic
+  shingle→minhash→band→bucket-join pipeline, here pure DataFrame ops.
+- Similarity search: brute-force cosine keeps the small query set
+  broadcast so the big side streams map-side only (no shuffle); the
+  LSH-bucketed variant (`q_sim_ann_lsh`) prunes candidates by
+  random-hyperplane buckets.
+- All floating-point pipelines cast float→double BEFORE any arithmetic
+  and mirror the oracle's association order exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.registry import query
+from steaminganalysis_spark.sources import load
+
+# ---------------------------------------------------------------- dedup
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+    The shuffle key is the 32-byte md5, not the document body."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per document (the unit set for
+    Jaccard / MinHash)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.concat_ws(
+                    " ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]
+                ),
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM toks, unnest(generate_series(1, len(t) - 2)) AS r(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dedup: candidate pairs share ≥1
+    shingle; jaccard = |∩| / (|A|+|B|-|∩|) ≥ 0.8. The ratio is an exact
+    integer division done identically on both sides."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+N_MINHASH = 32
+N_BANDS = 8  # 8 bands × 4 rows: P(candidate | j=0.8) ≈ 1-(1-0.8^4)^8 ≈ 0.986/pair-band → ~1.0 overall
+
+
+@query("q_dedup_near")  # rows-only: MinHash is probabilistic; verified vs exact jaccard in tests
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dedup — the 100 TB scale path.
+
+    shingle → 32 minhashes (xxhash64 with per-permutation seeds) →
+    8 bands of 4 → band-bucket equi-join for candidates → exact Jaccard
+    verification on candidates only. Unlike `q_dedup_ngram_jaccard`,
+    the pair space never materializes beyond LSH collisions.
+    """
+    sh = _shingles(spark, sf_dir).withColumn("h", F.xxhash64("shingle"))
+    # 32 permutations via seeded re-hash of the base shingle hash
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(
+                            *[
+                                F.col(f"mh{bi * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("sig"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verification on the (small) candidate set
+    sh2 = _shingles(spark, sf_dir)
+    sizes = sh2.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh2.alias("a")
+    b = sh2.alias("b")
+    inter = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("q_dedup_simhash")  # rows-only: engine-specific 64-bit hashing
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup: 32-bit signature from per-token hashes
+    (bit j of the signature = sign of Σ_tokens (bit j ? +1 : -1)),
+    candidates = signature pairs within Hamming distance ≤ 3.
+    All JVM-side bit arithmetic; no UDFs."""
+    d = load(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    tok = d.select("doc_id", F.explode("t").alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(32)
+        ]
+    )
+    sig = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(32)
+            ],
+            F.lit(0),
+        ).cast("long").alias("sig"),
+    )
+    x = sig.alias("x")
+    y = sig.alias("y")
+    ham = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
+    return (
+        x.join(y, F.col("x.doc_id") < F.col("y.doc_id"))
+        .filter(ham <= 3)
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
+# ------------------------------------------------- similarity search
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+            )
+        ).alias("norm"),
+    )
+
+
+_SIM_ORACLE_BASE = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) AS nrm
+      FROM e
+    ), pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+               / (a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 50
+    )
+"""
+
+
+@query(
+    "q_sim_topk",
+    oracle=_SIM_ORACLE_BASE
+    + """
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY round(cosine, 6) DESC, neighbor_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 50 query vectors.
+
+    The query set is broadcast; the corpus streams through a map-side
+    broadcast nested-loop join (no shuffle of the big side), dot product
+    via JVM higher-order zip_with/aggregate in double precision; then a
+    per-query top-k window. Ranking is on the ROUNDED similarity with a
+    neighbor-id tiebreak so float last-ulp differences cannot reorder.
+    """
+    base = _emb_double(spark, sf_dir)
+    q = base.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("qnorm") * F.col("norm"))
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rn")
+    )
+
+
+@query(
+    "q_sim_threshold_pairs",
+    oracle=_SIM_ORACLE_BASE.replace("WHERE a.vec_id < 50", "WHERE a.vec_id < b.vec_id")
+    + """
+    SELECT query_id AS vec_a, neighbor_id AS vec_b, round(cosine, 6) AS cosine
+    FROM pairs WHERE round(cosine, 6) >= 0.4
+    """,
+)
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4 over all
+    pairs, a < b). The all-pairs form is the correctness baseline; the
+    LSH-bucketed `q_sim_ann_lsh` is the scale path."""
+    base = _emb_double(spark, sf_dir)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+N_HYPERPLANES = 8
+
+
+@query("q_sim_ann_lsh")  # rows-only: ANN recall is probabilistic by design
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 8 signed projections →
+    bucket id; candidates = same-bucket pairs; exact cosine re-scored on
+    candidates. Hyperplanes are a deterministic pseudo-random matrix
+    derived from xxhash64 so results are reproducible. At scale the
+    bucket join replaces the all-pairs cross join."""
+    base = _emb_double(spark, sf_dir)
+    # deterministic hyperplanes: component h[p][i] from hash(p, i) mapped to ±1
+    def proj(p: int):
+        prods = F.transform(
+            F.col("v"),
+            lambda x, i: x
+            * (F.when(F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = sum(
+        [
+            F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(N_HYPERPLANES)
+        ],
+        F.lit(0),
+    )
+    bucketed = base.withColumn("bucket", bucket)
+    x = bucketed.alias("x")
+    y = bucketed.alias("y")
+    dot = F.aggregate(
+        F.zip_with(F.col("x.v"), F.col("y.v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x_: acc + x_,
+    )
+    cos = F.round(dot / (F.col("x.norm") * F.col("y.norm")), 6)
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+# ----------------------------------------------------- text analysis
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_FR_WORDS = ("le", "la", "et", "les", "des", "un", "une", "du")
+_DE_WORDS = ("der", "die", "das", "und", "ein", "nicht", "mit", "ist")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus statistics: docs, chars, whitespace
+    tokens, exact average chars."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+        (F.sum("n_chars") / F.count("*").cast("double")).alias("avg_chars"),
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency top-20 (explode → count → top-k with
+    lexicographic tiebreak). The explode happens after column pruning,
+    so only the text column is scanned."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_text_token_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_bpeish,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws
+    FROM documents
+    """,
+)
+def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (`[a-z]+|[0-9]+` runs) — both JVM-side."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+")).cast("int").alias("n_bpeish"),
+        F.size(F.split("text", " ")).alias("n_ws"),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(toks, x -> list_contains({_sql_list(_STOPWORDS)}, x))) AS INT) AS en_hits,
+             CAST(len(list_filter(toks, x -> list_contains({_sql_list(_FR_WORDS)}, x))) AS INT) AS fr_hits,
+             CAST(len(list_filter(toks, x -> list_contains({_sql_list(_DE_WORDS)}, x))) AS INT) AS de_hits
+      FROM t
+    )
+    SELECT doc_id, lang, en_hits, fr_hits, de_hits,
+           CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+                WHEN fr_hits >= de_hits THEN 'fr' ELSE 'de' END AS lang_guess
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language-ID heuristic: stopword-hit argmax with a
+    deterministic preference order (en > fr > de on ties)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+
+    def hits(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("toks"), lambda x: F.array_contains(arr, x)))
+
+    s = d.select(
+        "doc_id",
+        "lang",
+        hits(_STOPWORDS).alias("en_hits"),
+        hits(_FR_WORDS).alias("fr_hits"),
+        hits(_DE_WORDS).alias("de_hits"),
+    )
+    return s.withColumn(
+        "lang_guess",
+        F.when(
+            (F.col("en_hits") >= F.col("fr_hits")) & (F.col("en_hits") >= F.col("de_hits")),
+            "en",
+        )
+        .when(F.col("fr_hits") >= F.col("de_hits"), "fr")
+        .otherwise("de"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_toks
+      FROM documents
+    )
+    SELECT doc_id,
+           round(0.5 * least(n_toks / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_filter(toks, x -> list_contains({_sql_list(_STOPWORDS)}, x))) AS DOUBLE) / n_toks)
+               + 0.2 * least((CAST(n_chars AS DOUBLE) / n_toks) / 8.0, 1.0), 6) AS quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: length component + stopword
+    ratio + average-word-length component, mirrored exactly in SQL."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.split("text", " ").alias("toks")
+    )
+    n_toks = F.size("toks")
+    arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_hits = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(arr, x)))
+    quality = F.round(
+        0.5 * F.least(n_toks / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (stop_hits.cast("double") / n_toks)
+        + 0.2 * F.least((F.col("n_chars").cast("double") / n_toks) / 8.0, F.lit(1.0)),
+        6,
+    )
+    return d.select("doc_id", quality.alias("quality"))
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted token
+    bag — catches shuffled-word duplicates that exact hashing misses."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.sort_array(F.split("text", " ")))).alias("fingerprint"),
+    )

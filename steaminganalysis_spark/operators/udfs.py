@@ -1,0 +1,150 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2 B.10).
+
+Each flavor computes something ANSI-SQL-expressible so the DuckDB
+oracle still hash-checks it. Ranked by scale-worthiness:
+
+1. pandas UDF / grouped-map (Arrow-batched, vectorized) — the only
+   acceptable Python path at 100 TB;
+2. row-at-a-time Python UDF — implemented to cover the API surface,
+   deliberately on a small projection (it serializes per row; kept out
+   of bench headline queries).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from steaminganalysis_spark.registry import query
+from steaminganalysis_spark.sources import load
+
+
+@F.udf(T.DoubleType())
+def _fee_with_tax(value: float) -> float:
+    # +10% tax in exact integer cents → thousandths, half-up back to
+    # cents. Integer arithmetic end-to-end: Python's round() is
+    # half-to-EVEN while SQL rounds half-up, so a float round here
+    # would diverge from any SQL oracle on .xx5 boundaries.
+    thousandths = int(value * 100 + 0.5) * 11
+    return ((thousandths + 5) // 10) / 100.0
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT event_id,
+           CAST((CAST(round(value * 100) AS BIGINT) * 11 + 5) // 10 AS DOUBLE) / 100.0
+             AS fee_taxed
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (API-surface coverage; see module note)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.select("event_id", _fee_with_tax(F.col("value")).alias("fee_taxed"))
+
+
+@F.pandas_udf(T.DoubleType())
+def _scaled(v: pd.Series) -> pd.Series:
+    # vectorized: v * 2 + 1 (exact in IEEE double: *2 is exponent bump)
+    return v * 2.0 + 1.0
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+    SELECT event_id, value * 2.0 + 1.0 AS scaled
+    FROM events
+    """,
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF — whole Arrow batches cross
+    the JVM↔Python boundary, ~10-100× the row UDF's throughput."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", _scaled(F.col("value")).alias("scaled"))
+
+
+@F.pandas_udf(T.DoubleType())
+def _mean_value(v: pd.Series) -> float:
+    # grouped-agg pandas UDF (UDAF): exact 2-decimal mean via integer cents
+    import numpy as np
+
+    cents = np.rint(v.to_numpy() * 100.0).astype("int64")
+    # mirror the oracle's association exactly: (decimal-sum → double) / n
+    return (float(cents.sum()) / 100.0) / len(cents)
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS mean_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (a UDAF): mean computed over exact
+    integer cents so it hash-matches the decimal oracle regardless of
+    summation order."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(_mean_value(F.col("value")).alias("mean_value"))
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # per-group z-score against population stddev, exact-cents mean
+    import numpy as np
+
+    v = pdf["value"].to_numpy()
+    cents = np.rint(v * 100.0).astype("int64")
+    mean = cents.sum() / (100.0 * len(cents))
+    var = float(np.square(v - mean).sum()) / len(v)
+    sd = var**0.5
+    z = (v - mean) / sd if sd > 0 else np.zeros_like(v)
+    return pd.DataFrame(
+        {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": np.round(z, 4)}
+    )
+
+
+@query("q_udtf_applyinpandas")  # rows-only: float var/std summation order differs vs oracle
+def udtf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (per-group table function): z-score
+    normalization per event_type — the canonical per-group pandas
+    transform. Shuffles once on the group key; each group is one Arrow
+    batch in Python. Checked rows-only (variance summation order makes
+    the last ulp engine-dependent); tests assert z-stats invariants."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        _zscore_group, schema="event_id long, event_type string, z double"
+    )
+
+
+@query(
+    "q_udf_sql_registered",
+    oracle="""
+    SELECT p_partkey,
+           CAST((CAST(round(p_retailprice * 100) AS BIGINT) * 93 + 50) // 100 AS DOUBLE)
+             / 100.0 AS sale_price
+    FROM part
+    WHERE p_size > 25
+    """,
+)
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF registered into the SQL catalog and invoked from spark.sql —
+    the `spark.udf.register` path. 7% discount in exact integer cents
+    (see _fee_with_tax for why not float round)."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("_udf_part")
+    spark.udf.register(
+        "sale_price",
+        lambda p: ((int(p * 100 + 0.5) * 93 + 50) // 100) / 100.0,
+        T.DoubleType(),
+    )
+    return spark.sql(
+        """
+        SELECT p_partkey, sale_price(p_retailprice) AS sale_price
+        FROM _udf_part WHERE p_size > 25
+        """
+    )

@@ -1,0 +1,147 @@
+"""Window-function operators (SURVEY.md §2 B.5).
+
+All windows partition on a real key (nation / customer / user) so state
+per partition stays bounded; every ORDER BY includes a unique tiebreak
+column so ranking output is deterministic under the driver's value-hash
+comparison (FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.registry import query
+from steaminganalysis_spark.sources import load
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS od,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           first_value(o_orderkey) OVER w AS first_order,
+           CAST(datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS INT) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / (COUNT(*) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS sliding_avg3
+    FROM orders
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + 3-row sliding average. Accumulation in decimal so
+    the prefix sums are exact and engine-independent; the sliding AVG is
+    a ≤3-element decimal mean, also exact at scale 6."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(30,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double").alias(
+            "running_spend"
+        ),
+        (
+            F.sum(dec).over(w.rowsBetween(-2, 0)).cast("double")
+            / F.count("*").over(w.rowsBetween(-2, 0))
+        ).alias("sliding_avg3"),
+    )
+
+
+@query(
+    "q_window_range",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+                               RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near
+    FROM customer
+    """,
+)
+def window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric ordering key (value-based frame, not
+    row-based): counts customers whose key lies within 10 below."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_custkey").rangeBetween(-10, 0)
+    return c.select(
+        "c_nationkey", "c_custkey", F.count("*").over(w).alias("n_near")
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. row_number + filter: Spark pushes the
+    rn<=3 limit into the window sort (WindowGroupLimit) so each group
+    keeps a 3-row heap instead of sorting all rows — the per-group
+    top-k shape that scales."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )

@@ -1,0 +1,180 @@
+"""Windowed event-time operators (SURVEY.md §2 B.8) registered in the
+driver contract.
+
+``q_stream_tumbling_daily`` genuinely executes as a streaming query
+(file source → stateful event-time window agg → memory sink) and is
+still oracle-checked: its answer must equal the batch answer over the
+same data — the stream-batch equivalence argument.
+
+Tumbling/sliding/session windows also run in batch mode (same
+``window``/``session_window`` expressions), each with an exact SQL
+oracle (sliding = union of the two shifted 3h grids; session = classic
+gaps-and-islands).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.registry import SQL_DSUM, dsum, query
+from steaminganalysis_spark.sources import load
+from steaminganalysis_spark.sources.registry import events_stream
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "q_stream_tumbling_daily",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS total,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS success,
+           {SQL_DSUM("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS fee
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling event-time window (1 day), run to completion
+    over the events parquet via the file source and a memory sink in
+    complete mode — then compared against the plain batch SQL. No
+    watermark: accumulate-forever semantics, matching the reference's
+    Redis accumulators (SURVEY.md §2 late-data note)."""
+    name = f"stream_daily_{uuid.uuid4().hex[:8]}"
+    stream = events_stream(spark, sf_dir)
+    agg = stream.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count("*").alias("total"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("success"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("fee"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "total",
+        "success",
+        "fee",
+    )
+
+
+@query(
+    "q_window_sliding",
+    oracle=f"""
+    WITH grids AS (
+      SELECT time_bucket(INTERVAL 3 HOURS, ts) AS w_start, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 3 HOURS, ts) - INTERVAL 3 HOURS AS w_start, event_type, value
+      FROM events
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS total,
+           {SQL_DSUM("value")} AS total_value
+    FROM grids
+    GROUP BY w_start
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (6h length, 3h slide) in batch mode:
+    each event lands in exactly two windows. Oracle = union of the two
+    shifted 3h-grid assignments."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(F.count("*").alias("total"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "total",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_session_window",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTES, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           {SQL_DSUM("value")} AS session_value
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user via the native
+    ``session_window`` expression — state per key is one open session,
+    merged on overlap; the oracle is the equivalent gaps-and-islands
+    SQL. Session end = last event + gap (Spark's definition)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            F.date_format(F.col("w.end"), _TS_FMT).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n
+    FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    GROUP BY user_id
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on the event key (the reference carries
+    a unique orderId but never dedups — SURVEY.md §4.3): file-sourced
+    stream, dropDuplicates("event_id"), count per user, memory sink.
+    event_id is unique in the fixture so the oracle reduces to a plain
+    count; the replayed-duplicate case is exercised in tests."""
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.dropDuplicates(["event_id"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

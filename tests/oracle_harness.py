@@ -1,0 +1,82 @@
+"""Local replica of the driver's oracle-differential check
+(SURVEY.md §5.2): run the registered Spark query and its DuckDB SQL
+twin over the same parquet tables and compare row count, column names,
+and an order-insensitive multiset of normalized row values.
+
+Stricter than the driver can possibly be: values are compared EXACTLY
+(no float tolerance) — if this passes, any reasonable value-hash
+passes.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import Counter
+from decimal import Decimal
+
+import duckdb
+
+from steaminganalysis_spark.schemas import TABLE_NAMES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if hasattr(v, "isoformat"):  # datetime/date — should not appear per conventions
+        return v.isoformat()
+    return v
+
+
+def normalize_rows(rows, colnames):
+    """Sort columns by name (the driver's comparison is column-name
+    keyed), normalize values, return a multiset of tuples."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def compare_query(spark, name: str, sf_dir: str, queries, oracle) -> list[str]:
+    """Returns a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    sdf = queries[name](spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    if name not in oracle:
+        if len(srows) == 0 and name not in ALLOW_EMPTY:
+            problems.append(f"{name}: rows-only check returned 0 rows")
+        return problems
+
+    con = duck_connect(sf_dir)
+    orel = con.sql(oracle[name])
+    ocols = orel.columns
+    orows = orel.fetchall()
+
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"{name}: columns {sorted(scols)} != oracle {sorted(ocols)}")
+        return problems
+    if len(srows) != len(orows):
+        problems.append(f"{name}: rowcount {len(srows)} != oracle {len(orows)}")
+    sset = normalize_rows([tuple(r) for r in srows], scols)
+    oset = normalize_rows(orows, ocols)
+    if sset != oset:
+        diff_s = list((sset - oset).items())[:3]
+        diff_o = list((oset - sset).items())[:3]
+        problems.append(
+            f"{name}: value multiset mismatch; spark-only={diff_s} oracle-only={diff_o}"
+        )
+    return problems
+
+
+# rows-only queries where an empty result is legitimate
+ALLOW_EMPTY = {"q_dedup_simhash", "q_sim_ann_lsh"}

@@ -1,0 +1,42 @@
+"""The sqllogictest-style corpus: every registered query must match its
+DuckDB oracle exactly at the correctness scale factor (sf0.01 — the
+same SF the driver uses)."""
+
+from __future__ import annotations
+
+import pytest
+
+from steaminganalysis_spark.registry import collect_queries
+from tests.conftest import SF_DIR_CORRECTNESS
+from tests.oracle_harness import compare_query
+
+QUERIES, ORACLE = collect_queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    problems = compare_query(spark, name, SF_DIR_CORRECTNESS, QUERIES, ORACLE)
+    assert not problems, "\n".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"day", "total", "success", "fee"}
+
+
+def test_every_query_has_oracle_or_is_documented():
+    rows_only = set(QUERIES) - set(ORACLE)
+    # every rows-only query must be one we deliberately exempted
+    documented = {
+        "q_agg_approx_distinct",  # HLL estimate
+        "q_udtf_applyinpandas",  # float variance summation order
+        "q_dedup_near",  # MinHash probabilistic
+        "q_dedup_simhash",  # engine-specific 64-bit hash
+        "q_sim_ann_lsh",  # ANN recall probabilistic
+        "q_scan_json",  # has an oracle actually; keep here only if dropped
+    }
+    assert rows_only <= documented, f"undocumented rows-only queries: {rows_only - documented}"
