@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>}
+
+Each query is forced with the noop sink (full execution, zero
+collect/serialization overhead — measures the engine, not the driver
+link). One untimed warmup query amortizes JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from steaminganalysis_spark.registry import collect_queries
+from steaminganalysis_spark.session import get_spark
+
+# Headline set: the flagship + the heaviest representative per operator
+# family (agg, fact-fact join, star broadcast join, window, top-k,
+# grouping sets, dedup exact/near, similarity, text).
+HEADLINE = [
+    "q_daily_rollup",
+    "q_agg_basic",
+    "q_time_buckets",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_window_rank",
+    "q_topk_per_group",
+    "q_join_asof",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_sim_topk",
+    "q_text_tokens",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark(app_name="sa-spark-bench")
+    queries, _ = collect_queries()
+
+    def force(name: str) -> float:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    force("q_daily_rollup")  # warmup (untimed)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(force(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -353,19 +353,26 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_HYPERPLANES = 8
+LSH_BITS = 4  # hyperplanes per table
+LSH_TABLES = 8  # independent tables (multi-probe recall)
 
 
 @query("q_sim_ann_lsh")  # rows-only: ANN recall is probabilistic by design
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH: 8 signed projections →
-    bucket id; candidates = same-bucket pairs; exact cosine re-scored on
-    candidates. Hyperplanes are a deterministic pseudo-random matrix
-    derived from xxhash64 so results are reproducible. At scale the
-    bucket join replaces the all-pairs cross join."""
+    """Approximate NN via multi-table random-hyperplane LSH:
+    8 tables × 4 signed projections → bucket ids; candidates = pairs
+    sharing any (table, bucket); exact cosine re-scored on candidates.
+    Hyperplanes are a deterministic ±1 pseudo-random matrix derived
+    from xxhash64, so results are reproducible.
+
+    At the test threshold (cosine ≈ 0.4, a weak-similarity regime)
+    P(candidate) ≈ 1-(1-(1-θ/π)^4)^8 ≈ 0.75 per true pair; at real
+    dedup thresholds (cosine ≥ 0.8) it exceeds 0.999. At scale the
+    (table, bucket) equi-join replaces the all-pairs cross join."""
     base = _emb_double(spark, sf_dir)
-    # deterministic hyperplanes: component h[p][i] from hash(p, i) mapped to ±1
+
     def proj(p: int):
+        # signed projection onto deterministic hyperplane p
         prods = F.transform(
             F.col("v"),
             lambda x, i: x
@@ -373,33 +380,53 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
-    bucket = sum(
-        [
-            F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-            for p in range(N_HYPERPLANES)
-        ],
-        F.lit(0),
+    def bucket(t: int):
+        return sum(
+            [
+                F.when(proj(t * LSH_BITS + b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(LSH_BITS)
+            ],
+            F.lit(0),
+        )
+
+    buckets = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bkt"))
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.tbl", "tb.bkt")
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
     )
-    bucketed = base.withColumn("bucket", bucket)
-    x = bucketed.alias("x")
-    y = bucketed.alias("y")
+    a = _emb_double(spark, sf_dir).select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = _emb_double(spark, sf_dir).select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
     dot = F.aggregate(
-        F.zip_with(F.col("x.v"), F.col("y.v"), lambda a, b: a * b),
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x_: acc + x_,
     )
-    cos = F.round(dot / (F.col("x.norm") * F.col("y.norm")), 6)
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
     return (
-        x.join(
-            y,
-            (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.4)
     )
 

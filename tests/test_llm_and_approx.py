@@ -1,0 +1,103 @@
+"""Invariant tests for the rows-only (non-oracle) operators: the
+probabilistic ones are checked against their exact counterparts with
+explicit tolerances, so "rows-only" never means "unchecked"."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.registry import collect_queries
+from tests.conftest import SF_DIR_CORRECTNESS
+
+QUERIES, _ = collect_queries()
+SF = SF_DIR_CORRECTNESS
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """HLL estimate within 5% of exact (rsd was set to 1%)."""
+    from steaminganalysis_spark.sources import load
+
+    approx = {
+        r.l_returnflag: r.approx_orders
+        for r in QUERIES["q_agg_approx_distinct"](spark, SF).collect()
+    }
+    exact = {
+        r.l_returnflag: r.exact
+        for r in load(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= 0.05 * exact[k], (k, approx[k], exact[k])
+
+
+def test_minhash_lsh_finds_all_planted_near_dups(spark):
+    """MinHash-LSH candidates must recover 100% of the exact-Jaccard
+    pairs at the 0.8 threshold (8 bands × 4 rows ⇒ p(miss) ≈ 1e-7 per
+    pair at j=0.99 — the driver planted ~0.99 pairs), and every
+    reported pair must carry the exact jaccard (it is verified
+    post-LSH)."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["q_dedup_ngram_jaccard"](spark, SF).collect()
+    }
+    near = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["q_dedup_near"](spark, SF).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    assert near == exact  # full recall AND exact verified scores
+
+
+def test_simhash_recall_on_planted_pairs(spark):
+    """SimHash measures bag-of-words similarity (frequency-weighted
+    bits), not shingle Jaccard — so the check is RECALL: every planted
+    shingle-level near-duplicate (jaccard ≥ 0.8 ⇒ nearly identical
+    token bags) must land within Hamming ≤ 3. Extra pairs with merely
+    similar word distributions are legitimate SimHash hits, not false
+    positives."""
+    exact_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_ngram_jaccard"](spark, SF).collect()
+    }
+    sim = {(r.doc_a, r.doc_b) for r in QUERIES["q_dedup_simhash"](spark, SF).collect()}
+    assert exact_pairs, "fixture should contain planted near-duplicates"
+    missed = exact_pairs - sim
+    assert not missed, f"simhash missed planted near-dups: {missed}"
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """LSH-ANN must report a subset of the exact threshold pairs with
+    identical cosine values, recovering a reasonable fraction (recall
+    ≥ 0.3 with 8 hyperplanes at cosine ≈ 0.4-0.5 — it's approximate
+    by design; exactness is covered by q_sim_threshold_pairs)."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in QUERIES["q_sim_threshold_pairs"](spark, SF).collect()
+    }
+    ann = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in QUERIES["q_sim_ann_lsh"](spark, SF).collect()
+    }
+    assert exact, "threshold pairs exist at sf0.01"
+    for pair, cos in ann.items():
+        assert pair in exact and exact[pair] == cos, f"ANN false positive {pair}"
+    assert len(ann) >= 0.3 * len(exact), (len(ann), len(exact))
+
+
+def test_zscore_invariants(spark):
+    """applyInPandas z-score: mean ≈ 0, population stddev ≈ 1 per group."""
+    import math
+
+    rows = QUERIES["q_udtf_applyinpandas"](spark, SF).collect()
+    by_group: dict[str, list[float]] = {}
+    for r in rows:
+        by_group.setdefault(r.event_type, []).append(r.z)
+    assert len(by_group) == 5
+    for g, zs in by_group.items():
+        m = sum(zs) / len(zs)
+        sd = math.sqrt(sum((z - m) ** 2 for z in zs) / len(zs))
+        assert abs(m) < 1e-3, (g, m)
+        assert abs(sd - 1) < 1e-3, (g, sd)

@@ -1,0 +1,246 @@
+"""Streaming-core tests (SURVEY.md §5.2): stream-batch equivalence,
+exactly-once KV sink semantics under replay, watermarked late-data
+handling, streaming dedup of replayed duplicates, and stream-static
+joins."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.sources.registry import events_stream
+from steaminganalysis_spark.streaming.datagen import order_events_batch, to_kafka_json
+from steaminganalysis_spark.streaming.pipeline import (
+    classify_orders,
+    day_rollup_delta,
+    parse_order_json,
+)
+from steaminganalysis_spark.streaming.sinks import (
+    KEY_PREFIX,
+    KVStore,
+    apply_day_rollup_batch,
+    day_rollup_sink,
+)
+
+
+def _ckpt() -> str:
+    return os.path.join(tempfile.mkdtemp(prefix="sa_spark_ckpt_"), "c")
+
+
+def test_datagen_matches_reference_schema(spark):
+    """Generator replicates the reference producer's fields/domains
+    (KafkaProducerApp.scala:38-44)."""
+    df = order_events_batch(spark, n=200)
+    rows = df.collect()
+    assert len(rows) == 200
+    assert set(df.columns) == {"time", "userId", "courseId", "fee", "flag", "orderId"}
+    for r in rows:
+        assert 0 <= int(r.userId) < 1000
+        assert 0 <= int(r.courseId) < 500
+        assert 0 <= int(r.fee) < 500
+        assert r.flag in ("0", "1")
+        assert len(r.orderId) == 36
+        assert len(r.time) == 19  # yyyy-MM-dd HH:mm:ss
+
+
+def test_json_roundtrip_and_classify(spark):
+    """to_json → from_json roundtrip preserves the order event; the
+    classifier reproduces KafkaApp.scala:62-64 semantics."""
+    orders = order_events_batch(spark, n=100)
+    wire = to_kafka_json(orders)
+    parsed = parse_order_json(wire)
+    assert sorted(parsed.columns) == sorted(orders.columns)
+    classified = classify_orders(parsed)
+    rows = classified.collect()
+    orig = {r.orderId: r for r in orders.collect()}
+    for r in rows:
+        o = orig[r.orderId]
+        assert r.success == (1 if o.flag == "1" else 0)
+        assert r.fee_cents == (int(o.fee) * 100 if o.flag == "1" else 0)
+        assert r.day == o.time[:10]
+
+
+def test_stream_batch_equivalence_kv_sink(spark):
+    """The flagship streaming pipeline through the KV sink produces the
+    same per-day totals as the batch aggregate over the same events."""
+    store_name = f"equiv-{uuid.uuid4().hex[:6]}"
+    sf_dir = "/root/testdata/sf0.001"
+    ev = events_stream(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (F.col("event_type") == "purchase").cast("int").alias("success"),
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+        )
+        .otherwise(0)
+        .alias("fee_cents"),
+    )
+    q = day_rollup_sink(ev, _ckpt(), day_rollup_delta, store_name=store_name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from steaminganalysis_spark.sources import load
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("success"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("fee_cents"),
+        )
+        .collect()
+    )
+    store = KVStore.instance(store_name)
+    assert len(store.keys()) >= 30
+    for r in batch:
+        h = store.hgetall(KEY_PREFIX + r.day)
+        assert h == {
+            "total": r.total,
+            "success": r.success,
+            "fee_cents": r.fee_cents,
+        }, f"day {r.day}"
+
+
+def test_idempotent_sink_skips_replayed_batch(spark):
+    """Replaying a batch with the same batch_id must not double-count —
+    the guard the reference lacks (SURVEY.md §4.3: offsets committed
+    after non-idempotent HINCRBY)."""
+    store_name = f"replay-{uuid.uuid4().hex[:6]}"
+    df = classify_orders(parse_order_json(to_kafka_json(order_events_batch(spark, 50))))
+    apply_day_rollup_batch(df, batch_id=7, agg_fn=day_rollup_delta, store_name=store_name)
+    store = KVStore.instance(store_name)
+    before = {k: store.hgetall(k) for k in store.keys()}
+    assert before, "first apply wrote nothing"
+    # crash-replay: same batch id arrives again
+    apply_day_rollup_batch(df, batch_id=7, agg_fn=day_rollup_delta, store_name=store_name)
+    after = {k: store.hgetall(k) for k in store.keys()}
+    assert after == before
+    # a NEW batch id does accumulate
+    apply_day_rollup_batch(df, batch_id=8, agg_fn=day_rollup_delta, store_name=store_name)
+    doubled = {k: store.hgetall(k) for k in store.keys()}
+    for k, h in before.items():
+        assert doubled[k]["total"] == 2 * h["total"]
+
+
+def test_streaming_dedup_drops_replayed_duplicates(spark, tmp_path):
+    """dropDuplicates over a keyed stream collapses a re-delivered file
+    of duplicate events (at-least-once upstream → effectively-once)."""
+    src = tmp_path / "dup_stream"
+    src.mkdir()
+    ev = order_events_batch(spark, 40)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    # identical content delivered again as a second file batch
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+    schema = spark.read.parquet(str(src / "a")).schema
+    stream = spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(
+        str(src)
+    )
+    name = f"dedup_{uuid.uuid4().hex[:6]}"
+    agg = stream.dropDuplicates(["orderId"]).groupBy().count()
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    [row] = spark.table(name).collect()
+    assert row["count"] == 40  # 80 delivered, 40 unique
+
+
+def test_watermark_drops_late_rows_from_append(spark):
+    """withWatermark + append mode: only windows whose end precedes the
+    final watermark are emitted (late-data eviction — the mode the
+    reference never had; SURVEY.md §2 B.8)."""
+    ev = events_stream(spark, "/root/testdata/sf0.001")
+    name = f"wm_{uuid.uuid4().hex[:6]}"
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {
+        r.day: r.n
+        for r in spark.table(name)
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "n")
+        .collect()
+    }
+    from steaminganalysis_spark.sources import load
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    batch = {
+        r.day: r.n
+        for r in events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # every emitted window is final and matches the batch count
+    for day, n in emitted.items():
+        assert batch[day] == n
+    # the window containing max_ts cannot be final yet
+    assert max_ts.strftime("%Y-%m-%d") not in emitted
+    # and all strictly-earlier days were emitted
+    finals = {d for d in batch if d < max_ts.strftime("%Y-%m-%d")}
+    assert set(emitted) == finals
+
+
+def test_stream_static_join(spark):
+    """Streaming events enriched with a static dimension (stream-static
+    join — SURVEY.md §2 B.3 last row): the static side is broadcast per
+    micro-batch, no stream-side shuffle."""
+    sf_dir = "/root/testdata/sf0.001"
+    stream = events_stream(spark, sf_dir)
+    static_dim = spark.createDataFrame(
+        [("click", "browse"), ("view", "browse"), ("purchase", "buy"),
+         ("signup", "acct"), ("error", "err")],
+        ["event_type", "category"],
+    )
+    name = f"ssj_{uuid.uuid4().hex[:6]}"
+    joined = (
+        stream.join(F.broadcast(static_dim), "event_type")
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+    )
+    q = joined.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.category: r.n for r in spark.table(name).collect()}
+    from steaminganalysis_spark.sources import load
+
+    expected = {
+        r.category: r.n
+        for r in load(spark, sf_dir, "events")
+        .join(static_dim, "event_type")
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_rate_source_stream_builds(spark):
+    """The continuous datagen stream compiles to a valid streaming plan
+    (smoke only — no wall-clock waits in tests)."""
+    from steaminganalysis_spark.streaming.datagen import order_events_stream
+
+    df = order_events_stream(spark, rows_per_second=5)
+    assert df.isStreaming
+    assert set(df.columns) == {"time", "userId", "courseId", "fee", "flag", "orderId"}
