@@ -56,15 +56,30 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n - 3),
-                lambda i: F.concat_ws(
-                    " ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]
+            F.when(
+                n >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), n - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]
+                    ),
                 ),
-            )
+            ).otherwise(F.array())
         ).alias("shingle"),
     )
     return sh.distinct()
+
+
+def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, xxhash64(shingle)) — the scale representation:
+    the self-join and all shuffles move 8-byte keys instead of ~30-byte
+    strings (64-bit collisions are negligible at any realistic corpus:
+    P ≈ n²/2^65 per doc pair)."""
+    return (
+        _shingles(spark, sf_dir)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
 
 
 @query(
@@ -88,32 +103,36 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dedup: candidate pairs share ≥1
     shingle; jaccard = |∩| / (|A|+|B|-|∩|) ≥ 0.8. The ratio is an exact
-    integer division done identically on both sides."""
-    sh = _shingles(spark, sf_dir)
+    integer division done identically on both sides. The self-join runs
+    on 64-bit shingle hashes (8-byte shuffle keys, long comparisons)
+    rather than shingle strings — the plan that holds at corpus scale."""
+    sh = _shingle_hashes(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # carry |set| alongside each shingle row (broadcast: sizes is one
+    # slim row per doc) so the pair aggregate needs no post-joins —
+    # one shuffle on h, one on the pair key, nothing after.
+    shn = sh.join(F.broadcast(sizes), "doc_id")
+    a = shn.alias("a")
+    b = shn.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return inter.filter(jac >= 0.8).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -130,7 +149,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification on candidates only. Unlike `q_dedup_ngram_jaccard`,
     the pair space never materializes beyond LSH collisions.
     """
-    sh = _shingles(spark, sf_dir).withColumn("h", F.xxhash64("shingle"))
+    sh = _shingle_hashes(spark, sf_dir)
     # 32 permutations via seeded re-hash of the base shingle hash
     mins = sh.groupBy("doc_id").agg(
         *[
@@ -172,7 +191,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact verification on the (small) candidate set
-    sh2 = _shingles(spark, sf_dir)
+    sh2 = _shingle_hashes(spark, sf_dir)
     sizes = sh2.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh2.alias("a")
     b = sh2.alias("b")
@@ -181,7 +200,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             b,
             (F.col("doc_b") == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
+            & (F.col("a.h") == F.col("b.h")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))

@@ -67,6 +67,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         functions_pack,
         joins,
         llm,
+        multimodal,
         relational,
         udfs,
         windows,

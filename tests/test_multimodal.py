@@ -1,0 +1,100 @@
+"""Multimodal-column invariants: schema/plumbing are real even though
+the codec is synthetic (container has no media libs)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.operators.multimodal import (
+    HDR_SIZE,
+    _unpack_header,
+    decode_media,
+    decode_with_real_codec,
+    image_features,
+    media_table,
+    resize_images,
+    sample_video_frames,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_media_table_binary_and_metadata(spark):
+    media = media_table(spark, SF)
+    assert dict(media.dtypes)["payload"] == "binary"
+    rows = media.collect()
+    assert len(rows) == 500  # one per document
+    mods = {r.modality for r in rows}
+    assert mods == {"image", "audio", "video"}
+    # payload header agrees with synthesis rules
+    r = next(r for r in rows if r.modality == "image")
+    magic, modality, w, h, nf = _unpack_header(r.payload)
+    assert magic == b"SA" and modality == 1 and nf == 1
+    assert len(r.payload) == HDR_SIZE + w * h
+
+
+def test_decode_is_deterministic_and_consistent(spark):
+    d1 = {r.media_id: r for r in decode_media(media_table(spark, SF)).collect()}
+    d2 = {r.media_id: r for r in decode_media(media_table(spark, SF)).collect()}
+    assert len(d1) == 500
+    for mid, r in d1.items():
+        s = d2[mid]
+        assert (r.width, r.height, r.n_frames, r.n_bytes, r.mean_intensity) == (
+            s.width,
+            s.height,
+            s.n_frames,
+            s.n_bytes,
+            s.mean_intensity,
+        )
+        assert 0 <= r.mean_intensity <= 255
+        if r.modality != "audio":
+            assert r.n_bytes == HDR_SIZE + r.width * r.height * r.n_frames
+
+
+def test_image_features_are_normalized_histograms(spark):
+    feats = image_features(media_table(spark, SF), n_bins=8).collect()
+    assert feats
+    for r in feats:
+        assert len(r.features) == 8
+        assert abs(sum(r.features) - 1.0) < 1e-3
+
+
+def test_resize_roundtrip(spark):
+    resized = resize_images(media_table(spark, SF), out_w=4, out_h=4)
+    for r in resized.collect():
+        magic, modality, w, h, nf = _unpack_header(r.payload)
+        assert (w, h) == (4, 4)
+        assert len(r.payload) == HDR_SIZE + 4 * 4 * nf
+
+
+def test_video_frame_sampling(spark):
+    media = media_table(spark, SF)
+    frames = sample_video_frames(media, every=2)
+    got = frames.groupBy("media_id").agg(F.count("*").alias("k")).collect()
+    decoded = {
+        r.media_id: r.n_frames
+        for r in decode_media(media).filter(F.col("modality") == "video").collect()
+    }
+    assert got
+    for r in got:
+        expected = (decoded[r.media_id] + 1) // 2  # ceil(nf / 2)
+        assert r.k == expected
+    one = frames.first()
+    assert one.frame_idx % 2 == 0
+
+
+def test_real_codec_is_clearly_stubbed(spark):
+    with pytest.raises(NotImplementedError, match="not available"):
+        decode_with_real_codec(media_table(spark, SF))
+
+
+def test_registered_query_runs(spark):
+    from steaminganalysis_spark.registry import collect_queries
+
+    Q, O = collect_queries()
+    assert "q_multimodal_decode" in Q and "q_multimodal_decode" not in O
+    rows = Q["q_multimodal_decode"](spark, SF).collect()
+    assert rows and {r.modality for r in rows} == {"image", "audio", "video"}
