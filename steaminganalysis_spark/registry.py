@@ -69,6 +69,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         llm,
         multimodal,
         relational,
+        reshape,
         udfs,
         windows,
     )
