@@ -1,0 +1,228 @@
+"""SQL-surface operators beyond the DataFrame basics: scalar and IN
+subqueries (correlated + uncorrelated), CTEs, null-handling pack,
+arg-min/max aggregates, explode/posexplode, struct construction, and
+string-distance functions.
+
+Catalyst rewrites every subquery below into a join (correlated EXISTS →
+left-semi, scalar subquery → broadcast of the 1-row aggregate), so the
+SQL-shaped API carries no scale penalty over the DataFrame spelling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.registry import SQL_DSUM, query
+from steaminganalysis_spark.sources import load
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery — planned as a 1-row broadcast, the
+    whole table is scanned twice but shuffled never. The threshold
+    comparison (not the output) uses the float average, so exactness
+    only requires both engines to agree on > — the margin at 1.5× mean
+    is far beyond any ulp."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+        """
+    )
+
+
+@query(
+    "q_subquery_in_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      AND EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+)
+def subquery_in_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN + correlated EXISTS — both rewritten to left-semi joins."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+          AND EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        """
+    )
+
+
+@query(
+    "q_cte",
+    oracle=f"""
+    WITH nat_rev AS (
+      SELECT c_nationkey AS nk, {SQL_DSUM("o_totalprice")} AS rev, COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    )
+    SELECT n_name, rev, n_orders
+    FROM nat_rev JOIN nation ON nk = n_nationkey
+    WHERE rev > 0
+    """,
+)
+def cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + join-on-aggregate: the aggregate output is dim-sized, so
+    the second join broadcasts it."""
+    _views(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(
+        f"""
+        WITH nat_rev AS (
+          SELECT c_nationkey AS nk, {SQL_DSUM("o_totalprice")} AS rev, COUNT(*) AS n_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1
+        )
+        SELECT n_name, rev, n_orders
+        FROM nat_rev JOIN nation ON nk = n_nationkey
+        WHERE rev > 0
+        """
+    )
+
+
+@query(
+    "q_fn_null",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_or_default,
+           CASE WHEN NULLIF(o_orderpriority, '5-LOW') IS NULL THEN 1 ELSE 0 END AS was_low,
+           IFNULL(NULLIF(o_orderpriority, '5-LOW'), 'defaulted') AS pri2,
+           CASE WHEN o_totalprice IS NOT NULL THEN 'y' ELSE 'n' END AS has_price
+    FROM orders
+    """,
+)
+def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling pack: coalesce / nullif / ifnull / IS NOT NULL
+    (the fixtures are null-free, so nulls are manufactured with
+    nullif)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_or_default"
+        ),
+        F.when(F.nullif("o_orderpriority", F.lit("5-LOW")).isNull(), 1)
+        .otherwise(0)
+        .alias("was_low"),
+        F.ifnull(F.nullif("o_orderpriority", F.lit("5-LOW")), F.lit("defaulted")).alias(
+            "pri2"
+        ),
+        F.when(F.col("o_totalprice").isNotNull(), "y").otherwise("n").alias("has_price"),
+    )
+
+
+@query(
+    "q_agg_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           min_by(o_orderkey, o_totalprice) AS cheapest_order,
+           max_by(o_orderkey, o_totalprice) AS priciest_order,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/arg-max aggregates (min_by/max_by). o_totalprice values
+    are unique per customer in the fixture, so the argmin is
+    deterministic; a production query would tie-break via a struct
+    ordering."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "q_fn_explode",
+    oracle="""
+    SELECT doc_id, CAST(pos AS INT) AS pos, tok
+    FROM (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+      WHERE doc_id < 20
+    )
+    WHERE tok LIKE 's%'
+    """,
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (position-preserving lateral expansion) + post-filter."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .filter(F.col("tok").like("s%"))
+    )
+
+
+@query(
+    "q_fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           CONCAT('{"k":', CAST(o_custkey AS VARCHAR), ',"p":',
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '}') AS as_json,
+           CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus AS packed
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access + to_json round-trip (nested
+    column handling: the struct never materializes row-wise, Catalyst
+    flattens the access)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    s = F.struct(
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.to_json(s).alias("as_json"),
+        F.concat(
+            F.col("o_custkey").cast("string"), F.lit("|"), F.col("o_orderstatus")
+        ).alias("packed"),
+    )
+
+
+@query(
+    "q_text_levenshtein",
+    oracle="""
+    SELECT s.s_name AS name_a, c.c_name AS name_b,
+           CAST(levenshtein(s.s_name, c.c_name) AS INT) AS dist
+    FROM supplier s JOIN customer c ON c.c_custkey <= 20
+    WHERE s.s_suppkey <= 10
+    """,
+)
+def text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance (fuzzy matching primitive for entity dedup)."""
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 10)
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 20)
+    return s.crossJoin(c).select(
+        F.col("s_name").alias("name_a"),
+        F.col("c_name").alias("name_b"),
+        F.levenshtein("s_name", "c_name").alias("dist"),
+    )

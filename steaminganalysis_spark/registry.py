@@ -70,6 +70,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         multimodal,
         relational,
         reshape,
+        sql_surface,
         udfs,
         windows,
     )

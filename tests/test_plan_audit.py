@@ -1,0 +1,73 @@
+"""Plan-shape regression tests: correctness says WHAT; these pin HOW —
+the plan properties that matter at 100 TB (pushdown, pruning,
+broadcast, shuffle counts)."""
+
+from __future__ import annotations
+
+from steaminganalysis_spark.plans import (
+    assert_broadcast_join,
+    assert_filter_pushed,
+    assert_no_cartesian,
+    assert_read_schema_pruned,
+    count_exchanges,
+)
+from steaminganalysis_spark.registry import collect_queries
+
+QUERIES, _ = collect_queries()
+SF = "/root/testdata/sf0.001"
+
+
+def test_scan_pushdown_and_pruning(spark):
+    df = QUERIES["q_scan_parquet"](spark, SF)
+    assert_filter_pushed(df, "l_quantity")
+    assert_read_schema_pruned(df, 4)
+
+
+def test_agg_basic_reads_only_needed_columns(spark):
+    df = QUERIES["q_agg_basic"](spark, SF)
+    assert_filter_pushed(df, "l_shipdate")
+    assert_read_schema_pruned(df, 7)
+    assert count_exchanges(df) == 1  # partial agg → single shuffle → final
+
+
+def test_star_join_is_all_broadcast(spark):
+    df = QUERIES["q_join_broadcast"](spark, SF)
+    assert_broadcast_join(df, at_least=3)
+    # the only shuffle is the final tiny group-by
+    assert count_exchanges(df) == 1
+
+
+def test_flagship_single_shuffle(spark):
+    df = QUERIES["q_daily_rollup"](spark, SF)
+    assert count_exchanges(df) == 1
+
+
+def test_topk_global_avoids_global_sort(spark):
+    from steaminganalysis_spark.plans import physical_plan
+
+    df = QUERIES["q_topk_global"](spark, SF)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    from steaminganalysis_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["q_topk_per_group"](spark, SF))
+    assert plan.count("WindowGroupLimit") >= 2  # partial (pre-shuffle) + final
+
+
+def test_theta_join_is_not_cartesian(spark):
+    assert_no_cartesian(QUERIES["q_join_theta"](spark, SF))
+
+
+def test_asof_join_single_shuffle(spark):
+    df = QUERIES["q_join_asof"](spark, SF)
+    assert count_exchanges(df) == 1  # union+window, never a range join
+
+
+def test_sim_topk_broadcasts_queries_not_corpus(spark):
+    from steaminganalysis_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["q_sim_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # corpus streams, queries broadcast
+    assert "CartesianProduct" not in plan

@@ -244,3 +244,79 @@ def test_rate_source_stream_builds(spark):
     df = order_events_stream(spark, rows_per_second=5)
     assert df.isStreaming
     assert set(df.columns) == {"time", "userId", "courseId", "fee", "flag", "orderId"}
+
+
+def test_stream_stream_join_with_watermarks(spark):
+    """Stream-stream inner join (purchases ⋈ prior clicks within 1h per
+    user) with watermarks on both sides — state is bounded by the
+    time-range condition; result equals the equivalent batch join."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    cond = (
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts < purchases.p_ts)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+    )
+    name = f"ssj2_{uuid.uuid4().hex[:6]}"
+    joined = purchases.join(clicks, cond).select("p_id", "c_id")
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.p_id, r.c_id) for r in spark.table(name).collect()}
+
+    from steaminganalysis_spark.sources import load
+
+    events = load(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id")
+    )
+    expected = {
+        (r.p_id, r.c_id)
+        for r in p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.c_ts < p.p_ts)
+            & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR")),
+        ).select("p_id", "c_id").collect()
+    }
+    assert expected, "fixture should contain click→purchase pairs within 1h"
+    assert got == expected
+
+
+def test_parquet_sink_exactly_once(spark, tmp_path):
+    """File (parquet) streaming sink: output committed transactionally
+    per batch; restarting from the same checkpoint over the same input
+    produces no duplicate rows."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sf_dir = "/root/testdata/sf0.001"
+    for _ in range(2):  # second start: nothing new → no duplicates
+        ev = events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+        q = (
+            ev.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    assert written.count() == 1000
+    assert written.select("event_id").distinct().count() == 1000
