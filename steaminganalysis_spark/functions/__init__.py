@@ -1,0 +1,7 @@
+"""Reusable JVM-side expression builders (all whole-stage-codegen'd
+higher-order functions — no Python in any of these)."""
+
+from steaminganalysis_spark.functions.vector import cosine, dot, norm, to_double_array
+from steaminganalysis_spark.functions.text import tokens, word_ngrams
+
+__all__ = ["cosine", "dot", "norm", "to_double_array", "tokens", "word_ngrams"]

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from steaminganalysis_spark.functions import dot, norm, to_double_array, tokens, word_ngrams
 from steaminganalysis_spark.registry import query
 from steaminganalysis_spark.sources import load
 
@@ -51,21 +52,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-gram shingles per document (the unit set for
     Jaccard / MinHash)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
-    n = F.size("t")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
     sh = d.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                n >= 3,
-                F.transform(
-                    F.sequence(F.lit(0), n - 3),
-                    lambda i: F.concat_ws(
-                        " ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]
-                    ),
-                ),
-            ).otherwise(F.array())
-        ).alias("shingle"),
+        "doc_id", F.explode(word_ngrams(F.col("t"), 3)).alias("shingle")
     )
     return sh.distinct()
 
@@ -262,16 +253,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    return e.select(
-        "vec_id",
-        v.alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-            )
-        ).alias("norm"),
-    )
+    v = to_double_array("embedding")
+    return e.select("vec_id", v.alias("v"), norm(v).alias("norm"))
 
 
 _SIM_ORACLE_BASE = """
@@ -321,12 +304,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("qnorm"),
     )
     pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("qnorm") * F.col("norm"))
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
     scored = pairs.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
     )
@@ -359,12 +337,7 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = base.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
@@ -436,12 +409,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _emb_double(spark, sf_dir).select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x_: acc + x_,
-    )
-    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")

@@ -64,6 +64,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return the populated registries."""
     from steaminganalysis_spark.operators import (  # noqa: F401
         aggregates,
+        ann,
         functions_pack,
         joins,
         llm,

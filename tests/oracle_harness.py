@@ -79,4 +79,4 @@ def compare_query(spark, name: str, sf_dir: str, queries, oracle) -> list[str]:
 
 
 # rows-only queries where an empty result is legitimate
-ALLOW_EMPTY = {"q_dedup_simhash", "q_sim_ann_lsh"}
+ALLOW_EMPTY = {"q_dedup_simhash", "q_sim_ann_lsh"}  # (none currently empty at sf0.01)

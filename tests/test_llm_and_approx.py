@@ -101,3 +101,18 @@ def test_zscore_invariants(spark):
         sd = math.sqrt(sum((z - m) ** 2 for z in zs) / len(zs))
         assert abs(m) < 1e-3, (g, m)
         assert abs(sd - 1) < 1e-3, (g, sd)
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF ANN (probe 4/16 lists ⇒ scan ≈25% of corpus) must recover a
+    majority of the exact top-5 neighbor pairs; measured 0.66 at sf0.01
+    — floor set at 0.5 to absorb fixture drift."""
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_sim_ann_ivf"](spark, SF).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["q_sim_topk"](spark, SF).collect()
+    }
+    assert len(ivf & exact) >= 0.5 * len(exact), (len(ivf & exact), len(exact))
