@@ -198,3 +198,34 @@ def json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.k").alias("k"),
         (F.col("j.k") % 10).alias("k_mod10"),
     )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_partkey,
+           xor(l_orderkey, l_partkey) AS k_xor,
+           l_orderkey & l_partkey AS k_and,
+           l_orderkey | l_partkey AS k_or,
+           CAST(l_linenumber AS BIGINT) << 3 AS ln_shl,
+           l_orderkey >> 2 AS k_shr,
+           CAST(bit_count(l_orderkey) AS INT) AS k_bits
+    FROM lineitem
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise pack: xor/and/or, shifts, popcount — the primitives the
+    engine's own hash/LSH operators (SimHash signatures, LSH buckets)
+    are built from, exposed as a verified scalar surface."""
+    li = load(spark, sf_dir, "lineitem")
+    k, p = F.col("l_orderkey"), F.col("l_partkey")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        k.bitwiseXOR(p).alias("k_xor"),
+        k.bitwiseAND(p).alias("k_and"),
+        k.bitwiseOR(p).alias("k_or"),
+        F.shiftleft(F.col("l_linenumber").cast("long"), 3).alias("ln_shl"),
+        F.shiftright(k, 2).alias("k_shr"),
+        F.bit_count(k).alias("k_bits"),
+    )

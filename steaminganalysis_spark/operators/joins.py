@@ -242,3 +242,44 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", fmt).alias("purchase_ts"),
         "last_click_ts",
     )
+
+
+@query(
+    "q_join_range",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 100000.0),
+             ('mid', 100000.0, 250000.0),
+             ('high', 250000.0, 1000000.0)
+    )
+    SELECT band,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM("o_totalprice")} AS band_total
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: facts against a tiny interval table on a
+    non-equi predicate. The band table is broadcast, so the physical
+    plan is a BroadcastNestedLoopJoin that streams the fact side once
+    with zero shuffle — the only shape a non-equi join can take at
+    100 TB (a shuffle theta-join would be quadratic). With many bands
+    one would bucket on floor(price/width) first to make it an
+    equi-join; three bands don't need it."""
+    o = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 250000.0), ("high", 250000.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("band_total"),
+        )
+    )

@@ -109,7 +109,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter (prefix-filtering family): J(A,B) ≥ 0.8
+            # requires 0.8·|B| ≤ |A| ≤ |B|/0.8 — prunes impossible
+            # pairs before the pair-aggregate shuffle
+            & (F.col("a.n") * F.lit(0.8) <= F.col("b.n"))
+            & (F.col("b.n") * F.lit(0.8) <= F.col("a.n")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
@@ -575,6 +580,90 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return d.select("doc_id", quality.alias("quality"))
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, tok,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document. Shuffles: one on (doc_id, tok)
+    for TF, one tiny one on tok for DF (broadcast back), one on doc_id
+    for the top-k window. The corpus size joins in as a broadcast scalar
+    — no collect. Scores are rounded before ranking with a lexicographic
+    tiebreak so float noise cannot reorder."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "tok", "tfidf", "rn")
+    )
+
+
+@query(
+    "q_emb_centroid",
+    oracle="""
+    WITH e AS (SELECT label, embedding AS v FROM embeddings)
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           round(CAST(SUM(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid
+    FROM e, unnest(generate_series(1, len(v))) AS r(i)
+    GROUP BY label, i
+    """,
+)
+def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors, one row per (label,
+    dimension). The mean accumulates in exact decimal (order-insensitive
+    — same discipline as ``dsum``) then rounds. posexplode fans 64 rows
+    per vector map-side; the shuffle key (label, dim) has tiny
+    cardinality, so partial aggregation collapses the volume before the
+    exchange."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    mean = (
+        F.sum(F.col("x").cast("double").cast("decimal(38,10)")).cast("double")
+        / F.count("*")
+    )
+    return ex.groupBy("label", "dim").agg(F.round(mean, 6).alias("centroid"))
 
 
 @query(

@@ -1,0 +1,236 @@
+"""Training-data-pipeline operators over the events/lineitem tables
+(BASELINE.json north star: the operations a large-scale training-data
+pipeline needs beyond the reference's own surface).
+
+Scale design notes:
+- `q_sample_hash` is *deterministic* sampling: the keep/drop decision is
+  a pure function of the key (md5 prefix), so it is reproducible across
+  runs, engines, and repartitions — unlike `TABLESAMPLE`, whose RNG is
+  partition-dependent. It also samples whole orders (all lineitems of a
+  kept order survive), the grouping a pipeline needs to keep documents
+  intact. The filter is evaluated map-side in the scan stage: no
+  shuffle at any scale.
+- `q_dedup_latest_per_key` is the CDC compaction idiom (keep newest
+  record per key): one shuffle on the key, `row_number` in each hash
+  partition. At 100 TB the same plan holds — AQE splits skewed keys.
+- `q_sessionize` is gap-based sessionization entirely with window
+  functions: one shuffle on user_id, then lag → flag → running-sum →
+  group, all within the same hash partitioning (Catalyst reuses the
+  exchange: the three window ops and the final groupBy share one
+  partitioning of user_id).
+- `q_retention_cohorts` / `q_funnel` are the standard cohort/funnel
+  shapes: per-user window min (one shuffle on user_id) then a tiny
+  re-aggregation.
+- `q_histogram` is a fixed-width bucket aggregate: bucket id computed
+  map-side, shuffle moves only ~10 partial rows per task.
+
+Reference lineage: these generalize the reference's only aggregation
+pattern — classify rows, bucket them, accumulate per bucket
+(KafkaApp.scala:52-74) — from calendar buckets to hash buckets, value
+buckets, session buckets, and cohort buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.registry import SQL_DSUM, dsum, query
+from steaminganalysis_spark.sources import load
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample keyed on the order id: keep rows whose
+    md5-hex prefix falls below '1a' (26/256 of the hash space). The same
+    order is always fully in or fully out, on any engine."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 2) < "1a"
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query(
+    "q_dedup_latest_per_key",
+    oracle=f"""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the newest event per user (CDC/log compaction): window
+    row_number with a unique-id tiebreak for determinism."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", _TS_FMT).alias("ts_s"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 24 HOUR
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           {SQL_DSUM("value")} AS session_value
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (24 h inactivity closes a
+    session): lag → new-session flag → running sum = session index →
+    per-session rollup. All four steps share one hash partitioning on
+    user_id, so Catalyst plans a single exchange."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 24 HOURS")), 1
+    ).otherwise(0)
+    numbered = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
+        dsum(F.col("value")).alias("session_value"),
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts,
+             MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    )
+    SELECT strftime(first_ts, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', CAST(first_ts AS DATE), CAST(ts AS DATE)) AS INT) AS day_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM firsts
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: cohort = first activity day per user; count
+    distinct active users per (cohort, day offset)."""
+    ev = load(spark, sf_dir, "events")
+    first_ts = F.min("ts").over(W.partitionBy("user_id"))
+    return (
+        ev.withColumn("first_ts", first_ts)
+        .groupBy(
+            F.date_format("first_ts", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.to_date("first_ts")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+             MIN(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_signup) AS n_signup,
+           COUNT(*) FILTER (WHERE t_click > t_signup) AS n_click_after_signup,
+           COUNT(*) FILTER (WHERE t_click > t_signup AND t_purchase > t_click)
+             AS n_purchase_after_click
+    FROM per_user
+    """,
+)
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase via per-user conditional
+    first-timestamps (one shuffle on user_id, then a scalar rollup)."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_of(et: str):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias(
+            "n_click_after_signup"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_signup"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_purchase_after_click"),
+    )
+
+
+@query(
+    "q_histogram",
+    oracle=f"""
+    SELECT CAST(least(floor(value / 50.0), 9) AS INT) AS bucket,
+           COUNT(*) AS n,
+           {SQL_DSUM("value")} AS bucket_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (10 buckets of width 50,
+    top bucket open). Bucket ids are computed map-side; the exchange
+    carries ≤10 partial rows per task regardless of input size."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), dsum(F.col("value")).alias("bucket_sum")
+    )

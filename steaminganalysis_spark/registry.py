@@ -69,6 +69,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         joins,
         llm,
         multimodal,
+        pipeline,
         relational,
         reshape,
         sql_surface,
