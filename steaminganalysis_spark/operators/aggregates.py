@@ -233,3 +233,58 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "q_agg_salted",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {SQL_DSUM("l_extendedprice")} AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation for skewed keys: phase 1 groups by
+    (key, salt) where salt = xxhash64(rowkey) mod 16 — spreading a hot
+    key over 16 reducers — phase 2 merges the 16 partials per key.
+    Result is bit-identical to the direct group-by (partials accumulate
+    in exact decimal, so re-association cannot perturb the sum); the
+    oracle IS the direct group-by. l_returnflag has ~3 values over the
+    whole table — the canonical pathological skew at 100 TB. (AQE's
+    skew handling covers joins; skewed AGGREGATION needs salting.)"""
+    li = load(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16))
+    partial = li.groupBy(F.col("l_returnflag"), salt.alias("salt")).agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).alias("psum"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("total_price"),
+    )
+
+
+@query("q_agg_hll_sketch")  # rows-only: sketch estimates are engine-specific
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark 4
+    ``hll_sketch_agg``): per-event-type distinct-user estimates PLUS an
+    '__all__' row whose estimate comes from UNIONING the per-group
+    sketches (``hll_union_agg``) — never re-scanning the input. This is
+    the pre-aggregation pattern that matters at 100 TB: store tiny
+    sketches per partition/day, answer global distinct queries by
+    merging them. Tolerance vs exact counts is pinned in
+    tests/test_stateful_and_sketches.py."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    est = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    merged = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    return est.unionAll(merged)

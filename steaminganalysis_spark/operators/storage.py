@@ -1,0 +1,152 @@
+"""Storage-layout operators: bucketed tables (shuffle-free co-located
+joins), partitioned writes, and the CSV/ORC read paths.
+
+Why this module exists (100 TB design): the single most expensive thing
+in a petabyte join is shuffling the fact tables. Spark's answer is
+*bucketing* — write both sides pre-hashed into the same number of
+buckets on the join key; every future join/aggregation on that key then
+runs with ZERO exchanges, amortizing one write-time shuffle across every
+downstream query. That is the engine's co-located-join strategy, and
+`tests/test_storage.py` pins the no-Exchange plan.
+
+Partitioned writes (`partitionBy(day)`) are the other half: partition
+pruning turns a time-range query over years of data into a scan of a
+few directories.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.registry import SQL_DSUM, dsum, query
+from steaminganalysis_spark.sources import load
+
+__all__ = [
+    "write_bucketed",
+    "bucketed_join",
+    "write_partitioned_by_day",
+]
+
+N_BUCKETS = 8
+
+
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = N_BUCKETS,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed
+    table. One shuffle now; zero shuffles for every future join or
+    aggregation keyed on ``bucket_col``. At cluster scale the same call
+    writes to the shared warehouse/metastore."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous session may have left the managed location behind after
+    # its in-memory catalog entry died — clear it or saveAsTable refuses
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table)
+    if os.path.isdir(loc):
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, left_key: str, right_key: str
+) -> DataFrame:
+    """Join two co-bucketed tables on their bucket keys — planned as a
+    SortMergeJoin with NO exchange on either side (verified in
+    tests/test_storage.py)."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    # the merge hint pins SortMergeJoin so bucket co-location is actually
+    # exercised (a size-based broadcast would mask it on small fixtures;
+    # at 100 TB neither side broadcasts anyway)
+    return lt.hint("merge").join(rt, lt[left_key] == rt[right_key])
+
+
+def write_partitioned_by_day(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """Write parquet partitioned by event day (`day=YYYY-MM-DD/` dirs)
+    so day-ranged readers prune partitions at planning time."""
+    (
+        df.withColumn("day", F.date_format(ts_col, "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+# ------------------------------------------------------- CSV / ORC scans
+
+def _converted_dir(sf_dir: str, fmt: str) -> str:
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"sa_spark_{fmt}_{tag}")
+
+
+def _ensure_nation_as(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Materialize the nation table in ``fmt`` (once per sf dir) so the
+    non-parquet readers have a real file to scan. Nation is tiny and
+    static — conversion cost is negligible and deterministic."""
+    path = _converted_dir(sf_dir, fmt)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        n = load(spark, sf_dir, "nation")
+        if fmt == "csv":
+            n.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+        else:
+            n.coalesce(1).write.mode("overwrite").orc(path)
+    return path
+
+
+@query(
+    "q_scan_csv",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           min(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV batch scan with a DECLARED schema (no inference job): the
+    nation table converted to CSV once, then aggregated. Result is
+    oracle-checked against the parquet original — proving the reader,
+    not the converter."""
+    path = _ensure_nation_as(spark, sf_dir, "csv")
+    n = spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).option("header", "true").csv(path)
+    return n.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+@query(
+    "q_scan_orc",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           min(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC batch scan (columnar alternative to parquet; same pushdown
+    and pruning machinery), oracle-checked against the parquet
+    original."""
+    path = _ensure_nation_as(spark, sf_dir, "orc")
+    n = spark.read.orc(path)
+    return n.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.min("n_name").alias("first_name")
+    )

@@ -73,6 +73,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         relational,
         reshape,
         sql_surface,
+        storage,
         udfs,
         windows,
     )

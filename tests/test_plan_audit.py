@@ -65,6 +65,36 @@ def test_asof_join_single_shuffle(spark):
     assert count_exchanges(df) == 1  # union+window, never a range join
 
 
+def test_sessionize_single_shuffle(spark):
+    # lag → flag → running-sum → per-session rollup all share one hash
+    # partitioning on user_id: exactly one exchange end-to-end
+    assert count_exchanges(QUERIES["q_sessionize"](spark, SF)) == 1
+
+
+def test_latest_per_key_single_shuffle(spark):
+    assert count_exchanges(QUERIES["q_dedup_latest_per_key"](spark, SF)) == 1
+
+
+def test_sample_hash_is_map_side_only(spark):
+    df = QUERIES["q_sample_hash"](spark, SF)
+    assert count_exchanges(df) == 0  # pure scan+filter, no shuffle at any SF
+    assert_read_schema_pruned(df, 3)
+
+
+def test_range_join_broadcasts_bands(spark):
+    from steaminganalysis_spark.plans import physical_plan
+
+    df = QUERIES["q_join_range"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # bands broadcast, facts stream
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) == 1  # only the final tiny group-by
+
+
+def test_histogram_single_shuffle(spark):
+    assert count_exchanges(QUERIES["q_histogram"](spark, SF)) == 1
+
+
 def test_sim_topk_broadcasts_queries_not_corpus(spark):
     from steaminganalysis_spark.plans import physical_plan
 

@@ -1,0 +1,87 @@
+"""Storage-layout tests: bucketed co-located joins (the zero-shuffle
+plan that amortizes one write-time shuffle over every downstream join),
+partitioned writes with partition pruning, and CSV/ORC readers."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.operators.storage import (
+    bucketed_join,
+    write_bucketed,
+    write_partitioned_by_day,
+)
+from steaminganalysis_spark.plans import count_exchanges, physical_plan
+from steaminganalysis_spark.sources import load
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_join_has_zero_exchanges(spark):
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(spark, li, "li_b", "l_orderkey", sort_col="l_orderkey")
+    write_bucketed(spark, o, "o_b", "o_orderkey", sort_col="o_orderkey")
+
+    joined = bucketed_join(spark, "li_b", "o_b", "l_orderkey", "o_orderkey")
+    plan = physical_plan(joined)
+    assert "SortMergeJoin" in plan
+    # the whole point: co-bucketed sides need NO shuffle
+    assert count_exchanges(joined) == 0, plan
+
+    # and it computes the same thing as the shuffle join
+    expect = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert joined.count() == expect
+
+
+def test_bucketed_aggregation_has_zero_exchanges(spark):
+    # bucketing helps group-bys on the bucket key too, not just joins
+    write_bucketed(
+        spark,
+        load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity"),
+        "li_b2",
+        "l_orderkey",
+    )
+    agg = spark.table("li_b2").groupBy("l_orderkey").agg(F.sum("l_quantity"))
+    assert count_exchanges(agg) == 0
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    ev = load(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_by_day")
+    write_partitioned_by_day(ev, path)
+    # day dirs exist
+    days = [d for d in os.listdir(path) if d.startswith("day=")]
+    assert len(days) > 1
+
+    one_day = sorted(days)[0].removeprefix("day=")
+    df = spark.read.parquet(path).filter(F.col("day") == one_day)
+    plan = physical_plan(df)
+    # partition filter reaches the scan: only one partition is read
+    assert "PartitionFilters" in plan
+    got = df.count()
+    expect = ev.filter(F.date_format("ts", "yyyy-MM-dd") == one_day).count()
+    assert got == expect > 0
+
+
+def test_hll_sketch_estimates_within_tolerance(spark):
+    from steaminganalysis_spark.registry import collect_queries
+
+    Q, _ = collect_queries()
+    rows = {
+        r["event_type"]: r["est_users"]
+        for r in Q["q_agg_hll_sketch"](spark, SF_DIR).collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    assert set(rows) == set(exact)
+    for k, est in rows.items():
+        assert est == pytest.approx(exact[k], rel=0.05), (k, est, exact[k])
