@@ -229,3 +229,29 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).alias("k_shr"),
         F.bit_count(k).alias("k_bits"),
     )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(json_keys(props), ',') AS keys_s,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions over JSON-as-map: parse props into map<string,long>
+    then map_keys / size / element_at (null on absent key) — the dynamic
+    counterpart of the typed-struct parse in q_json_parse."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_s"),
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(m, "missing").alias("missing_val"),
+    )
