@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["running_user_totals"]
+__all__ = ["running_user_totals", "session_tracker"]
 
 _OUTPUT_SCHEMA = T.StructType(
     [
@@ -73,4 +73,84 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ----------------------- session tracker with state TIMEOUT (eviction)
+
+_SESS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("first_ts", T.StringType()),
+        T.StructField("last_ts", T.StringType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+_SESS_STATE = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("first_ts", T.StringType()),
+        T.StructField("last_ts", T.StringType()),
+    ]
+)
+
+_SESSION_TIMEOUT_MS = 2_000
+
+
+def _session_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        # gap elapsed with no new events: EMIT the closed session and
+        # evict state — this is how custom operators keep state bounded
+        n, first, last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "first_ts": [first],
+                "last_ts": [last],
+                "closed": [True],
+            }
+        )
+        return
+    n, first, last = state.get if state.exists else (0, "", "")
+    for pdf in pdfs:
+        if len(pdf):
+            n += len(pdf)
+            lo, hi = str(pdf["ts"].min()), str(pdf["ts"].max())
+            first = lo if not first else min(first, lo)
+            last = max(last, hi)
+    state.update((n, first, last))
+    state.setTimeoutDuration(_SESSION_TIMEOUT_MS)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "first_ts": [first],
+            "last_ts": [last],
+            "closed": [False],
+        }
+    )
+
+
+def session_tracker(events: DataFrame) -> DataFrame:
+    """Custom stateful SESSION operator with processing-time timeout:
+    while a user keeps arriving, their open session updates; after
+    ``_SESSION_TIMEOUT_MS`` of silence the state times out, the closed
+    session is emitted once, and the state-store entry is REMOVED.
+    Bounded state (one open session per active user) is the property
+    that keeps arbitrary stateful ops viable at 100 TB — contrast with
+    the accumulate-forever profile above, whose state is bounded only
+    because its per-key payload is three scalars."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_update,
+        outputStructType=_SESS_OUTPUT,
+        stateStructType=_SESS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -52,6 +52,72 @@ def test_stateful_running_user_totals_matches_batch(spark):
         assert got[uid] == (n, cents), uid
 
 
+def test_session_tracker_times_out_and_evicts(spark, tmp_path):
+    """The ProcessingTimeTimeout session operator must (1) keep an open
+    session while events arrive, (2) emit it CLOSED after the gap, and
+    (3) evict the state so a later event starts a fresh session.
+
+    NOTE: with processing-time timeouts the engine schedules state-
+    cleanup batches continuously, so ``processAllAvailable`` can block —
+    the test polls the memory sink instead."""
+    import glob
+    import shutil
+    import time
+
+    from pyspark.sql import types as T
+    from steaminganalysis_spark.streaming.stateful import session_tracker
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def feed(fname, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / fname)
+        )
+        part = glob.glob(str(tmp_path / fname / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{fname}.parquet"))
+
+    feed("b1", [(1, "t1", "click", 1.0), (1, "t2", "click", 2.0)])
+    name = f"sess_{uuid.uuid4().hex[:6]}"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        session_tracker(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+
+    def wait_for(pred, deadline_s=30):
+        t0 = time.time()
+        rows = []
+        while time.time() - t0 < deadline_s:
+            rows = spark.table(name).collect()
+            if any(pred(r) for r in rows):
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"condition not met within {deadline_s}s: {rows}")
+
+    try:
+        # (1) open session accumulates both events
+        wait_for(lambda r: r.user_id == 1 and not r.closed and r.n_events == 2)
+        # (2) after the 2s gap the session closes (cleanup batch fires)
+        wait_for(lambda r: r.user_id == 1 and r.closed and r.n_events == 2)
+        # (3) state was evicted: the user arriving again starts FRESH
+        feed("b3", [(1, "t9", "click", 9.0)])
+        wait_for(lambda r: r.user_id == 1 and not r.closed and r.n_events == 1)
+    finally:
+        q.stop()
+
+
 def test_approx_percentile_tolerance(spark):
     approx = {
         r.l_returnflag: (r.median_qty, r.p90_price)
