@@ -255,3 +255,45 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_val"),
         F.element_at(m, "missing").alias("missing_val"),
     )
+
+
+@query(
+    "q_json_malformed",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CASE WHEN event_id % 10 = 0
+                  THEN substr(props, 1, len(props) - 1)
+                  ELSE props END AS j
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN json_valid(j) THEN 1 END) AS n_ok,
+           CAST(SUM(CASE WHEN json_valid(j)
+                    THEN CAST(json_extract_string(j, '$.k') AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS k_sum
+    FROM c
+    GROUP BY event_type
+    """,
+)
+def json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input robustness: every 10th props blob is truncated
+    (broken JSON); the parse must yield NULL for those rows — never
+    fail the job — and aggregates must count/skip them exactly. This is
+    the PERMISSIVE-parse behavior a 100 TB ingest needs: one corrupt
+    record must not kill a 10-hour job."""
+    ev = load(spark, sf_dir, "events")
+    corrupted = F.when(
+        F.col("event_id") % 10 == 0,
+        F.expr("substr(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        "event_type",
+        F.from_json(corrupted, PROPS_SCHEMA).alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("p.k").alias("n_ok"),
+        F.sum(F.coalesce(F.col("p.k"), F.lit(0))).alias("k_sum"),
+    )

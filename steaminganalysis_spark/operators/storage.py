@@ -28,6 +28,7 @@ __all__ = [
     "write_bucketed",
     "bucketed_join",
     "write_partitioned_by_day",
+    "compact",
 ]
 
 N_BUCKETS = 8
@@ -149,4 +150,33 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.read.orc(path)
     return n.groupBy("n_regionkey").agg(
         F.count("*").alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_files: int,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a directory of many small parquet
+    files into ``target_files`` larger ones, optionally sorted so
+    downstream scans get min/max row-group pruning on the sort key.
+
+    The small-files problem is a first-order cost at 100 TB (every file
+    = a task + a footer read + an object-store request). Uses
+    ``coalesce`` (no shuffle) unless sorting is requested, in which case
+    a range-partitioned repartition gives globally sorted output files.
+    Returns the number of files written."""
+    df = spark.read.parquet(src_path)
+    if sort_cols:
+        out = df.repartitionByRange(target_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.coalesce(target_files)
+    out.write.mode("overwrite").parquet(dst_path)
+    return len(
+        [f for f in os.listdir(dst_path) if f.endswith(".parquet")]
     )

@@ -66,6 +66,30 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert got == expect > 0
 
 
+def test_compact_reduces_file_count_preserves_rows(spark, tmp_path):
+    from steaminganalysis_spark.operators.storage import compact
+
+    li = load(spark, SF_DIR, "lineitem")
+    fragmented = str(tmp_path / "fragmented")
+    li.repartition(37).write.parquet(fragmented)  # simulate small files
+    n_small = len([f for f in os.listdir(fragmented) if f.endswith(".parquet")])
+    assert n_small == 37
+
+    compacted = str(tmp_path / "compacted")
+    n_files = compact(spark, fragmented, compacted, target_files=2)
+    assert n_files == 2
+    assert spark.read.parquet(compacted).count() == li.count()
+
+    # sorted compaction: files are range-partitioned on the sort key
+    sorted_path = str(tmp_path / "sorted")
+    n_files = compact(
+        spark, fragmented, sorted_path, target_files=2, sort_cols=["l_orderkey"]
+    )
+    assert n_files == 2
+    df = spark.read.parquet(sorted_path)
+    assert df.count() == li.count()
+
+
 def test_hll_sketch_estimates_within_tolerance(spark):
     from steaminganalysis_spark.registry import collect_queries
 
