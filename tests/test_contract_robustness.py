@@ -39,3 +39,19 @@ def test_streaming_query_twice_in_one_session(spark):
 def test_unknown_table_raises_keyerror(spark):
     with pytest.raises(KeyError):
         load(spark, "/root/testdata/sf0.001", "nope")
+
+
+def test_demo_app_accumulates_day_totals(spark):
+    """The runnable end-to-end demo (datagen → JSON → parse → classify →
+    rollup → idempotent KV sink) accumulates consistent per-day hashes:
+    success ≤ total and fee only from successful orders."""
+    from steaminganalysis_spark.app import run_demo
+
+    state = run_demo(duration_s=4.0, rows_per_second=100)
+    assert state, "demo produced no KV state"
+    for key, h in state.items():
+        assert h["total"] > 0
+        assert 0 <= h["success"] <= h["total"]
+        assert h["fee_cents"] >= 0
+        if h["success"] == 0:
+            assert h["fee_cents"] == 0
