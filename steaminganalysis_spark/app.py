@@ -38,7 +38,7 @@ from steaminganalysis_spark.streaming.pipeline import (
     kafka_order_stream,
     parse_order_json,
 )
-from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore, day_rollup_sink
+from steaminganalysis_spark.streaming.sinks import KVStore, day_rollup_sink
 
 
 def run_demo(duration_s: float = 6.0, rows_per_second: int = 200) -> dict[str, dict[str, int]]:

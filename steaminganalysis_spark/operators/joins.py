@@ -283,3 +283,76 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice")).alias("band_total"),
         )
     )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (all ordered region pairs). Legitimate only
+    when at least one side is tiny — here both are; any big-side cross
+    join is a design error the engine's other operators exist to avoid
+    (broadcast theta, LSH candidates, banding)."""
+    r = load(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("ka"), F.col("r_name").alias("from_region"))
+    b = r.select(F.col("r_regionkey").alias("kb"), F.col("r_name").alias("to_region"))
+    return a.crossJoin(b).filter(F.col("ka") != F.col("kb")).select(
+        "from_region", "to_region"
+    )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), filled AS (
+      SELECT user_id, ts, event_id, event_type, ts_s,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+      FROM u
+    )
+    SELECT event_id, user_id, ts_s AS purchase_ts,
+           CASE WHEN last_click IS NOT NULL AND ts - last_click <= INTERVAL 6 HOUR
+                THEN strftime(last_click, '%Y-%m-%d %H:%M:%S.%f') END AS click_ts
+    FROM filled WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE: most recent prior click per user, but
+    only if it happened within 6 hours of the purchase (stale matches
+    are nulled — the asof-tolerance semantics of time-series systems).
+    Same single-shuffle union+window shape as q_join_asof; the tolerance
+    is a post-window predicate, costing nothing extra."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    filled = ev.withColumn(
+        "last_click",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    within = F.col("last_click").isNotNull() & (
+        F.col("ts") <= F.col("last_click") + F.expr("INTERVAL 6 HOURS")
+    )
+    return filled.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.when(within, F.date_format("last_click", fmt)).alias("click_ts"),
+    )

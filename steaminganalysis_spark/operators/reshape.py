@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from steaminganalysis_spark.registry import SQL_DSUM, dsum, query
+from steaminganalysis_spark.registry import query
 from steaminganalysis_spark.sources import load
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]

@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from steaminganalysis_spark.registry import SQL_DSUM, dsum, query
+from steaminganalysis_spark.registry import query
 from steaminganalysis_spark.sources import load
 
 __all__ = [

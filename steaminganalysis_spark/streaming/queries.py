@@ -14,7 +14,6 @@ gaps-and-islands).
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
