@@ -682,3 +682,78 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(" ", F.sort_array(F.split("text", " ")))).alias("fingerprint"),
     )
+
+
+N_PROFILE = 50  # top trigrams kept per language profile
+
+
+@query(
+    "q_text_langid_ngram",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(text) - 2),
+                                   i -> substr(text, i, 3))) AS tg
+      FROM documents WHERE len(text) >= 3
+    ), dtri AS (
+      SELECT DISTINCT doc_id, lang, tg FROM tri
+    ), prof AS (
+      SELECT lang AS plang, tg FROM (
+        SELECT lang, tg,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY COUNT(*) DESC, tg) AS rn
+        FROM tri GROUP BY lang, tg
+      ) WHERE rn <= {N_PROFILE}
+    ), overlap AS (
+      SELECT d.doc_id, d.lang, p.plang, COUNT(*) AS hits
+      FROM dtri d JOIN prof p ON d.tg = p.tg
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, lang, plang AS lang_pred, hits
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY hits DESC, plang) AS rn
+      FROM overlap
+    ) WHERE rn = 1
+    """,
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID, train + classify in one plan:
+    per-language top-50 trigram profiles are learned from the labeled
+    corpus itself, then each document is classified to the profile with
+    the largest distinct-trigram overlap (deterministic tiebreaks at
+    both ranking stages).
+
+    Scale shape: the profile is ≤ 50 rows per language — broadcast —
+    so classification is one map-side join over the exploded trigrams
+    plus a (doc, lang) count; the corpus is never shuffled by trigram
+    twice (profile build is its own branch). All string slicing is
+    JVM-side (`substr` over a `sequence`), no UDFs."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    tg = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        )
+    ).alias("tg")
+    tri = d.select("doc_id", "lang", tg)
+    dtri = tri.distinct()
+    prof_w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tg"))
+    prof = (
+        tri.groupBy("lang", "tg")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(prof_w))
+        .filter(F.col("rn") <= N_PROFILE)
+        .select(F.col("lang").alias("plang"), "tg")
+    )
+    overlap = (
+        dtri.join(F.broadcast(prof), "tg")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count("*").alias("hits"))
+    )
+    pick = W.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("plang"))
+    return (
+        overlap.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("plang").alias("lang_pred"), "hits")
+    )
