@@ -86,6 +86,26 @@ def test_video_frame_sampling(spark):
     assert one.frame_idx % 2 == 0
 
 
+def test_audio_features_shapes_and_consistency(spark):
+    import math
+
+    from steaminganalysis_spark.operators.multimodal import audio_features, media_table
+
+    media = media_table(spark, SF)
+    rows = audio_features(media).collect()
+    assert rows, "no audio rows"
+    for r in rows:
+        assert r.sample_rate == 8000
+        assert len(r.window_rms) == 4
+        assert all(w >= 0 for w in r.window_rms)
+        # overall RMS consistent with per-window energies: equal-ish
+        # windows → rms^2 ≈ mean of window rms^2 (windows differ by ≤1
+        # sample, so allow a small tolerance)
+        approx = math.sqrt(sum(w * w for w in r.window_rms) / 4)
+        assert abs(approx - r.rms) < 2.0, (r.rms, approx)
+        assert 0 <= r.zero_crossings < r.n_samples
+
+
 def test_real_codec_is_clearly_stubbed(spark):
     with pytest.raises(NotImplementedError, match="not available"):
         decode_with_real_codec(media_table(spark, SF))
