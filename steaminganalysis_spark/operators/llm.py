@@ -757,3 +757,46 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", F.col("plang").alias("lang_pred"), "hits")
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+      SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+    ), tot AS (
+      SELECT source, SUM(c) AS n FROM tf GROUP BY source
+    )
+    SELECT tf.source,
+           CAST(SUM(CAST(round(-(c / CAST(n AS DOUBLE))
+                                 * ln(c / CAST(n AS DOUBLE)), 12)
+                         AS DECIMAL(28,12))) AS DOUBLE) AS entropy_nats,
+           CAST(COUNT(*) AS BIGINT) AS vocab
+    FROM tf JOIN tot ON tf.source = tot.source
+    GROUP BY tf.source
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per source (vocabulary
+    diversity — a corpus-quality signal). Each −p·ln p term is rounded
+    to 12 decimals and accumulated in exact decimal so the sum is
+    partition-order-proof, mirroring the engine's dsum discipline."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    term = F.round(-p * F.log(p), 12).cast("decimal(28,12)")
+    return (
+        tf.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(term).cast("double").alias("entropy_nats"),
+            F.count("*").alias("vocab"),
+        )
+    )

@@ -145,3 +145,27 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_window_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank analytics: percent_rank and cume_dist per priority
+    class (order-by includes the unique key so ranks are total)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
