@@ -2,6 +2,20 @@
 higher-order functions — no Python in any of these)."""
 
 from steaminganalysis_spark.functions.vector import cosine, dot, norm, to_double_array
-from steaminganalysis_spark.functions.text import tokens, word_ngrams
+from steaminganalysis_spark.functions.text import (
+    minhash_band_signatures,
+    shingle_hashes,
+    tokens,
+    word_ngrams,
+)
 
-__all__ = ["cosine", "dot", "norm", "to_double_array", "tokens", "word_ngrams"]
+__all__ = [
+    "cosine",
+    "dot",
+    "norm",
+    "to_double_array",
+    "tokens",
+    "word_ngrams",
+    "shingle_hashes",
+    "minhash_band_signatures",
+]

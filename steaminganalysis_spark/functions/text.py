@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["tokens", "word_ngrams"]
+__all__ = ["tokens", "word_ngrams", "shingle_hashes", "minhash_band_signatures"]
 
 
 def tokens(text: Column | str) -> Column:
@@ -25,3 +25,57 @@ def word_ngrams(toks: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", *[toks[i + k] for k in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hashes(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
+    """Distinct (id, xxhash64(word-n-gram)) rows — the 8-byte-key shingle
+    set every Jaccard/MinHash operator joins and shuffles on (never the
+    shingle strings themselves)."""
+    toks = df.select(id_col, tokens(text_col).alias("_t"))
+    return (
+        toks.select(id_col, F.explode(word_ngrams(F.col("_t"), n)).alias("_sh"))
+        .select(id_col, F.xxhash64("_sh").alias("h"))
+        .distinct()
+    )
+
+
+def minhash_band_signatures(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_minhash: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+):
+    """MinHash-LSH band signatures: (id, band, sig) — docs sharing any
+    (band, sig) are near-dup candidates. Shared kernel of the batch
+    `q_dedup_near` operator and the streaming incremental index
+    (`streaming.neardup`): signatures are a pure function of the text,
+    so batch and stream agree row-for-row."""
+    sh = shingle_hashes(df, text_col, id_col, shingle_n)
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
+            for i in range(n_minhash)
+        ]
+    )
+    rows_per_band = n_minhash // n_bands
+    return mins.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(
+                            *[
+                                F.col(f"mh{bi * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("sig"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("_bs"),
+    ).select(id_col, "_bs.band", "_bs.sig")

@@ -24,7 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from steaminganalysis_spark.functions import dot, norm, to_double_array, tokens, word_ngrams
+from steaminganalysis_spark.functions import (
+    dot,
+    minhash_band_signatures,
+    norm,
+    to_double_array,
+    tokens,
+    word_ngrams,
+)
 from steaminganalysis_spark.registry import query
 from steaminganalysis_spark.sources import load
 
@@ -145,34 +152,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification on candidates only. Unlike `q_dedup_ngram_jaccard`,
     the pair space never materializes beyond LSH collisions.
     """
-    sh = _shingle_hashes(spark, sf_dir)
-    # 32 permutations via seeded re-hash of the base shingle hash
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
-            for i in range(N_MINHASH)
-        ]
+    # shingle → 32 seeded minhashes → 8 band signatures, via the shared
+    # kernel (functions.text.minhash_band_signatures) that the streaming
+    # incremental index (streaming.neardup) also uses
+    bands = minhash_band_signatures(
+        load(spark, sf_dir, "documents"),
+        n_minhash=N_MINHASH,
+        n_bands=N_BANDS,
     )
-    rows_per_band = N_MINHASH // N_BANDS
-    bands = mins.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(
-                            *[
-                                F.col(f"mh{bi * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("sig"),
-                    )
-                    for bi in range(N_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
     cand = (
         bands.alias("x")
         .join(
