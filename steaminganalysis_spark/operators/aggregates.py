@@ -316,3 +316,29 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
         F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
     )
+
+
+@query(
+    "q_agg_mode_bool",
+    oracle="""
+    SELECT l_linestatus,
+           mode(l_returnflag) AS mode_flag,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_high_discount,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_mode_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() and boolean aggregates. NOTE: mode is only deterministic
+    when the maximum is unique; on this data l_returnflag has a strict
+    frequency ordering per linestatus (asserted implicitly by the oracle
+    match — DuckDB and Spark would disagree on ties)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.mode("l_returnflag").alias("mode_flag"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_high_discount"),
+        F.count("*").alias("n"),
+    )

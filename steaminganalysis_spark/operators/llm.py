@@ -21,6 +21,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -786,4 +788,60 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("double").alias("entropy_nats"),
             F.count("*").alias("vocab"),
         )
+    )
+
+
+@query("q_sim_topk_arrow")  # rows-only: numpy sum order differs in last ulps from the JVM fold
+def sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized variant of q_sim_topk: the dot products run in a
+    pandas UDF as one numpy matrix multiply per Arrow batch against the
+    broadcast query matrix — the Python-side scale path when the scoring
+    kernel outgrows JVM expressions (same shape as a real embedding
+    scorer). Ranking/tiebreak rules are identical to q_sim_topk;
+    tests/test_llm_and_approx.py pins result equality against the JVM
+    kernel at the rounding precision."""
+    from pyspark.sql.functions import pandas_udf
+
+    e = load(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < 50)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # 50 query vectors: a deliberate, tiny driver-side broadcast
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq = spark.sparkContext.broadcast(q_mat)
+    bqn = spark.sparkContext.broadcast(q_norm)
+
+    @pandas_udf("array<struct<query_id: long, cosine: double>>")
+    def score(emb: pd.Series) -> pd.Series:
+        m = np.array(emb.tolist(), dtype=np.float64)  # batch × dim
+        norms = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ bq.value.T) / np.outer(norms, bqn.value)  # batch × nq
+        ids = bq_ids.value
+        return pd.Series(
+            [
+                [
+                    {"query_id": int(ids[j]), "cosine": float(row[j])}
+                    for j in range(len(ids))
+                ]
+                for row in cos
+            ]
+        )
+
+    scored = (
+        e.select(F.col("vec_id").alias("neighbor_id"), score("embedding").alias("s"))
+        .select("neighbor_id", F.explode("s").alias("qc"))
+        .select("qc.query_id", "neighbor_id", "qc.cosine")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rn")
     )

@@ -116,3 +116,14 @@ def test_ann_ivf_recall_vs_brute_force(spark):
         for r in QUERIES["q_sim_topk"](spark, SF).collect()
     }
     assert len(ivf & exact) >= 0.5 * len(exact), (len(ivf & exact), len(exact))
+
+
+def test_sim_topk_arrow_matches_jvm_kernel(spark):
+    """The Arrow/numpy scoring path must produce the exact same top-k
+    (ids, ranks, rounded cosines) as the JVM higher-order-function
+    kernel — proving kernel-swap safety at the engine's rounding
+    precision."""
+    sf = "/root/testdata/sf0.01"
+    jvm = {tuple(r) for r in QUERIES["q_sim_topk"](spark, sf).collect()}
+    arrow = {tuple(r) for r in QUERIES["q_sim_topk_arrow"](spark, sf).collect()}
+    assert jvm == arrow
