@@ -180,3 +180,33 @@ def compact(
     return len(
         [f for f in os.listdir(dst_path) if f.endswith(".parquet")]
     )
+
+
+@query(
+    "q_scan_partitioned",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
+    GROUP BY 1
+    """,
+)
+def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: events rewritten once as day-partitioned
+    parquet, then read with a partition-key filter — the plan prunes to
+    ONE directory (PartitionFilters at the scan; asserted in
+    tests/test_storage.py for the same layout). Oracle-checked against
+    the unpartitioned original, proving the partitioned rewrite loses
+    nothing."""
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"sa_spark_events_byday_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_partitioned_by_day(load(spark, sf_dir, "events"), path)
+    df = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    return df.groupBy("day").agg(
+        F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
