@@ -845,3 +845,40 @@ def sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rn")
     )
+
+
+HH_LOCAL_M = 100  # candidates kept per partition
+HH_K = 10
+
+
+@query("q_text_heavy_hitters")  # rows-only: candidate recall is heuristic; subset-tested vs exact
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (top-10 tokens) with the two-phase
+    shape that works at 100 TB: (1) per-PARTITION local top-100 token
+    counts in a mapInPandas Counter — no shuffle, bounded memory, output
+    ≤ 100 rows per partition regardless of input size; (2) exact global
+    recount of the surviving candidate set only (semi-join), then top-k.
+    The full token multiset is never shuffled — contrast q_text_tokens,
+    which shuffles every distinct token. Equality with the exact top-10
+    is pinned in tests (holds whenever every true heavy hitter is
+    locally heavy somewhere — the Zipfian case)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+
+    def local_topm(batches):
+        from collections import Counter
+
+        c = Counter()
+        for pdf in batches:
+            c.update(pdf["tok"])
+        rows = c.most_common(HH_LOCAL_M)
+        yield pd.DataFrame({"tok": [t for t, _ in rows]})
+
+    candidates = toks.mapInPandas(local_topm, schema="tok string").distinct()
+    return (
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(HH_K)
+    )

@@ -148,3 +148,26 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udf_part WHERE p_size > 25
         """
     )
+
+
+_title_arrow = F.udf(
+    lambda s: s.strip().upper() if s is not None else None,
+    T.StringType(),
+    useArrow=True,
+)
+
+
+@query(
+    "q_udf_arrow",
+    oracle="""
+    SELECT p_partkey, upper(trim(p_name)) AS name_uc
+    FROM part
+    """,
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED Python UDF (Spark 4 ``useArrow=True``): the same
+    per-row lambda API as a classic Python UDF, but batched over Arrow
+    instead of pickled row-by-row — the migration path for legacy UDF
+    code that can't be vectorized yet."""
+    p = load(spark, sf_dir, "part")
+    return p.select("p_partkey", _title_arrow(F.col("p_name")).alias("name_uc"))

@@ -127,3 +127,16 @@ def test_sim_topk_arrow_matches_jvm_kernel(spark):
     jvm = {tuple(r) for r in QUERIES["q_sim_topk"](spark, sf).collect()}
     arrow = {tuple(r) for r in QUERIES["q_sim_topk_arrow"](spark, sf).collect()}
     assert jvm == arrow
+
+
+def test_heavy_hitters_equal_exact_topk(spark):
+    """Two-phase candidate+recount heavy hitters must reproduce the
+    exact global top-10 (counts are exact by construction; the test
+    pins candidate recall on this corpus)."""
+    sf = "/root/testdata/sf0.01"
+    approx = [(r.tok, r.n) for r in QUERIES["q_text_heavy_hitters"](spark, sf).collect()]
+    exact = [
+        (r.tok, r.n)
+        for r in QUERIES["q_text_tokens"](spark, sf).collect()[:10]
+    ]
+    assert approx == exact

@@ -236,6 +236,51 @@ def test_stream_static_join(spark):
     assert got == expected
 
 
+def test_streaming_metrics_listener_collects_batches(spark):
+    """The BatchMetricsListener must see query start, per-batch progress
+    with the right row counts, and termination."""
+    import uuid as _uuid
+
+    from steaminganalysis_spark.sources.registry import events_stream
+    from steaminganalysis_spark.streaming.metrics import BatchMetricsListener
+
+    listener = BatchMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        name = f"metrics_{_uuid.uuid4().hex[:6]}"
+        stream = events_stream(spark, "/root/testdata/sf0.001")
+        q = (
+            stream.groupBy("event_type")
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            qid = str(q.id)
+        finally:
+            q.stop()
+        import time as _t
+
+        # listener events are delivered asynchronously on the listener
+        # bus — poll up to 15s for them to land
+        deadline = _t.time() + 15
+        while _t.time() < deadline and (
+            listener.total_rows(qid) < 1000 or qid not in listener.terminated
+        ):
+            _t.sleep(0.2)
+        assert qid in listener.started
+        # the fixture has 1000 rows at sf0.001; all must be observed
+        assert listener.total_rows(qid) == 1000, listener.batches
+        batch = next(b for b in listener.batches if b["query_id"] == qid)
+        assert batch["duration_ms"] is None or batch["duration_ms"] >= 0
+        assert qid in listener.terminated
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_rate_source_stream_builds(spark):
     """The continuous datagen stream compiles to a valid streaming plan
     (smoke only — no wall-clock waits in tests)."""
