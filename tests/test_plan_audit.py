@@ -95,6 +95,37 @@ def test_histogram_single_shuffle(spark):
     assert count_exchanges(QUERIES["q_histogram"](spark, SF)) == 1
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level filtering: when a selectively-filtered dim
+    joins a fact with a shuffle join, Catalyst injects a bloom filter
+    built from the dim keys into the fact scan — at 100 TB this skips
+    most fact rows before the exchange. Thresholds are lowered to
+    demonstrate on small fixtures (real sizes clear the defaults)."""
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.plans import physical_plan
+    from steaminganalysis_spark.sources import load
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF, "lineitem")
+        o = load(spark, SF, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = physical_plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_sim_topk_broadcasts_queries_not_corpus(spark):
     from steaminganalysis_spark.plans import physical_plan
 
