@@ -210,3 +210,35 @@ def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("day").agg(
         F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
     )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located join as a first-class query: lineitem and orders
+    are bucketed by their join key once (8 buckets, write-time shuffle),
+    then joined with ZERO exchanges on either side — the plan every
+    repeated fact-fact join should run at 100 TB. Oracle = the same join
+    over the raw parquet, proving bucketing changes the plan, not the
+    answer."""
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    lt, rt = f"li_bucketed_{tag}", f"o_bucketed_{tag}"
+    catalog = spark.catalog
+    if not (catalog.tableExists(lt) and catalog.tableExists(rt)):
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        write_bucketed(spark, li, lt, "l_orderkey", sort_col="l_orderkey")
+        write_bucketed(spark, o, rt, "o_orderkey", sort_col="o_orderkey")
+    j = bucketed_join(spark, lt, rt, "l_orderkey", "o_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double").alias("total_qty"),
+    )
