@@ -342,3 +342,40 @@ def agg_mode_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_discount") > 0.09).alias("any_high_discount"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_agg_grouping_flags",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, '<all>') AS rf,
+           COALESCE(l_linestatus, '<all>') AS ls,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           COUNT(*) AS n,
+           {SQL_DSUM("l_quantity")} AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicator columns — how downstream
+    consumers distinguish 'NULL data value' from 'subtotal row' without
+    guessing from NULLs."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count("*").alias("n"),
+            dsum(F.col("l_quantity")).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "g_rf",
+            "g_ls",
+            "n",
+            "qty",
+        )
+    )

@@ -86,3 +86,59 @@ def kafka_order_stream(
         .load()
     )
     return classify_orders(parse_order_json(raw))
+
+
+def split_dead_letters(raw: DataFrame, value_col: str = "value"):
+    """PERMISSIVE parse with dead-letter routing: rows whose JSON fails
+    to parse (or lacks the mandatory fields) are NOT dropped silently —
+    they split into a quarantine frame carrying the raw payload, so a
+    10-hour ingest neither dies on one bad record (reference behavior:
+    fastjson throws and kills the batch, KafkaApp.scala:52) nor loses
+    it. Returns (good, dead) frames computed from one shared parse."""
+    parsed = raw.withColumn(
+        "_o", F.from_json(F.col(value_col).cast("string"), ORDER_EVENT_SCHEMA)
+    )
+    is_good = (
+        F.col("_o").isNotNull()
+        & F.col("_o.time").isNotNull()
+        & F.col("_o.flag").isNotNull()
+        & F.col("_o.fee").isNotNull()
+    )
+    good = parsed.filter(is_good).select("_o.*")
+    dead = parsed.filter(~is_good).select(
+        F.col(value_col).cast("string").alias("raw_value")
+    )
+    return good, dead
+
+
+def day_rollup_with_dead_letters(
+    raw_stream: DataFrame,
+    checkpoint_dir: str,
+    dead_letter_dir: str,
+    agg_fn,
+    store_name: str = "default",
+):
+    """The flagship sink with quarantine: per micro-batch, malformed
+    payloads append to a dead-letter parquet dir (re-driveable later);
+    well-formed rows flow to the idempotent KV rollup. Both writes are
+    guarded by the same batch id, so a replayed batch neither
+    double-counts NOR double-quarantines."""
+    from steaminganalysis_spark.streaming.sinks import KVStore, apply_day_rollup_batch
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        store = KVStore.instance(store_name)
+        if not store.setnx(f"dlq-batch-{batch_id}", "1"):
+            return
+        good, dead = split_dead_letters(batch_df)
+        dead.write.mode("append").parquet(dead_letter_dir)
+        # delegate the good path; share the batch-id guard namespace so
+        # the rollup's own guard stays consistent under replay
+        apply_day_rollup_batch(
+            classify_orders(good), batch_id, agg_fn, store_name=store_name
+        )
+
+    return (
+        raw_stream.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )

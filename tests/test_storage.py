@@ -90,6 +90,24 @@ def test_compact_reduces_file_count_preserves_rows(spark, tmp_path):
     assert df.count() == li.count()
 
 
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution: a v2 writer adds a column; mergeSchema reads
+    v1+v2 together with NULLs for the missing column — no rewrite of old
+    data, the way a long-lived 100 TB dataset actually evolves."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(path + "/v=1")
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    ).write.parquet(path + "/v=2")
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "name", "score", "v"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+
+
 def test_hll_sketch_estimates_within_tolerance(spark):
     from steaminganalysis_spark.registry import collect_queries
 

@@ -236,6 +236,59 @@ def test_stream_static_join(spark):
     assert got == expected
 
 
+def test_dead_letter_routing_quarantines_bad_json(spark, tmp_path):
+    """Malformed payloads must reach the dead-letter dir with their raw
+    bytes; well-formed ones must aggregate; nothing is lost: good + dead
+    == input."""
+    import glob
+    import shutil
+
+    from steaminganalysis_spark.streaming.pipeline import (
+        day_rollup_delta,
+        day_rollup_with_dead_letters,
+    )
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    good1 = '{"time":"2024-03-01 10:00:00","userId":"1","courseId":"2","fee":"100","flag":"1","orderId":"a"}'
+    good2 = '{"time":"2024-03-02 11:00:00","userId":"2","courseId":"3","fee":"50","flag":"0","orderId":"b"}'
+    bad_json = '{"time": "2024-03-01 10:'  # truncated
+    bad_fields = '{"whatever": 1}'  # parses, lacks mandatory fields
+    rows = [(v,) for v in [good1, bad_json, good2, bad_fields]]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, "value string").coalesce(1).write.parquet(
+        str(tmp_path / "b1")
+    )
+    shutil.copy(
+        glob.glob(str(tmp_path / "b1" / "part-*.parquet"))[0], str(src / "b1.parquet")
+    )
+
+    store_name = f"dlq-{uuid.uuid4().hex[:6]}"
+    stream = spark.readStream.schema("value string").parquet(str(src))
+    q = day_rollup_with_dead_letters(
+        stream,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "dead"),
+        day_rollup_delta,
+        store_name=store_name,
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dead = {r.raw_value for r in spark.read.parquet(str(tmp_path / "dead")).collect()}
+    assert dead == {bad_json, bad_fields}
+
+    store = KVStore.instance(store_name)
+    h1 = store.hgetall(KEY_PREFIX + "2024-03-01")
+    h2 = store.hgetall(KEY_PREFIX + "2024-03-02")
+    assert h1 == {"total": 1, "success": 1, "fee_cents": 10000}
+    assert h2 == {"total": 1, "success": 0, "fee_cents": 0}
+    KVStore.reset(store_name)
+
+
 def test_streaming_metrics_listener_collects_batches(spark):
     """The BatchMetricsListener must see query start, per-batch progress
     with the right row counts, and termination."""
