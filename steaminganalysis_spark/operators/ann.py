@@ -115,3 +115,69 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rn")
     )
+
+
+# ------------------------------------------------ persisted IVF index
+
+def build_ivf_index(
+    spark: SparkSession,
+    base: DataFrame,
+    index_dir: str,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+) -> None:
+    """Train and PERSIST the IVF index: centroids as a tiny parquet
+    model file, corpus rows partitioned by inverted list
+    (`list_id=<cid>/` dirs). Probing then touches only the P probed
+    partitions — the same partition pruning that serves day-ranged
+    scans, applied to vector search. Build once, query many times: the
+    train cost amortizes the way a real feature store's does."""
+    cents = train_ivf(spark, base, k=k, iters=iters)
+    _centroids_df(spark, cents).write.mode("overwrite").parquet(
+        f"{index_dir}/centroids"
+    )
+    corpus = _assign(base, _centroids_df(spark, cents), keep=1).select(
+        F.col("vec_id"), F.col("v"), F.col("norm"), F.col("cid").alias("list_id")
+    )
+    corpus.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{index_dir}/corpus"
+    )
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    topk: int = 5,
+    probes: int = IVF_PROBES,
+) -> DataFrame:
+    """Query a persisted IVF index: assign each query vector to its
+    `probes` nearest centroids (centroid model is a broadcast-sized
+    read), then scan ONLY those corpus partitions (partition filter on
+    list_id) and rank exact cosine within them."""
+    cdf = spark.read.parquet(f"{index_dir}/centroids")
+    q = _assign(queries, cdf, keep=probes).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("cid").alias("list_id"),
+    )
+    corpus = spark.read.parquet(f"{index_dir}/corpus").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nnorm"),
+        "list_id",
+    )
+    pairs = q.join(corpus, "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm"))
+    w = W.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rn")
+    )

@@ -140,3 +140,33 @@ def test_heavy_hitters_equal_exact_topk(spark):
         for r in QUERIES["q_text_tokens"](spark, sf).collect()[:10]
     ]
     assert approx == exact
+
+
+def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
+    """Build-once/query-many IVF: the persisted index must return the
+    same results as the inline q_sim_ann_ivf (identical training), and
+    probing a single list must hit a partition filter on list_id."""
+    from steaminganalysis_spark.operators.ann import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from steaminganalysis_spark.operators.llm import _emb_double
+    from steaminganalysis_spark.plans import physical_plan
+
+    sf = "/root/testdata/sf0.01"
+    idx = str(tmp_path / "ivf")
+    base = _emb_double(spark, sf)
+    build_ivf_index(spark, base, idx)
+
+    got = {
+        tuple(r)
+        for r in query_ivf_index(
+            spark, idx, base.filter("vec_id < 50")
+        ).collect()
+    }
+    inline = {tuple(r) for r in QUERIES["q_sim_ann_ivf"](spark, sf).collect()}
+    assert got == inline
+
+    # partition pruning reaches the corpus scan
+    corpus = spark.read.parquet(idx + "/corpus").filter("list_id = 3")
+    assert "PartitionFilters" in physical_plan(corpus)
