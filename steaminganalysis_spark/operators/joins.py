@@ -114,6 +114,8 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer/supplier counts — both
+    unmatched sides survive with NULL-coalesced counts."""
     c = (
         load(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nk"))

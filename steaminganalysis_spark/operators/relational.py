@@ -112,6 +112,8 @@ def project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def filter_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound AND/OR/comparison predicate; pushes to the parquet scan
+    (generalizes the reference's flag filter, KafkaApp.scala:62)."""
     o = load(spark, sf_dir, "orders")
     return o.filter(
         (F.col("o_orderstatus") == "F")
@@ -132,6 +134,7 @@ def filter_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE / IS NOT NULL predicate pack on part."""
     p = load(spark, sf_dir, "part")
     return p.filter(
         F.col("p_brand").isin("Brand#1", "Brand#3")
@@ -230,6 +233,7 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with a provenance column (no dedup — bag semantics)."""
     c = load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
     )
@@ -264,6 +268,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT — planned as left-anti over distinct keys."""
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)  # EXCEPT DISTINCT (left-anti over distinct keys)

@@ -28,6 +28,8 @@ from steaminganalysis_spark.sources import load
     """,
 )
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking pack: row_number / rank / dense_rank / ntile per nation,
+    unique-key tiebreak for determinism."""
     c = load(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return c.select(
@@ -55,6 +57,8 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead over each customer's order timeline (prev/next
+    order dates as strings per the determinism conventions)."""
     o = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
