@@ -236,6 +236,27 @@ def test_stream_static_join(spark):
     assert got == expected
 
 
+def test_console_sink_runs(spark):
+    """Console sink (SURVEY B.1): starts, processes the fixture stream,
+    stops clean — the debug sink a developer points any pipeline at."""
+    from steaminganalysis_spark.sources.registry import events_stream
+
+    stream = events_stream(spark, "/root/testdata/sf0.001")
+    q = (
+        stream.groupBy("event_type")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("console")
+        .option("numRows", "3")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.isActive
+    finally:
+        q.stop()
+
+
 def test_dead_letter_routing_quarantines_bad_json(spark, tmp_path):
     """Malformed payloads must reach the dead-letter dir with their raw
     bytes; well-formed ones must aggregate; nothing is lost: good + dead
