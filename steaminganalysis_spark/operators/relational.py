@@ -306,3 +306,33 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     return f.exceptAll(op)
+
+
+@query(
+    "q_sort_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'P') AS status_or_null,
+           o_totalprice
+    FROM orders
+    ORDER BY nullif(o_orderstatus, 'P') DESC NULLS FIRST,
+             o_totalprice DESC,
+             o_orderkey
+    LIMIT 50
+    """,
+)
+def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL-ordering sort (NULLS FIRST under DESC — the
+    non-default both engines must agree on), nulls synthesized with
+    nullif; unique-key tiebreak; TakeOrderedAndProject limit."""
+    o = load(spark, sf_dir, "orders")
+    status = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (
+        o.select("o_orderkey", status.alias("status_or_null"), "o_totalprice")
+        .orderBy(
+            F.col("status_or_null").desc_nulls_first(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey"),
+        )
+        .limit(50)
+    )

@@ -236,6 +236,49 @@ def test_stream_static_join(spark):
     assert got == expected
 
 
+def test_rocksdb_state_store_backs_stateful_agg(spark):
+    """The RocksDB state store provider (the at-scale backend: state
+    spills to local disk instead of executor heap) must back a stateful
+    aggregation and produce the same answer as the batch query."""
+    from steaminganalysis_spark.sources import load
+    from steaminganalysis_spark.sources.registry import events_stream
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        name = f"rocks_{uuid.uuid4().hex[:6]}"
+        stream = events_stream(spark, "/root/testdata/sf0.001")
+        q = (
+            stream.groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # the provider actually in use is recorded in the state
+            # operator's progress metrics
+            got = {r.event_type: r.n for r in spark.table(name).collect()}
+        finally:
+            q.stop()
+        expect = {
+            r.event_type: r.n
+            for r in load(spark, "/root/testdata/sf0.001", "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == expect
+    finally:
+        spark.conf.set(key, saved)
+
+
 def test_console_sink_runs(spark):
     """Console sink (SURVEY B.1): starts, processes the fixture stream,
     stops clean — the debug sink a developer points any pipeline at."""
