@@ -297,3 +297,46 @@ def json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("p.k").alias("n_ok"),
         F.sum(F.coalesce(F.col("p.k"), F.lit(0))).alias("k_sum"),
     )
+
+
+@query(
+    "q_fn_array2",
+    oracle="""
+    WITH b AS (
+      SELECT n_nationkey AS k, range(1, 2 + n_nationkey % 3) AS seq
+      FROM nation
+    )
+    SELECT k,
+           array_to_string(seq, ',') AS seq_s,
+           array_to_string(list_transform(seq, i -> i * (k + 1)), ',') AS scaled_s,
+           array_to_string(
+             list_transform(range(1, 2 + k % 3),
+                            i -> i * 10 + seq[len(seq) - i + 1]), ',') AS zw_s,
+           CAST(COALESCE(list_position(seq, 2), 0) AS INT) AS pos2,
+           array_to_string(list_sort(list_distinct(list_concat(seq, [2, 5]))), ',')
+             AS union_s,
+           array_to_string(flatten([seq, [9]]), ',') AS flat_s
+    FROM b
+    """,
+)
+def fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order pack #2: sequence, transform, zip_with (with
+    reverse), array_position, array_union, flatten — all JVM
+    expressions; array outputs serialized sorted/joined per the
+    determinism conventions."""
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    seq = F.sequence(F.lit(1), 1 + k % 3)
+    return n.select(
+        k.alias("k"),
+        F.concat_ws(",", seq).alias("seq_s"),
+        F.concat_ws(",", F.transform(seq, lambda i: i * (k + 1))).alias("scaled_s"),
+        F.concat_ws(
+            ",", F.zip_with(seq, F.reverse(seq), lambda x, y: x * 10 + y)
+        ).alias("zw_s"),
+        F.array_position(seq, 2).cast("int").alias("pos2"),
+        F.concat_ws(
+            ",", F.sort_array(F.array_union(seq, F.array(F.lit(2), F.lit(5))))
+        ).alias("union_s"),
+        F.concat_ws(",", F.flatten(F.array(seq, F.array(F.lit(9))))).alias("flat_s"),
+    )
