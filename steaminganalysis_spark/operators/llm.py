@@ -34,7 +34,7 @@ from steaminganalysis_spark.functions import (
     tokens,
     word_ngrams,
 )
-from steaminganalysis_spark.registry import query
+from steaminganalysis_spark.registry import QUERIES, query
 from steaminganalysis_spark.sources import load
 
 # ---------------------------------------------------------------- dedup
@@ -881,4 +881,62 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("tok"))
         .limit(HH_K)
+    )
+
+
+@query("q_dedup_clusters")  # rows-only: iterative algorithm; verified vs union-find in tests
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS (not just pairs): connected components over
+    the exact-Jaccard near-dup pair graph via min-label propagation —
+    each doc's label becomes the smallest doc_id reachable from it, so
+    `cluster_id` elects the canonical (keep) document per group and
+    everything else is droppable. This is the step after pair
+    generation in a real dedup pipeline (A~B, B~C must collapse to ONE
+    keeper even though A~C was never compared).
+
+    Distributed shape: per iteration one join of labels against the
+    (tiny) symmetric edge list + a min-aggregate — label propagation,
+    the standard large-scale CC algorithm. Iterates to a fixed point
+    with a driver-side convergence check on a scalar count; edges are
+    the near-dup pairs (bounded output of LSH/Jaccard), never the
+    corpus."""
+    pairs = QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    members = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(10):
+        neighbor_min = (
+            members.join(edges, members.doc_id == edges.doc_a)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            members.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(members.alias("m"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("m.cluster_id"))
+            .count()
+        )
+        members.unpersist()
+        members = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return members.withColumn(
+        "is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("boolean")
     )

@@ -170,3 +170,42 @@ def test_persisted_ivf_index_matches_inline_ivf(spark, tmp_path):
     # partition pruning reaches the corpus scan
     corpus = spark.read.parquet(idx + "/corpus").filter("list_id = 3")
     assert "PartitionFilters" in physical_plan(corpus)
+
+
+def test_dedup_clusters_match_union_find(spark):
+    """Label-propagation clusters must equal a Python union-find over
+    the same near-dup pair list, and the canonical doc must be the
+    cluster's min id."""
+    sf = "/root/testdata/sf0.01"
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_ngram_jaccard"](spark, sf).collect()
+    ]
+    assert pairs, "fixture has no near-dup pairs at sf0.01?"
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {d: find(d) for d in parent}
+
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in QUERIES["q_dedup_clusters"](spark, sf).collect()
+    }
+    assert set(got) == set(expected)
+    for d, root in expected.items():
+        cid, canon = got[d]
+        assert cid == root, (d, cid, root)
+        assert canon == (d == root)
