@@ -340,3 +340,34 @@ def fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("union_s"),
         F.concat_ws(",", F.flatten(F.array(seq, F.array(F.lit(9))))).alias("flat_s"),
     )
+
+
+@query(
+    "q_fn_datetime2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_spark,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+             AS days_since_95
+    FROM orders
+    """,
+)
+def fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime pack #2: quarter / day-of-year / day-of-week (aligned to
+    Spark's Sunday=1 against DuckDB's Sunday=0) / last_day / datediff
+    from an epoch date."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("q"),
+        F.dayofyear(d).alias("doy"),
+        F.dayofweek(d).alias("dow_spark"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )

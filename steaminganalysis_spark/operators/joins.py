@@ -358,3 +358,29 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", fmt).alias("purchase_ts"),
         F.when(within, F.date_format("last_click", fmt)).alias("click_ts"),
     )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH c AS (SELECT c_custkey, nullif(c_mktsegment, 'MACHINERY') AS seg FROM customer),
+         s AS (SELECT DISTINCT nullif(c_mktsegment, 'MACHINERY') AS seg FROM customer)
+    SELECT s.seg AS seg, COUNT(c.c_custkey) AS n_custs
+    FROM s JOIN c ON s.seg IS NOT DISTINCT FROM c.seg
+    GROUP BY s.seg
+    """,
+)
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantic corner
+    every dedup-on-nullable-key pipeline eventually hits. Nulls are
+    synthesized with nullif on one segment."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif("c_mktsegment", F.lit("MACHINERY")).alias("seg")
+    )
+    segs = c.select("seg").distinct().select(F.col("seg").alias("s_seg"))
+    return (
+        segs.join(c, segs.s_seg.eqNullSafe(c.seg))
+        .groupBy(F.col("s_seg").alias("seg"))
+        .agg(F.count("c_custkey").alias("n_custs"))
+    )

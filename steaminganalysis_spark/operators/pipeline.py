@@ -234,3 +234,50 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n"), dsum(F.col("value")).alias("bucket_sum")
     )
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS null_keys,
+      (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0) AS nonpositive_prices,
+      (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS bad_discounts,
+      (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_lineitems,
+      (SELECT COUNT(*) FROM orders
+        WHERE o_orderdate > TIMESTAMP '2030-01-01 00:00:00') AS future_orders
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint profiling (Deequ-style, one pass per
+    table): null keys, non-positive prices, out-of-range discounts,
+    referential orphans (anti-join, broadcast when dims are small),
+    future dates. One row out — the gate a pipeline evaluates before
+    promoting a snapshot. At 100 TB each check is a map-side predicate
+    count; the FK check is the only join and prunes to the key column."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    per_row = li.select(
+        F.when(F.col("l_orderkey").isNull(), 1).otherwise(0).alias("nk"),
+        F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0).alias("np"),
+        F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        .otherwise(0)
+        .alias("bd"),
+    ).agg(
+        F.sum("nk").alias("null_keys"),
+        F.sum("np").alias("nonpositive_prices"),
+        F.sum("bd").alias("bad_discounts"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphan_lineitems"))
+    )
+    future = o.agg(
+        F.count(
+            F.when(F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp"), 1)
+        ).alias("future_orders")
+    )
+    return per_row.crossJoin(orphans).crossJoin(future)

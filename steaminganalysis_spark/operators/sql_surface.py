@@ -226,3 +226,27 @@ def text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("name_b"),
         F.levenshtein("s_name", "c_name").alias("dist"),
     )
+
+
+@query(
+    "q_subquery_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS (customers with zero orders) via spark.sql
+    — Catalyst rewrites it to a left-anti join (no per-row subquery
+    execution)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _sq_customer c
+        WHERE NOT EXISTS (SELECT 1 FROM _sq_orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        """
+    )
