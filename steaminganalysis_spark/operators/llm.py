@@ -940,3 +940,87 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.withColumn(
         "is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("boolean")
     )
+
+
+@query(
+    "q_emb_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), stats AS (
+      SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e
+    ), q AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor((x - lo) / (hi - lo) * 255.0) AS BIGINT)) AS qv
+      FROM stats
+    )
+    SELECT vec_id,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM q
+    """,
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8-style scalar quantization (embedding compression
+    for storage/serving: 4 bytes/dim → 1): map each component to
+    floor((x-min)/(max-min)*255). Emitted as integer checksums
+    (sum/min/max of the quantized codes) — integer-exact on both
+    engines, so the whole quantization arithmetic is hash-verified.
+    All JVM higher-order expressions; one map-side pass, no shuffle."""
+    e = load(spark, sf_dir, "embeddings")
+    v = to_double_array("embedding")
+    lo, hi = F.array_min(v), F.array_max(v)
+    qv = F.transform(v, lambda x: F.floor((x - lo) / (hi - lo) * 255.0))
+    return e.select(
+        "vec_id",
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / 2000.0) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT source, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY source, pack_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: per source, docs in
+    doc_id order are packed greedily into ~2000-token bins (bin id =
+    floor of the exclusive running token total / budget) — the
+    deterministic, shuffle-light version of LLM batch packing. One
+    window cumsum + one tiny rollup, both on the same source
+    partitioning (single exchange)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2000.0),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("pack_tokens")
+    )
