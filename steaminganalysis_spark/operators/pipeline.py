@@ -281,3 +281,70 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("future_orders")
     )
     return per_row.crossJoin(orphans).crossJoin(future)
+
+
+@query(
+    "q_train_test_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM tagged GROUP BY split
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/valid/test split keyed on the doc
+    id's md5 prefix ('cc' ≈ 204/256, 'e6' ≈ 230/256): reproducible on
+    any engine, stable under repartition/re-runs, and a document can
+    never leak across splits between runs — the property random splits
+    lose the moment data order changes."""
+    d = load(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cc", "train").when(h2 < "e6", "valid").otherwise("test")
+    )
+    return d.select("doc_id", split.alias("split")).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    WHERE substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 2) < '34'
+    GROUP BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: ~20% ('34' ≈ 52/256) drawn
+    INDEPENDENTLY per language (the hash is salted with the stratum key,
+    so strata don't share the same selected id pattern). Map-side only;
+    the aggregate is just the verification summary."""
+    d = load(spark, sf_dir, "documents")
+    keep = (
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string"))),
+            1,
+            2,
+        )
+        < "34"
+    )
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
