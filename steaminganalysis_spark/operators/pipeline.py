@@ -348,3 +348,91 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+@query(
+    "q_data_mix",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), capped AS (
+      SELECT source, doc_id FROM ranked
+      WHERE rn <= CASE WHEN source IN ('src0', 'src1') THEN 20
+                       WHEN source IN ('src2', 'src3') THEN 10
+                       ELSE 2 END
+    )
+    SELECT source, COUNT(*) AS n_taken, MIN(doc_id) AS first_doc
+    FROM capped GROUP BY source
+    """,
+)
+def data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: per-source document caps (the
+    up/down-weighting step that turns raw corpora into a training mix —
+    20 docs from premium sources, 10 from mid, 2 from the tail),
+    selected deterministically by doc_id rank. One shuffle on source;
+    WindowGroupLimit prunes each partition to its cap before any
+    downstream work."""
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    cap = (
+        F.when(F.col("source").isin("src0", "src1"), 20)
+        .when(F.col("source").isin("src2", "src3"), 10)
+        .otherwise(2)
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_taken"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@query(
+    "q_text_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\+1-[0-9]{3}-[0-9]{4}')) AS INT)
+             AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text, '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+                 '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM seeded
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: deterministic synthetic emails/phones are seeded
+    into each document, then detected (regexp counts) and redacted to
+    placeholder tags; the md5 of the scrubbed text is hash-verified, so
+    the redaction output — not just the counts — is proven identical.
+    All JVM regex; one map-side pass."""
+    d = load(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        (1000 + F.col("doc_id") % 9000).cast("string"),
+    )
+    email_re = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    phone_re = "\\+1-[0-9]{3}-[0-9]{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(seeded, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(seeded, F.lit(email_re)).cast("int").alias("n_emails"),
+        F.regexp_count(seeded, F.lit(phone_re)).cast("int").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
