@@ -27,12 +27,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from steaminganalysis_spark.functions import (
+    shingle_hashes,
     dot,
     minhash_band_signatures,
     norm,
     to_double_array,
     tokens,
-    word_ngrams,
 )
 from steaminganalysis_spark.registry import QUERIES, query
 from steaminganalysis_spark.sources import load
@@ -58,28 +58,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-gram shingles per document (the unit set for
-    Jaccard / MinHash)."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("t")
-    )
-    sh = d.select(
-        "doc_id", F.explode(word_ngrams(F.col("t"), 3)).alias("shingle")
-    )
-    return sh.distinct()
-
-
 def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, xxhash64(shingle)) — the scale representation:
     the self-join and all shuffles move 8-byte keys instead of ~30-byte
     strings (64-bit collisions are negligible at any realistic corpus:
-    P ≈ n²/2^65 per doc pair)."""
-    return (
-        _shingles(spark, sf_dir)
-        .select("doc_id", F.xxhash64("shingle").alias("h"))
-        .distinct()
-    )
+    P ≈ n²/2^65 per doc pair). Delegates to the shared kernel, which
+    hashes BEFORE the distinct so the dedup shuffle itself runs on
+    8-byte keys (one exchange total, vs distinct-on-strings +
+    re-distinct-on-hashes)."""
+    return shingle_hashes(load(spark, sf_dir, "documents"))
 
 
 @query(
