@@ -371,3 +371,31 @@ def fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_95"
         ),
     )
+
+
+@query(
+    "q_fn_string2",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_type, ' ', 1) AS type_first,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           repeat(substr(p_brand, 1, 2), 2) AS b2x2,
+           reverse(p_name) AS name_rev,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a,
+           substr(p_name, 1, 3) AS name_left3
+    FROM part
+    """,
+)
+def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String pack #2: split_part, translate, repeat, reverse, instr
+    (1-based, 0 = absent on both engines), left-prefix."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.repeat(F.substring("p_brand", 1, 2), 2).alias("b2x2"),
+        F.reverse("p_name").alias("name_rev"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.substring("p_name", 1, 3).alias("name_left3"),
+    )

@@ -1011,3 +1011,49 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("source", "pack_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("pack_tokens")
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM toks, unnest(generate_series(1, len(t) - 2)) AS r(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / sa.n, 6) AS containment
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE CAST(n_common AS DOUBLE) / sa.n >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT |A∩B|/|A| ≥ 0.9 — the asymmetric cousin of
+    Jaccard that catches sub-document duplication (doc A quoted inside a
+    larger B), which symmetric Jaccard misses when |B| ≫ |A|. Same
+    hashed-shingle self-join shape; the ordered (doc_a, doc_b) pair
+    space keeps both directions."""
+    sh = _shingle_hashes(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shn = sh.join(F.broadcast(sizes), "doc_id")
+    a = shn.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    cont = F.col("n_common").cast("double") / F.col("na")
+    return inter.filter(cont >= 0.9).select(
+        "doc_a", "doc_b", F.round(cont, 6).alias("containment")
+    )

@@ -462,6 +462,71 @@ def test_stream_stream_join_with_watermarks(spark):
     assert got == expected
 
 
+def test_stream_stream_left_outer_join(spark):
+    """LEFT OUTER stream-stream join: purchases with no prior click
+    within the hour must still be emitted (with NULL click id) once the
+    watermark passes — the semantics inner joins silently drop. Matched
+    pairs must equal the batch join; every purchase appears exactly
+    once-or-more-with-match."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    cond = (
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts < purchases.p_ts)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+    )
+    name = f"sslo_{uuid.uuid4().hex[:6]}"
+    joined = purchases.join(clicks, cond, "leftOuter").select("p_id", "c_id")
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.p_id, r.c_id) for r in spark.table(name).collect()}
+
+    from steaminganalysis_spark.sources import load
+
+    events = load(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    batch = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts < p.p_ts)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).select("p_id", "c_id")
+    expected = {(r.p_id, r.c_id) for r in batch.collect()}
+    # matched pairs must agree exactly with the batch join
+    assert {t for t in got if t[1] is not None} == {
+        t for t in expected if t[1] is not None
+    }
+    # null-emission: final-watermark rows may still be pending for
+    # purchases near the end of the fixture window, but every purchase
+    # with a match must be present and no spurious pairs may exist
+    assert got <= expected | {(pid, None) for pid, _ in expected}
+
+
 def test_parquet_sink_exactly_once(spark, tmp_path):
     """File (parquet) streaming sink: output committed transactionally
     per batch; restarting from the same checkpoint over the same input
