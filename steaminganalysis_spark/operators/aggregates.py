@@ -382,3 +382,24 @@ def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty",
         )
     )
+
+
+@query(
+    "q_agg_product",
+    oracle="""
+    SELECT l_orderkey,
+           round(product(1.0 + l_discount), 6) AS discount_factor,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT aggregate (compounded discount factor per order): few
+    factors per group in [1, 1.1], so reassociation noise sits far below
+    the rounded precision."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.round(F.product(1.0 + F.col("l_discount")), 6).alias("discount_factor"),
+        F.count("*").alias("n_lines"),
+    )

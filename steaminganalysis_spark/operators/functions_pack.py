@@ -399,3 +399,26 @@ def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_name", "a").alias("first_a"),
         F.substring("p_name", 1, 3).alias("name_left3"),
     )
+
+
+@query(
+    "q_fn_explode_outer",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x = 'zzzznever') AS rare
+      FROM documents
+    )
+    SELECT doc_id, CAST(NULL AS VARCHAR) AS tok
+    FROM t WHERE len(rare) = 0
+    UNION ALL
+    SELECT doc_id, unnest(rare) AS tok FROM t WHERE len(rare) > 0
+    """,
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: rows whose array is EMPTY survive with a
+    NULL element instead of vanishing — the corner that silently loses
+    rows when plain explode is used on sparse features."""
+    d = load(spark, sf_dir, "documents")
+    rare = F.filter(F.split("text", " "), lambda x: x == "zzzznever")
+    return d.select("doc_id", F.explode_outer(rare).alias("tok"))

@@ -173,3 +173,29 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "q_topk_with_ties",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             RANK() OVER (PARTITION BY c_nationkey
+                          ORDER BY round(c_acctbal, 2) DESC) AS rk
+      FROM customer
+    ) WHERE rk <= 3
+    """,
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group WITH TIES (rank(), not row_number): equal
+    balances at the cut all survive — the 'top-k' most analysts
+    actually mean. Rank on the rounded value so float noise can't
+    split a tie differently across engines."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.round("c_acctbal", 2).desc())
+    return (
+        c.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
