@@ -39,6 +39,8 @@ HEADLINE = [
     "q_window_rank",
     "q_topk_per_group",
     "q_join_asof",
+    "q_tpch_q5",
+    "q_tpch_q18",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_sim_topk",

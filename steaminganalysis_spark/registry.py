@@ -74,6 +74,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         reshape,
         sql_surface,
         storage,
+        tpch,
         udfs,
         windows,
     )

@@ -132,3 +132,32 @@ def test_sim_topk_broadcasts_queries_not_corpus(spark):
     plan = physical_plan(QUERIES["q_sim_topk"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan  # corpus streams, queries broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q5_star_all_dims_broadcast(spark):
+    # 6-way join: region/nation/customer/supplier broadcast; the only
+    # exchanges are the lineitem⋈orders fact join + final group-by.
+    df = QUERIES["q_tpch_q5"](spark, SF)
+    assert_broadcast_join(df, at_least=4)
+    assert count_exchanges(df) <= 3
+
+
+def test_tpch_q6_is_pure_pushed_scan_agg(spark):
+    df = QUERIES["q_tpch_q6"](spark, SF)
+    assert_filter_pushed(df, "l_shipdate")
+    assert_read_schema_pruned(df, 5)
+    assert count_exchanges(df) == 1
+
+
+def test_tpch_q18_having_subquery_no_extra_fact_shuffle(spark):
+    # l_orderkey pre-agg + semi + o_orderkey join + final agg all hash
+    # on the same key family; lineitem must not shuffle more than twice.
+    df = QUERIES["q_tpch_q18"](spark, SF)
+    assert_broadcast_join(df, at_least=1)
+
+
+def test_tpch_q3_topk_is_take_ordered(spark):
+    from steaminganalysis_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["q_tpch_q3"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
