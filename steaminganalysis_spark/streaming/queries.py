@@ -177,3 +177,17 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query("q_datagen")
+def datagen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic order-event generator (reference Producer:37-57 /
+    MockData:22-43 field distributions: userId∈[0,1000), courseId∈
+    [0,500), fee∈[0,500), flag∈{0,1}, UUID orderId, wall-clock-shaped
+    time string) as a distributed, seeded `spark.range` expression —
+    no driver-side loop, so it scales to any row count. Rows-only:
+    randomness is not SQL-oracle-expressible; schema + domain invariants
+    are pinned by test_datagen_matches_reference_schema."""
+    from steaminganalysis_spark.streaming.datagen import order_events_batch
+
+    return order_events_batch(spark, n=1000)
