@@ -706,3 +706,142 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(F.round(dsum(F.col("l_extendedprice"), 4) / 7.0, 6).alias("avg_yearly"))
     )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             MIN(unit_cost) OVER (PARTITION BY l_partkey) AS best
+      FROM cost
+    )
+    SELECT p_partkey, s_name, round(unit_cost, 4) AS unit_cost
+    FROM ranked
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size <= 10 AND unit_cost = best
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each small part, the
+    supplier(s) offering the lowest observed unit price — the correlated
+    MIN subquery, decorrelated into a window MIN over the per-(part,
+    supplier) aggregate (one shuffle serves both the aggregate and the
+    window; a correlated rescan would be quadratic). Adaptation: no
+    partsupp, so unit cost is MIN(l_extendedprice/l_quantity) observed
+    in lineitem; no region/acctbal output columns. Ties keep all rows
+    (deterministic set semantics, no arbitrary pick)."""
+    from pyspark.sql import Window
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = cost.withColumn("best", F.min("unit_cost").over(w))
+    return (
+        ranked.filter(F.col("unit_cost") == F.col("best"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("p_partkey", "s_name", F.round("unit_cost", 4).alias("unit_cost"))
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle=f"""
+    WITH promo_supp AS (
+      SELECT l_suppkey, {SQL_DSUM("l_quantity")} AS qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM promo_supp
+      WHERE qty > (SELECT 0.5 * {SQL_DSUM("qty")} / COUNT(*) FROM promo_supp)
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess-volume suppliers): nested IN subqueries —
+    suppliers whose shipped quantity of PROMO parts exceeds half the
+    average per-supplier PROMO volume. The part-key IN reduces to a
+    broadcast semi join before the aggregate; the scalar threshold
+    (0.5 * decimal-exact sum / count, evaluated in double) broadcasts
+    back; the outer IN is another semi join. Adaptation: no partsupp
+    availqty, so 'excess' is relative to the fleet average."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    promo_supp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("qty"))
+    )
+    thresh = promo_supp.agg(
+        (0.5 * F.sum(F.col("qty").cast("decimal(30,2)")).cast("double") / F.count("*")).alias("t")
+    )
+    keep = promo_supp.join(F.broadcast(thresh)).filter(F.col("qty") > F.col("t"))
+    return (
+        s.join(F.broadcast(keep), s.s_suppkey == keep.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the famous
+    EXISTS + NOT EXISTS pair correlated on the same fact — finished
+    multi-supplier orders where exactly one supplier returned lines.
+    Expressed as a semi join (another supplier participated) followed
+    by an anti join (no other supplier returned), both on l_orderkey
+    with a supplier-inequality residual. Adaptation: returnflag 'R'
+    stands in for the missing receipt-after-commit delay."""
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waited = (
+        l1.join(l2, (l1.l_orderkey == F.col("o2")) & (l1.l_suppkey != F.col("s2")), "left_semi")
+        .join(l3, (l1.l_orderkey == F.col("o3")) & (l1.l_suppkey != F.col("s3")), "left_anti")
+    )
+    return (
+        waited.join(o, waited.l_orderkey == o.o_orderkey, "left_semi")
+        .join(F.broadcast(s), waited.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
