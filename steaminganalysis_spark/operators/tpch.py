@@ -731,8 +731,11 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 (minimum-cost supplier): for each small part, the
     supplier(s) offering the lowest observed unit price — the correlated
     MIN subquery, decorrelated into a window MIN over the per-(part,
-    supplier) aggregate (one shuffle serves both the aggregate and the
-    window; a correlated rescan would be quadratic). Adaptation: no
+    supplier) aggregate. Two deliberate exchanges: the aggregate one
+    moves map-side-combined partials (not raw lineitem), and the window
+    one moves only the already-aggregated rows — cheaper at scale than
+    forcing a single partkey shuffle of raw rows, and either beats a
+    correlated rescan (quadratic). Adaptation: no
     partsupp, so unit cost is MIN(l_extendedprice/l_quantity) observed
     in lineitem; no region/acctbal output columns. Ties keep all rows
     (deterministic set semantics, no arbitrary pick)."""

@@ -161,3 +161,19 @@ def test_tpch_q3_topk_is_take_ordered(spark):
 
     plan = physical_plan(QUERIES["q_tpch_q3"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q2_window_reuses_aggregated_rows(spark):
+    # agg shuffle moves map-side partials, window shuffle moves only
+    # aggregated rows: exactly 2 exchanges, never a correlated rescan.
+    df = QUERIES["q_tpch_q2"](spark, SF)
+    assert count_exchanges(df) == 2
+
+
+def test_tpch_q21_exists_pair_is_semi_anti_not_cartesian(spark):
+    from steaminganalysis_spark.plans import physical_plan
+
+    df = QUERIES["q_tpch_q21"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert_no_cartesian(df)
