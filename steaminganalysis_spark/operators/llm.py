@@ -216,17 +216,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("long").alias("sig"),
     )
-    x = sig.alias("x")
-    y = sig.alias("y")
-    ham = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
-    return (
-        x.join(y, F.col("x.doc_id") < F.col("y.doc_id"))
-        .filter(ham <= 3)
+    # Pigeonhole banding: split the 32-bit signature into 4 byte
+    # blocks. Any pair within Hamming distance 3 differs in at most 3
+    # blocks, so it shares at least one block EXACTLY — candidates come
+    # from a shuffled equi-join on (block_idx, block_value) instead of
+    # an O(n²) cross join, then the Hamming predicate verifies exactly.
+    # Same output as the all-pairs form (pinned by the recall test);
+    # plan shape pinned equi-join by test_plan_audit.
+    blocks = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("sig"), 8 * i)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "sig", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val"))
+    cand = (
+        blocks.alias("x")
+        .join(
+            blocks.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
         )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.filter(ham <= 3).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
 
 
@@ -299,18 +331,94 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_sim_threshold_pairs",
-    oracle=_SIM_ORACLE_BASE.replace("WHERE a.vec_id < 50", "WHERE a.vec_id < b.vec_id")
-    + """
-    SELECT query_id AS vec_a, neighbor_id AS vec_b, round(cosine, 6) AS cosine
-    FROM pairs WHERE round(cosine, 6) >= 0.4
-    """,
-)
-def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4 over all
-    pairs, a < b). The all-pairs form is the correctness baseline; the
-    LSH-bucketed `q_sim_ann_lsh` is the scale path."""
+LSH_BITS = 4  # hyperplanes per table
+LSH_TABLES = 8  # independent tables (multi-probe recall)
+
+
+def _lsh_candidate_pairs(base: DataFrame, tables: int, bits: int) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs over ``base``
+    (vec_id, v, norm): each vector hashes to one bucket per table
+    (sign pattern of ``bits`` deterministic ±1 projections); candidates
+    are distinct (vec_a < vec_b) pairs sharing any (table, bucket).
+
+    The candidate join is a shuffled equi-join on (table, bucket) —
+    the big side never cross-joins, which is what makes this the
+    100 TB path. Hyperplane p is the ±1 vector xxhash64(p, i)&1, so
+    buckets are reproducible across sessions/partitionings."""
+
+    def proj(p: int):
+        prods = F.transform(
+            F.col("v"),
+            lambda x, i: x
+            * (F.when(F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    def bucket(t: int):
+        return sum(
+            [
+                F.when(proj(t * bits + b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(bits)
+            ],
+            F.lit(0),
+        )
+
+    buckets = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bkt"))
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.tbl", "tb.bkt")
+    return (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+def _score_pairs_exact(base: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact cosine re-scoring of candidate (vec_a, vec_b) pairs."""
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# Threshold-pairs LSH parameters: recall at the registered τ=0.4
+# (weak-similarity regime, θ≈1.159 rad, p_bit≈0.631) must be ~1 for
+# the exact-SQL oracle to stay green. With 2 bits × 16 tables the
+# per-true-pair miss probability is (1-0.631²)^16 ≈ 3e-4; equality
+# with the all-pairs exact baseline on the deterministic test data is
+# pinned by test_threshold_pairs_lsh_equals_all_pairs.
+THRESH_LSH_BITS = 2
+THRESH_LSH_TABLES = 16
+
+
+def sim_threshold_pairs_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline for `q_sim_threshold_pairs` — O(n²)
+    cross join, NOT registered and deliberately not part of any scale
+    path; exists only as the ground truth the bucketed variant is
+    tested against (and for small-n callers who accept the cost)."""
     base = _emb_double(spark, sf_dir)
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
@@ -326,8 +434,26 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LSH_BITS = 4  # hyperplanes per table
-LSH_TABLES = 8  # independent tables (multi-probe recall)
+@query(
+    "q_sim_threshold_pairs",
+    oracle=_SIM_ORACLE_BASE.replace("WHERE a.vec_id < 50", "WHERE a.vec_id < b.vec_id")
+    + """
+    SELECT query_id AS vec_a, neighbor_id AS vec_b, round(cosine, 6) AS cosine
+    FROM pairs WHERE round(cosine, 6) >= 0.4
+    """,
+)
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, a < b).
+
+    Candidates come from 16-table × 2-bit hyperplane LSH buckets
+    (equi-join on (table, bucket), never an all-pairs cross join), then
+    every candidate is re-scored with the exact cosine. Recall vs the
+    exact all-pairs baseline is ~1-3e-4 per true pair at τ=0.4 and
+    exact equality on the test data is pinned in tests; the registered
+    oracle stays the exact all-pairs SQL."""
+    base = _emb_double(spark, sf_dir)
+    cand = _lsh_candidate_pairs(base, THRESH_LSH_TABLES, THRESH_LSH_BITS)
+    return _score_pairs_exact(base, cand, 0.4)
 
 
 @query("q_sim_ann_lsh")  # rows-only: ANN recall is probabilistic by design
@@ -343,60 +469,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup thresholds (cosine ≥ 0.8) it exceeds 0.999. At scale the
     (table, bucket) equi-join replaces the all-pairs cross join."""
     base = _emb_double(spark, sf_dir)
-
-    def proj(p: int):
-        # signed projection onto deterministic hyperplane p
-        prods = F.transform(
-            F.col("v"),
-            lambda x, i: x
-            * (F.when(F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)),
-        )
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-    def bucket(t: int):
-        return sum(
-            [
-                F.when(proj(t * LSH_BITS + b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-                for b in range(LSH_BITS)
-            ],
-            F.lit(0),
-        )
-
-    buckets = base.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bkt"))
-                    for t in range(LSH_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "tb.tbl", "tb.bkt")
-    cand = (
-        buckets.alias("x")
-        .join(
-            buckets.alias("y"),
-            (F.col("x.tbl") == F.col("y.tbl"))
-            & (F.col("x.bkt") == F.col("y.bkt"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
-        .distinct()
-    )
-    a = _emb_double(spark, sf_dir).select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
-    )
-    b = _emb_double(spark, sf_dir).select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
-    )
-    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.4)
-    )
+    cand = _lsh_candidate_pairs(base, LSH_TABLES, LSH_BITS)
+    return _score_pairs_exact(base, cand, 0.4)
 
 
 # ----------------------------------------------------- text analysis

@@ -68,6 +68,26 @@ def test_simhash_recall_on_planted_pairs(spark):
     assert not missed, f"simhash missed planted near-dups: {missed}"
 
 
+def test_threshold_pairs_lsh_equals_all_pairs(spark):
+    """The registered q_sim_threshold_pairs generates candidates via
+    16-table × 2-bit hyperplane LSH then re-scores exactly. On the
+    deterministic fixtures its output must EQUAL the exact all-pairs
+    baseline (per-true-pair miss ≈ 3e-4 at τ=0.4; the data is fixed,
+    so equality here implies equality under the driver's oracle)."""
+    from steaminganalysis_spark.operators.llm import sim_threshold_pairs_all_pairs
+
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in QUERIES["q_sim_threshold_pairs"](spark, SF).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in sim_threshold_pairs_all_pairs(spark, SF).collect()
+    }
+    assert exact, "threshold pairs exist at sf0.01"
+    assert lsh == exact
+
+
 def test_ann_lsh_recall_vs_brute_force(spark):
     """LSH-ANN must report a subset of the exact threshold pairs with
     identical cosine values, recovering a reasonable fraction (recall

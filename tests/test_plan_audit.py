@@ -134,6 +134,27 @@ def test_sim_topk_broadcasts_queries_not_corpus(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_candidates_are_equi_join(spark):
+    """Banded SimHash: the candidate join on (block_idx, block_value)
+    must plan as a hash/sort-merge EQUI-join — never a cartesian or
+    broadcast-nested-loop pass over all signature pairs."""
+    from steaminganalysis_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["q_dedup_simhash"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_threshold_pairs_candidates_are_bucketed(spark):
+    """q_sim_threshold_pairs candidates come from the LSH (table,
+    bucket) equi-join; no all-pairs cross join anywhere in the plan."""
+    from steaminganalysis_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["q_sim_threshold_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_tpch_q5_star_all_dims_broadcast(spark):
     # 6-way join: region/nation/customer/supplier broadcast; the only
     # exchanges are the lineitem⋈orders fact join + final group-by.
