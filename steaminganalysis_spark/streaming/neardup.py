@@ -15,9 +15,11 @@ Mechanism (foreachBatch):
 State layout: the index is a parquet directory keyed by (band, sig) —
 append-only, compactable with `operators.storage.compact`. At cluster
 scale this would be a bucketed table (bucketBy(band, sig)) or a KV
-store so the probe is a shuffle-free lookup; the append-only parquet
-stand-in keeps the exact same dataflow. A batch-id guard makes replays
-idempotent (same contract as the KV sink).
+store so the probe is a shuffle-free lookup; the batch-partitioned
+parquet stand-in keeps the exact same dataflow. Replays are idempotent
+by construction: batch-id-scoped overwrite writes + a last-applied
+watermark committed only after the writes (same contract as the KV
+sink's atomic apply_batch).
 """
 
 from __future__ import annotations
@@ -41,11 +43,21 @@ class NearDupIndex:
         self.match_dir = os.path.join(state_dir, "matches")
         self.store_name = store_name  # batch-id guard store
 
+    _MARKER = "neardup-last-applied-batch"
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Index one micro-batch, replay-safe with no guard-first crash
+        window: both writes go to batch-id-scoped partitions with
+        overwrite (a crash-replay of an uncommitted batch rewrites the
+        same files — idempotent by construction), the prior-index probe
+        partition-prunes to batch_id < current (so a half-written
+        current partition can never self-match), and the last-applied
+        watermark advances only AFTER both writes land (the commit
+        point). A replay of a committed batch is skipped whole."""
         spark = batch_df.sparkSession
         store = KVStore.instance(self.store_name)
-        if not store.setnx(f"neardup-batch-{batch_id}", "1"):
-            return  # replayed batch: already indexed (exactly-once effect)
+        if batch_id <= store.last_applied(self._MARKER):
+            return  # replayed, already-committed batch: exactly-once effect
         sigs = minhash_band_signatures(batch_df).persist()
         try:
             # candidates within the arriving batch itself
@@ -64,7 +76,11 @@ class NearDupIndex:
             )
             # candidates against every previously indexed document
             if os.path.isdir(self.sig_dir):
-                prior = spark.read.parquet(self.sig_dir)
+                prior = (
+                    spark.read.parquet(self.sig_dir)
+                    .filter(F.col("batch_id") < batch_id)
+                    .drop("batch_id")
+                )
                 against_prior = (
                     sigs.alias("n")
                     .join(
@@ -81,12 +97,15 @@ class NearDupIndex:
                 matches = within.unionAll(against_prior).distinct()
             else:
                 matches = within.distinct()
-            matches.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(self.match_dir)
-            sigs.write.mode("append").parquet(self.sig_dir)
+            matches.write.mode("overwrite").parquet(
+                f"{self.match_dir}/batch_id={batch_id}"
+            )
+            sigs.write.mode("overwrite").parquet(
+                f"{self.sig_dir}/batch_id={batch_id}"
+            )
         finally:
             sigs.unpersist()
+        store.apply_batch(batch_id, [], self._MARKER)  # commit point
 
     def matches(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.match_dir)

@@ -119,20 +119,18 @@ def day_rollup_with_dead_letters(
     store_name: str = "default",
 ):
     """The flagship sink with quarantine: per micro-batch, malformed
-    payloads append to a dead-letter parquet dir (re-driveable later);
-    well-formed rows flow to the idempotent KV rollup. Both writes are
-    guarded by the same batch id, so a replayed batch neither
-    double-counts NOR double-quarantines."""
-    from steaminganalysis_spark.streaming.sinks import KVStore, apply_day_rollup_batch
+    payloads land in a dead-letter parquet dir (re-driveable later);
+    well-formed rows flow to the idempotent KV rollup. Replay safety is
+    per-write, with no guard-first crash window: the dead-letter write
+    goes to a batch-id-scoped partition with overwrite (a replayed
+    batch rewrites the same files — idempotent by construction), and
+    the KV rollup commits its increments atomically with its own
+    last-applied-batch watermark."""
+    from steaminganalysis_spark.streaming.sinks import apply_day_rollup_batch
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        store = KVStore.instance(store_name)
-        if not store.setnx(f"dlq-batch-{batch_id}", "1"):
-            return
         good, dead = split_dead_letters(batch_df)
-        dead.write.mode("append").parquet(dead_letter_dir)
-        # delegate the good path; share the batch-id guard namespace so
-        # the rollup's own guard stays consistent under replay
+        dead.write.mode("overwrite").parquet(f"{dead_letter_dir}/batch_id={batch_id}")
         apply_day_rollup_batch(
             classify_orders(good), batch_id, agg_fn, store_name=store_name
         )

@@ -6,8 +6,10 @@ The reference accumulates per-day totals in Redis hashes via HINCRBY
 batch and double-counts (SURVEY.md §4.3). This sink keeps the reference
 semantics — per-batch delta aggregation + incremental HINCRBY,
 accumulate-forever late data, no watermark, zero Spark state — but adds
-a per-batch-id guard: a batch's delta is applied at most once, turning
-at-least-once delivery into an exactly-once effect.
+an atomic per-batch commit: each batch's increments and a last-applied
+batch-id watermark are applied in ONE atomic step (single lock in
+process, single Lua EVAL on Redis), turning at-least-once delivery into
+an exactly-once effect without the guard-first crash window.
 
 Backend: ``redis`` is not installed in this environment, so the default
 backend is an in-process dict implementing the same HINCRBY/HGETALL
@@ -26,7 +28,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-__all__ = ["KVStore", "KEY_PREFIX", "apply_day_rollup_batch", "day_rollup_sink"]
+__all__ = [
+    "KVStore",
+    "RedisKVStore",
+    "KEY_PREFIX",
+    "apply_day_rollup_batch",
+    "day_rollup_sink",
+]
 
 try:  # pragma: no cover - redis is absent in this environment
     import redis  # type: ignore  # noqa: F401
@@ -83,6 +91,95 @@ class KVStore:
             self.kv[key] = value
             return True
 
+    def last_applied(self, marker_key: str) -> int:
+        """Last committed batch id at ``marker_key`` (-1 if none)."""
+        with self._mu:
+            return int(self.kv.get(marker_key, "-1"))
+
+    def apply_batch(
+        self,
+        batch_id: int,
+        increments: list[tuple[str, str, int]],
+        marker_key: str,
+    ) -> bool:
+        """Atomically apply a micro-batch's increments exactly once.
+
+        Under ONE lock acquisition: read the last-applied batch id at
+        ``marker_key``, skip if ``batch_id`` <= it (foreachBatch ids are
+        monotonically increasing per checkpoint, so one watermark key
+        replaces unbounded per-batch guard keys), else apply every
+        (hash_key, field, delta) increment AND advance the marker
+        together. A replay after a crash therefore sees either none of
+        the batch's effects (marker unmoved → re-applies) or all of
+        them (marker moved → skips) — never a partial application.
+        Returns True iff the batch was applied."""
+        with self._mu:
+            last = int(self.kv.get(marker_key, "-1"))
+            if batch_id <= last:
+                return False
+            for key, field, delta in increments:
+                self.hashes[key][field] = self.hashes[key].get(field, 0) + int(delta)
+            self.kv[marker_key] = str(batch_id)
+            return True
+
+
+# Lua twin of KVStore.apply_batch: Redis runs scripts atomically, so
+# the last-applied check, all HINCRBYs, and the marker advance commit
+# together (the MULTI/EXEC-equivalent the contract requires).
+_APPLY_BATCH_LUA = """
+local last = tonumber(redis.call('GET', KEYS[1]) or '-1')
+local bid = tonumber(ARGV[1])
+if bid <= last then return 0 end
+for i = 2, #ARGV, 3 do
+  redis.call('HINCRBY', ARGV[i], ARGV[i + 1], ARGV[i + 2])
+end
+redis.call('SET', KEYS[1], ARGV[1])
+return 1
+"""
+
+
+class RedisKVStore:
+    """``redis.Redis``-backed implementation of the KVStore contract
+    (hincrby / hgetall / keys / setnx / apply_batch). Import-guarded:
+    only constructible when the ``redis`` package is present; tests
+    skip cleanly otherwise (no server in this container).
+
+    ``apply_batch`` is a single EVAL, making the exactly-once guard
+    genuinely atomic server-side (crash-safe, unlike guard-then-write).
+    """
+
+    def __init__(self, url: str = "redis://localhost:6379/0") -> None:
+        if not HAVE_REDIS:  # pragma: no cover - redis absent here
+            raise ImportError("redis package not installed")
+        self._r = redis.Redis.from_url(url, decode_responses=True)
+        self._apply = self._r.register_script(_APPLY_BATCH_LUA)
+
+    def hincrby(self, key: str, field: str, delta: int) -> int:
+        return int(self._r.hincrby(key, field, int(delta)))
+
+    def hgetall(self, key: str) -> dict[str, int]:
+        return {f: int(v) for f, v in self._r.hgetall(key).items()}
+
+    def keys(self) -> list[str]:
+        return [k for k in self._r.keys("*") if self._r.type(k) == "hash"]
+
+    def setnx(self, key: str, value: str) -> bool:
+        return bool(self._r.setnx(key, value))
+
+    def last_applied(self, marker_key: str) -> int:
+        return int(self._r.get(marker_key) or "-1")
+
+    def apply_batch(
+        self,
+        batch_id: int,
+        increments: list[tuple[str, str, int]],
+        marker_key: str,
+    ) -> bool:
+        args: list[str] = [str(int(batch_id))]
+        for key, field, delta in increments:
+            args += [key, field, str(int(delta))]
+        return bool(self._apply(keys=[marker_key], args=args))
+
 
 KEY_PREFIX = "sa-spark-"  # reference used "n-ko-" / "zk-ko-" (KafkaApp:72, ZkApp:105)
 
@@ -97,21 +194,28 @@ def apply_day_rollup_batch(
     per-day delta (stateless — state lives in the KV store, exactly the
     reference's model) and apply it with an idempotence guard.
 
-    The guard key is (store, batch_id): a replayed batch — Spark retries
-    foreachBatch on failure, and restarts re-run the last uncommitted
-    batch with the same batch_id — is skipped, so the non-idempotent
-    increments are applied exactly once.
+    Exactly-once: the delta is computed FIRST (one row per day —
+    O(days), independent of batch volume), then every increment and the
+    last-applied-batch watermark commit atomically in one
+    ``store.apply_batch`` call (in-process: one lock; Redis: one Lua
+    EVAL). Spark retries foreachBatch on failure and restarts re-run
+    the last uncommitted batch with the same monotonically increasing
+    batch_id, so a replay either re-applies a batch that never
+    committed or is skipped whole — a crash can no longer strand the
+    guard set with the increments half-applied (the at-most-once
+    hazard of guard-first designs), and guard state is a single
+    watermark key instead of one key per batch forever.
     """
     store = KVStore.instance(store_name)
-    if not store.setnx(f"{KEY_PREFIX}applied-batch-{batch_id}", "1"):
-        return  # replay of an already-applied batch: exactly-once effect
-    delta = agg_fn(batch_df)
-    # delta is one row per day — O(days), independent of batch volume
-    for row in delta.toLocalIterator():
+    increments: list[tuple[str, str, int]] = []
+    for row in agg_fn(batch_df).toLocalIterator():
         key = KEY_PREFIX + row["day"]
-        store.hincrby(key, "total", row["total"])
-        store.hincrby(key, "success", row["success"])
-        store.hincrby(key, "fee_cents", row["fee_cents"])
+        increments += [
+            (key, "total", row["total"]),
+            (key, "success", row["success"]),
+            (key, "fee_cents", row["fee_cents"]),
+        ]
+    store.apply_batch(batch_id, increments, f"{KEY_PREFIX}last-applied-batch")
 
 
 def day_rollup_sink(
