@@ -179,6 +179,57 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS p_id, c.event_id AS c_id
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts < p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+      AND c.event_type = 'click'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join, genuinely streamed: purchases ⋈ prior
+    clicks within 1h per user, watermarks on both sides so join state
+    is evicted once event time passes the tolerance (bounded state at
+    any scale — without the watermarks Spark would buffer both streams
+    forever). Run to completion over the events parquet via the file
+    source + append-mode memory sink; the oracle is the equivalent
+    batch time-range join, i.e. stream-batch equivalence."""
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    cond = (
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts < purchases.p_ts)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = purchases.join(clicks, cond).select("p_id", "c_id")
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 @query("q_datagen")
 def datagen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic order-event generator (reference Producer:37-57 /
