@@ -72,6 +72,19 @@ def main() -> None:
         timings[name] = round(min(force(name), force(name)), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Second pass with plain double sums (SPARK_GRAFT_DOUBLE_SUMS=1 is
+    # read by registry.dsum at plan-build time): quantifies the
+    # decimal-accumulation tax the engine pays for order-insensitive
+    # reproducible sums. Reported alongside, never as the headline.
+    os.environ["SPARK_GRAFT_DOUBLE_SUMS"] = "1"
+    try:
+        double_sums_total = round(
+            sum(min(force(name), force(name)) for name in HEADLINE), 3
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_DOUBLE_SUMS"]
+
     print(
         json.dumps(
             {
@@ -80,6 +93,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "double_sums_total_sec": double_sums_total,
+                "decimal_sum_tax_sec": round(total - double_sums_total, 3),
             }
         )
     )

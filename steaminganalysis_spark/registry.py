@@ -51,7 +51,17 @@ def dsum(col: Column, scale: int = 2) -> Column:
     """Order-insensitive exact sum of a fixed-scale double column:
     accumulate as decimal (exact integer arithmetic), cast back to
     double. The DuckDB twin is ``SQL_DSUM``. Using plain double SUM
-    would make the value hash depend on partitioning/summation order."""
+    would make the value hash depend on partitioning/summation order.
+
+    ``SPARK_GRAFT_DOUBLE_SUMS=1`` (bench-only mode, read at plan-build
+    time) swaps in a plain double SUM to measure the decimal-accumulation
+    tax (~4× on scan-agg queries, SCALE.md); it intentionally breaks
+    value-hash reproducibility, so the oracle harness and the driver
+    must never run with it set."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_DOUBLE_SUMS") == "1":
+        return F.sum(col)
     return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
 
 

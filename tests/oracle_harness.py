@@ -30,7 +30,14 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _norm(v):
     if isinstance(v, Decimal):
-        return float(v)
+        # Exact comparison: canonical decimal string, NOT a lossy float
+        # cast — a sub-double-ulp (or >2^53) decimal mismatch must fail.
+        # normalize() strips trailing zeros so 1.10 == 1.1; a query
+        # whose two sides disagree on decimal-vs-double typing now
+        # surfaces as a schema/value mismatch instead of passing
+        # silently (the determinism conventions cast both sides to
+        # double, so decimals should not normally reach the compare).
+        return format(v.normalize(), "f")
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
     if hasattr(v, "isoformat"):  # datetime/date — should not appear per conventions
