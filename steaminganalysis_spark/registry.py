@@ -48,25 +48,50 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def dsum(col: Column, scale: int = 2) -> Column:
-    """Order-insensitive exact sum of a fixed-scale double column:
-    accumulate as decimal (exact integer arithmetic), cast back to
-    double. The DuckDB twin is ``SQL_DSUM``. Using plain double SUM
-    would make the value hash depend on partitioning/summation order.
+    """Order-insensitive exact sum of a fixed-scale double column.
+
+    Each value is converted to integer "cents" with cheap IEEE ops —
+    ``floor(x·10^scale + 0.5)`` → long — then accumulated as
+    ``decimal(38,0)``: the integer sum is exact regardless of
+    partitioning/summation order, and the decimal accumulator rides
+    Spark's compact-long fast path while PROMOTING (never silently
+    wrapping, unlike a long sum) past 2^63 — which a global sum over
+    ~10^12 rows at scale 6 actually reaches. ~2.3× faster than the
+    previous decimal(30,scale)-cast sum and within ~1.5× of a plain
+    double sum at sf0.1 (SCALE.md), with the same bit-exact value-hash
+    reproducibility. The DuckDB twin is ``SQL_DSUM`` (identical float
+    ops → identical longs → exact integer sum on both sides).
+
+    Correct for |x| < 2^63/10^scale per value and inputs with ≤scale
+    true decimal digits (floor+0.5 = unambiguous nearest integer: a
+    tie would need an impossible extra decimal digit).
 
     ``SPARK_GRAFT_DOUBLE_SUMS=1`` (bench-only mode, read at plan-build
-    time) swaps in a plain double SUM to measure the decimal-accumulation
-    tax (~4× on scan-agg queries, SCALE.md); it intentionally breaks
-    value-hash reproducibility, so the oracle harness and the driver
-    must never run with it set."""
+    time) swaps in a plain double SUM to measure the exact-accumulation
+    tax (SCALE.md); it intentionally breaks value-hash reproducibility,
+    so the oracle harness and the driver must never run with it set."""
     import os
 
     if os.environ.get("SPARK_GRAFT_DOUBLE_SUMS") == "1":
         return F.sum(col)
-    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+    m = 10**scale
+    cents = (
+        F.floor(col.cast("double") * F.lit(float(m)) + F.lit(0.5))
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    return F.sum(cents).cast("double") / F.lit(float(m))
 
 
 def SQL_DSUM(expr: str, scale: int = 2) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+    """DuckDB twin of ``dsum`` — identical float ops in the same order,
+    fully parenthesized (it ends in a division, and callers embed it in
+    larger expressions)."""
+    m = 10**scale
+    return (
+        f"(CAST(SUM(CAST(FLOOR(CAST(({expr}) AS DOUBLE) * {m}.0 + 0.5) AS BIGINT))"
+        f" AS DOUBLE) / {m}.0)"
+    )
 
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
