@@ -1,0 +1,284 @@
+"""Round-2 additions: training-pipeline decontamination, repetition
+quality filters, interval-range rolling windows, distribution windows
+(ntile/cume_dist/nth_value), per-group z-score anomaly flags, and
+positional explode.
+
+Registered AFTER every round-1 module (registry.collect_queries imports
+this last) so the driver's 50-entry correctness window — joins + tpch +
+windows + relational this round — is not displaced.
+
+Scale design notes:
+- `q_decontaminate` is the classic train/eval n-gram decontamination
+  pass (filter training docs that share any 5-gram with the eval set).
+  Candidates come from an equi-join on 8-byte xxhash64 shingle keys —
+  the shuffle never moves shingle strings, and when the eval corpus is
+  benchmark-sized its distinct-hash side falls under the broadcast
+  threshold, making the whole pass a map-side semi-join over the
+  training corpus.
+- `q_quality_repetition` (Gopher-style repetition filters) needs one
+  shuffle on (doc_id, bigram-hash) and one on doc_id; both aggregates
+  partial map-side. Per-doc token stats are pure map-side array ops.
+- `q_window_rolling_time` orders on `unix_micros(ts)` (exact int64 —
+  identical on any engine, no fractional-second double drift) and sums
+  integer cents inside the frame, so the rolling sum is bit-exact
+  under any partitioning.
+- `q_anomaly_zscore` reduces each event_type to exact integer
+  (n, Σcents, Σcents²) triples — a tiny broadcastable stats table —
+  then flags map-side. Per-value square of cents must stay < 2^63:
+  holds for |value| < ~9.5e7 at scale 2, which a metering stream
+  satisfies by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.functions import shingle_hashes, tokens, word_ngrams
+from steaminganalysis_spark.registry import query
+from steaminganalysis_spark.sources import load
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+# Deterministic ~10% eval split: same md5-prefix rule as q_sample_hash
+# (pure function of the key → reproducible on any engine/partitioning).
+_EVAL_PREFIX = "1a"
+
+
+def _is_eval(doc_id: Column | str) -> Column:
+    return F.substring(F.md5(F.col(doc_id).cast("string")), 1, 2) < _EVAL_PREFIX
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                       || ' ' || t[i+4] AS g
+           FROM toks, unnest(generate_series(1, len(t) - 4)) AS r(i)),
+    eval_sh AS (SELECT DISTINCT g FROM sh
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_EVAL_PREFIX}'),
+    train_sh AS (SELECT * FROM sh
+                 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{_EVAL_PREFIX}')
+    SELECT t.doc_id, COUNT(*) AS n_shared
+    FROM train_sh t JOIN eval_sh e ON t.g = e.g
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing any
+    word 5-gram with the (hash-split) eval set, with the count of
+    distinct shared 5-grams. The join runs on 64-bit shingle hashes —
+    8-byte shuffle keys — and the eval side is a distinct-hash set that
+    broadcasts when the eval corpus is benchmark-sized."""
+    docs = load(spark, sf_dir, "documents")
+    eval_sh = (
+        shingle_hashes(docs.filter(_is_eval("doc_id")), n=5).select("h").distinct()
+    )
+    train_sh = shingle_hashes(docs.filter(~_is_eval("doc_id")), n=5)
+    # rows are distinct per (doc_id, h) and eval_sh is distinct per h,
+    # so count(*) == count of distinct shared shingles.
+    return (
+        train_sh.join(eval_sh, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@query(
+    "q_quality_repetition",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tok_stats AS (SELECT doc_id, len(t) AS n_tok,
+                         len(list_distinct(t)) AS n_dist FROM toks),
+    bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+           FROM toks, unnest(generate_series(1, len(t) - 1)) AS r(i)),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM cnt GROUP BY 1)
+    SELECT s.doc_id,
+           round(1.0 - CAST(n_dist AS DOUBLE) / n_tok, 6) AS dup_token_frac,
+           round(CAST(top_c AS DOUBLE) / n_bg, 6) AS top_bigram_frac,
+           (1.0 - CAST(n_dist AS DOUBLE) / n_tok > 0.2
+            OR CAST(top_c AS DOUBLE) / n_bg > 0.1) AS flagged
+    FROM tok_stats s JOIN top ON s.doc_id = top.doc_id
+    """,
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: duplicate-token
+    fraction (1 - |distinct|/|tokens|) and most-frequent-bigram mass.
+    Documents dominated by repeated n-grams are low-quality training
+    text; flag when either fraction exceeds its threshold. The
+    fractions are exact integer ratios, so both engines agree
+    bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("t"))
+    tok_stats = t.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.size(F.array_distinct("t")).alias("n_dist"),
+    )
+    bg = t.select("doc_id", F.explode(word_ngrams(F.col("t"), 2)).alias("g"))
+    cnt = bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    top = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bg")
+    )
+    dup_frac = F.lit(1.0) - F.col("n_dist").cast("double") / F.col("n_tok")
+    top_frac = F.col("top_c").cast("double") / F.col("n_bg")
+    return (
+        tok_stats.join(top, "doc_id")
+        .select(
+            "doc_id",
+            F.round(dup_frac, 6).alias("dup_token_frac"),
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            ((dup_frac > 0.2) | (top_frac > 0.1)).alias("flagged"),
+        )
+    )
+
+
+@query(
+    "q_window_rolling_time",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           COUNT(*) OVER w AS n_1h,
+           (CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                 OVER w AS DOUBLE) / 100.0) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1-hour rolling count and sum over events: an
+    interval-RANGE frame ordered on exact microsecond epochs. The
+    frame sum accumulates integer cents (exact under any order); one
+    shuffle on user_id, everything else inside the sort within each
+    hash partition."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.floor(F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.count("*").over(w).alias("n_1h"),
+        (F.sum(cents).over(w).cast("double") / F.lit(100.0)).alias("sum_1h"),
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           round(cume_dist() OVER w, 6) AS cd,
+           nth_value(o_orderkey, 3) OVER wf AS third_key
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey),
+           wf AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: price quartile within each order
+    priority (ntile), cumulative distribution, and the partition's
+    third-cheapest order key (nth_value over the full frame). Ordering
+    ties broken on the unique o_orderkey; cume_dist is an exact integer
+    ratio. One shuffle on o_orderpriority shared by both specs."""
+    o = load(spark, sf_dir, "orders")
+    order_cols = [F.col("o_totalprice"), F.col("o_orderkey")]
+    w = W.partitionBy("o_orderpriority").orderBy(*order_cols)
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
+    )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type, value,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(cents AS HUGEINT)) AS sc,
+             SUM(CAST(cents * cents AS HUGEINT)) AS ssc
+      FROM c GROUP BY event_type
+    ), z AS (
+      SELECT event_id, c.event_type, value,
+             (CAST(cents AS DOUBLE) - CAST(sc AS DOUBLE) / n)
+               / sqrt(CAST(ssc AS DOUBLE) / n
+                      - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n))
+               AS zraw
+      FROM c JOIN s ON c.event_type = s.event_type
+    )
+    SELECT event_id, event_type, value, round(zraw, 6) AS z,
+           abs(zraw) > 3.0 AS flagged
+    FROM z
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly flags. Group statistics are exact
+    integer triples (n, Σcents, Σcents²) — order-insensitive and tiny
+    (one row per event type), so the stats join broadcasts and the
+    z-score + flag evaluate map-side over the event stream. Both
+    engines derive mean/stddev from the same exact integers with the
+    same float expression, so even the |z| > 3 boundary agrees."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    c = ev.select("event_id", "event_type", "value", cents.alias("cents"))
+    s = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sc"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("ssc"),
+    )
+    mean_c = F.col("sc").cast("double") / F.col("n")
+    zraw = (F.col("cents").cast("double") - mean_c) / F.sqrt(
+        F.col("ssc").cast("double") / F.col("n") - mean_c * mean_c
+    )
+    return (
+        c.join(F.broadcast(s), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(zraw, 6).alias("z"),
+            (F.abs(zraw) > 3.0).alias("flagged"),
+        )
+    )
+
+
+@query(
+    "q_fn_posexplode",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id, i - 1 AS pos, t[i] AS tok
+    FROM toks, unnest(generate_series(1, len(t))) AS r(i)
+    """,
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (LATERAL VIEW posexplode): one output row per
+    token with its 0-based position — the tokenize-with-offsets
+    primitive sequence-labeling pipelines need. Pure map-side generate;
+    no shuffle at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )

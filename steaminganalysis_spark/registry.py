@@ -129,4 +129,8 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import llm  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import ann  # noqa: F401  isort: skip
 
+    # New round-2 queries register last so they never displace the
+    # current correctness window; they rotate forward in later rounds.
+    from steaminganalysis_spark.operators import extras  # noqa: F401  isort: skip
+
     return QUERIES, ORACLE

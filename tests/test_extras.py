@@ -1,0 +1,117 @@
+"""Invariant + plan-shape tests for the round-2 extras operators.
+
+Exact values are covered by the oracle parity sweep
+(tests/test_oracle_parity.py); these pin the semantic invariants and
+the plan properties that matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.plans import (
+    assert_no_cartesian,
+    count_exchanges,
+    physical_plan,
+)
+from steaminganalysis_spark.registry import collect_queries
+
+QUERIES, _ = collect_queries()
+SF = "/root/testdata/sf0.001"
+
+
+def test_decontaminate_candidates_are_equi_join(spark):
+    """The train⋈eval shingle join must be an equi-join on the hash —
+    never a nested-loop/cartesian over the corpora."""
+    df = QUERIES["q_decontaminate"](spark, SF)
+    plan = physical_plan(df)
+    assert_no_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_flags_are_real_overlaps(spark):
+    """Every flagged train doc must actually share a 5-gram with the
+    eval split (recomputed in Python on the collected sf0.001 corpus)."""
+    rows = QUERIES["q_decontaminate"](spark, SF).collect()
+    import hashlib
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+    def grams(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 5]) for i in range(len(t) - 4)}
+
+    def is_eval(doc_id):
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[:2] < "1a"
+
+    eval_grams = set()
+    for did, text in docs.items():
+        if is_eval(did):
+            eval_grams |= grams(text)
+    for r in rows:
+        assert not is_eval(r.doc_id), "eval doc leaked into the train output"
+        shared = grams(docs[r.doc_id]) & eval_grams
+        assert len(shared) == r.n_shared
+
+
+def test_anomaly_zscore_stats_side_broadcasts(spark):
+    """The per-type stats join must broadcast: the event stream never
+    shuffles for a handful of stats rows."""
+    df = QUERIES["q_anomaly_zscore"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rolling_time_single_shuffle(spark):
+    """Rolling interval window: exactly one exchange (hash on user_id);
+    the frame arithmetic happens inside each partition's sort."""
+    assert count_exchanges(QUERIES["q_window_rolling_time"](spark, SF)) == 1
+
+
+def test_window_ntile_single_shuffle(spark):
+    """Both window specs share one o_orderpriority partitioning —
+    Catalyst must not add a second exchange."""
+    assert count_exchanges(QUERIES["q_window_ntile"](spark, SF)) == 1
+
+
+def test_quality_repetition_flags_planted_repetitive_doc(spark):
+    """A pathologically repetitive document must be flagged; a
+    all-distinct-token document must not."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "spam ham " * 20 + "spam ham",  # one bigram dominates
+                " ".join(f"w{i}" for i in range(40)),  # all distinct
+            ],
+        }
+    )
+    tmp = "/tmp/extras_repetition_docs"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp}/documents.parquet"
+    )
+    out = {r.doc_id: r for r in QUERIES["q_quality_repetition"](spark, tmp).collect()}
+    assert out[1].flagged and out[1].top_bigram_frac > 0.4
+    assert not out[2].flagged and out[2].dup_token_frac == 0.0
+
+
+def test_posexplode_positions_are_dense(spark):
+    """Positions per doc are exactly 0..n_tokens-1."""
+    df = QUERIES["q_fn_posexplode"](spark, SF)
+    chk = df.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("nd"),
+    )
+    bad = chk.filter(
+        (F.col("lo") != 0)
+        | (F.col("hi") != F.col("n") - 1)
+        | (F.col("nd") != F.col("n"))
+    )
+    assert bad.count() == 0
