@@ -1,5 +1,6 @@
-"""IVF approximate nearest neighbors (SURVEY.md §2 B.9 scale path,
-alongside the hyperplane-LSH variant in llm.py).
+"""IVF and product-quantization approximate nearest neighbors
+(SURVEY.md §2 B.9 scale path, alongside the hyperplane-LSH variant in
+llm.py).
 
 Classic IVF: a coarse k-means quantizer partitions the corpus into K
 inverted lists; a query probes only the P nearest lists, so the scanned
@@ -179,5 +180,175 @@ def query_ivf_index(
         pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= topk)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rn")
+    )
+
+
+# ------------------------------------------- product quantization (PQ)
+
+PQ_M = 8  # subspaces (64-dim fixtures → 8 dims per subspace)
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_ITERS = 3  # Lloyd iterations per subspace (fixed → deterministic)
+PQ_DIM = 64
+
+
+def _l2(a, b):
+    """Σ (a[i]-b[i])² via zip_with + fold (inputs already double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subvectors(base: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, m, sv): each vector split into PQ_M contiguous subvectors —
+    a map-side explode, M small rows per vector."""
+    sub_d = PQ_DIM // PQ_M
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("m"),
+                F.slice("v", i * sub_d + 1, sub_d).alias("sv"),
+            )
+            for i in range(PQ_M)
+        ]
+    )
+    return base.select(id_col, F.explode(subs).alias("s")).select(
+        id_col, "s.m", "s.sv"
+    )
+
+
+def _codebook_df(spark: SparkSession, cb: dict[tuple[int, int], list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(m, c, v) for (m, c), v in sorted(cb.items())],
+        "m int, cid int, cv array<double>",
+    )
+
+
+def _pq_assign(sv: DataFrame, cdf: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid code per (vector, subspace): broadcast the
+    M×K codebook, argmin L2 with a cid tiebreak."""
+    scored = sv.join(F.broadcast(cdf), "m").withColumn(
+        "d2", _l2(F.col("sv"), F.col("cv"))
+    )
+    w = W.partitionBy(id_col, "m").orderBy(F.col("d2").asc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "m", "cid")
+    )
+
+
+def train_pq(
+    spark: SparkSession, base: DataFrame, iters: int = PQ_ITERS
+) -> dict[tuple[int, int], list[float]]:
+    """Deterministic distributed per-subspace Lloyd. Only the M×K×sub_d
+    codebook (a few KB) ever reaches the driver; init is the first
+    PQ_K vectors by vec_id, sliced per subspace."""
+    sub_d = PQ_DIM // PQ_M
+    first = base.orderBy("vec_id").limit(PQ_K).select("v").collect()
+    cb = {
+        (m, c): list(first[c].v[m * sub_d : (m + 1) * sub_d])
+        for m in range(PQ_M)
+        for c in range(PQ_K)
+    }
+    sv = _subvectors(base)
+    for _ in range(iters):
+        codes = _pq_assign(sv, _codebook_df(spark, cb))
+        dims = (
+            codes.join(sv, ["vec_id", "m"])
+            .select("m", "cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.avg("val").alias("mu"))
+            .collect()
+        )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in dims:
+            new.setdefault((r.m, r.cid), {})[r.pos] = r.mu
+        cb = {
+            key: [d[p] for p in sorted(d)] if (d := new.get(key)) else cb[key]
+            for key in cb
+        }
+    return cb
+
+
+PQ_SHORTLIST = 50  # ADC candidates re-ranked exactly per query
+
+
+@query("q_sim_ann_pq")  # rows-only: PQ shortlisting is approximate by design
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC shortlist + exact re-rank (the standard production ANN
+    pipeline): corpus vectors are compressed to M 4-bit codes; each
+    query precomputes its M×K partial-dot table (broadcast, a few KB)
+    and a neighbor's approximate dot is the sum of M table lookups —
+    the corpus vectors are never touched during the shortlist scan.
+    The ADC top-PQ_SHORTLIST per query is then re-scored exactly
+    (fetch only the shortlisted vectors) and the exact top-5 returned.
+    Output shape matches q_sim_topk; recall vs brute force is pinned
+    in tests.
+
+    Scale: the shortlist scan moves only (vec_id, m, cid) codes — at
+    4 bits per subspace a ~64× compression of a float32 corpus — and
+    the lookup join is a broadcast hash join with map-side partial
+    aggregation of the M per-subspace terms; the exact phase touches
+    Q×PQ_SHORTLIST vectors, not the corpus. In a full system the same
+    codes ride inside IVF lists (IVF-PQ + re-rank); all pieces exist
+    here."""
+    base = _emb_double(spark, sf_dir)
+    cdf = _codebook_df(spark, train_pq(spark, base))
+    codes = _pq_assign(_subvectors(base), cdf)
+
+    q = base.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    qsub = _subvectors(q.withColumnRenamed("qv", "v"), id_col="query_id")
+    # per-query ADC table: partial dot of each query subvector with
+    # each centroid — Q×M×K rows, broadcast to the code scan.
+    table = qsub.join(F.broadcast(cdf), "m").select(
+        "query_id", "m", "cid", dot(F.col("sv"), F.col("cv")).alias("pdot")
+    )
+    adot = (
+        codes.join(F.broadcast(table), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("adot"))
+    )
+    ws = W.partitionBy("query_id").orderBy(
+        F.col("adot").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adot.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the shortlist only: fetch the Q×PQ_SHORTLIST
+    # candidate vectors and score true cosine.
+    scored = (
+        shortlist.join(
+            base.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("nv"),
+                F.col("norm").alias("nnorm"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rn")
     )
