@@ -282,3 +282,120 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
+
+
+_SPAN = 8  # tokens per span (C4 dedups 3-sentence spans; fixtures have
+# no sentence punctuation, so spans are fixed 8-token chunks)
+
+
+@query(
+    "q_dedup_spans_global",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[(i*{_SPAN}+1):(i*{_SPAN}+{_SPAN})], ' ') AS span
+      FROM toks,
+           unnest(generate_series(0,
+                  CAST(ceil(len(t) / {_SPAN}.0) AS INT) - 1)) AS r(i)
+    ),
+    kept AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY span
+                                   ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    )
+    SELECT doc_id, COUNT(*) AS n_spans,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN span END,
+                                   ' ' ORDER BY pos), '')) AS cleaned_hash
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_spans_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup: split every document into
+    consecutive 8-token spans, keep only the FIRST occurrence of each
+    span corpus-wide (first = lowest (doc_id, pos)), and rebuild the
+    cleaned text (emitted as an md5 so the output stays narrow).
+    One shuffle keyed on the span for the keep-first window, one on
+    doc_id to reassemble — the exact shape of C4's three-sentence-span
+    dedup job, which this generalizes."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(float(_SPAN))).cast("int")
+    chunks = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i * _SPAN + 1, _SPAN)
+                ),
+            )
+        ).alias("pos", "span"),
+    )
+    w = W.partitionBy("span").orderBy("doc_id", "pos")
+    kept = chunks.withColumn("rn", F.row_number().over(w))
+    first_span = F.when(F.col("rn") == 1, F.struct("pos", "span"))
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(first_span)),
+                    lambda x: x["span"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_hash"),
+    )
+
+
+@query(
+    "q_tokenize_vocab",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tk AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+           FROM toks, unnest(generate_series(1, len(t))) AS r(i)),
+    vocab AS (SELECT tok,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) - 1 AS vid
+              FROM tk GROUP BY tok),
+    enc AS (SELECT doc_id, pos, vid FROM tk JOIN vocab USING (tok))
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           md5(string_agg(CAST(vid AS VARCHAR), ' ' ORDER BY pos)) AS ids_hash
+    FROM enc GROUP BY doc_id
+    """,
+)
+def tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency vocabulary + id encoding (the tokenize-to-ids
+    step of a training pipeline): build word ids ranked by global
+    frequency (ties on the word — fully deterministic), encode every
+    document as its ordered id sequence, emit an md5 of the sequence.
+    The vocabulary is corpus-DISTINCT words — tiny next to the corpus —
+    so its global ranking window runs on word-count rows (one slim
+    partition), never on corpus rows, and the encode join broadcasts
+    the vocab against the token stream."""
+    docs = load(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    wv = W.orderBy(F.col("cnt").desc(), F.col("tok"))
+    vocab = (
+        tk.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("vid", F.row_number().over(wv) - 1)
+        .drop("cnt")
+    )
+    enc = tk.join(F.broadcast(vocab), "tok")
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "vid"))),
+                    lambda x: x["vid"].cast("string"),
+                ),
+                " ",
+            )
+        ).alias("ids_hash"),
+    )
