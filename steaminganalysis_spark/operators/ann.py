@@ -352,3 +352,83 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rn")
     )
+
+
+@query("q_sim_ann_ivfpq")  # rows-only: IVF routing + PQ shortlist, approximate
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition that actually serves 100 TB vector
+    search: a coarse quantizer routes each query to IVF_PROBES inverted
+    lists (≈P/K of the corpus scanned), the scan within those lists
+    runs over M×4-bit PQ codes via broadcast ADC table lookups (the
+    raw vectors never move), and the ADC top-PQ_SHORTLIST is re-ranked
+    exactly. Shuffle surface: codes carry only (vec_id, list_id, m,
+    cid); the probe restriction is an equi-join on list_id; the exact
+    phase touches Q×PQ_SHORTLIST vectors."""
+    base = _emb_double(spark, sf_dir)
+    cdf_coarse = _centroids_df(spark, train_ivf(spark, base))
+    cdf_pq = _codebook_df(spark, train_pq(spark, base))
+
+    lists = _assign(base, cdf_coarse, keep=1).select(
+        "vec_id", F.col("cid").alias("list_id")
+    )
+    codes = _pq_assign(_subvectors(base), cdf_pq).join(lists, "vec_id")
+
+    q = base.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    probes = _assign(
+        base.filter(F.col("vec_id") < 50), cdf_coarse, keep=IVF_PROBES
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("list_id"))
+
+    qsub = _subvectors(q.withColumnRenamed("qv", "v"), id_col="query_id")
+    table = qsub.join(F.broadcast(cdf_pq), "m").select(
+        "query_id", "m", "cid", dot(F.col("sv"), F.col("cv")).alias("pdot")
+    )
+    # probe restriction first (equi-join on list_id), then ADC lookups
+    cand = codes.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adot = (
+        cand.join(
+            F.broadcast(table.withColumnRenamed("query_id", "tq")),
+            (F.col("tq") == F.col("query_id"))
+            & (table["m"] == cand["m"])
+            & (table["cid"] == cand["cid"]),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("adot"))
+    )
+    ws = W.partitionBy("query_id").orderBy(F.col("adot").desc(), F.col("neighbor_id"))
+    shortlist = (
+        adot.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        shortlist.join(
+            base.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("nv"),
+                F.col("norm").alias("nnorm"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rn")
+    )
