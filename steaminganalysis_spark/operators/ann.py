@@ -39,11 +39,28 @@ def _centroids_df(spark: SparkSession, cents: list[list[float]]) -> DataFrame:
 def _assign(base: DataFrame, cdf: DataFrame, keep: int = 1) -> DataFrame:
     """Nearest-centroid assignment by cosine (argmax dot/|c|; vector
     norm is constant per row so it cannot change the argmax). keep>1
-    returns the `keep` nearest lists (query probing)."""
+    returns the `keep` nearest lists (query probing).
+
+    keep=1 (the training/encode hot path, runs once per Lloyd
+    iteration over the whole corpus) is an argmax folded into a
+    hash aggregate — ``min(struct(-sim, cid))`` — so partial
+    aggregation happens map-side and no per-row sort/window shuffle
+    ever materializes the K-times-expanded cross join. keep>1 keeps
+    the window (it needs a ranking, and runs only on the tiny query
+    set)."""
     cnorm = F.sqrt(dot(F.col("cv"), F.col("cv")))
     scored = base.crossJoin(F.broadcast(cdf)).withColumn(
         "sim", dot(F.col("v"), F.col("cv")) / cnorm
     )
+    if keep == 1:
+        # lexicographic min of (-sim, cid): best sim, cid tiebreak —
+        # identical semantics to the window ranking below.
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct((-F.col("sim")).alias("neg"), F.col("cid")))[
+                "cid"
+            ].alias("cid"),
+        )
+        return base.join(best, "vec_id")
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -228,15 +245,14 @@ def _codebook_df(spark: SparkSession, cb: dict[tuple[int, int], list[float]]) ->
 
 def _pq_assign(sv: DataFrame, cdf: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Nearest-centroid code per (vector, subspace): broadcast the
-    M×K codebook, argmin L2 with a cid tiebreak."""
+    M×K codebook, argmin L2 with a cid tiebreak. The argmin is a
+    lexicographic ``min(struct(d2, cid))`` hash aggregate — partial
+    map-side, no sort/window shuffle over the K-times-expanded join."""
     scored = sv.join(F.broadcast(cdf), "m").withColumn(
         "d2", _l2(F.col("sv"), F.col("cv"))
     )
-    w = W.partitionBy(id_col, "m").orderBy(F.col("d2").asc(), F.col("cid"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(id_col, "m", "cid")
+    return scored.groupBy(id_col, "m").agg(
+        F.min(F.struct("d2", "cid"))["cid"].alias("cid")
     )
 
 
