@@ -399,3 +399,123 @@ def tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ids_hash"),
     )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS rf,
+           COALESCE(l_linestatus, '<all>') AS ls,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS BIGINT)) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not a rollup/cube prefix pattern):
+    per-returnflag totals, per-linestatus totals, and the grand total
+    in ONE pass — Catalyst expands the sets into a single Expand +
+    aggregate, so the fact table is scanned once, not once per set."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<all>') AS rf,
+               COALESCE(l_linestatus, '<all>') AS ls,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_join_lateral",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) t
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by balance per
+    nation. Catalyst decorrelates this into the same
+    window/group-limit plan as q_topk_per_group — the lateral is API
+    surface, not a nested-loop execution."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation_lat n, LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM customer_lat c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) t
+        """
+    )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(c.c_custkey, l.user_id) AS key,
+           (CASE WHEN l.user_id IS NOT NULL AND c.c_custkey IS NOT NULL
+                 THEN 'update'
+                 WHEN c.c_custkey IS NULL THEN 'insert'
+                 ELSE 'keep' END) AS action,
+           round(COALESCE(l.value, c.c_acctbal), 2) AS merged_value
+    FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert without a table format: compact the change stream
+    to its latest row per key (CDC window), FULL OUTER join against
+    the snapshot, coalesce update-over-base, and tag each row
+    insert/update/keep — the exact dataflow a Delta/Iceberg MERGE
+    compiles to. One shuffle to compact, one to merge; at scale the
+    snapshot side is usually bucketed on the key, removing the second
+    exchange."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    wlat = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(wlat))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "value")
+    )
+    m = cust.select("c_custkey", "c_acctbal").join(
+        latest, cust["c_custkey"] == latest["user_id"], "full_outer"
+    )
+    action = (
+        F.when(
+            F.col("user_id").isNotNull() & F.col("c_custkey").isNotNull(),
+            F.lit("update"),
+        )
+        .when(F.col("c_custkey").isNull(), F.lit("insert"))
+        .otherwise(F.lit("keep"))
+    )
+    return m.select(
+        F.coalesce("c_custkey", "user_id").alias("key"),
+        action.alias("action"),
+        F.round(F.coalesce("value", "c_acctbal"), 2).alias("merged_value"),
+    )

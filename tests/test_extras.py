@@ -115,3 +115,34 @@ def test_posexplode_positions_are_dense(spark):
         | (F.col("nd") != F.col("n"))
     )
     assert bad.count() == 0
+
+
+def test_lateral_join_decorrelates(spark):
+    """The LATERAL top-2-per-group must decorrelate into a window/
+    group-limit plan — never a per-row nested loop or cartesian."""
+    df = QUERIES["q_join_lateral"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan or "WindowGroupLimit" in plan
+
+
+def test_grouping_sets_single_scan(spark):
+    """GROUPING SETS expands in one pass: exactly one scan of the
+    fact table and one aggregate exchange."""
+    df = QUERIES["q_agg_grouping_sets"](spark, SF)
+    plan = physical_plan(df)
+    # node list only — the formatted detail section repeats node names
+    assert plan.split("\n\n")[0].count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert count_exchanges(df) == 1
+
+
+def test_merge_upsert_actions_partition_output(spark):
+    """insert/update/keep counts must sum to the output size, and
+    keys must be unique (MERGE semantics: one row per key)."""
+    df = QUERIES["q_merge_upsert"](spark, SF)
+    total = df.count()
+    by_action = {r["action"]: r["n"] for r in
+                 df.groupBy("action").agg(F.count("*").alias("n")).collect()}
+    assert sum(by_action.values()) == total
+    assert df.select("key").distinct().count() == total
