@@ -58,3 +58,81 @@ def test_pairwise_jaccard_matches_python_sets(spark, ta, tb):
     # intersect via hashes == intersect via strings
     got_inter = len(sets[0] & sets[1])
     assert got_inter == len(a & b)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=7200),  # offset seconds
+            st.integers(min_value=0, max_value=30000),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rolling_time_window_matches_python_reference(spark, rows):
+    """The 1-hour RANGE frame (count + cents sum) must equal a brute
+    Python recomputation for arbitrary event layouts, including
+    duplicate timestamps (peers enter the frame together)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + dt.timedelta(seconds=s), c / 100.0)
+        for i, (u, s, c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, value double"
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    got = {
+        r.event_id: (r.n, r.s)
+        for r in df.select(
+            "event_id",
+            F.count("*").over(w).alias("n"),
+            F.sum(cents).over(w).alias("s"),
+        ).collect()
+    }
+    for i, (u, s, c) in enumerate(rows):
+        in_frame = [
+            (u2, s2, c2)
+            for (u2, s2, c2) in rows
+            if u2 == u and s - 3600 <= s2 <= s
+        ]
+        assert got[i] == (len(in_frame), sum(x[2] for x in in_frame)), (i, rows)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(WORD, min_size=2, max_size=20))
+def test_repetition_fractions_match_python_reference(spark, toks):
+    """dup-token and top-bigram fractions equal a plain Python
+    recomputation on arbitrary token lists."""
+    from collections import Counter
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    t = df.select("doc_id", tokens("text").alias("t"))
+    stats = t.select(
+        F.size("t").alias("n_tok"), F.size(F.array_distinct("t")).alias("n_dist")
+    ).collect()[0]
+    bigrams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    c = Counter(bigrams)
+    got_bg = (
+        t.select(F.explode(word_ngrams(F.col("t"), 2)).alias("g"))
+        .groupBy("g")
+        .count()
+        .agg(F.max("count").alias("top"), F.sum("count").alias("n"))
+        .collect()[0]
+    )
+    assert stats.n_tok == len(toks)
+    assert stats.n_dist == len(set(toks))
+    assert (got_bg.top, got_bg.n) == (max(c.values()), len(bigrams))
