@@ -242,3 +242,53 @@ def datagen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from steaminganalysis_spark.streaming.datagen import order_events_batch
 
     return order_events_batch(spark, n=1000)
+
+
+@query("q_stream_neardup")  # rows-only: LSH signatures use engine xxhash64
+def stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental near-dup detection over the documents
+    corpus: the corpus arrives in two micro-batches (doc_id parity,
+    maxFilesPerTrigger=1) and every batch is probed against the
+    persistent signature index of everything seen before — so
+    cross-batch near-duplicates are caught, which a batch-local dedup
+    would miss. Deterministic: fixed-seed MinHash, deterministic batch
+    split. The match set must equal the batch LSH candidate pairs over
+    the union (pinned in tests/test_neardup_stream.py and
+    test_stream_neardup_query_matches_batch_candidates)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from steaminganalysis_spark.streaming.neardup import near_dup_sink
+
+    tmp = tempfile.mkdtemp(prefix="neardup_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    for i in (0, 1):
+        d = os.path.join(tmp, f"b{i}")
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(d)
+        shutil.copy(
+            glob.glob(os.path.join(d, "part-*.parquet"))[0],
+            os.path.join(src, f"b{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # state-dir basename doubles as the KV guard-store name — make it
+    # unique per invocation or a rerun in the same session would see
+    # the previous run's batch watermark and skip every batch.
+    writer, idx = near_dup_sink(
+        stream,
+        os.path.join(tmp, f"state-{os.path.basename(tmp)}"),
+        os.path.join(tmp, "ckpt"),
+    )
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return idx.matches(spark).orderBy("new_doc", "dup_of")

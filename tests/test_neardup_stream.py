@@ -88,3 +88,40 @@ def test_cross_batch_near_dups_and_idempotence(spark, tmp_path):
     replay = spark.createDataFrame(_docs(10, [_perturb(BASE, "meadow")]), schema)
     idx.process_batch(replay, batch_id=1)  # batch 1 was already applied
     assert idx.matches(spark).count() == n_before
+
+
+def test_stream_neardup_query_matches_batch_candidates(spark):
+    """The registered q_stream_neardup match set over the fixture
+    corpus equals the batch LSH candidate pairs computed over the
+    whole corpus at once — the stream-batch equivalence argument for
+    the registered key."""
+    from steaminganalysis_spark.registry import collect_queries
+    from steaminganalysis_spark.sources import load
+
+    QUERIES, _ = collect_queries()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.new_doc, r.dup_of)
+        for r in QUERIES["q_stream_neardup"](spark, sf).collect()
+    }
+    sigs = minhash_band_signatures(
+        load(spark, sf, "documents").select("doc_id", "text")
+    )
+    batch = {
+        (max(a, b), min(a, b))
+        for a, b in (
+            (r.a, r.b)
+            for r in sigs.alias("x")
+            .join(
+                sigs.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.sig") == F.col("y.sig"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+            .distinct()
+            .collect()
+        )
+    }
+    normalized = {(max(a, b), min(a, b)) for a, b in got}
+    assert normalized == batch

@@ -43,6 +43,7 @@ def test_every_query_has_oracle_or_is_documented():
         "q_sim_ann_ivf",  # ANN recall probabilistic
         "q_sim_ann_pq",  # PQ shortlist recall probabilistic (recall-tested)
         "q_sim_ann_ivfpq",  # IVF routing + PQ shortlist, recall-tested
+        "q_stream_neardup",  # xxhash64 LSH signatures; equality-tested vs batch candidates
         "q_agg_approx_percentile",  # sketch estimate
         "q_agg_hll_sketch",  # DataSketches estimate (tolerance-tested)
         "q_multimodal_decode",  # binary payload synthesis not SQL-expressible
