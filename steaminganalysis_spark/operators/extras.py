@@ -519,3 +519,67 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         action.alias("action"),
         F.round(F.coalesce("value", "c_acctbal"), 2).alias("merged_value"),
     )
+
+
+@query(
+    "q_fn_map2",
+    oracle="""
+    WITH m AS (
+      SELECT event_id,
+             MAP(['a','b'], [CAST(value AS DOUBLE), CAST(user_id AS DOUBLE)]) AS mp
+      FROM events
+    )
+    SELECT event_id,
+           array_to_string(list_sort(list_transform(map_entries(mp),
+                           e -> e.key || '=' || CAST(round(e.value * 2.0, 2) AS VARCHAR))),
+                           ',') AS doubled,
+           len(list_filter(map_entries(mp), e -> e.value > 100.0)) AS n_big
+    FROM m
+    """,
+)
+def fn_map2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_values (doubling), and a
+    filtered entry count — emitted as sorted key=value strings so both
+    engines agree on entry order. Pure map-side at any scale."""
+    ev = load(spark, sf_dir, "events")
+    mp = F.create_map(
+        F.lit("a"), F.col("value").cast("double"),
+        F.lit("b"), F.col("user_id").cast("double"),
+    )
+    doubled = F.transform_values(mp, lambda k, v: F.round(v * 2.0, 2))
+    entry_strs = F.transform(
+        F.map_entries(doubled),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+    )
+    n_big = F.size(F.filter(F.map_entries(mp), lambda e: e["value"] > 100.0))
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(entry_strs), ",").alias("doubled"),
+        n_big.alias("n_big"),
+    )
+
+
+@query(
+    "q_fn_array3",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(list_filter(toks, x -> len(x) >= 6)) AS n_long,
+           CAST(len(list_filter(toks, x -> x = 'spark')) > 0 AS BOOLEAN) AS has_spark,
+           CAST(len(list_filter(toks, x -> len(x) >= 2)) = len(toks) AS BOOLEAN)
+             AS all_ge2
+    FROM t
+    """,
+)
+def fn_array3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array predicate higher-order functions: filter-count, exists,
+    forall — each a JVM lambda inside whole-stage codegen, no UDF, no
+    shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) >= 6)).alias("n_long"),
+        F.exists(toks, lambda x: x == "spark").alias("has_spark"),
+        F.forall(toks, lambda x: F.length(x) >= 2).alias("all_ge2"),
+    )
