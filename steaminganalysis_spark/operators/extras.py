@@ -583,3 +583,46 @@ def fn_array3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(toks, lambda x: x == "spark").alias("has_spark"),
         F.forall(toks, lambda x: F.length(x) >= 2).alias("all_ge2"),
     )
+
+
+@query(
+    "q_data_mix_weighted",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    p AS (SELECT source, n,
+                 sqrt(CAST((SELECT MIN(n) FROM c) AS DOUBLE))
+                   / sqrt(CAST(n AS DOUBLE)) AS keep_p
+          FROM c),
+    kept AS (
+      SELECT d.source, p.keep_p FROM documents d JOIN p ON d.source = p.source
+      WHERE CAST((d.doc_id * 2654435761) % 65536 AS DOUBLE) / 65536.0 < p.keep_p
+    )
+    SELECT source, COUNT(*) AS n_kept, round(keep_p, 6) AS keep_p
+    FROM kept GROUP BY source, round(keep_p, 6)
+    """,
+)
+def data_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened training mixture (sample source s with
+    probability ∝ n_s^(α-1), α=0.5, scaled so the smallest source
+    keeps everything — the standard multilingual/multi-source
+    rebalancing step). The keep decision is a pure integer function of
+    doc_id (Knuth multiplicative hash), so the mix is reproducible on
+    any engine and any partitioning; per-source keep probabilities
+    derive from exact integer counts. Source stats are a tiny
+    broadcast; the filter runs map-side over the corpus scan."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    n_min = F.min("n").over(W.partitionBy(F.lit(1)))
+    p = counts.select(
+        "source",
+        (
+            F.sqrt(n_min.cast("double")) / F.sqrt(F.col("n").cast("double"))
+        ).alias("keep_p"),
+    )
+    u = ((F.col("doc_id") * F.lit(2654435761)) % 65536).cast("double") / F.lit(
+        65536.0
+    )
+    kept = d.join(F.broadcast(p), "source").filter(u < F.col("keep_p"))
+    return kept.groupBy("source", F.round("keep_p", 6).alias("keep_p")).agg(
+        F.count("*").alias("n_kept")
+    ).select("source", "n_kept", "keep_p")
