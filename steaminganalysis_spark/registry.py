@@ -103,10 +103,22 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries in insertion order; round 1 verified aggregates/llm/ann/
     functions_pack (CORRECTNESS_r01.json, all green). This order puts
     the not-yet-driver-verified modules first so successive rounds
-    rotate the whole registry through the checked window:
-    joins(12) + tpch(21) + windows(7) + relational(14) fill the round-2
-    window; sql_surface → multimodal queue up next; the already-green
-    round-1 modules go last.
+    rotate the whole registry through the checked window.
+
+    Module sizes: joins 12, tpch 21, windows 7, relational 14,
+    sql_surface 9, udfs 6, storage 4, reshape 4, pipeline 11,
+    streaming_queries 7, multimodal 1, aggregates 14,
+    functions_pack 12, llm 23, ann 3, extras 14 (162 total).
+
+    Rotation plan:
+    - round 2 (THIS order): joins + tpch + windows + relational[:10]
+      = 50 (relational's last 4 spill past the window).
+    - round 3: sql_surface, udfs, storage, reshape, pipeline,
+      streaming_queries, multimodal (= 42), then extras (first 8 in
+      window) — move those imports to the front, everything else after.
+    - round 4: relational (covers its 4 unchecked), extras remainder,
+      ann, llm.
+    - round 5+: llm remainder, aggregates, functions_pack re-checks.
     """
     # Round-2 window: 12 + 21 + 7 + first 10 of relational = 50.
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
