@@ -151,11 +151,15 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle → 32 seeded minhashes → 8 band signatures, via the shared
     # kernel (functions.text.minhash_band_signatures) that the streaming
     # incremental index (streaming.neardup) also uses
+    # stage the signature table: the self-join's two aliased branches
+    # would otherwise each recompute the whole shingle→minhash→band
+    # pipeline (Catalyst does not canonicalize the aliased subtrees
+    # for exchange reuse)
     bands = minhash_band_signatures(
         load(spark, sf_dir, "documents"),
         n_minhash=N_MINHASH,
         n_bands=N_BANDS,
-    )
+    ).localCheckpoint(eager=True)
     cand = (
         bands.alias("x")
         .join(
@@ -169,8 +173,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact verification on the (small) candidate set
-    sh2 = _shingle_hashes(spark, sf_dir)
+    # exact verification on the (small) candidate set; the staged
+    # shingle table serves the a-side, b-side AND the size aggregate
+    # (3 uses, 1 computation)
+    sh2 = _shingle_hashes(spark, sf_dir).localCheckpoint(eager=True)
     sizes = sh2.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh2.alias("a")
     b = sh2.alias("b")
@@ -246,7 +252,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bv"),
-    ).select("doc_id", "sig", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val"))
+    ).select(
+        "doc_id", "sig", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val")
+    ).localCheckpoint(eager=True)  # stage: the banded self-join would
+    # otherwise recompute the 32-column signature aggregate twice
     cand = (
         blocks.alias("x")
         .join(
