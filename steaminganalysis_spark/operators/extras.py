@@ -73,10 +73,13 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte shuffle keys — and the eval side is a distinct-hash set that
     broadcasts when the eval corpus is benchmark-sized."""
     docs = load(spark, sf_dir, "documents")
-    eval_sh = (
-        shingle_hashes(docs.filter(_is_eval("doc_id")), n=5).select("h").distinct()
-    )
-    train_sh = shingle_hashes(docs.filter(~_is_eval("doc_id")), n=5)
+    # shingle the corpus ONCE and split by the doc_id hash afterwards
+    # (shingling is per-doc, so filter-then-shingle == shingle-then-
+    # filter); the staged table serves both splits — one corpus pass
+    # instead of two.
+    sh_all = shingle_hashes(docs, n=5).localCheckpoint(eager=True)
+    eval_sh = sh_all.filter(_is_eval("doc_id")).select("h").distinct()
+    train_sh = sh_all.filter(~_is_eval("doc_id"))
     # rows are distinct per (doc_id, h) and eval_sh is distinct per h,
     # so count(*) == count of distinct shared shingles.
     return (

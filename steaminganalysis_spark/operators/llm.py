@@ -389,7 +389,9 @@ def _lsh_candidate_pairs(base: DataFrame, tables: int, bits: int) -> DataFrame:
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "tb.tbl", "tb.bkt")
+    ).select("vec_id", "tb.tbl", "tb.bkt").localCheckpoint(eager=True)
+    # staged: the self-join's aliased branches would otherwise each
+    # recompute tables×bits×dim projection sums per vector
     return (
         buckets.alias("x")
         .join(
