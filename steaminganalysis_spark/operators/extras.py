@@ -629,3 +629,75 @@ def data_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source", F.round("keep_p", 6).alias("keep_p")).agg(
         F.count("*").alias("n_kept")
     ).select("source", "n_kept", "keep_p")
+
+
+_IVL_MIN = 30  # interval length (minutes) and grid cell size
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_start,
+             epoch_us(ts) + {_IVL_MIN} * 60 * 1000000 AS a_end
+      FROM events WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_start,
+             epoch_us(ts) + {_IVL_MIN} * 60 * 1000000 AS b_end
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT a.user_id, a_id, b_id,
+           least(a_end, b_end) - greatest(a_start, b_start) AS overlap_us
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND a_start <= b_end AND b_start <= a_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (the time-series classic: which purchase
+    windows overlap which view windows, per user) executed as a
+    GRID-BUCKETED EQUI-JOIN: each 30-minute interval is exploded onto
+    the 30-minute grid cells it touches (≤2), candidates come from an
+    equi-join on (user_id, cell), then the exact overlap predicate
+    verifies and a distinct collapses double-counted pairs. A naive
+    theta join is quadratic per user at scale; this shape shuffles
+    8-byte grid keys and stays linear in the true match count."""
+    ev = load(spark, sf_dir, "events")
+    cell_us = _IVL_MIN * 60 * 1_000_000
+
+    def side(etype: str, prefix: str) -> DataFrame:
+        start = F.unix_micros("ts")
+        end = start + F.lit(cell_us)
+        return ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias(f"{prefix}_id"),
+            start.alias(f"{prefix}_start"),
+            end.alias(f"{prefix}_end"),
+            F.explode(
+                F.sequence(
+                    F.floor(start / F.lit(cell_us)),
+                    F.floor(end / F.lit(cell_us)),
+                )
+            ).alias("cell"),
+        )
+
+    a = side("purchase", "a")
+    b = side("view", "b")
+    pairs = (
+        a.join(b, ["user_id", "cell"])
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select(
+            "user_id",
+            "a_id",
+            "b_id",
+            # exact int64 microseconds: a division here would need
+            # truncate-vs-round parity between engines
+            (
+                F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return pairs

@@ -146,3 +146,13 @@ def test_merge_upsert_actions_partition_output(spark):
                  df.groupBy("action").agg(F.count("*").alias("n")).collect()}
     assert sum(by_action.values()) == total
     assert df.select("key").distinct().count() == total
+
+
+def test_interval_overlap_is_grid_equi_join(spark):
+    """The interval-overlap join must execute as an equi-join on
+    (user_id, cell) — never a theta/nested-loop join over the event
+    pairs."""
+    df = QUERIES["q_join_interval_overlap"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
