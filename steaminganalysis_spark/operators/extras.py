@@ -701,3 +701,67 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+@query(
+    "q_sessionize_dynamic",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER w AS prev_us,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR us - prev_us > (CASE WHEN prev_type IN ('view','click')
+                                               THEN 1800000000 ELSE 600000000 END)
+                     THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ), numbered AS (
+      SELECT user_id, event_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(us) AS start_us, MAX(us) AS end_us
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def sessionize_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization (the batch analog of Spark's
+    dynamic `session_window`): browsing events (view/click) keep a
+    session alive for 30 minutes, transactional events only 10 — the
+    gap depends on the PREVIOUS event's type. Same gaps-and-islands
+    dataflow as `q_sessionize`: lag → flag → running sum → rollup, all
+    inside ONE hash partitioning of user_id (a single exchange at any
+    scale). Timestamps handled as exact int64 microseconds."""
+    ev = load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = F.when(
+        F.lag("event_type").over(wo).isin("view", "click"),
+        F.lit(1_800_000_000),
+    ).otherwise(F.lit(600_000_000))
+    new_s = F.when(
+        F.lag(us).over(wo).isNull() | ((us - F.lag(us).over(wo)) > gap), 1
+    ).otherwise(0)
+    flagged = ev.select(
+        "user_id", "event_id", us.alias("us"), new_s.alias("new_s")
+    )
+    numbered = flagged.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.sum("new_s").over(
+            W.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ).alias("session_no"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )

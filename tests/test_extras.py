@@ -156,3 +156,9 @@ def test_interval_overlap_is_grid_equi_join(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_dynamic_single_shuffle(spark):
+    """lag → flag → running-sum → rollup must all share one user_id
+    hash partitioning: exactly one exchange end-to-end."""
+    assert count_exchanges(QUERIES["q_sessionize_dynamic"](spark, SF)) == 1
