@@ -118,3 +118,33 @@ def test_registered_query_runs(spark):
     assert "q_multimodal_decode" in Q and "q_multimodal_decode" not in O
     rows = Q["q_multimodal_decode"](spark, SF).collect()
     assert rows and {r.modality for r in rows} == {"image", "audio", "video"}
+
+
+def test_registered_image_features_invariants(spark):
+    """Histogram mass sums to ~1 per image and the top bin is a valid
+    fraction."""
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    rows = QUERIES["q_multimodal_image_features"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.hist_mass - 1.0) < 1e-3, r
+        assert 0.0 < r.top_bin_frac <= 1.0
+
+
+def test_registered_frame_sample_invariants(spark):
+    """Every-2nd-frame sampling: first index 0, last index even, byte
+    total positive."""
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    rows = QUERIES["q_multimodal_frame_sample"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.first_idx == 0 and r.last_idx % 2 == 0
+        assert r.n_sampled >= 1 and r.total_bytes > 0

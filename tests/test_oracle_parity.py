@@ -47,6 +47,8 @@ def test_every_query_has_oracle_or_is_documented():
         "q_agg_approx_percentile",  # sketch estimate
         "q_agg_hll_sketch",  # DataSketches estimate (tolerance-tested)
         "q_multimodal_decode",  # binary payload synthesis not SQL-expressible
+        "q_multimodal_image_features",  # binary synthesis not SQL-expressible
+        "q_multimodal_frame_sample",  # binary synthesis not SQL-expressible
         "q_datagen",  # randomized generator; schema+domain-tested
     }
     assert rows_only <= documented, f"undocumented rows-only queries: {rows_only - documented}"
