@@ -242,3 +242,35 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double").alias("total_qty"),
     )
+
+
+@query("q_scan_binary")  # rows-only: binaryFile source reads a generated dir
+def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — the ingestion path for media corpora:
+    whole files arrive as (path, modificationTime, length, content)
+    rows. A bounded fixture set (first 20 documents, content = text
+    bytes) is exported once per invocation dir; the scan then proves
+    the source end-to-end: file identity via the path basename, size,
+    and an md5 of the bytes, computed JVM-side on the binary column.
+    At scale this source partitions by file and never shuffles."""
+    import os
+    import tempfile
+
+    from steaminganalysis_spark.sources import load as _load
+
+    tmp = tempfile.mkdtemp(prefix="binscan_")
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()
+    )  # bounded fixture export (20 files), not a data-path collect
+    for r in docs:
+        with open(os.path.join(tmp, f"doc_{r.doc_id:04d}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    df = spark.read.format("binaryFile").load(tmp)
+    return df.select(
+        F.regexp_extract(F.col("path"), r"(doc_\d+\.bin)$", 1).alias("fname"),
+        F.col("length"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

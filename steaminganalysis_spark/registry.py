@@ -106,15 +106,15 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     rotate the whole registry through the checked window.
 
     Module sizes: joins 12, tpch 21, windows 7, relational 14,
-    sql_surface 9, udfs 6, storage 4, reshape 4, pipeline 11,
-    streaming_queries 7, multimodal 1, aggregates 14,
-    functions_pack 12, llm 23, ann 3, extras 14 (162 total).
+    sql_surface 9, udfs 6, storage 5, reshape 4, pipeline 11,
+    streaming_queries 8, multimodal 3, aggregates 14,
+    functions_pack 12, llm 23, ann 4, extras 18 (167 total).
 
     Rotation plan:
     - round 2 (THIS order): joins + tpch + windows + relational[:10]
       = 50 (relational's last 4 spill past the window).
     - round 3: sql_surface, udfs, storage, reshape, pipeline,
-      streaming_queries, multimodal (= 42), then extras (first 8 in
+      streaming_queries, multimodal (= 46), then extras (first 4 in
       window) — move those imports to the front, everything else after.
     - round 4: relational (covers its 4 unchecked), extras remainder,
       ann, llm.

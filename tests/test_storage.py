@@ -127,3 +127,24 @@ def test_hll_sketch_estimates_within_tolerance(spark):
     assert set(rows) == set(exact)
     for k, est in rows.items():
         assert est == pytest.approx(exact[k], rel=0.05), (k, est, exact[k])
+
+
+def test_scan_binary_matches_document_bytes(spark):
+    """The binaryFile scan must surface exactly the exported files with
+    correct sizes and content hashes (recomputed in Python)."""
+    import hashlib
+
+    from steaminganalysis_spark.registry import collect_queries
+    from steaminganalysis_spark.sources import load
+
+    QUERIES, _ = collect_queries()
+    sf = "/root/testdata/sf0.001"
+    got = {r.fname: (r.length, r.content_md5)
+           for r in QUERIES["q_scan_binary"](spark, sf).collect()}
+    docs = load(spark, sf, "documents").filter("doc_id < 20").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        raw = d.text.encode("utf-8")
+        assert got[f"doc_{d.doc_id:04d}.bin"] == (
+            len(raw), hashlib.md5(raw).hexdigest()
+        )
