@@ -73,10 +73,18 @@ def run_demo(duration_s: float = 6.0, rows_per_second: int = 200) -> dict[str, d
     return state
 
 
-def run_kafka(bootstrap_servers: str, topic: str, checkpoint: str) -> None:
+def run_kafka(
+    bootstrap_servers: str, topic: str, checkpoint: str, kv: str = "default"
+) -> None:
+    """Production wiring. ``kv`` selects the sink store by name: the
+    default in-process store, or a ``redis://host:port/db`` URL for the
+    real Redis deployment (the reference's target) — the Lua-scripted
+    atomic apply keeps the exactly-once guarantee there too."""
     spark = get_spark(app_name="sa-spark-kafka")
     classified = kafka_order_stream(spark, bootstrap_servers, topic)
-    q = day_rollup_sink(classified, checkpoint, day_rollup_delta).start()
+    q = day_rollup_sink(
+        classified, checkpoint, day_rollup_delta, store_name=kv
+    ).start()
     q.awaitTermination()
 
 
@@ -94,12 +102,17 @@ def main() -> None:
     ap.add_argument("--bootstrap-servers", default="localhost:9092")
     ap.add_argument("--topic", default="orders")
     ap.add_argument("--checkpoint", default="/tmp/sa_spark_kafka_ckpt")
+    ap.add_argument(
+        "--kv",
+        default="default",
+        help="sink store: in-process name or redis://host:port/db",
+    )
     ap.add_argument("-n", type=int, default=10, help="mock rows")
     args = ap.parse_args()
     if args.mode == "demo":
         run_demo(args.duration, args.rows_per_second)
     elif args.mode == "kafka":
-        run_kafka(args.bootstrap_servers, args.topic, args.checkpoint)
+        run_kafka(args.bootstrap_servers, args.topic, args.checkpoint, args.kv)
     else:
         run_mock(args.n)
 

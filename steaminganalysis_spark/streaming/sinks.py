@@ -60,9 +60,17 @@ class KVStore:
 
     @classmethod
     def instance(cls, name: str = "default") -> "KVStore":
+        """Resolve a store by name. Names starting with ``redis://``
+        (or ``rediss://``) construct and cache a `RedisKVStore` for
+        that URL — the production wiring selects Redis purely by store
+        name, so `day_rollup_sink(..., store_name="redis://host:6379/0")`
+        is the only change between the in-process and Redis deployments."""
         with cls._lock:
             if name not in cls._instances:
-                cls._instances[name] = cls()
+                if name.startswith(("redis://", "rediss://")):
+                    cls._instances[name] = RedisKVStore(name)  # type: ignore[assignment]
+                else:
+                    cls._instances[name] = cls()
             return cls._instances[name]
 
     @classmethod

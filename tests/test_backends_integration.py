@@ -161,3 +161,24 @@ def test_kafka_order_stream_end_to_end(spark, tmp_path):
     ).collect()
     for r in expect:
         assert store.hgetall(KEY_PREFIX + r["day"])["total"] == r["total"]
+
+
+def test_kvstore_instance_resolves_redis_urls_or_raises_cleanly():
+    """`KVStore.instance("redis://...")` must route to the Redis
+    adapter — constructing it when redis-py is present, raising
+    ImportError (not silently falling back to in-process) when not."""
+    import pytest
+
+    from steaminganalysis_spark.streaming.sinks import HAVE_REDIS, KVStore
+
+    url = "redis://localhost:1/9"  # nothing listens; construction is lazy
+    if HAVE_REDIS:
+        store = KVStore.instance(url)
+        from steaminganalysis_spark.streaming.sinks import RedisKVStore
+
+        assert isinstance(store, RedisKVStore)
+        KVStore.reset(url)
+    else:
+        with pytest.raises(ImportError):
+            KVStore.instance(url)
+        KVStore.reset(url)
