@@ -171,3 +171,39 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     code that can't be vectorized yet."""
     p = load(spark, sf_dir, "part")
     return p.select("p_partkey", _title_arrow(F.col("p_name")).alias("name_uc"))
+
+
+@query(
+    "q_udtf_python",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE doc_id < 50)
+    SELECT doc_id, i - 1 AS pos, t[i] AS tok, len(t[i]) AS tok_len
+    FROM toks, unnest(generate_series(1, len(t))) AS r(i)
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF (Spark 4 `@udtf` class, one-to-many row
+    expansion via LATERAL join) — the remaining B.10 surface beyond
+    applyInPandas: a tokenizer emitting (pos, tok, tok_len) per input
+    row. Deliberately on a 50-doc projection: per-row Python UDTFs are
+    the slow path (`operators/udfs.py` module docstring); the JVM-side
+    equivalent is q_fn_posexplode."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, tok string, tok_len int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split(" ")):
+                yield i, t, len(t)
+
+    spark.udtf.register("sa_tokenize", Tokenize)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.tok, t.tok_len
+        FROM docs_udtf, LATERAL sa_tokenize(text) AS t
+        """
+    )
