@@ -402,16 +402,26 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = qsub.join(F.broadcast(cdf_pq), "m").select(
         "query_id", "m", "cid", dot(F.col("sv"), F.col("cv")).alias("pdot")
     )
-    # probe restriction first (equi-join on list_id), then ADC lookups
+    # probe restriction first (equi-join on list_id), then ADC lookups.
+    # The broadcast table's key columns are renamed (tq/tm/tcid) so the
+    # join condition uses unambiguous names — no reliance on
+    # expression-ID resolution across self-join lineage (base feeds
+    # both codes and table).
     cand = codes.join(F.broadcast(probes), "list_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
+    tbl = table.select(
+        F.col("query_id").alias("tq"),
+        F.col("m").alias("tm"),
+        F.col("cid").alias("tcid"),
+        "pdot",
+    )
     adot = (
         cand.join(
-            F.broadcast(table.withColumnRenamed("query_id", "tq")),
+            F.broadcast(tbl),
             (F.col("tq") == F.col("query_id"))
-            & (table["m"] == cand["m"])
-            & (table["cid"] == cand["cid"]),
+            & (F.col("tm") == F.col("m"))
+            & (F.col("tcid") == F.col("cid")),
         )
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("pdot").alias("adot"))

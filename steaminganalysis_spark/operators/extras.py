@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from steaminganalysis_spark.functions import shingle_hashes, tokens, word_ngrams
-from steaminganalysis_spark.registry import query
+from steaminganalysis_spark.registry import query, to_cents
 from steaminganalysis_spark.sources import load
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -164,9 +164,7 @@ def window_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
-    cents = F.floor(F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)).cast(
-        "long"
-    )
+    cents = to_cents(F.col("value"))
     return ev.select(
         "event_id",
         "user_id",
@@ -243,9 +241,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines derive mean/stddev from the same exact integers with the
     same float expression, so even the |z| > 3 boundary agrees."""
     ev = load(spark, sf_dir, "events")
-    cents = F.floor(F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)).cast(
-        "long"
-    )
+    cents = to_cents(F.col("value"))
     c = ev.select("event_id", "event_type", "value", cents.alias("cents"))
     s = c.groupBy("event_type").agg(
         F.count("*").alias("n"),

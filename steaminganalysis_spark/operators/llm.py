@@ -424,12 +424,14 @@ def _score_pairs_exact(base: DataFrame, cand: DataFrame, threshold: float) -> Da
 
 # Threshold-pairs LSH parameters: recall at the registered τ=0.4
 # (weak-similarity regime, θ≈1.159 rad, p_bit≈0.631) must be ~1 for
-# the exact-SQL oracle to stay green. With 2 bits × 16 tables the
-# per-true-pair miss probability is (1-0.631²)^16 ≈ 3e-4; equality
+# the exact-SQL oracle to stay green. With 2 bits × 24 tables the
+# per-true-pair miss probability is (1-0.631²)^24 ≈ 5e-6; equality
 # with the all-pairs exact baseline on the deterministic test data is
 # pinned by test_threshold_pairs_lsh_equals_all_pairs.
 THRESH_LSH_BITS = 2
-THRESH_LSH_TABLES = 16
+THRESH_LSH_TABLES = 24  # miss prob per true pair at τ=0.4: (1-0.631²)^24 ≈ 5e-6
+# — headroom so the exact-SQL oracle stays green on any plausible
+# fixture scale, not just the pinned sf0.01 corpus
 
 
 def sim_threshold_pairs_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,7 +465,7 @@ def sim_threshold_pairs_all_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, a < b).
 
-    Candidates come from 16-table × 2-bit hyperplane LSH buckets
+    Candidates come from 24-table × 2-bit hyperplane LSH buckets
     (equi-join on (table, bucket), never an all-pairs cross join), then
     every candidate is re-scored with the exact cosine. Recall vs the
     exact all-pairs baseline is ~1-3e-4 per true pair at τ=0.4 and

@@ -254,11 +254,11 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an md5 of the bytes, computed JVM-side on the binary column.
     At scale this source partitions by file and never shuffles."""
     import os
-    import tempfile
 
+    from steaminganalysis_spark.scratch import scratch_dir
     from steaminganalysis_spark.sources import load as _load
 
-    tmp = tempfile.mkdtemp(prefix="binscan_")
+    tmp = scratch_dir("binscan")
     docs = (
         _load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 20)

@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["QUERIES", "ORACLE", "query", "dsum", "SQL_DSUM", "collect_queries"]
+__all__ = ["QUERIES", "ORACLE", "query", "dsum", "to_cents", "SQL_DSUM", "collect_queries"]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -45,6 +45,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+def to_cents(col: Column, scale: int = 2) -> Column:
+    """The engine's ONE fixed-point conversion: ``floor(x·10^s + 0.5)``
+    → long. Every operator that needs exact integer money/value
+    arithmetic (``dsum``, rolling-window sums, z-score stats) derives
+    its cents through this helper so the rounding convention — and its
+    DuckDB twin inside ``SQL_DSUM`` and per-query oracles — can never
+    drift between call sites."""
+    m = 10**scale
+    return F.floor(col.cast("double") * F.lit(float(m)) + F.lit(0.5)).cast("long")
 
 
 def dsum(col: Column, scale: int = 2) -> Column:
@@ -75,11 +86,7 @@ def dsum(col: Column, scale: int = 2) -> Column:
     if os.environ.get("SPARK_GRAFT_DOUBLE_SUMS") == "1":
         return F.sum(col)
     m = 10**scale
-    cents = (
-        F.floor(col.cast("double") * F.lit(float(m)) + F.lit(0.5))
-        .cast("long")
-        .cast("decimal(38,0)")
-    )
+    cents = to_cents(col, scale).cast("decimal(38,0)")
     return F.sum(cents).cast("double") / F.lit(float(m))
 
 
@@ -105,10 +112,12 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     the not-yet-driver-verified modules first so successive rounds
     rotate the whole registry through the checked window.
 
-    Module sizes: joins 12, tpch 21, windows 7, relational 14,
-    sql_surface 9, udfs 6, storage 5, reshape 4, pipeline 11,
-    streaming_queries 8, multimodal 3, aggregates 14,
-    functions_pack 12, llm 23, ann 4, extras 18 (167 total).
+    Module sizes (verify with the per-module import counter in the
+    round-2 transcript before every rotation — these MUST be measured,
+    not eyeballed): joins 12, tpch 21, windows 7, relational 14,
+    sql_surface 9, udfs 7, storage 5, reshape 4, pipeline 11,
+    streaming_queries 7, multimodal 3, aggregates 14,
+    functions_pack 12, llm 23, ann 3, extras 16 (168 total).
 
     Rotation plan:
     - round 2 (THIS order): joins + tpch + windows + relational[:10]

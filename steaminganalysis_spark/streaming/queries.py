@@ -258,11 +258,11 @@ def stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
 
+    from steaminganalysis_spark.scratch import scratch_dir
     from steaminganalysis_spark.streaming.neardup import near_dup_sink
 
-    tmp = tempfile.mkdtemp(prefix="neardup_q_")
+    tmp = scratch_dir("neardup_q")
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     src = os.path.join(tmp, "src")
     os.makedirs(src)

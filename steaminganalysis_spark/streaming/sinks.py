@@ -169,7 +169,9 @@ class RedisKVStore:
         return {f: int(v) for f, v in self._r.hgetall(key).items()}
 
     def keys(self) -> list[str]:
-        return [k for k in self._r.keys("*") if self._r.type(k) == "hash"]
+        # SCAN (cursor-based, non-blocking) with a server-side TYPE
+        # filter — never KEYS *, which blocks a production keyspace.
+        return list(self._r.scan_iter(match="*", _type="hash"))
 
     def setnx(self, key: str, value: str) -> bool:
         return bool(self._r.setnx(key, value))
@@ -197,10 +199,19 @@ def apply_day_rollup_batch(
     batch_id: int,
     agg_fn: Callable[[DataFrame], DataFrame],
     store_name: str = "default",
+    scope: str = "default",
 ) -> None:
     """foreachBatch body: aggregate THIS micro-batch's raw events to a
     per-day delta (stateless — state lives in the KV store, exactly the
     reference's model) and apply it with an idempotence guard.
+
+    ``scope`` namespaces the last-applied watermark. foreachBatch batch
+    ids are monotonic PER CHECKPOINT, so the watermark must be scoped
+    per checkpoint too: with a store-global key, a second stream (or a
+    recreated checkpoint restarting at batch 0) sharing the same store
+    would silently drop every batch id at-or-below the other stream's
+    watermark. `day_rollup_sink` derives the scope from its checkpoint
+    dir.
 
     Exactly-once: the delta is computed FIRST (one row per day —
     O(days), independent of batch volume), then every increment and the
@@ -215,6 +226,12 @@ def apply_day_rollup_batch(
     watermark key instead of one key per batch forever.
     """
     store = KVStore.instance(store_name)
+    marker = f"{KEY_PREFIX}last-applied-batch:{scope}"
+    # cheap pre-check: a replayed COMMITTED batch skips the whole Spark
+    # aggregation job (restarts always replay the last batch id); the
+    # authoritative check stays inside the atomic apply_batch.
+    if batch_id <= store.last_applied(marker):
+        return
     increments: list[tuple[str, str, int]] = []
     for row in agg_fn(batch_df).toLocalIterator():
         key = KEY_PREFIX + row["day"]
@@ -223,7 +240,7 @@ def apply_day_rollup_batch(
             (key, "success", row["success"]),
             (key, "fee_cents", row["fee_cents"]),
         ]
-    store.apply_batch(batch_id, increments, f"{KEY_PREFIX}last-applied-batch")
+    store.apply_batch(batch_id, increments, marker)
 
 
 def day_rollup_sink(
@@ -234,12 +251,17 @@ def day_rollup_sink(
 ):
     """Attach the KV sink to a raw order-event stream; checkpointLocation
     replaces both reference offset managers (KafkaApp.scala:79
-    commitAsync, ZkApp.scala:114-116 ZK znodes)."""
+    commitAsync, ZkApp.scala:114-116 ZK znodes). The idempotence
+    watermark is scoped to this checkpoint (batch ids are monotonic per
+    checkpoint), so streams sharing one store never collide."""
+    import hashlib
+
+    scope = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
     return (
         raw_stream.writeStream.outputMode("append")
         .foreachBatch(
             lambda df, bid: apply_day_rollup_batch(
-                df, bid, agg_fn, store_name=store_name
+                df, bid, agg_fn, store_name=store_name, scope=scope
             )
         )
         .option("checkpointLocation", checkpoint_dir)
