@@ -761,3 +761,47 @@ def sessionize_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").alias("start_us"),
         F.max("us").alias("end_us"),
     )
+
+
+_SALT_N = 8
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS BIGINT)) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join — the manual remedy when one join key dominates
+    and AQE's skew split cannot help (e.g. the key is hot on BOTH
+    inputs): the fact side gets a deterministic salt in [0, N); the
+    dim side is replicated N ways (explode of a literal range, a
+    narrow map-side expansion); the join key becomes (key, salt), so
+    the hot key's rows spread over N partitions instead of one. The
+    result is provably identical to the unsalted join — the oracle IS
+    the plain join."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        (F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT_N))).alias(
+            "salt"
+        ),
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1))))
+    )
+    j = li.join(
+        o,
+        (li["l_orderkey"] == o["o_orderkey"]) & (li["salt"] == o["salt"]),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
