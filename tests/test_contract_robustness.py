@@ -55,3 +55,27 @@ def test_demo_app_accumulates_day_totals(spark):
         assert h["fee_cents"] >= 0
         if h["success"] == 0:
             assert h["fee_cents"] == 0
+
+
+def test_round2_correctness_window_composition():
+    """The driver verifies the FIRST ~50 registered queries; this round
+    that window must be joins + tpch + windows + the first 10
+    relational queries. Pin it so a stray registration (or an import
+    reorder) cannot silently displace queries out of the checked
+    window before the driver runs. Update deliberately on each round's
+    rotation."""
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    first50 = list(QUERIES)[:50]
+    assert sum(k.startswith(("q_join_", "q_tpch_")) for k in first50) == 33
+    # window functions module (ranking/frames/top-k keys)
+    assert "q_window_rank" in first50 and "q_topk_per_group" in first50
+    # relational head must be inside; its tail (positions 51+) outside
+    assert "q_scan_parquet" in first50 and "q_case_when" in first50
+    assert "q_set_except" not in first50  # relational position 11
+    # no late-module key may leak into the window
+    assert not any(
+        k.startswith(("q_agg_", "q_fn_", "q_dedup_", "q_sim_", "q_text_"))
+        for k in first50
+    ), first50
