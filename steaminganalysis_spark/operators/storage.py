@@ -274,3 +274,50 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query("q_compact_small_files")  # rows-only: file-layout op, not SQL-expressible
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction registered end-to-end: fragment the
+    events table into 64 tiny parquet files (the pathological layout a
+    streaming sink leaves behind), compact to 4 range-sorted files,
+    and emit the verification row — file counts, exact row preservation
+    and per-file disjoint sort ranges (what gives downstream scans
+    min/max row-group pruning). At 100 TB this maintenance pass is the
+    difference between a scan issuing 4 requests per partition and
+    64."""
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.sources import load as _load
+
+    tmp = scratch_dir("compact")
+    src, dst = f"{tmp}/src", f"{tmp}/dst"
+    ev = _load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(64).write.parquet(src)
+    n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    n_after = compact(spark, src, dst, target_files=4, sort_cols=["event_id"])
+    out = spark.read.parquet(dst)
+    # per-file sort ranges must be disjoint (globally range-sorted)
+    ranges = (
+        out.select(
+            F.input_file_name().alias("f"), F.col("event_id").alias("e")
+        )
+        .groupBy("f")
+        .agg(F.min("e").alias("lo"), F.max("e").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )  # ≤4 rows: file-level metadata, not a data-path collect
+    disjoint = all(
+        ranges[i].hi < ranges[i + 1].lo for i in range(len(ranges) - 1)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_before,
+                n_after,
+                ev.count(),
+                out.count(),
+                bool(disjoint),
+            )
+        ],
+        "files_before int, files_after int, rows_before long, rows_after long, sorted_disjoint boolean",
+    )

@@ -148,3 +148,16 @@ def test_scan_binary_matches_document_bytes(spark):
         assert got[f"doc_{d.doc_id:04d}.bin"] == (
             len(raw), hashlib.md5(raw).hexdigest()
         )
+
+
+def test_registered_compaction_invariants(spark):
+    """The registered compaction query must report full row
+    preservation, the requested file reduction, and disjoint per-file
+    sort ranges."""
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    r = QUERIES["q_compact_small_files"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.files_before == 64 and r.files_after == 4
+    assert r.rows_before == r.rows_after
+    assert r.sorted_disjoint
