@@ -805,3 +805,42 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("l_quantity").cast("long")).alias("qty"),
     )
+
+
+@query(
+    "q_cte_recursive",
+    oracle="""
+    WITH RECURSIVE days(d) AS (
+      SELECT DATE '2023-12-30'
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY FROM days WHERE d < DATE '2024-02-02'
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, COALESCE(n, 0) AS n
+    FROM days
+    LEFT JOIN (SELECT CAST(ts AS DATE) AS ed, COUNT(*) AS n
+               FROM events GROUP BY 1) e ON e.ed = d
+    """,
+)
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4) driving time-series GAP FILLING: a
+    recursively generated calendar spine (deliberately wider than the
+    data: Dec 30 – Feb 2) left-joined to daily event counts, so days
+    with no events appear as explicit zeros — the series shape
+    downstream forecasting/monitoring needs, which a plain GROUP BY
+    silently omits. The spine is O(days) rows; the fact side
+    aggregates before the join, so the recursion never touches event
+    volume."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE days(d) AS (
+          SELECT DATE '2023-12-30'
+          UNION ALL
+          SELECT date_add(d, 1) FROM days WHERE d < DATE '2024-02-02'
+        )
+        SELECT date_format(d, 'yyyy-MM-dd') AS day, COALESCE(n, 0) AS n
+        FROM days
+        LEFT JOIN (SELECT to_date(ts) AS ed, COUNT(*) AS n
+                   FROM events_rc GROUP BY 1) e ON e.ed = d
+        """
+    )
