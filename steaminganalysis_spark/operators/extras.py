@@ -844,3 +844,35 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM events_rc GROUP BY 1) e ON e.ed = d
         """
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse each event's JSON
+    props to a variant once, path-extract with `variant_get` (binary
+    variant access — no per-access JSON re-parse, the point of the
+    type), filter and aggregate. The oracle is DuckDB's JSON path
+    extraction over the same strings."""
+    ev = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
