@@ -547,3 +547,72 @@ def test_parquet_sink_exactly_once(spark, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() == 1000
     assert written.select("event_id").distinct().count() == 1000
+
+
+def test_statestore_reader_exposes_streaming_state(spark, tmp_path):
+    """Spark 4 state-store data source: the checkpointed state of a
+    streaming aggregation must be readable as a DataFrame and agree
+    with the batch answer — the ops/debugging window into stateful
+    streams."""
+    name = f"st_{uuid.uuid4().hex[:6]}"
+    ckpt = str(tmp_path / "ckpt")
+    agg = (
+        events_stream(spark, "/root/testdata/sf0.001")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.read.format("statestore").load(ckpt)
+    # the state value carries the aggregate BUFFER field name ("count"),
+    # not the output alias
+    got = {
+        r["key"]["event_type"]: r["value"]["count"] for r in state.collect()
+    }
+    from steaminganalysis_spark.sources import load
+
+    batch = {
+        r.event_type: r.n
+        for r in load(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_observe_collects_runtime_metrics(spark):
+    """df.observe: per-action runtime metrics (row counts, sums)
+    without a second scan — the lineage-free accounting hook a
+    production pipeline attaches to every stage."""
+    from pyspark.sql import Observation
+
+    from steaminganalysis_spark.sources import load
+
+    obs = Observation("pipeline_metrics")
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    out = (
+        ev.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "purchases"
+            ),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    n_users = out.count()
+    m = obs.get
+    assert m["rows_in"] == ev.count()
+    assert m["purchases"] >= n_users  # every counted user has >=1 purchase
