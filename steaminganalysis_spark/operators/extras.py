@@ -876,3 +876,36 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@query(
+    "q_source_python",
+    oracle="""
+    WITH g AS (
+      SELECT i AS order_id, (i * 2654435761) % 100000 AS amount_cents
+      FROM generate_series(0, 9999) AS t(i)
+    ), r AS (
+      SELECT order_id, amount_cents,
+             CASE WHEN amount_cents % 10 < 7 THEN 'paid' ELSE 'refund' END AS status,
+             printf('2024-01-%02d', CAST(order_id % 30 + 1 AS INT)) AS day
+      FROM g
+    )
+    SELECT day, status, COUNT(*) AS n, SUM(amount_cents) AS cents
+    FROM r GROUP BY day, status
+    """,
+)
+def source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 connector API) end-to-end:
+    the `sa_ledger` source plans 8 partitions and generates rows as a
+    pure function of order_id (`sources.pysource.ledger_row`), so the
+    DuckDB oracle reconstructs the identical table from
+    generate_series arithmetic — a fully verifiable custom connector.
+    The aggregate on top proves partition-parallel reads compose with
+    the rest of the engine."""
+    from steaminganalysis_spark.sources.pysource import register_ledger_source
+
+    register_ledger_source(spark)
+    ledger = spark.read.format("sa_ledger").load()
+    return ledger.groupBy("day", "status").agg(
+        F.count("*").alias("n"), F.sum("amount_cents").alias("cents")
+    )

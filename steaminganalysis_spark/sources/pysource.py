@@ -1,0 +1,70 @@
+"""Custom Python data source (Spark 4 DataSource API) — the extension
+point a proprietary store's connector plugs into, demonstrated with a
+deterministic synthetic order ledger.
+
+The connector implements the full batch-read contract:
+- ``schema()`` — declared schema, no inference pass;
+- ``partitions()`` — split planning: N ranges, each read independently
+  by an executor (the parallelism contract a real connector maps to
+  its shards/segments);
+- ``read(partition)`` — per-partition row generation, a pure function
+  of order_id, so the source is reproducible on any engine and the
+  DuckDB oracle can regenerate the identical table with
+  ``generate_series`` arithmetic.
+
+Reference lineage: the reference's MockData/KafkaProducer feeder
+(Producer:16-62) is exactly this — a synthetic deterministic feed; here
+it is a first-class pluggable source instead of a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+LEDGER_ROWS = 10_000
+LEDGER_PARTITIONS = 8
+_MULT = 2654435761  # Knuth multiplicative hash constant
+
+
+def ledger_row(oid: int) -> tuple[int, str, int, str]:
+    """The ledger's generator — one pure function shared by the Spark
+    reader and (re-expressed in SQL) the DuckDB oracle."""
+    amount = (oid * _MULT) % 100_000
+    status = "paid" if amount % 10 < 7 else "refund"
+    day = f"2024-01-{oid % 30 + 1:02d}"
+    return oid, day, amount, status
+
+
+class LedgerReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n_rows", LEDGER_ROWS))
+        self.p = int(options.get("n_partitions", LEDGER_PARTITIONS))
+
+    def partitions(self):
+        step = (self.n + self.p - 1) // self.p
+        return [
+            InputPartition((lo, min(self.n, lo + step)))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: InputPartition):
+        lo, hi = partition.value
+        for oid in range(lo, hi):
+            yield ledger_row(oid)
+
+
+class LedgerDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sa_ledger"
+
+    def schema(self) -> str:
+        return "order_id long, day string, amount_cents long, status string"
+
+    def reader(self, schema):
+        return LedgerReader(self.options)
+
+
+def register_ledger_source(spark) -> None:
+    """Idempotent registration (latest registration wins in Spark)."""
+    spark.dataSource.register(LedgerDataSource)
