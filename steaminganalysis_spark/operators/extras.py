@@ -909,3 +909,50 @@ def source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ledger.groupBy("day", "status").agg(
         F.count("*").alias("n"), F.sum("amount_cents").alias("cents")
     )
+
+
+@query(
+    "q_stream_source_python",
+    oracle="""
+    WITH g AS (
+      SELECT i AS order_id, (i * 2654435761) % 100000 AS amount_cents
+      FROM generate_series(0, 9999) AS t(i)
+    ), r AS (
+      SELECT amount_cents,
+             CASE WHEN amount_cents % 10 < 7 THEN 'paid' ELSE 'refund' END AS status
+      FROM g
+    )
+    SELECT status, COUNT(*) AS n, SUM(amount_cents) AS cents
+    FROM r GROUP BY status
+    """,
+)
+def stream_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom connector's STREAMING half, run to completion: the
+    sa_ledger source emits the deterministic ledger in 2500-row
+    micro-batches (offsets = row positions, committed ranges exactly
+    replayable), aggregated in complete mode. The oracle regenerates
+    the same rows with generate_series arithmetic — stream, batch and
+    SQL all agree on the connector's contract."""
+    import uuid as _uuid
+
+    from steaminganalysis_spark.sources.pysource import register_ledger_source
+
+    register_ledger_source(spark)
+    name = f"ledger_stream_{_uuid.uuid4().hex[:8]}"
+    agg = (
+        spark.readStream.format("sa_ledger")
+        .load()
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), F.sum("amount_cents").alias("cents"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -19,7 +19,12 @@ it is a first-class pluggable source instead of a driver-side loop.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 LEDGER_ROWS = 10_000
 LEDGER_PARTITIONS = 8
@@ -64,7 +69,40 @@ class LedgerDataSource(DataSource):
     def reader(self, schema):
         return LedgerReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return LedgerStreamReader(self.options)
+
 
 def register_ledger_source(spark) -> None:
     """Idempotent registration (latest registration wins in Spark)."""
     spark.dataSource.register(LedgerDataSource)
+
+
+class LedgerStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector: offsets are row positions;
+    each micro-batch emits the next chunk of the deterministic ledger,
+    and `readBetweenOffsets` regenerates any committed range exactly —
+    the replayability contract checkpoint recovery depends on. When
+    the ledger is exhausted, `read` returns an empty batch at the same
+    offset, so run-to-completion harnesses terminate."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n_rows", LEDGER_ROWS))
+        self.batch = int(options.get("rows_per_batch", 2500))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        # a LIST ITERATOR, not a generator and not a bare list: the
+        # prefetch cache copy.copy()s the iterator (generators are not
+        # copyable) and probes exhaustion with next() (lists are not
+        # iterators)
+        pos = int(start["pos"])
+        end = min(self.n, pos + self.batch)
+        return iter([ledger_row(i) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [ledger_row(i) for i in range(int(start["pos"]), int(end["pos"]))]
+        )
