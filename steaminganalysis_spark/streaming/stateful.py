@@ -154,3 +154,63 @@ def session_tracker(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ------------- transformWithStateInPandas (Spark 4 successor API)
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """`StatefulProcessor` twin of `running_user_totals` on the
+    transformWithStateInPandas API (Spark 4's successor to
+    applyInPandasWithState): typed ValueState instead of a packed
+    tuple, explicit init/close lifecycle, and the same bounded
+    three-scalar per-user state. A module-level subclass — the
+    processor is pickled to the stateful worker by reference."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "totals",
+            "n_events long, spend_cents long, last_seen string",
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, spend, last = (
+            self._state.get() if self._state.exists() else (0, 0, "")
+        )
+        for pdf in rows:
+            n += len(pdf)
+            is_purchase = pdf["event_type"] == "purchase"
+            spend += int(round(pdf.loc[is_purchase, "value"].sum() * 100))
+            if len(pdf):
+                last = max(last, str(pdf["ts"].max()))
+        self._state.update((n, spend, last))
+        import pandas as _pd
+
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "spend_cents": [spend],
+                "last_seen": [last],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """`running_user_totals` on the new API. Requires the RocksDB state
+    store provider (transformWithState's backing store) and the
+    ``protobuf`` package (the TWS worker protocol) — absent in this
+    container, so the batch-equivalence test skip-guards on it; the
+    applyInPandasWithState twin above is the fully-executed path
+    here."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

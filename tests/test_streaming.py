@@ -616,3 +616,64 @@ def test_observe_collects_runtime_metrics(spark):
     m = obs.get
     assert m["rows_in"] == ev.count()
     assert m["purchases"] >= n_users  # every counted user has >=1 purchase
+
+
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas operator must produce
+    the same final per-user profile as the batch aggregation (and as
+    the applyInPandasWithState twin it supersedes). Environment-gated:
+    the TWS worker protocol needs google.protobuf, absent in this
+    container — the operator is wired and this test runs wherever
+    protobuf is installed (same policy as the Redis/Kafka adapters)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not installed (TWS worker protocol)")
+    from steaminganalysis_spark.sources import load
+    from steaminganalysis_spark.streaming.stateful import running_user_totals_tws
+
+    sf = "/root/testdata/sf0.001"
+    name = f"tws_{uuid.uuid4().hex[:6]}"
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = running_user_totals_tws(events_stream(spark, sf))
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    # last update per user is the final profile
+    got = {}
+    for r in spark.table(name).collect():
+        got[r.user_id] = (r.n_events, r.spend_cents)
+    ev = load(spark, sf, "events")
+    batch = {
+        r.user_id: (r.n, r.cents)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == batch
