@@ -148,3 +148,19 @@ def test_registered_frame_sample_invariants(spark):
     for r in rows:
         assert r.first_idx == 0 and r.last_idx % 2 == 0
         assert r.n_sampled >= 1 and r.total_bytes > 0
+
+
+def test_registered_audio_features_invariants(spark):
+    """Registered audio features: positive RMS, window count fixed,
+    zero-crossings bounded by sample count."""
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    rows = QUERIES["q_multimodal_audio_features"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.rms > 0
+        assert len(r.window_rms_s.split(",")) == 4
+        assert 0 <= r.zero_crossings < r.n_samples
