@@ -467,10 +467,10 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates come from 24-table × 2-bit hyperplane LSH buckets
     (equi-join on (table, bucket), never an all-pairs cross join), then
-    every candidate is re-scored with the exact cosine. Recall vs the
-    exact all-pairs baseline is ~1-3e-4 per true pair at τ=0.4 and
-    exact equality on the test data is pinned in tests; the registered
-    oracle stays the exact all-pairs SQL."""
+    every candidate is re-scored with the exact cosine. Per-true-pair
+    miss probability vs the exact all-pairs baseline is ~5e-6 at τ=0.4;
+    exact equality on the test data is pinned in tests, and the
+    registered oracle stays the exact all-pairs SQL."""
     base = _emb_double(spark, sf_dir)
     cand = _lsh_candidate_pairs(base, THRESH_LSH_TABLES, THRESH_LSH_BITS)
     return _score_pairs_exact(base, cand, 0.4)

@@ -126,13 +126,19 @@ def day_rollup_with_dead_letters(
     batch rewrites the same files — idempotent by construction), and
     the KV rollup commits its increments atomically with its own
     last-applied-batch watermark."""
-    from steaminganalysis_spark.streaming.sinks import apply_day_rollup_batch
+    from steaminganalysis_spark.streaming.sinks import (
+        apply_day_rollup_batch,
+        checkpoint_scope,
+    )
+
+    scope = checkpoint_scope(checkpoint_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         good, dead = split_dead_letters(batch_df)
         dead.write.mode("overwrite").parquet(f"{dead_letter_dir}/batch_id={batch_id}")
         apply_day_rollup_batch(
-            classify_orders(good), batch_id, agg_fn, store_name=store_name
+            classify_orders(good), batch_id, agg_fn, store_name=store_name,
+            scope=scope,
         )
 
     return (

@@ -171,7 +171,9 @@ class RedisKVStore:
     def keys(self) -> list[str]:
         # SCAN (cursor-based, non-blocking) with a server-side TYPE
         # filter — never KEYS *, which blocks a production keyspace.
-        return list(self._r.scan_iter(match="*", _type="hash"))
+        # SCAN is at-least-once under concurrent writes: dedupe, or a
+        # twice-returned key double-counts in any caller that sums.
+        return list(dict.fromkeys(self._r.scan_iter(match="*", _type="hash")))
 
     def setnx(self, key: str, value: str) -> bool:
         return bool(self._r.setnx(key, value))
@@ -192,6 +194,29 @@ class RedisKVStore:
 
 
 KEY_PREFIX = "sa-spark-"  # reference used "n-ko-" / "zk-ko-" (KafkaApp:72, ZkApp:105)
+
+
+def checkpoint_scope(checkpoint_dir: str) -> str:
+    """Canonical idempotence scope for a checkpoint location: strip any
+    file: scheme, resolve to an absolute path, drop trailing slashes,
+    THEN hash — so '/ckpt', '/ckpt/' and 'file:///ckpt' (which Spark
+    resolves to the same checkpoint) share one watermark. A different
+    spelling producing a different scope would replay the last
+    committed batch against a fresh watermark and double-count.
+    (Stores written before scoping existed used the single key
+    'sa-spark-last-applied-batch'; redeploying over one accepts a
+    one-batch replay — acceptable because that marker guarded a weaker
+    contract to begin with.)"""
+    import hashlib
+    import os as _os
+
+    p = checkpoint_dir
+    for scheme in ("file://", "file:"):
+        if p.startswith(scheme):
+            p = p[len(scheme):]
+            break
+    p = _os.path.abspath(p).rstrip("/") or "/"
+    return hashlib.md5(p.encode()).hexdigest()[:12]
 
 
 def apply_day_rollup_batch(
@@ -254,9 +279,7 @@ def day_rollup_sink(
     commitAsync, ZkApp.scala:114-116 ZK znodes). The idempotence
     watermark is scoped to this checkpoint (batch ids are monotonic per
     checkpoint), so streams sharing one store never collide."""
-    import hashlib
-
-    scope = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    scope = checkpoint_scope(checkpoint_dir)
     return (
         raw_stream.writeStream.outputMode("append")
         .foreachBatch(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -41,6 +42,15 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def _purchase_cents(pdf: pd.DataFrame) -> int:
+    """Per-ROW floor(v*100+0.5) — the engine's to_cents convention.
+    Never round a batch-level float sum: its error compounds once per
+    micro-batch and banker's rounding diverges from the SQL twin on
+    exact .5 boundaries."""
+    v = pdf.loc[pdf["event_type"] == "purchase", "value"].to_numpy()
+    return int(np.floor(v * 100.0 + 0.5).sum()) if len(v) else 0
+
+
 def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -48,8 +58,7 @@ def _update(
     n, spend, last = state.get if state.exists else (0, 0, "")
     for pdf in pdfs:
         n += len(pdf)
-        is_purchase = pdf["event_type"] == "purchase"
-        spend += int(round(pdf.loc[is_purchase, "value"].sum() * 100))
+        spend += _purchase_cents(pdf)
         if len(pdf):
             last = max(last, str(pdf["ts"].max()))
     state.update((n, spend, last))
@@ -181,8 +190,7 @@ class RunningTotalsProcessor(StatefulProcessor):
         )
         for pdf in rows:
             n += len(pdf)
-            is_purchase = pdf["event_type"] == "purchase"
-            spend += int(round(pdf.loc[is_purchase, "value"].sum() * 100))
+            spend += _purchase_cents(pdf)
             if len(pdf):
                 last = max(last, str(pdf["ts"].max()))
         self._state.update((n, spend, last))

@@ -72,7 +72,7 @@ def test_threshold_pairs_lsh_equals_all_pairs(spark):
     """The registered q_sim_threshold_pairs generates candidates via
     24-table × 2-bit hyperplane LSH then re-scores exactly. On the
     deterministic fixtures its output must EQUAL the exact all-pairs
-    baseline (per-true-pair miss ≈ 3e-4 at τ=0.4; the data is fixed,
+    baseline (per-true-pair miss ≈ 5e-6 at τ=0.4; the data is fixed,
     so equality here implies equality under the driver's oracle)."""
     from steaminganalysis_spark.operators.llm import sim_threshold_pairs_all_pairs
 
