@@ -207,3 +207,44 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf, LATERAL sa_tokenize(text) AS t
         """
     )
+
+
+@query(
+    "q_udf_mapinarrow",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 200.0 + 0.5) AS BIGINT))
+             AS dbl_cents
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow`: the lowest-level Arrow surface — the UDF receives
+    raw `pyarrow.RecordBatch`es (no pandas conversion at all) and uses
+    pyarrow compute kernels. Completes the map-side Python trio
+    (mapInPandas in multimodal, applyInPandas in B.10): doubling
+    quantities to integer cents batch-at-a-time, then a JVM aggregate
+    on top. Arrow compute multiplies columnar buffers — the cheapest
+    possible Python detour when pandas semantics aren't needed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def double_cents(batches):
+        for batch in batches:
+            q = pc.cast(batch.column("l_quantity"), pa.float64())
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(q, pa.scalar(200.0)), pa.scalar(0.5))),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_linestatus"), cents],
+                names=["l_linestatus", "cents"],
+            )
+
+    li = load(spark, sf_dir, "lineitem").select("l_linestatus", "l_quantity")
+    mapped = li.mapInArrow(double_cents, schema="l_linestatus string, cents long")
+    return mapped.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("dbl_cents")
+    )
