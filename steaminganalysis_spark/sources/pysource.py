@@ -106,3 +106,56 @@ class LedgerStreamReader(SimpleDataSourceStreamReader):
         return iter(
             [ledger_row(i) for i in range(int(start["pos"]), int(end["pos"]))]
         )
+
+
+class LedgerPushdownReader(LedgerReader):
+    """`LedgerReader` + filter pushdown INTO the connector: equality
+    filters on `status` are absorbed (`pushFilters` keeps them and
+    returns the rest to Spark), and `read` skips non-matching rows at
+    generation time — rows Spark never sees, the way a real connector
+    turns a predicate into an index/range read.
+
+    Lives on a SEPARATE source name (`sa_ledger_pd`): a reader that
+    implements `pushFilters` hard-errors when
+    ``spark.sql.python.filterPushdown.enabled`` is false (the
+    default), and the registered oracle queries must run under any
+    plain session."""
+
+    def __init__(self, options: dict) -> None:
+        super().__init__(options)
+        self.status_filters: list[str] = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import EqualTo
+
+        remaining = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("status",):
+                self.status_filters.append(f.value)
+            else:
+                remaining.append(f)
+        return iter(remaining)
+
+    def read(self, partition: InputPartition):
+        lo, hi = partition.value
+        for oid in range(lo, hi):
+            row = ledger_row(oid)
+            if self.status_filters and row[3] not in self.status_filters:
+                continue
+            yield row
+
+
+class LedgerPushdownDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sa_ledger_pd"
+
+    def schema(self) -> str:
+        return "order_id long, day string, amount_cents long, status string"
+
+    def reader(self, schema):
+        return LedgerPushdownReader(self.options)
+
+
+def register_ledger_pushdown_source(spark) -> None:
+    spark.dataSource.register(LedgerPushdownDataSource)

@@ -79,3 +79,34 @@ def test_round2_correctness_window_composition():
         k.startswith(("q_agg_", "q_fn_", "q_dedup_", "q_sim_", "q_text_"))
         for k in first50
     ), first50
+
+
+def test_python_source_filter_pushdown(spark):
+    """Filter pushdown into the custom Python connector: with the
+    pushdown conf on, an EqualTo('status') predicate is absorbed by
+    the reader (generation-time skip; the post-scan Filter keeps only
+    the isnotnull residual) and the result matches the non-pushdown
+    source filtered by Spark."""
+    from steaminganalysis_spark.sources.pysource import (
+        register_ledger_pushdown_source,
+        register_ledger_source,
+    )
+
+    register_ledger_source(spark)
+    register_ledger_pushdown_source(spark)
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(conf_key, "false")
+    spark.conf.set(conf_key, "true")
+    try:
+        pushed = (
+            spark.read.format("sa_ledger_pd").load().filter("status = 'paid'")
+        )
+        plain = spark.read.format("sa_ledger").load().filter("status = 'paid'")
+        got = {tuple(r) for r in pushed.collect()}
+        exp = {tuple(r) for r in plain.collect()}
+        assert got == exp and len(got) > 0
+        plan = pushed._jdf.queryExecution().executedPlan().toString()
+        # the equality predicate was absorbed: no post-scan status=paid
+        assert "= paid" not in plan and "isnotnull" in plan
+    finally:
+        spark.conf.set(conf_key, prev)
