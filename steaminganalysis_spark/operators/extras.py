@@ -956,3 +956,97 @@ def stream_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "q_ts_similarity",
+    oracle="""
+    WITH grid AS (
+      SELECT u.user_id, h.h
+      FROM (SELECT DISTINCT user_id FROM events) u,
+           unnest(generate_series(0, 23)) AS h(h)
+    ), cnt AS (
+      SELECT user_id, EXTRACT(hour FROM ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), prof AS (
+      SELECT g.user_id,
+             array_agg(CAST(COALESCE(cnt.n, 0) AS DOUBLE) ORDER BY g.h) AS v
+      FROM grid g LEFT JOIN cnt ON g.user_id = cnt.user_id AND g.h = cnt.h
+      GROUP BY g.user_id
+    ), n AS (
+      SELECT user_id, v,
+             sqrt(list_sum(list_transform(generate_series(1, len(v)),
+                                          i -> v[i] * v[i]))) AS nrm
+      FROM prof
+    ), pairs AS (
+      SELECT a.user_id AS query_id, b.user_id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, len(a.v)),
+                                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)
+               AS cosine
+      FROM n a JOIN n b ON a.user_id < 5 AND a.user_id != b.user_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY round(cosine, 6) DESC, neighbor_id) AS rn
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (EDBT'19 shape) over DERIVED
+    series: each user's 24-dim hour-of-day activity profile (dense —
+    missing hours explicit zeros via a user×hour grid), then cosine
+    top-3 neighbors for the query users. Profiles are tiny fixed-width
+    vectors, so the query side broadcasts and the corpus of profiles
+    streams map-side — the same scale shape as q_sim_topk, applied to
+    features the engine built itself. Rounded-rank tiebreaks keep the
+    ranking engine-independent."""
+    from steaminganalysis_spark.functions import dot, norm
+
+    ev = load(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        "user_id", F.hour("ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("h"))
+    )
+    prof = (
+        grid.join(cnt, ["user_id", "h"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("h", F.coalesce("n", F.lit(0)).alias("n"))
+                    )
+                ),
+                lambda x: x["n"].cast("double"),
+            ).alias("v")
+        )
+    )
+    withn = prof.select("user_id", "v", norm(F.col("v")).alias("nrm"))
+    q = withn.filter(F.col("user_id") < 5).select(
+        F.col("user_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = withn.join(
+        F.broadcast(q), F.col("user_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("user_id").alias("neighbor_id"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rn")
+    )

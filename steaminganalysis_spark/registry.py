@@ -117,7 +117,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     not eyeballed): joins 12, tpch 21, windows 7, relational 14,
     sql_surface 9, udfs 8, storage 6, reshape 4, pipeline 11,
     streaming_queries 7, multimodal 4, aggregates 14,
-    functions_pack 12, llm 23, ann 3, extras 21 (176 total).
+    functions_pack 12, llm 23, ann 3, extras 22 (177 total).
 
     Rotation plan:
     - round 2 (THIS order): joins + tpch + windows + relational[:10]
