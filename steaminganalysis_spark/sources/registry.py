@@ -32,20 +32,33 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (``region nation customer supplier part
     orders lineitem events documents embeddings``) as a DataFrame.
 
-    Nanosecond-precision timestamp columns (events.ts) arrive as
-    nanos-since-epoch longs and are converted to TimestampType via
-    integer division (ns → µs, truncating exactly like DuckDB's µs
-    timestamps — double division would lose precision above 2^53)."""
+    Timestamp columns are normalized to TimestampType regardless of the
+    fixture's physical encoding, which has varied across driver rounds:
+
+    - nanos-since-epoch longs (legacy ``nanosAsLong`` read) → converted
+      via integer division (ns → µs, truncating exactly like DuckDB's µs
+      timestamps — double division would lose precision above 2^53);
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4
+      reads as TIMESTAMP_NTZ → cast to TIMESTAMP. The session timezone
+      is pinned UTC (session.py), so the cast reinterprets the same wall
+      clock as the same instant — bit-identical to what DuckDB sees in
+      its naive µs timestamps.
+
+    Downstream operators can therefore rely on plain TIMESTAMP semantics
+    (``unix_micros``, interval RANGE frames, watermarks) everywhere."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     _enable_nanos(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     actual = dict(df.dtypes)
     for field in TABLE_SCHEMAS[name].fields:
-        if isinstance(field.dataType, T.TimestampType) and actual.get(field.name) == "bigint":
-            df = df.withColumn(
-                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
-            )
+        if isinstance(field.dataType, T.TimestampType):
+            if actual.get(field.name) == "bigint":
+                df = df.withColumn(
+                    field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+                )
+            elif actual.get(field.name) == "timestamp_ntz":
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
@@ -56,14 +69,14 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source STREAM (the batch fixture
     replayed through Structured Streaming — SURVEY.md §5.2's
-    stream-batch equivalence harness). Declared schema, no inference;
-    nanos ts handled as in ``load``."""
+    stream-batch equivalence harness). Declared schema, no inference —
+    taken from one batch footer read so the physical ts encoding
+    (nanos-long / NTZ / adjusted) matches the file; normalized to
+    TimestampType exactly as in ``load``."""
     _enable_nanos(spark)
+    physical = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-            for f in TABLE_SCHEMAS["events"].fields
-        ]
+        [T.StructField(f.name, physical[f.name].dataType) for f in TABLE_SCHEMAS["events"].fields]
     )
     # the file stream source requires a directory; expose the single
     # fixture file through a symlinked dir (a real deployment points at
@@ -77,4 +90,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
     raw = spark.readStream.schema(schema).parquet(stream_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
