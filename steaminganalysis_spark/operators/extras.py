@@ -304,7 +304,7 @@ _SPAN = 8  # tokens per span (C4 dedups 3-sentence spans; fixtures have
       FROM chunks
     )
     SELECT doc_id, COUNT(*) AS n_spans,
-           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN span END,
                                    ' ' ORDER BY pos), '')) AS cleaned_hash
     FROM kept GROUP BY doc_id
@@ -406,7 +406,7 @@ def tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(l_returnflag, '<all>') AS rf,
            COALESCE(l_linestatus, '<all>') AS ls,
            COUNT(*) AS n,
-           SUM(CAST(l_quantity AS BIGINT)) AS qty
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -716,8 +716,8 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM o
     ), numbered AS (
       SELECT user_id, event_id, us,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM flagged
     )
     SELECT user_id, session_no, COUNT(*) AS n_events,
@@ -771,7 +771,7 @@ _SALT_N = 8
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n,
-           SUM(CAST(l_quantity AS BIGINT)) AS qty
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -851,7 +851,7 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
     FROM events
     WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
@@ -890,7 +890,7 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
              printf('2024-01-%02d', CAST(order_id % 30 + 1 AS INT)) AS day
       FROM g
     )
-    SELECT day, status, COUNT(*) AS n, SUM(amount_cents) AS cents
+    SELECT day, status, COUNT(*) AS n, CAST(SUM(amount_cents) AS BIGINT) AS cents
     FROM r GROUP BY day, status
     """,
 )
@@ -922,7 +922,7 @@ def source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN amount_cents % 10 < 7 THEN 'paid' ELSE 'refund' END AS status
       FROM g
     )
-    SELECT status, COUNT(*) AS n, SUM(amount_cents) AS cents
+    SELECT status, COUNT(*) AS n, CAST(SUM(amount_cents) AS BIGINT) AS cents
     FROM r GROUP BY status
     """,
 )

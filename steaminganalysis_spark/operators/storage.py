@@ -207,7 +207,10 @@ def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_partitioned_by_day(load(spark, sf_dir, "events"), path)
     df = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
-    return df.groupBy("day").agg(
+    # The partition column is inferred as DATE on read-back; emit it as
+    # a string per the registry's calendar-bucket convention (a DATE
+    # here is a driver value-hash red vs the oracle's VARCHAR).
+    return df.groupBy(F.col("day").cast("string").alias("day")).agg(
         F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
     )
 

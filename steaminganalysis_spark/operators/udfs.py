@@ -214,8 +214,8 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_linestatus,
            COUNT(*) AS n,
-           SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 200.0 + 0.5) AS BIGINT))
-             AS dbl_cents
+           CAST(SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 200.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS dbl_cents
     FROM lineitem
     GROUP BY l_linestatus
     """,

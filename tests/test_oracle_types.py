@@ -1,0 +1,30 @@
+"""Execution-free type-class audit of every oracle: the Spark schema
+is lazy and the DuckDB relation reports output types without running,
+so the whole registry is checked in seconds. Catches the round-2
+q_tpch_q12 class (DuckDB promoting integer SUMs to HUGEINT/DECIMAL,
+which the driver's value hash distinguishes from Spark's int64 even
+when values are equal) for ALL queries, not just the rotation window.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from steaminganalysis_spark.registry import collect_queries
+from tests.conftest import SF_DIR_CORRECTNESS
+from tests.oracle_harness import duck_connect, type_class_problems
+
+QUERIES, ORACLE = collect_queries()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duck_connect(SF_DIR_CORRECTNESS)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_type_classes_match(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR_CORRECTNESS)  # lazy — no execution
+    orel = duck.sql(ORACLE[name])  # bound — no execution
+    problems = type_class_problems(sdf.schema, orel.columns, orel.types, name)
+    assert not problems, "\n".join(problems)
