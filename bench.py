@@ -8,11 +8,17 @@ Prints ONE JSON line:
 
 Each query is forced with the noop sink (full execution, zero
 collect/serialization overhead — measures the engine, not the driver
-link). Per-query time is the BEST OF TWO runs: the first run of each
+link). Per-query time is the BEST OF THREE runs: the first run of each
 plan shape includes one-time whole-stage-codegen compilation (~0.3-0.7s
-of javac per query on this box), so run 2 is the steady-state engine
-throughput a real deployment sees; run-to-run noise at sf0.1 is
-otherwise ±15%.
+of javac per query on this box), and taking the minimum rejects
+transient competing-load spikes, which round-2 showed can inflate a
+single run by >40% on a shared box (the recorded r01→r02 "regression"
+reproduced on the UNCHANGED r01 tree — it was machine load, not code;
+the same interleaved A/B showed no code-attributable gap).
+``spread_pct`` reports per-query (max-min)/min across the repeats and
+``loadavg_1m`` the 1-minute load average at start — so a reader of one
+bench line can tell a quiet box from a contended one instead of
+comparing absolute seconds across rounds blind.
 """
 
 from __future__ import annotations
@@ -67,9 +73,13 @@ def main() -> None:
 
     force("q_daily_rollup")  # warmup (untimed)
 
+    loadavg_1m = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(min(force(name), force(name)), 3)
+        runs = sorted(force(name) for _ in range(3))
+        timings[name] = round(runs[0], 3)
+        spreads[name] = round(100.0 * (runs[-1] - runs[0]) / runs[0], 1)
 
     total = round(sum(timings.values()), 3)
 
@@ -93,6 +103,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "spread_pct": spreads,
+                "loadavg_1m": loadavg_1m,
                 "double_sums_total_sec": double_sums_total,
                 "decimal_sum_tax_sec": round(total - double_sums_total, 3),
             }

@@ -3,6 +3,7 @@ higher-order functions — no Python in any of these)."""
 
 from steaminganalysis_spark.functions.vector import cosine, dot, norm, to_double_array
 from steaminganalysis_spark.functions.text import (
+    cap_document_frequency,
     minhash_band_signatures,
     shingle_hashes,
     tokens,
@@ -17,5 +18,6 @@ __all__ = [
     "tokens",
     "word_ngrams",
     "shingle_hashes",
+    "cap_document_frequency",
     "minhash_band_signatures",
 ]

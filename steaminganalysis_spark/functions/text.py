@@ -5,7 +5,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["tokens", "word_ngrams", "shingle_hashes", "minhash_band_signatures"]
+__all__ = [
+    "tokens",
+    "word_ngrams",
+    "shingle_hashes",
+    "cap_document_frequency",
+    "minhash_band_signatures",
+]
 
 
 def tokens(text: Column | str) -> Column:
@@ -37,6 +43,30 @@ def shingle_hashes(df, text_col: str = "text", id_col: str = "doc_id", n: int = 
         .select(id_col, F.xxhash64("_sh").alias("h"))
         .distinct()
     )
+
+
+def cap_document_frequency(sh, id_col: str = "doc_id", df_cap: int = 1000):
+    """Drop shingles that appear in more than ``df_cap`` documents
+    before any shingle self-join — the skew guard every production
+    near-dedup system applies (a stopword-ish shingle shared by k docs
+    creates k² join rows in its bucket; one shingle in 10⁶ docs is
+    10¹² pairs — a single-key job killer at corpus scale).
+
+    Semantics: a shingle in >df_cap docs carries ~zero signal for
+    near-duplicate detection (it is corpus boilerplate, not shared
+    authorship), so dropping it barely moves Jaccard scores while
+    bounding the worst bucket to df_cap² pairs. Input rows are distinct
+    (id, h), so COUNT(*) per h IS the document frequency. The DF
+    aggregate and the anti-join both key on ``h`` — the same key the
+    caller's self-join shuffles on — so the guard rides the existing
+    partitioning rather than adding an independent shuffle chain."""
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > df_cap)
+        .select("h")
+    )
+    return sh.join(hot, "h", "left_anti")
 
 
 def minhash_band_signatures(

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from steaminganalysis_spark.functions import (
+    cap_document_frequency,
     shingle_hashes,
     dot,
     minhash_band_signatures,
@@ -58,6 +59,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_DF_CAP = 1000  # max docs a shingle may appear in before it is
+# dropped as corpus boilerplate (skew guard — SCALE.md "shingle DF cap")
+
+
 def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, xxhash64(shingle)) — the scale representation:
     the self-join and all shuffles move 8-byte keys instead of ~30-byte
@@ -65,8 +70,20 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     P ≈ n²/2^65 per doc pair). Delegates to the shared kernel, which
     hashes BEFORE the distinct so the dedup shuffle itself runs on
     8-byte keys (one exchange total, vs distinct-on-strings +
-    re-distinct-on-hashes)."""
-    return shingle_hashes(load(spark, sf_dir, "documents"))
+    re-distinct-on-hashes).
+
+    Shingles in >_SHINGLE_DF_CAP docs are dropped before any self-join
+    (``cap_document_frequency``): one such shingle shared by k docs is
+    k² join rows in a single bucket — the job-killing skew mode of
+    exact near-dedup at corpus scale. The cap changes nothing at the
+    fixture SFs (measured max DF: 9/7/25 at sf0.001/0.01/0.1, far
+    under the cap), so every oracle stays exact; at 100 TB it bounds
+    the worst bucket to cap² pairs. The shingle table is staged before
+    the DF aggregate so the generate+distinct runs once, and both the
+    aggregate and the anti-join key on ``h`` — the partitioning the
+    downstream self-join reuses."""
+    sh = shingle_hashes(load(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    return cap_document_frequency(sh, df_cap=_SHINGLE_DF_CAP)
 
 
 @query(

@@ -101,41 +101,75 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
     )
 
 
+# The driver's per-round correctness gate verifies the first ~50
+# registered queries in REGISTRATION ORDER, so the window is pinned as
+# an explicit key list (key-level, not module-import-level: round 3
+# needs three keys re-verified out of otherwise-green modules because
+# their implementations changed AFTER their round-1 green rows —
+# VERDICT.md r2 order #2).
+#
+# History: round 1 verified aggregates/functions_pack/llm/ann
+# (CORRECTNESS_r01.json, 50/50 green), round 2 verified joins/tpch/
+# windows/relational[:10] (CORRECTNESS_r02.json, 49/50 — the q12 red
+# was the HUGEINT oracle-type bug, fixed).
+#
+# Measured module sizes (re-measure with the import counter below
+# before every rotation — never eyeball): joins 12, tpch 21,
+# windows 7, relational 14, sql_surface 9, udfs 8, storage 6,
+# reshape 4, pipeline 11, streaming_queries 8 (incl. the new
+# flagship replay), multimodal 4, aggregates 14, functions_pack 12,
+# llm 23, ann 3, extras 22 (178 total).
+#
+# Remaining never-driver-checked after round 3 (for rounds 4-5):
+# relational's last 4 set-op/sort keys, extras (22), ann (3), the 3
+# keys deferred below, plus re-checks of any module edited since its
+# green round.
+ROUND3_WINDOW = [
+    # Stale-stamp re-verifications: these three were green in round 1
+    # but their implementations changed during round 2 (llm.py commit
+    # 3959e06, aggregates' dsum rework) — their stamps are stale.
+    "q_daily_rollup",
+    "q_dedup_ngram_jaccard",
+    "q_text_entropy",
+    # New this round: the reference's actual pipeline end-to-end
+    # (stream parse → classify → rollup → idempotent KV), hash-checked.
+    "q_stream_flagship_replay",
+    # sql_surface (9)
+    "q_subquery_scalar", "q_subquery_in_correlated", "q_cte", "q_fn_null",
+    "q_agg_minmax_by", "q_fn_explode", "q_fn_struct", "q_text_levenshtein",
+    "q_subquery_not_exists",
+    # udfs (8)
+    "q_udf_scalar", "q_udf_pandas", "q_udaf_grouped", "q_udtf_applyinpandas",
+    "q_udf_sql_registered", "q_udf_arrow", "q_udtf_python", "q_udf_mapinarrow",
+    # storage (6)
+    "q_scan_csv", "q_scan_orc", "q_scan_partitioned", "q_join_bucketed",
+    "q_scan_binary", "q_compact_small_files",
+    # reshape (3 of 4 — q_agg_approx_percentile is rows-only, deferred
+    # to round 4 where the weaker rows-only driver check costs least)
+    "q_pivot", "q_unpivot", "q_agg_percentile",
+    # pipeline (11)
+    "q_sample_hash", "q_dedup_latest_per_key", "q_sessionize",
+    "q_retention_cohorts", "q_funnel", "q_histogram", "q_dq_checks",
+    "q_train_test_split", "q_sample_stratified", "q_data_mix",
+    "q_text_pii_scrub",
+    # streaming_queries (5 of 7 — q_datagen and q_stream_neardup are
+    # rows-only, deferred to round 4)
+    "q_stream_tumbling_daily", "q_window_sliding", "q_session_window",
+    "q_stream_dedup", "q_stream_stream_join",
+    # multimodal (4; rows-only by design — binary synthesis)
+    "q_multimodal_decode", "q_multimodal_image_features",
+    "q_multimodal_frame_sample", "q_multimodal_audio_features",
+]
+
+
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    """Import every operator module (side effect: registration) and
-    return the populated registries.
-
-    IMPORT ORDER IS LOAD-BEARING — do not alphabetize. The driver's
-    per-round correctness gate verifies the first ~50 registered
-    queries in insertion order; round 1 verified aggregates/llm/ann/
-    functions_pack (CORRECTNESS_r01.json, all green). This order puts
-    the not-yet-driver-verified modules first so successive rounds
-    rotate the whole registry through the checked window.
-
-    Module sizes (verify with the per-module import counter in the
-    round-2 transcript before every rotation — these MUST be measured,
-    not eyeballed): joins 12, tpch 21, windows 7, relational 14,
-    sql_surface 9, udfs 8, storage 6, reshape 4, pipeline 11,
-    streaming_queries 7, multimodal 4, aggregates 14,
-    functions_pack 12, llm 23, ann 3, extras 22 (177 total).
-
-    Rotation plan:
-    - round 2 (THIS order): joins + tpch + windows + relational[:10]
-      = 50 (relational's last 4 spill past the window).
-    - round 3: sql_surface, udfs, storage, reshape, pipeline,
-      streaming_queries, multimodal (= 46), then extras (first 4 in
-      window) — move those imports to the front, everything else after.
-    - round 4: relational (covers its 4 unchecked), extras remainder,
-      ann, llm.
-    - round 5+: llm remainder, aggregates, functions_pack re-checks.
-    """
-    # Round-2 window: 12 + 21 + 7 + first 10 of relational = 50.
+    """Import every operator module (side effect: registration), then
+    reorder so ROUND3_WINDOW occupies the first 50 registration slots
+    — the slice the driver's correctness gate checks this round."""
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import tpch  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import windows  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import relational  # noqa: F401  isort: skip
-
-    # Next in the rotation (round-3 window).
     from steaminganalysis_spark.operators import sql_surface  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import udfs  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import storage  # noqa: F401  isort: skip
@@ -143,15 +177,21 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import pipeline  # noqa: F401  isort: skip
     from steaminganalysis_spark.streaming import queries as streaming_queries  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import multimodal  # noqa: F401  isort: skip
-
-    # Driver-verified green in round 1 (CORRECTNESS_r01.json).
     from steaminganalysis_spark.operators import aggregates  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import functions_pack  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import llm  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import ann  # noqa: F401  isort: skip
-
-    # New round-2 queries register last so they never displace the
-    # current correctness window; they rotate forward in later rounds.
     from steaminganalysis_spark.operators import extras  # noqa: F401  isort: skip
 
+    missing = [k for k in ROUND3_WINDOW if k not in QUERIES]
+    if missing:
+        raise RuntimeError(f"ROUND3_WINDOW names unregistered queries: {missing}")
+    window = set(ROUND3_WINDOW)
+    ordered = ROUND3_WINDOW + [k for k in QUERIES if k not in window]
+    reordered = {k: QUERIES[k] for k in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+    reordered_oracle = {k: ORACLE[k] for k in ordered if k in ORACLE}
+    ORACLE.clear()
+    ORACLE.update(reordered_oracle)
     return QUERIES, ORACLE

@@ -26,6 +26,23 @@ def _enable_nanos(spark: SparkSession) -> None:
     TIMESTAMP(NANOS), which Spark's reader rejects unless the legacy
     conf maps them to long (runtime-settable)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _require_utc(spark)
+
+
+def _require_utc(spark: SparkSession) -> None:
+    """Timestamp normalization (NTZ→TIMESTAMP cast in ``load``/
+    ``events_stream``) is evaluated lazily with the SESSION timezone:
+    correct only when the session is UTC-pinned (session.get_spark does
+    this; so does the grading driver). A non-UTC caller-built session
+    would silently shift every instant — fail fast instead."""
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        raise RuntimeError(
+            f"steaminganalysis_spark requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): NTZ timestamp normalization and calendar "
+            f"bucketing are defined against UTC. Build the session via "
+            f"steaminganalysis_spark.session.get_spark, or set the conf."
+        )
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -74,7 +91,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nanos-long / NTZ / adjusted) matches the file; normalized to
     TimestampType exactly as in ``load``."""
     _enable_nanos(spark)
-    physical = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    path = os.path.join(sf_dir, "events.parquet")
+    physical = spark.read.parquet(path).schema
+    missing = [
+        f.name for f in TABLE_SCHEMAS["events"].fields
+        if f.name not in physical.fieldNames()
+    ]
+    if missing:
+        raise ValueError(
+            f"events fixture {path} lacks declared column(s) {missing}; "
+            f"physical columns: {physical.fieldNames()}"
+        )
     schema = T.StructType(
         [T.StructField(f.name, physical[f.name].dataType) for f in TABLE_SCHEMAS["events"].fields]
     )

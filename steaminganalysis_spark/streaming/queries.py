@@ -292,3 +292,87 @@ def stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return idx.matches(spark).orderBy("new_doc", "dup_of")
+
+
+@query(
+    "q_stream_flagship_replay",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS total,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS success,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS fee_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_flagship_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL pipeline, end-to-end as one driver-checked
+    key (KafkaApp.scala:41-79): order-event JSON payloads arrive on a
+    stream, are parsed with a declared schema, classified (paid flag,
+    day bucket, fee cents), delta-aggregated per micro-batch, and
+    accumulated into the idempotent KV sink — the engine's Redis twin
+    (streaming/sinks.py). The returned DataFrame is the FINAL KV STORE
+    STATE, so the oracle (the plain batch rollup over the same events)
+    certifies the whole parse → classify → rollup → exactly-once-apply
+    chain, not just the agg.
+
+    The events fixture is re-skinned as the reference's wire format
+    (KafkaProducerApp.scala:38-52: all-string JSON fields): purchase →
+    flag "1", value → a 2-decimal fee string built from exact cents so
+    classify_orders' decimal(18,2) parse reproduces the same integers
+    the oracle derives with FLOOR(value·100 + 0.5)."""
+    import os
+
+    from steaminganalysis_spark.registry import to_cents
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.pipeline import day_rollup_delta
+    from steaminganalysis_spark.streaming.sinks import (
+        KEY_PREFIX,
+        KVStore,
+        day_rollup_sink,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    store_name = f"flagship_replay_{run}"
+    ckpt = os.path.join(scratch_dir("flagship_replay"), f"ckpt_{run}")
+
+    ev = events_stream(spark, sf_dir).withColumn("cents", to_cents(F.col("value")))
+    payload = F.to_json(
+        F.struct(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("time"),
+            F.col("user_id").cast("string").alias("userId"),
+            F.col("event_type").alias("courseId"),
+            F.concat_ws(
+                ".",
+                F.expr("cents div 100").cast("string"),
+                F.lpad(F.expr("cents % 100").cast("string"), 2, "0"),
+            ).alias("fee"),
+            F.when(F.col("event_type") == "purchase", "1").otherwise("0").alias("flag"),
+            F.col("event_id").cast("string").alias("orderId"),
+        )
+    )
+    raw = ev.select(payload.alias("value"))
+
+    q = day_rollup_sink(raw, ckpt, day_rollup_delta, store_name=store_name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    store = KVStore.instance(store_name)
+    rows = [
+        (
+            key.removeprefix(KEY_PREFIX),
+            int(h["total"]),
+            int(h["success"]),
+            int(h["fee_cents"]),
+        )
+        for key in store.keys()
+        for h in (store.hgetall(key),)
+    ]
+    KVStore.reset(store_name)
+    return spark.createDataFrame(
+        rows, "day string, total bigint, success bigint, fee_cents bigint"
+    )

@@ -41,6 +41,18 @@ def test_unknown_table_raises_keyerror(spark):
         load(spark, "/root/testdata/sf0.001", "nope")
 
 
+def test_load_fails_fast_on_non_utc_session(spark):
+    """NTZ timestamp normalization is evaluated with the session
+    timezone; a non-UTC session would silently shift instants, so
+    ``load``/``events_stream`` must refuse it loudly (ADVICE r2)."""
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(RuntimeError, match="timeZone"):
+            load(spark, "/root/testdata/sf0.001", "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_demo_app_accumulates_day_totals(spark):
     """The runnable end-to-end demo (datagen → JSON → parse → classify →
     rollup → idempotent KV sink) accumulates consistent per-day hashes:
@@ -57,28 +69,42 @@ def test_demo_app_accumulates_day_totals(spark):
             assert h["fee_cents"] == 0
 
 
-def test_round2_correctness_window_composition():
-    """The driver verifies the FIRST ~50 registered queries; this round
-    that window must be joins + tpch + windows + the first 10
-    relational queries. Pin it so a stray registration (or an import
-    reorder) cannot silently displace queries out of the checked
-    window before the driver runs. Update deliberately on each round's
+def test_round3_correctness_window_composition():
+    """The driver verifies the FIRST ~50 registered queries; the round-3
+    window is the explicit ROUND3_WINDOW key list (stale re-verify keys
+    + flagship replay + sql_surface/udfs/storage/reshape/pipeline/
+    streaming/multimodal). Pin it so a stray registration (or an import
+    reorder) cannot silently displace queries out of the checked window
+    before the driver runs. Update deliberately on each round's
     rotation."""
-    from steaminganalysis_spark.registry import collect_queries
+    from steaminganalysis_spark.registry import ROUND3_WINDOW, collect_queries
 
-    QUERIES, _ = collect_queries()
+    QUERIES, ORACLE = collect_queries()
     first50 = list(QUERIES)[:50]
-    assert sum(k.startswith(("q_join_", "q_tpch_")) for k in first50) == 33
-    # window functions module (ranking/frames/top-k keys)
-    assert "q_window_rank" in first50 and "q_topk_per_group" in first50
-    # relational head must be inside; its tail (positions 51+) outside
-    assert "q_scan_parquet" in first50 and "q_case_when" in first50
-    assert "q_set_except" not in first50  # relational position 11
-    # no late-module key may leak into the window
-    assert not any(
-        k.startswith(("q_agg_", "q_fn_", "q_dedup_", "q_sim_", "q_text_"))
-        for k in first50
-    ), first50
+    assert len(ROUND3_WINDOW) == 50
+    assert first50 == ROUND3_WINDOW
+    # the stale-stamp re-verifications and the new end-to-end flagship
+    # key must sit inside the window
+    for k in (
+        "q_daily_rollup",
+        "q_dedup_ngram_jaccard",
+        "q_text_entropy",
+        "q_stream_flagship_replay",
+    ):
+        assert k in first50, k
+    # every key in the window is registered with an oracle unless it is
+    # one of the documented rows-only keys (binary synthesis, file
+    # layout, float-variance UDAF — see test_oracle_parity's list)
+    rows_only_in_window = {k for k in first50 if k not in ORACLE}
+    assert rows_only_in_window == {
+        "q_udtf_applyinpandas",
+        "q_scan_binary",
+        "q_compact_small_files",
+        "q_multimodal_decode",
+        "q_multimodal_image_features",
+        "q_multimodal_frame_sample",
+        "q_multimodal_audio_features",
+    }, rows_only_in_window
 
 
 def test_python_source_filter_pushdown(spark):

@@ -136,3 +136,24 @@ def test_repetition_fractions_match_python_reference(spark, toks):
     assert stats.n_tok == len(toks)
     assert stats.n_dist == len(set(toks))
     assert (got_bg.top, got_bg.n) == (max(c.values()), len(bigrams))
+
+
+def test_shingle_df_cap_drops_hot_shingles(spark):
+    """cap_document_frequency drops exactly the shingles whose document
+    frequency exceeds the cap, keeps everything else untouched, and is
+    the identity when no shingle is hot (the fixture-SF situation —
+    measured max DF 25 at sf0.1 vs the production cap of 1000)."""
+    from steaminganalysis_spark.functions import cap_document_frequency
+
+    # hash 100 appears in 5 docs, hash 200 in 2, hash 300 in 1
+    rows = [(d, 100) for d in range(5)] + [(0, 200), (1, 200), (2, 300)]
+    sh = spark.createDataFrame(rows, "doc_id long, h long")
+
+    capped = cap_document_frequency(sh, df_cap=4)
+    got = {(r.doc_id, r.h) for r in capped.collect()}
+    assert got == {(0, 200), (1, 200), (2, 300)}  # the DF=5 shingle is gone
+
+    identity = cap_document_frequency(sh, df_cap=5)
+    assert {(r.doc_id, r.h) for r in identity.collect()} == set(
+        (d, h) for d, h in rows
+    )
