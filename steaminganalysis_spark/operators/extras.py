@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from steaminganalysis_spark.functions import shingle_hashes, tokens, word_ngrams
 from steaminganalysis_spark.registry import query, to_cents
 from steaminganalysis_spark.sources import load
+from steaminganalysis_spark.staging import stage
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -77,7 +78,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (shingling is per-doc, so filter-then-shingle == shingle-then-
     # filter); the staged table serves both splits — one corpus pass
     # instead of two.
-    sh_all = shingle_hashes(docs, n=5).localCheckpoint(eager=True)
+    sh_all = stage(shingle_hashes(docs, n=5), "decon_shingles", bucket_col="h")
     eval_sh = sh_all.filter(_is_eval("doc_id")).select("h").distinct()
     train_sh = sh_all.filter(~_is_eval("doc_id"))
     # rows are distinct per (doc_id, h) and eval_sh is distinct per h,

@@ -37,6 +37,7 @@ from steaminganalysis_spark.functions import (
 )
 from steaminganalysis_spark.registry import QUERIES, query
 from steaminganalysis_spark.sources import load
+from steaminganalysis_spark.staging import stage
 
 # ---------------------------------------------------------------- dedup
 
@@ -82,7 +83,7 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DF aggregate so the generate+distinct runs once, and both the
     aggregate and the anti-join key on ``h`` — the partitioning the
     downstream self-join reuses."""
-    sh = shingle_hashes(load(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    sh = stage(shingle_hashes(load(spark, sf_dir, "documents")), "shingles", bucket_col="h")
     return cap_document_frequency(sh, df_cap=_SHINGLE_DF_CAP)
 
 
@@ -118,11 +119,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # STAGE the annotated shingle table: without it Catalyst plans the
     # shingle generate+distinct FOUR times (a/b sides × rows/sizes —
     # exchange reuse does not canonicalize across the aliased
-    # branches). At 100 TB this staging is a persistent bucketed
-    # shingle table (operators.storage); in-process, localCheckpoint
-    # materializes it once (~13% faster even at sf0.1, identical
-    # output).
-    shn = sh.join(F.broadcast(sizes), "doc_id").localCheckpoint(eager=True)
+    # branches). ~13% faster even at sf0.1, identical output. The
+    # staging primitive is mode-switched (staging.stage): in-process
+    # localCheckpoint here, a durable h-bucketed table on a cluster.
+    shn = stage(sh.join(F.broadcast(sizes), "doc_id"), "jaccard_annotated", bucket_col="h")
     a = shn.alias("a")
     b = shn.alias("b")
     inter = (
@@ -172,11 +172,15 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise each recompute the whole shingle→minhash→band
     # pipeline (Catalyst does not canonicalize the aliased subtrees
     # for exchange reuse)
-    bands = minhash_band_signatures(
-        load(spark, sf_dir, "documents"),
-        n_minhash=N_MINHASH,
-        n_bands=N_BANDS,
-    ).localCheckpoint(eager=True)
+    bands = stage(
+        minhash_band_signatures(
+            load(spark, sf_dir, "documents"),
+            n_minhash=N_MINHASH,
+            n_bands=N_BANDS,
+        ),
+        "minhash_bands",
+        bucket_col="sig",
+    )
     cand = (
         bands.alias("x")
         .join(
@@ -193,7 +197,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact verification on the (small) candidate set; the staged
     # shingle table serves the a-side, b-side AND the size aggregate
     # (3 uses, 1 computation)
-    sh2 = _shingle_hashes(spark, sf_dir).localCheckpoint(eager=True)
+    sh2 = stage(_shingle_hashes(spark, sf_dir), "verify_shingles", bucket_col="doc_id")
     sizes = sh2.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh2.alias("a")
     b = sh2.alias("b")
@@ -271,8 +275,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bv"),
     ).select(
         "doc_id", "sig", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val")
-    ).localCheckpoint(eager=True)  # stage: the banded self-join would
-    # otherwise recompute the 32-column signature aggregate twice
+    )
+    # stage: the banded self-join would otherwise recompute the
+    # 32-column signature aggregate twice
+    blocks = stage(blocks, "simhash_blocks", bucket_col="val")
     cand = (
         blocks.alias("x")
         .join(
@@ -406,9 +412,10 @@ def _lsh_candidate_pairs(base: DataFrame, tables: int, bits: int) -> DataFrame:
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "tb.tbl", "tb.bkt").localCheckpoint(eager=True)
+    ).select("vec_id", "tb.tbl", "tb.bkt")
     # staged: the self-join's aliased branches would otherwise each
     # recompute tables×bits×dim projection sums per vector
+    buckets = stage(buckets, "lsh_buckets", bucket_col="bkt")
     return (
         buckets.alias("x")
         .join(
@@ -1149,7 +1156,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage the shingle table once (same rationale as
     # dedup_ngram_jaccard: Catalyst otherwise re-plans the
     # generate+distinct for each aliased branch)
-    sh = _shingle_hashes(spark, sf_dir).localCheckpoint(eager=True)
+    sh = stage(_shingle_hashes(spark, sf_dir), "containment_shingles", bucket_col="h")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     shn = sh.join(F.broadcast(sizes), "doc_id")
     a = shn.alias("a")

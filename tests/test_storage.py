@@ -161,3 +161,24 @@ def test_registered_compaction_invariants(spark):
     assert r.files_before == 64 and r.files_after == 4
     assert r.rows_before == r.rows_after
     assert r.sorted_disjoint
+
+
+def test_table_staging_matches_local(spark):
+    """SPARK_GRAFT_STAGING=table (durable bucketed-table staging — the
+    cluster deployment mode; localCheckpoint blocks die with executor
+    loss) must produce byte-identical results to the default local
+    mode on the staged-self-join operators."""
+    import os
+
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("q_dedup_ngram_jaccard", "q_dedup_containment"):
+        local = sorted(map(tuple, QUERIES[name](spark, sf).collect()))
+        os.environ["SPARK_GRAFT_STAGING"] = "table"
+        try:
+            table = sorted(map(tuple, QUERIES[name](spark, sf).collect()))
+        finally:
+            del os.environ["SPARK_GRAFT_STAGING"]
+        assert table == local, name
