@@ -105,6 +105,10 @@ def _ensure_nation_as(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         n = load(spark, sf_dir, "nation")
         if fmt == "csv":
             n.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+        elif fmt == "xml":
+            n.coalesce(1).write.mode("overwrite").format("xml").option(
+                "rowTag", "nation"
+            ).save(path)
         else:
             n.coalesce(1).write.mode("overwrite").orc(path)
     return path
@@ -148,6 +152,34 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     original."""
     path = _ensure_nation_as(spark, sf_dir, "orc")
     n = spark.read.orc(path)
+    return n.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+@query(
+    "q_scan_xml",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           min(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML batch scan (native in Spark 4 — no external package): the
+    nation table serialized as row-tagged XML once, read back with a
+    DECLARED schema (no inference job), aggregated, and oracle-checked
+    against the parquet original — proving the reader, not the
+    converter. Completes the batch-format matrix: parquet/ORC
+    (columnar), CSV/JSON/XML (row text), binaryFile (opaque)."""
+    path = _ensure_nation_as(spark, sf_dir, "xml")
+    n = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+    )
     return n.groupBy("n_regionkey").agg(
         F.count("*").alias("n_nations"), F.min("n_name").alias("first_name")
     )
@@ -323,4 +355,117 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         "files_before int, files_after int, rows_before long, rows_after long, sorted_disjoint boolean",
+    )
+
+
+def _zvalue(a, b, bits: int = 16):
+    """Morton/Z-order interleave of the low ``bits`` of two non-negative
+    int columns, as a pure JVM bit expression (32 shift/or terms — no
+    UDF): bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1,
+    so sorting by the result alternates locality between the two
+    dimensions."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+@query("q_zorder_layout")  # rows-only: file-layout op, invariants in the result row
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered rewrite — multi-dimensional data skipping, the
+    layout trick (Delta OPTIMIZE ZORDER, Hudi/Iceberg clustering) that
+    makes selective scans on EITHER of two columns prune row groups at
+    100 TB, where a single-column sort only serves one predicate.
+
+    The events table is rewritten twice into 8 files: a naive
+    hash-partitioned layout (what a parallel writer produces — every
+    file spans the full range of every column, so min/max skipping
+    prunes nothing) and a Z-clustered layout (range-partitioned +
+    sorted on the interleaved (user_id, hour) Morton code). The result
+    row carries the proof: exact row/checksum preservation, and the
+    mean per-file span of each dimension as a fraction of its global
+    span — ~1.0 for the naive layout, a fraction shrinking with file
+    count for the Z layout on BOTH dimensions at once. Invariants
+    pinned in tests/test_storage.py::test_zorder_layout_locality."""
+    from steaminganalysis_spark.registry import to_cents
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.sources import load as _load
+
+    tmp = scratch_dir("zorder")
+    naive_dir, z_dir = f"{tmp}/naive", f"{tmp}/zorder"
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("hour"),
+    )
+    ev.repartition(16).write.parquet(naive_dir)
+    # Normalize BOTH dimensions to the full 16-bit range before
+    # interleaving — otherwise the dimension with the wider raw span
+    # owns every high bit and the curve degenerates to a single-column
+    # sort (the standard Z-order pitfall). The 4 global min/max values
+    # are one metadata-sized aggregate.
+    g = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("hour"), F.max("hour")
+    ).first()
+    uspan, tspan = max(g[1] - g[0], 1), max(g[3] - g[2], 1)
+    unorm = ((F.col("user_id") - F.lit(g[0])) * F.lit(65535) / F.lit(uspan)).cast("long")
+    tnorm = ((F.col("hour") - F.lit(g[2])) * F.lit(65535) / F.lit(tspan)).cast("long")
+    ev.withColumn("z", _zvalue(unorm, tnorm)).repartitionByRange(
+        16, "z"
+    ).sortWithinPartitions("z").drop("z").write.parquet(z_dir)
+
+    def spans(path: str):
+        """Mean per-file span fraction of user_id and hour (≤8 rows of
+        file metadata — not a data-path collect)."""
+        df = spark.read.parquet(path)
+        per_file = (
+            df.select(F.input_file_name().alias("f"), "user_id", "hour")
+            .groupBy("f")
+            .agg(
+                F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+                F.min("hour").alias("tlo"), F.max("hour").alias("thi"),
+            )
+        )
+        g = df.agg(
+            F.min("user_id"), F.max("user_id"), F.min("hour"), F.max("hour")
+        ).first()
+        uspan = max(g[1] - g[0], 1)
+        tspan = max(g[3] - g[2], 1)
+        rows = per_file.collect()
+        mu = sum((r.uhi - r.ulo) / uspan for r in rows) / len(rows)
+        mt = sum((r.thi - r.tlo) / tspan for r in rows) / len(rows)
+        return round(mu, 4), round(mt, 4)
+
+    def checksum(path: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .agg(F.sum(to_cents(F.col("value")).cast("decimal(38,0)")))
+            .first()[0]
+        )
+
+    n_src = ev.count()
+    naive_u, naive_t = spans(naive_dir)
+    z_u, z_t = spans(z_dir)
+    return spark.createDataFrame(
+        [
+            (
+                n_src,
+                spark.read.parquet(z_dir).count(),
+                int(checksum(naive_dir)),
+                int(checksum(z_dir)),
+                naive_u,
+                naive_t,
+                z_u,
+                z_t,
+            )
+        ],
+        "rows_before long, rows_after long, cents_naive long, cents_zorder long, "
+        "naive_user_span double, naive_hour_span double, "
+        "zorder_user_span double, zorder_hour_span double",
     )

@@ -52,6 +52,7 @@ def test_every_query_has_oracle_or_is_documented():
         "q_multimodal_audio_features",  # binary synthesis not SQL-expressible
         "q_scan_binary",  # binaryFile source over a generated dir; bytes hash-verified in tests
         "q_compact_small_files",  # file-layout maintenance op; invariants in the result row
+        "q_zorder_layout",  # file-layout op; preservation + locality invariants in the result row
         "q_datagen",  # randomized generator; schema+domain-tested
     }
     assert rows_only <= documented, f"undocumented rows-only queries: {rows_only - documented}"

@@ -182,3 +182,23 @@ def test_table_staging_matches_local(spark):
         finally:
             del os.environ["SPARK_GRAFT_STAGING"]
         assert table == local, name
+
+
+def test_zorder_layout_locality(spark):
+    """The Z-clustered layout must preserve rows and checksums exactly
+    and shrink the mean per-file span of BOTH clustering dimensions
+    well below the naive layout's (which spans ~the full range in
+    every file) — the property that makes min/max row-group skipping
+    work on either predicate at scale."""
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    r = QUERIES["q_zorder_layout"](spark, "/root/testdata/sf0.01").first()
+    assert r.rows_before == r.rows_after
+    assert r.cents_naive == r.cents_zorder
+    # naive files span essentially the whole range on both dims
+    assert r.naive_user_span > 0.9 and r.naive_hour_span > 0.9
+    # z files are substantially narrower on BOTH dims at once (16
+    # files = 4 curve cuts = each dim quartered in expectation)
+    assert r.zorder_user_span < 0.5 * r.naive_user_span
+    assert r.zorder_hour_span < 0.5 * r.naive_hour_span
