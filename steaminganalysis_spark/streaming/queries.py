@@ -376,3 +376,42 @@ def stream_flagship_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "day string, total bigint, success bigint, fee_cents bigint"
     )
+
+
+@query(
+    "q_stream_static_join",
+    oracle=f"""
+    SELECT c_mktsegment AS mktsegment,
+           COUNT(*) AS n,
+           {SQL_DSUM("value")} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join, genuinely streamed: the events stream
+    enriches against the static customer dimension (the canonical
+    lookup-table pattern — Spark re-plans the static side per
+    micro-batch, so a dim refresh is picked up without restarting the
+    stream; the dim broadcasts, the stream never shuffles for the
+    join), then aggregates per market segment in complete mode. The
+    oracle is the equivalent batch join — stream-batch equivalence for
+    the B.3 stream-static row, which was previously only
+    harness-tested."""
+    name = f"ssj_static_{uuid.uuid4().hex[:8]}"
+    ev = events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
