@@ -198,3 +198,47 @@ def test_tpch_q21_exists_pair_is_semi_anti_not_cartesian(spark):
     plan = physical_plan(df)
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert_no_cartesian(df)
+
+
+def test_jaccard_post_staging_single_pair_shuffle(spark):
+    """The capped exact-Jaccard plan after staging: both self-join
+    branches read the SAME materialized shingle table, the DF cap has
+    already executed inside the staging, and the only exchange left is
+    the pair aggregate — the shape PLANS.md documents. A regression
+    that re-plans the shingle generate per branch or adds a shuffle to
+    the cap shows up here as extra exchanges."""
+    df = QUERIES["q_dedup_ngram_jaccard"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) <= 2  # pair agg (+ at most a broadcast build)
+
+
+def test_zvalue_interleave_roundtrip(spark):
+    """Morton interleave is exactly invertible: de-interleaving the
+    even/odd bits of _zvalue(a, b) recovers a and b for the full
+    16-bit corner set — so Z-clustering never conflates distinct
+    coordinates."""
+    from steaminganalysis_spark.operators.storage import _zvalue
+    from pyspark.sql import functions as F
+
+    vals = [0, 1, 2, 3, 0x5555, 0xAAAA, 0x7FFF, 0x8000, 0xFFFF]
+    rows = [(a, b) for a in vals for b in vals]
+    df = spark.createDataFrame(rows, "a long, b long").withColumn(
+        "z", _zvalue(F.col("a"), F.col("b"))
+    )
+    deint_a = sum(
+        [
+            F.shiftleft(F.shiftright(F.col("z"), 2 * i).bitwiseAND(F.lit(1)), i)
+            for i in range(16)
+        ],
+        F.lit(0).cast("long"),
+    )
+    deint_b = sum(
+        [
+            F.shiftleft(F.shiftright(F.col("z"), 2 * i + 1).bitwiseAND(F.lit(1)), i)
+            for i in range(16)
+        ],
+        F.lit(0).cast("long"),
+    )
+    bad = df.filter((deint_a != F.col("a")) | (deint_b != F.col("b"))).count()
+    assert bad == 0
