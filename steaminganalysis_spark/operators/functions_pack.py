@@ -422,3 +422,30 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     rare = F.filter(F.split("text", " "), lambda x: x == "zzzznever")
     return d.select("doc_id", F.explode_outer(rare).alias("tok"))
+
+
+@query(
+    "q_fn_try",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN (event_id % 7) = 0 THEN NULL
+                ELSE CAST(value / (event_id % 7) AS DOUBLE) END AS safe_div,
+           TRY_CAST(event_type AS BIGINT) AS bad_cast,
+           TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS good_cast
+    FROM events
+    """,
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe function family (`try_divide`, `try_cast`): NULL on
+    divide-by-zero / un-castable input instead of an ANSI runtime
+    error — the difference between a 10-hour pipeline dying at hour 9
+    on one malformed row and it completing with an auditable NULL.
+    DuckDB twin: TRY_CAST + an explicit zero-guard CASE (its division
+    is NULL-on-zero only in non-strict mode)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("event_id") % 7).alias("safe_div"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("bad_cast"),
+        F.expr("try_cast(CAST(event_id AS STRING) AS BIGINT)").alias("good_cast"),
+    )

@@ -250,3 +250,31 @@ def subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE o.o_custkey = c.c_custkey)
         """
     )
+
+
+@query(
+    "q_sql_group_by_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+/DuckDB): every non-aggregate select
+    item becomes a grouping key — removes the classic
+    silently-wrong-when-an-edit-forgets-the-GROUP-BY failure mode.
+    Same plan as the explicit form: partial+final hash aggregate, one
+    exchange."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM _gba_orders
+        GROUP BY ALL
+        """
+    )
