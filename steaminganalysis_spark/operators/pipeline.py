@@ -436,3 +436,110 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(seeded, F.lit(phone_re)).cast("int").alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+@query(
+    "q_corpus_pipeline",
+    oracle="""
+    WITH deduped AS (
+      -- stage 1: exact dedup, keep the lowest doc_id per content hash
+      SELECT doc_id, source, text
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+            FROM documents)
+      WHERE rn = 1
+    ), quality AS (
+      -- stage 2: cheap deterministic quality gate
+      SELECT doc_id, source, text,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_dist
+      FROM deduped
+    ), kept AS (
+      SELECT * FROM quality
+      WHERE n_tok >= 5
+        AND CAST(n_dist AS DOUBLE) / n_tok > 0.5
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  || ' ' || t[i+4] AS g
+      FROM toks, unnest(generate_series(1, len(t) - 4)) AS r(i)
+    ), eval_sh AS (
+      SELECT DISTINCT g FROM sh
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    ), contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN eval_sh e ON s.g = e.g
+      WHERE substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) >= '1a'
+    ), clean AS (
+      -- stage 3: decontaminate (drop train docs sharing any 5-gram
+      -- with the held-out eval split; eval docs themselves drop too)
+      SELECT k.* FROM kept k
+      WHERE substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) >= '1a'
+        AND NOT EXISTS (SELECT 1 FROM contaminated c
+                        WHERE c.doc_id = k.doc_id)
+    )
+    -- stage 4: corpus accounting per source
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM clean
+    GROUP BY source
+    """,
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM training-corpus pipeline END-TO-END — the
+    actual job this engine exists for, as one declarative plan:
+
+      exact dedup (keep-first per content hash)
+      → quality gate (length + duplicate-token ratio)
+      → decontamination (drop train docs sharing any 5-gram with the
+        hash-held-out eval split)
+      → per-source corpus accounting (docs, tokens).
+
+    Each stage is the registered kernel (q_dedup_exact,
+    q_quality_repetition's ratio, q_decontaminate) composed in one
+    DataFrame chain, so Catalyst fuses the whole thing: the dedup
+    window and the quality projection share the content-hash shuffle,
+    the contamination check is a broadcast-able semi-join on 8-byte
+    5-gram hashes, and nothing materializes between stages. The
+    oracle replays the identical four stages as one DuckDB CTE chain
+    — certifying the COMPOSITION, not just the parts."""
+    from steaminganalysis_spark.functions import shingle_hashes, tokens
+
+    docs = load(spark, sf_dir, "documents")
+
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    t = tokens("text")
+    quality = deduped.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(t).alias("n_tok"),
+        F.size(F.array_distinct(t)).alias("n_dist"),
+    )
+    kept = quality.filter(
+        (F.col("n_tok") >= 5)
+        & (F.col("n_dist").cast("double") / F.col("n_tok") > 0.5)
+    )
+
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    sh = shingle_hashes(docs, n=5)
+    eval_sh = sh.filter(is_eval).select("h").distinct()
+    contaminated = (
+        sh.filter(~is_eval).join(eval_sh, "h").select("doc_id").distinct()
+    )
+
+    clean = kept.filter(~is_eval).join(contaminated, "doc_id", "left_anti")
+    return clean.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
