@@ -1051,3 +1051,150 @@ def ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rn")
     )
+
+
+@query(
+    "q_ts_resample",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / (100.0 * COUNT(*)) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT b.user_id, CAST(g.d AS DATE) AS d
+      FROM bounds b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS g(d)
+    ), joined AS (
+      SELECT g.user_id, g.d, daily.v,
+             LAST_VALUE(daily.v IGNORE NULLS) OVER w AS pv,
+             LAST_VALUE(CASE WHEN daily.v IS NOT NULL THEN g.d END IGNORE NULLS)
+               OVER w AS pd,
+             FIRST_VALUE(daily.v IGNORE NULLS) OVER wf AS nv,
+             FIRST_VALUE(CASE WHEN daily.v IS NOT NULL THEN g.d END IGNORE NULLS)
+               OVER wf AS nd
+      FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
+      WINDOW w AS (PARTITION BY g.user_id ORDER BY g.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY g.user_id ORDER BY g.d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+           END, 6) AS value_interp,
+           (v IS NULL) AS interpolated
+    FROM joined
+    """,
+)
+def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with linear gap interpolation — the
+    standard densify step before any windowed model sees a series:
+    per-user DAILY mean value on a gap-free calendar grid (each user's
+    own [min_day, max_day] range via `sequence`), missing days filled
+    by linear interpolation between the nearest observed neighbors
+    (IGNORE NULLS window scans, one partition pass each way — no
+    self-join on the calendar). Exactness: daily means are integer
+    cents over counts, the interpolation expression is the identical
+    IEEE arithmetic on both engines, rounded to 6. One shuffle on
+    user_id shared by the window pair; the grid explode is map-side."""
+    ev = load(spark, sf_dir, "events")
+    cents = to_cents(F.col("value"))
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        (
+            F.sum(cents.cast("decimal(38,0)")).cast("double")
+            / (F.lit(100.0) * F.count("*"))
+        ).alias("v")
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    j = grid.join(daily, ["user_id", "d"], "left")
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    pv = F.last("v", ignorenulls=True).over(wb)
+    pd_ = F.last(obs_d, ignorenulls=True).over(wb)
+    nv = F.first("v", ignorenulls=True).over(wf)
+    nd = F.first(obs_d, ignorenulls=True).over(wf)
+    frac = F.datediff(F.col("d"), pd_).cast("double") / F.datediff(nd, pd_).cast(
+        "double"
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(interp, 6).alias("value_interp"),
+        F.col("v").isNull().alias("interpolated"),
+    )
+
+
+@query(
+    "q_scd2_from_cdc",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type AS status, ts
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, status,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+)
+def scd2_from_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change log: collapse each
+    user's event stream into status validity intervals — consecutive
+    equal statuses merge, each surviving change opens an interval
+    [valid_from, valid_to) closed by the next change (NULL = current
+    row). The lag-filter-lead chain shares ONE hash partitioning of
+    user_id; this is the warehouse-standard history table every
+    dimension pipeline maintains, derived with two window passes and
+    no self-join."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", F.col("event_type").alias("status"), "ts")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "status",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
