@@ -415,3 +415,42 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "q_stream_append_watermark",
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events),
+    agg AS (SELECT date_trunc('day', ts) AS d, COUNT(*) AS total
+            FROM events GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS day, total
+    FROM agg, wm WHERE d + INTERVAL 1 DAY <= wm.w
+    """,
+)
+def stream_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregation under a watermark — the
+    finalize-and-emit-once semantics (vs the tumbling query's
+    complete-mode accumulate-forever): a window row is emitted exactly
+    when the watermark (max event time − 1 h delay) passes its end,
+    after which late rows for it are DROPPED — bounded state, the only
+    viable mode when the day set is unbounded at 100 TB. Run to
+    completion over the events fixture, the emitted set is exactly the
+    windows whose end ≤ final watermark; the oracle states that rule
+    in SQL (the trailing partial day is deliberately absent — it was
+    never finalized). State per key is one open window; eviction is
+    the emission."""
+    name = f"stream_wm_{uuid.uuid4().hex[:8]}"
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("total"))
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "total"
+    )
