@@ -248,3 +248,49 @@ def udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.groupBy("l_linestatus").agg(
         F.count("*").alias("n"), F.sum("cents").alias("dbl_cents")
     )
+
+
+@query(
+    "q_udf_applyinarrow",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS qty_cents,
+           CAST(MAX(CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def udf_applyinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`applyInArrow` (Spark 4): grouped-map over raw `pyarrow.Table`s
+    — the grouped twin of `mapInArrow`, completing the Arrow surface
+    matrix (scalar `@pandas_udf` / map `mapInArrow` / grouped
+    `applyInPandas`+`applyInArrow`). Each group arrives as ONE Arrow
+    table; the whole-group reduction runs in pyarrow compute with no
+    pandas materialization. Group count is tiny (per line status) so
+    the per-group-Python cost is bounded; the exact-cents arithmetic
+    matches the oracle integer-for-integer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_group(table: pa.Table) -> pa.Table:
+        q = pc.cast(table.column("l_quantity"), pa.float64())
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(q, pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_linestatus": [table.column("l_linestatus")[0].as_py()],
+                "n": [table.num_rows],
+                "qty_cents": [pc.sum(cents).as_py()],
+                "max_cents": [pc.max(cents).as_py()],
+            }
+        )
+
+    li = load(spark, sf_dir, "lineitem").select("l_linestatus", "l_quantity")
+    return li.groupBy("l_linestatus").applyInArrow(
+        per_group, schema="l_linestatus string, n long, qty_cents long, max_cents long"
+    )

@@ -242,3 +242,14 @@ def test_zvalue_interleave_roundtrip(spark):
     )
     bad = df.filter((deint_a != F.col("a")) | (deint_b != F.col("b"))).count()
     assert bad == 0
+
+
+def test_corpus_pipeline_no_cartesian_or_bnlj(spark):
+    """The composed corpus pipeline must stay equi-join shaped end to
+    end: the dedup window, the quality projection, the contamination
+    anti-join and the final aggregate — no CartesianProduct and no
+    BroadcastNestedLoopJoin anywhere in the fused plan."""
+    df = QUERIES["q_corpus_pipeline"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
