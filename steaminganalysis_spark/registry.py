@@ -138,6 +138,10 @@ ROUND3_WINDOW = [
     "q_daily_rollup",
     "q_dedup_ngram_jaccard",
     "q_text_entropy",
+    # Round 2's ONE red row: the HUGEINT oracle-type bug, fixed this
+    # round — must re-enter the window so CORRECTNESS_r03 records the
+    # green (VERDICT r2 order #1's done-condition).
+    "q_tpch_q12",
     # New this round: the reference's actual pipeline end-to-end
     # (stream parse → classify → rollup → idempotent KV), hash-checked.
     "q_stream_flagship_replay",
@@ -163,9 +167,12 @@ ROUND3_WINDOW = [
     # rows-only, deferred to round 4)
     "q_stream_tumbling_daily", "q_window_sliding", "q_session_window",
     "q_stream_dedup", "q_stream_stream_join",
-    # multimodal (4; rows-only by design — binary synthesis)
+    # multimodal (3 of 4; rows-only by design — binary synthesis.
+    # q_multimodal_frame_sample deferred to round 4 to make room for
+    # the q_tpch_q12 re-verification; decode/image/audio still give
+    # the modality set driver rows)
     "q_multimodal_decode", "q_multimodal_image_features",
-    "q_multimodal_frame_sample", "q_multimodal_audio_features",
+    "q_multimodal_audio_features",
 ]
 
 

@@ -89,6 +89,7 @@ def test_round3_correctness_window_composition():
         "q_daily_rollup",
         "q_dedup_ngram_jaccard",
         "q_text_entropy",
+        "q_tpch_q12",  # round 2's one red row — its fix must be in-window
         "q_stream_flagship_replay",
     ):
         assert k in first50, k
@@ -102,7 +103,6 @@ def test_round3_correctness_window_composition():
         "q_compact_small_files",
         "q_multimodal_decode",
         "q_multimodal_image_features",
-        "q_multimodal_frame_sample",
         "q_multimodal_audio_features",
     }, rows_only_in_window
 
