@@ -278,3 +278,45 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "q_pandas_api",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-API-on-Spark (`pyspark.pandas`) surface: the pandas
+    idiom (assign → groupby → agg) compiled onto the same distributed
+    engine, converted back to a DataFrame at the boundary. The whole
+    chain stays lazy/distributed — `to_spark()` hands Catalyst the
+    logical plan, nothing is collected. Exact-cents arithmetic keeps
+    the oracle hash-identical. Demonstrates that a pandas-fluent user
+    of this engine gets the same plans (and the same answers) as the
+    DataFrame API."""
+    import pyspark.pandas as ps
+
+    ps.set_option("compute.default_index_type", "distributed")
+    psdf = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .pandas_api()
+    )
+    psdf = psdf.assign(
+        cents=((psdf.o_totalprice * 100.0 + 0.5) // 1).astype("int64")
+    )
+    out = (
+        psdf.groupby("o_orderpriority", as_index=False)
+        .agg(n=("cents", "count"), cents=("cents", "sum"))
+    )
+    return out.to_spark().select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("cents").cast("bigint").alias("cents"),
+    )

@@ -115,8 +115,8 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 #
 # Measured module sizes (re-measure with the import counter below
 # before every rotation — never eyeball): joins 12, tpch 21,
-# windows 7, relational 14, sql_surface 10 (incl. the new
-# q_sql_group_by_all, deferred to round 4), udfs 9 (incl. the new
+# windows 7, relational 14, sql_surface 11 (incl. the new
+# q_sql_group_by_all + q_pandas_api, deferred to round 4), udfs 9 (incl. the new
 # q_udf_applyinarrow, deferred to round 4), storage 8 (incl.
 # the new q_scan_xml + q_zorder_layout, deferred to round 4),
 # reshape 4, pipeline 12 (incl. the new q_corpus_pipeline, deferred
@@ -125,7 +125,7 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # multimodal 4, aggregates 14, functions_pack 13 (incl. the new
 # q_fn_try, deferred to round 4), llm 23, ann 3, extras 24 (incl.
 # the new q_ts_resample + q_scd2_from_cdc, deferred to round 4)
-# (188 total).
+# (189 total).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (22), ann (3), the 3
