@@ -300,7 +300,10 @@ def pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle hash-identical. Demonstrates that a pandas-fluent user
     of this engine gets the same plans (and the same answers) as the
     DataFrame API."""
+    import warnings
+
     import pyspark.pandas as ps
+    from pyspark.pandas.utils import PandasAPIOnSparkAdviceWarning
 
     ps.set_option("compute.default_index_type", "distributed")
     psdf = (
@@ -315,7 +318,12 @@ def pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         psdf.groupby("o_orderpriority", as_index=False)
         .agg(n=("cents", "count"), cents=("cents", "sum"))
     )
-    return out.to_spark().select(
+    with warnings.catch_warnings():
+        # dropping the synthetic distributed index at the boundary is
+        # the point — silence the (correct, here irrelevant) advice
+        warnings.simplefilter("ignore", PandasAPIOnSparkAdviceWarning)
+        sdf = out.to_spark()
+    return sdf.select(
         "o_orderpriority",
         F.col("n").cast("bigint").alias("n"),
         F.col("cents").cast("bigint").alias("cents"),
