@@ -128,9 +128,22 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # (189 total).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
-# relational's last 4 set-op/sort keys, extras (22), ann (3), the 3
+# relational's last 4 set-op/sort keys, extras (24), ann (3), the
 # keys deferred below, plus re-checks of any module edited since its
 # green round.
+#
+# ROUND-4 WINDOW CANDIDATE (~50, finalize next round after reading
+# CORRECTNESS_r03): relational tail 4 (q_set_except,
+# q_set_intersect_all, q_set_except_all, q_sort_nulls) + extras 24 +
+# ann 3 + round-3 deferred 11 (q_agg_approx_percentile, q_datagen,
+# q_stream_neardup, q_multimodal_frame_sample, q_scan_xml,
+# q_zorder_layout, q_stream_static_join, q_sql_group_by_all,
+# q_fn_try, q_corpus_pipeline + q_udf_applyinarrow) + q_ts_resample,
+# q_scd2_from_cdc, q_pandas_api, q_stream_append_watermark = 46;
+# top up with llm re-checks (q_dedup_near, q_dedup_containment,
+# q_sim_threshold_pairs, q_dedup_clusters — staging.stage refactor
+# touched them in round 3). Round 5: llm/aggregates/functions_pack
+# remainder.
 ROUND3_WINDOW = [
     # Stale-stamp re-verifications: these three were green in round 1
     # but their implementations changed during round 2 (llm.py commit
