@@ -282,3 +282,37 @@ def test_ann_ivfpq_recall_vs_brute_force(spark):
         for r in QUERIES["q_sim_topk"](spark, SF).collect()
     }
     assert len(pq & exact) >= 0.45 * len(exact), (len(pq & exact), len(exact))
+
+
+def test_df_cap_bounds_hot_shingle_pair_explosion(spark):
+    """The skew scenario the DF cap exists for, made executable: a
+    corpus where 60 documents share one boilerplate shingle (plus one
+    genuinely-duplicated pair). Uncapped, the boilerplate key alone
+    contributes 60·59/2 = 1770 candidate pairs — the k² bucket that
+    kills the job at corpus scale. Capped at DF≤50, the boilerplate
+    shingle drops and candidates collapse to just the true near-dup
+    pair, which keeps its (unshared-shingle) overlap."""
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.functions import cap_document_frequency
+
+    rows = [(d, 777) for d in range(60)]  # boilerplate shingle in 60 docs
+    rows += [(0, 1001), (1, 1001), (0, 1002), (1, 1002)]  # true near-dups
+    sh = spark.createDataFrame(rows, "doc_id long, h long")
+
+    def n_pairs(df):
+        a, b = df.alias("a"), df.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+
+    assert n_pairs(sh) == 60 * 59 // 2  # uncapped: quadratic in the hot key
+    capped = cap_document_frequency(sh, df_cap=50)
+    assert n_pairs(capped) == 1  # only the genuine pair survives
