@@ -1,7 +1,7 @@
 """Aggregation operators (SURVEY.md §2 B.4) — including the flagship.
 
 The flagship ``q_daily_rollup`` is the batch analog of the reference
-pipeline (KafkaApp.scala:52-74): parse order events, classify paid vs
+pipeline (StreamingAnalysisAppWithKafkaManageOffset.scala:52-74): parse order events, classify paid vs
 placed, bucket by event-time day, and aggregate (total orders, paid
 orders, paid fee) per day. Fixture mapping per FIXTURES.md:
 ``event_type='purchase'`` ↔ ``flag=="1"``, ``value`` ↔ ``fee``.
@@ -9,7 +9,7 @@ orders, paid fee) per day. Fixture mapping per FIXTURES.md:
 Scale notes: every query here is a single ``groupBy().agg`` —
 Catalyst plans partial (map-side) + final HashAggregate around one
 hash-partitioned exchange, exactly the reference's reduceByKey combiner
-strategy (KafkaApp.scala:67-69) but codegen'd and spill-aware. Group-key
+strategy (StreamingAnalysisAppWithKafkaManageOffset.scala:67-69) but codegen'd and spill-aware. Group-key
 cardinality (days, flags, types) is tiny relative to input, so the
 shuffle moves only partial aggregates — this holds at 100 TB.
 """
@@ -29,7 +29,7 @@ def _purchase():
 
 
 def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference flagship (KafkaApp.scala:58-74) on the events table:
+    """Reference flagship (StreamingAnalysisAppWithKafkaManageOffset.scala:58-74) on the events table:
     per event-time day — total events, paid events, paid-fee sum."""
     ev = load(spark, sf_dir, "events")
     return (
@@ -76,7 +76,7 @@ query(
 def time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three calendar grains the reference README promises
     (README.md:4 '以天/时/分钟的维度统计'; the code derives hour/minute at
-    KafkaApp.scala:59-60 then drops them) — one GROUPING SETS pass, so
+    StreamingAnalysisAppWithKafkaManageOffset.scala:59-60 then drops them) — one GROUPING SETS pass, so
     the input is scanned and shuffled once for all grains."""
     ev = load(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),

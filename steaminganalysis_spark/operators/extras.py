@@ -1152,20 +1152,20 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scd2_from_cdc",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER w AS prev_type
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), changes AS (
-      SELECT user_id, event_type AS status, ts
+      SELECT user_id, event_type AS status, ts, event_id
       FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type
     )
     SELECT user_id, status,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
-           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                     '%Y-%m-%d %H:%M:%S') AS valid_to,
-           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
              AS is_current
     FROM changes
     """,
@@ -1178,7 +1178,10 @@ def scd2_from_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     row). The lag-filter-lead chain shares ONE hash partitioning of
     user_id; this is the warehouse-standard history table every
     dimension pipeline maintains, derived with two window passes and
-    no self-join."""
+    no self-join. Both window passes (and the oracle's) tie-break on
+    event_id after ts: two status changes for one user at an identical
+    timestamp would otherwise make valid_to/is_current engine-order
+    dependent (ADVICE r3)."""
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
@@ -1187,9 +1190,9 @@ def scd2_from_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_type").isNull()
             | (F.col("event_type") != F.col("prev_type"))
         )
-        .select("user_id", F.col("event_type").alias("status"), "ts")
+        .select("user_id", F.col("event_type").alias("status"), "ts", "event_id")
     )
-    w2 = W.partitionBy("user_id").orderBy("ts")
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w2)
     return changes.select(
         "user_id",

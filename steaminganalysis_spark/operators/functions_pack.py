@@ -4,7 +4,7 @@ built-ins — all JVM-side, whole-stage-codegen'd expressions; no Python
 in any of these paths.
 
 The JSON pack is the engine's analog of the reference's fastjson parse
-(KafkaApp.scala:52: ``JSON.parseObject(line.value())``) — here a typed
+(StreamingAnalysisAppWithKafkaManageOffset.scala:52: ``JSON.parseObject(line.value())``) — here a typed
 ``from_json`` against a declared schema.
 """
 
@@ -37,7 +37,7 @@ from steaminganalysis_spark.sources import load
 )
 def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String pack — includes the reference's substring date-part idiom
-    (KafkaApp.scala:58-60 uses substring(0,10)/(11,13)/(14,16))."""
+    (StreamingAnalysisAppWithKafkaManageOffset.scala:58-60 uses substring(0,10)/(11,13)/(14,16))."""
     p = load(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -73,7 +73,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datetime pack — the idiomatic replacement for the reference's
-    substring calendar bucketing (KafkaApp.scala:58-60). Calendar values
+    substring calendar bucketing (StreamingAnalysisAppWithKafkaManageOffset.scala:58-60). Calendar values
     emitted as strings/ints, never raw timestamps (determinism)."""
     o = load(spark, sf_dir, "orders")
     od = F.col("o_orderdate")
@@ -186,7 +186,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON parsing of the events.props blob — the reference's
-    fastjson ``JSON.parseObject`` (KafkaApp.scala:52) done Spark-style:
+    fastjson ``JSON.parseObject`` (StreamingAnalysisAppWithKafkaManageOffset.scala:52) done Spark-style:
     ``from_json`` with a declared schema (Catalyst prunes unreferenced
     json fields from the parse)."""
     ev = load(spark, sf_dir, "events")

@@ -26,7 +26,7 @@ Scale design notes:
 
 Reference lineage: these generalize the reference's only aggregation
 pattern — classify rows, bucket them, accumulate per bucket
-(KafkaApp.scala:52-74) — from calendar buckets to hash buckets, value
+(StreamingAnalysisAppWithKafkaManageOffset.scala:52-74) — from calendar buckets to hash buckets, value
 buckets, session buckets, and cohort buckets.
 """
 

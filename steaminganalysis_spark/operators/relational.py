@@ -33,7 +33,7 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar parquet scan with projection + predicate. Catalyst pushes
     both into the reader: ReadSchema lists 4 of 11 columns and
     PushedFilters carries the quantity predicate (cf. the reference,
-    which re-parses whole JSON blobs per record, KafkaApp.scala:52)."""
+    which re-parses whole JSON blobs per record, StreamingAnalysisAppWithKafkaManageOffset.scala:52)."""
     li = load(spark, sf_dir, "lineitem")
     return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag").filter(
         F.col("l_quantity") >= 30
@@ -90,7 +90,7 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + type coercion — the reference's stringly-typed field
-    extraction (`getLong("fee")` on a string value, KafkaApp.scala:55)
+    extraction (`getLong("fee")` on a string value, StreamingAnalysisAppWithKafkaManageOffset.scala:55)
     expressed as explicit casts. FLOOR before the integer cast because
     Spark truncates double→long while DuckDB rounds; FLOOR makes both
     deterministic and identical."""
@@ -113,7 +113,7 @@ def project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def filter_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compound AND/OR/comparison predicate; pushes to the parquet scan
-    (generalizes the reference's flag filter, KafkaApp.scala:62)."""
+    (generalizes the reference's flag filter, StreamingAnalysisAppWithKafkaManageOffset.scala:62)."""
     o = load(spark, sf_dir, "orders")
     return o.filter(
         (F.col("o_orderstatus") == "F")
@@ -157,7 +157,7 @@ def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's paid/placed classification (KafkaApp.scala:62:
+    """The reference's paid/placed classification (StreamingAnalysisAppWithKafkaManageOffset.scala:62:
     `if (flag=="1") (1, fee) else (0, 0)`) as CASE WHEN, plus a
     multi-branch band."""
     ev = load(spark, sf_dir, "events")

@@ -381,7 +381,7 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes selective scans on EITHER of two columns prune row groups at
     100 TB, where a single-column sort only serves one predicate.
 
-    The events table is rewritten twice into 8 files: a naive
+    The events table is rewritten twice into 16 files: a naive
     hash-partitioned layout (what a parallel writer produces — every
     file spans the full range of every column, so min/max skipping
     prunes nothing) and a Z-clustered layout (range-partitioned +

@@ -132,66 +132,72 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # keys deferred below, plus re-checks of any module edited since its
 # green round.
 #
-# ROUND-4 WINDOW CANDIDATE (~50, finalize next round after reading
-# CORRECTNESS_r03): relational tail 4 (q_set_except,
-# q_set_intersect_all, q_set_except_all, q_sort_nulls) + extras 24 +
-# ann 3 + round-3 deferred 11 (q_agg_approx_percentile, q_datagen,
-# q_stream_neardup, q_multimodal_frame_sample, q_scan_xml,
-# q_zorder_layout, q_stream_static_join, q_sql_group_by_all,
-# q_fn_try, q_corpus_pipeline + q_udf_applyinarrow) + q_ts_resample,
-# q_scd2_from_cdc, q_pandas_api, q_stream_append_watermark = 46;
-# top up with llm re-checks (q_dedup_near, q_dedup_containment,
-# q_sim_threshold_pairs, q_dedup_clusters — staging.stage refactor
-# touched them in round 3). Round 5: llm/aggregates/functions_pack
-# remainder.
-ROUND3_WINDOW = [
-    # Stale-stamp re-verifications: these three were green in round 1
-    # but their implementations changed during round 2 (llm.py commit
-    # 3959e06, aggregates' dsum rework) — their stamps are stale.
+# ROUND-4 WINDOW: the 43 keys that had never been inside a driver
+# window after rounds 1-3 (VERDICT r3 order #1 — computed as
+# collect_queries() keys minus the union of CORRECTNESS_r01..r03, in
+# registration order) plus 7 re-check slots: the two standing canaries
+# (q_daily_rollup flagship, q_tpch_q12 for the HUGEINT oracle-type
+# class) and the five staged-shingle dedup keys whose shared staging
+# path was refactored in round 3 (staging.stage table/localCheckpoint
+# mode switch) AFTER their round-1 green rows. After this round every
+# one of the 189 registered keys has at least one driver CORRECTNESS
+# row. Round 5: rotate back over llm/aggregates/functions_pack/tpch
+# re-checks (oldest stamps first: their greens date to round 1).
+#
+# Previous windows, for the record:
+# - round 1: aggregates/functions_pack/llm/ann first-50 (50/50 green)
+# - round 2: joins/tpch/windows/relational[:10] (49/50; q_tpch_q12 red
+#   — DuckDB HUGEINT promotion, fixed 5431017)
+# - round 3: ROUND3_WINDOW list at commit 4241eec (50/50 green)
+ROUND4_WINDOW = [
+    # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
-    "q_dedup_ngram_jaccard",
-    "q_text_entropy",
-    # Round 2's ONE red row: the HUGEINT oracle-type bug, fixed this
-    # round — must re-enter the window so CORRECTNESS_r03 records the
-    # green (VERDICT r2 order #1's done-condition).
     "q_tpch_q12",
-    # New this round: the reference's actual pipeline end-to-end
-    # (stream parse → classify → rollup → idempotent KV), hash-checked.
-    "q_stream_flagship_replay",
-    # sql_surface (9)
-    "q_subquery_scalar", "q_subquery_in_correlated", "q_cte", "q_fn_null",
-    "q_agg_minmax_by", "q_fn_explode", "q_fn_struct", "q_text_levenshtein",
-    "q_subquery_not_exists",
-    # udfs (8)
-    "q_udf_scalar", "q_udf_pandas", "q_udaf_grouped", "q_udtf_applyinpandas",
-    "q_udf_sql_registered", "q_udf_arrow", "q_udtf_python", "q_udf_mapinarrow",
-    # storage (6)
-    "q_scan_csv", "q_scan_orc", "q_scan_partitioned", "q_join_bucketed",
-    "q_scan_binary", "q_compact_small_files",
-    # reshape (3 of 4 — q_agg_approx_percentile is rows-only, deferred
-    # to round 4 where the weaker rows-only driver check costs least)
-    "q_pivot", "q_unpivot", "q_agg_percentile",
-    # pipeline (11)
-    "q_sample_hash", "q_dedup_latest_per_key", "q_sessionize",
-    "q_retention_cohorts", "q_funnel", "q_histogram", "q_dq_checks",
-    "q_train_test_split", "q_sample_stratified", "q_data_mix",
-    "q_text_pii_scrub",
-    # streaming_queries (5 of 7 — q_datagen and q_stream_neardup are
-    # rows-only, deferred to round 4)
-    "q_stream_tumbling_daily", "q_window_sliding", "q_session_window",
-    "q_stream_dedup", "q_stream_stream_join",
-    # multimodal (3 of 4; rows-only by design — binary synthesis.
-    # q_multimodal_frame_sample deferred to round 4 to make room for
-    # the q_tpch_q12 re-verification; decode/image/audio still give
-    # the modality set driver rows)
-    "q_multimodal_decode", "q_multimodal_image_features",
-    "q_multimodal_audio_features",
+    # Staging-refactor re-checks (5): round 3 moved their shared
+    # shingle-staging onto staging.stage() after their green rows.
+    "q_dedup_ngram_jaccard",
+    "q_dedup_near",
+    "q_dedup_containment",
+    "q_sim_threshold_pairs",
+    "q_dedup_clusters",
+    # --- the 43 never-driver-checked keys, registration order ---
+    # relational set-op/sort tail (4)
+    "q_set_except", "q_set_intersect_all", "q_set_except_all",
+    "q_sort_nulls",
+    # sql_surface round-3 additions (2)
+    "q_sql_group_by_all", "q_pandas_api",
+    # udfs (1)
+    "q_udf_applyinarrow",
+    # storage (2)
+    "q_scan_xml", "q_zorder_layout",
+    # reshape (1)
+    "q_agg_approx_percentile",
+    # pipeline (1)
+    "q_corpus_pipeline",
+    # streaming_queries (4)
+    "q_datagen", "q_stream_neardup", "q_stream_static_join",
+    "q_stream_append_watermark",
+    # multimodal (1)
+    "q_multimodal_frame_sample",
+    # functions_pack (1)
+    "q_fn_try",
+    # ann (2)
+    "q_sim_ann_pq", "q_sim_ann_ivfpq",
+    # extras (24)
+    "q_decontaminate", "q_quality_repetition", "q_window_rolling_time",
+    "q_window_ntile", "q_anomaly_zscore", "q_fn_posexplode",
+    "q_dedup_spans_global", "q_tokenize_vocab", "q_agg_grouping_sets",
+    "q_join_lateral", "q_merge_upsert", "q_fn_map2", "q_fn_array3",
+    "q_data_mix_weighted", "q_join_interval_overlap",
+    "q_sessionize_dynamic", "q_join_salted", "q_cte_recursive",
+    "q_fn_variant", "q_source_python", "q_stream_source_python",
+    "q_ts_similarity", "q_ts_resample", "q_scd2_from_cdc",
 ]
 
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every operator module (side effect: registration), then
-    reorder so ROUND3_WINDOW occupies the first 50 registration slots
+    reorder so ROUND4_WINDOW occupies the first 50 registration slots
     — the slice the driver's correctness gate checks this round."""
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import tpch  # noqa: F401  isort: skip
@@ -210,11 +216,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import ann  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import extras  # noqa: F401  isort: skip
 
-    missing = [k for k in ROUND3_WINDOW if k not in QUERIES]
+    missing = [k for k in ROUND4_WINDOW if k not in QUERIES]
     if missing:
-        raise RuntimeError(f"ROUND3_WINDOW names unregistered queries: {missing}")
-    window = set(ROUND3_WINDOW)
-    ordered = ROUND3_WINDOW + [k for k in QUERIES if k not in window]
+        raise RuntimeError(f"ROUND4_WINDOW names unregistered queries: {missing}")
+    window = set(ROUND4_WINDOW)
+    ordered = ROUND4_WINDOW + [k for k in QUERIES if k not in window]
     reordered = {k: QUERIES[k] for k in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -1,7 +1,7 @@
 """Explicit StructType schemas for every input the engine consumes.
 
 The reference parses untyped JSON per record (fastjson ``JSONObject``,
-KafkaApp.scala:52) with silent per-field coercion; this engine declares
+StreamingAnalysisAppWithKafkaManageOffset.scala:52) with silent per-field coercion; this engine declares
 schemas up front so Catalyst can prune/pushdown and ``from_json`` is
 total (see SURVEY.md §1.2).
 

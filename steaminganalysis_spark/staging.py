@@ -32,6 +32,16 @@ from pyspark.sql import DataFrame
 
 __all__ = ["stage", "staging_mode"]
 
+# Tags whose stale tables were already dropped by THIS process. The
+# wipe-previous hygiene runs once per tag per process (clearing
+# leftovers from earlier runs); within a process each stage() call
+# creates a fresh uuid-suffixed table WITHOUT dropping its
+# predecessors, so a frame returned by an earlier stage() of the same
+# tag (e.g. two dedup queries both staging 'shingles') stays readable
+# until the process exits — building query B's plan can no longer
+# invalidate query A's still-unforced frame (ADVICE r3).
+_CLEANED_TAGS: set[str] = set()
+
 
 def staging_mode() -> str:
     mode = os.environ.get("SPARK_GRAFT_STAGING", "local")
@@ -54,13 +64,17 @@ def stage(df: DataFrame, tag: str, bucket_col: str | None = None) -> DataFrame:
     if bucket_col is not None:
         from steaminganalysis_spark.operators.storage import write_bucketed
 
-        # scratch hygiene: drop this tag's previous staging tables so
-        # repeated invocations leave one live table per tag, not one
-        # per call (mirrors scratch_dir's wipe-previous contract)
+        # scratch hygiene: drop this tag's previous staging tables —
+        # but only ONCE per process (first use of the tag), clearing
+        # leftovers from prior runs. Dropping on every call would
+        # invalidate frames returned by earlier stage() calls of the
+        # same tag that the caller has not forced yet.
         prefix = f"sa_stage_{tag}_"
-        for t in spark.catalog.listTables():
-            if t.name.startswith(prefix):
-                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        if tag not in _CLEANED_TAGS:
+            for t in spark.catalog.listTables():
+                if t.name.startswith(prefix):
+                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            _CLEANED_TAGS.add(tag)
         table = f"{prefix}{uuid.uuid4().hex[:8]}"
         write_bucketed(spark, df, table, bucket_col)
         return spark.table(table)

@@ -2,7 +2,7 @@
 per-batch progress (rows, duration, per-source offsets) — the ops
 surface the reference entirely lacked (its only telemetry was a
 ``println("saved at <ts>")`` per partition flush,
-KafkaApp.scala:76).
+StreamingAnalysisAppWithKafkaManageOffset.scala:76).
 
 At fleet scale these metrics feed lag/SLA alerting: input rows per
 trigger vs processing time is the backpressure signal; watermark

@@ -1,5 +1,5 @@
 """The flagship order pipeline — the reference's dataflow
-(KafkaApp.scala:41-79) as Structured Streaming:
+(StreamingAnalysisAppWithKafkaManageOffset.scala:41-79) as Structured Streaming:
 
 Kafka/JSON source → ``from_json`` with a declared schema → typed
 projection + cast → paid/placed classification → per-day delta
@@ -30,7 +30,7 @@ __all__ = [
 
 def parse_order_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """Kafka value bytes/string → typed order columns. The reference's
-    fastjson parse + per-field extraction (KafkaApp.scala:52-56), as
+    fastjson parse + per-field extraction (StreamingAnalysisAppWithKafkaManageOffset.scala:52-56), as
     one ``from_json`` whose unused fields Catalyst prunes."""
     return raw.select(
         F.from_json(F.col(value_col).cast("string"), ORDER_EVENT_SCHEMA).alias("o")
@@ -38,10 +38,10 @@ def parse_order_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
 
 
 def classify_orders(orders: DataFrame) -> DataFrame:
-    """Typed projection + classification (KafkaApp.scala:54-64):
+    """Typed projection + classification (StreamingAnalysisAppWithKafkaManageOffset.scala:54-64):
     day bucket from event time, paid flag, fee masked to paid orders.
     Fee is carried as integer cents so downstream accumulation is exact
-    (the reference reads fee as a long, KafkaApp.scala:55)."""
+    (the reference reads fee as a long, StreamingAnalysisAppWithKafkaManageOffset.scala:55)."""
     paid = F.col("flag") == "1"
     return orders.select(
         F.substring("time", 1, 10).alias("day"),  # reference substring bucketing, KafkaApp:58
@@ -54,7 +54,7 @@ def classify_orders(orders: DataFrame) -> DataFrame:
 
 
 def day_rollup_delta(classified_or_raw: DataFrame) -> DataFrame:
-    """Per-day delta aggregate of one micro-batch (KafkaApp.scala:67-69:
+    """Per-day delta aggregate of one micro-batch (StreamingAnalysisAppWithKafkaManageOffset.scala:67-69:
     reduceByKey over [1, success, successFee]). Accepts either
     classified orders or raw json-valued frames."""
     df = classified_or_raw
@@ -73,7 +73,7 @@ def kafka_order_stream(
     topic: str,
     starting_offsets: str = "earliest",
 ) -> DataFrame:
-    """Kafka direct stream (reference A1/A2, KafkaApp.scala:28-45):
+    """Kafka direct stream (reference A1/A2, StreamingAnalysisAppWithKafkaManageOffset.scala:28-45):
     subscribe + earliest start + no autocommit — offset tracking is the
     checkpoint's job. Per-partition placement (PreferConsistent in the
     reference) is the Kafka source's default. Requires a broker; in this
@@ -93,7 +93,7 @@ def split_dead_letters(raw: DataFrame, value_col: str = "value"):
     to parse (or lacks the mandatory fields) are NOT dropped silently —
     they split into a quarantine frame carrying the raw payload, so a
     10-hour ingest neither dies on one bad record (reference behavior:
-    fastjson throws and kills the batch, KafkaApp.scala:52) nor loses
+    fastjson throws and kills the batch, StreamingAnalysisAppWithKafkaManageOffset.scala:52) nor loses
     it. Returns (good, dead) frames computed from one shared parse."""
     parsed = raw.withColumn(
         "_o", F.from_json(F.col(value_col).cast("string"), ORDER_EVENT_SCHEMA)

@@ -309,7 +309,7 @@ def stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_flagship_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ACTUAL pipeline, end-to-end as one driver-checked
-    key (KafkaApp.scala:41-79): order-event JSON payloads arrive on a
+    key (StreamingAnalysisAppWithKafkaManageOffset.scala:41-79): order-event JSON payloads arrive on a
     stream, are parsed with a declared schema, classified (paid flag,
     day bucket, fee cents), delta-aggregated per micro-batch, and
     accumulated into the idempotent KV sink — the engine's Redis twin
@@ -344,10 +344,15 @@ def stream_flagship_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("time"),
             F.col("user_id").cast("string").alias("userId"),
             F.col("event_type").alias("courseId"),
-            F.concat_ws(
-                ".",
-                F.expr("cents div 100").cast("string"),
-                F.lpad(F.expr("cents % 100").cast("string"), 2, "0"),
+            # Sign-aware encode (ADVICE r3): the previous
+            # `div 100` + lpad(cents % 100) spelling silently
+            # truncated "-23" to "-2" for negative cents. Fixtures
+            # are non-negative, but the encoder shouldn't rely on it.
+            F.format_string(
+                "%s%d.%02d",
+                F.when(F.col("cents") < 0, "-").otherwise(""),
+                F.expr("abs(cents) div 100"),
+                F.expr("abs(cents) % 100"),
             ).alias("fee"),
             F.when(F.col("event_type") == "purchase", "1").otherwise("0").alias("flag"),
             F.col("event_id").cast("string").alias("orderId"),

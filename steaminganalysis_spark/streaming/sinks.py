@@ -1,8 +1,8 @@
 """Key-value (Redis-style) streaming sink with exactly-once effect.
 
 The reference accumulates per-day totals in Redis hashes via HINCRBY
-(KafkaApp.scala:72-74) and commits Kafka offsets only afterwards
-(KafkaApp.scala:79) — so a crash between write and commit replays the
+(StreamingAnalysisAppWithKafkaManageOffset.scala:72-74) and commits Kafka offsets only afterwards
+(StreamingAnalysisAppWithKafkaManageOffset.scala:79) — so a crash between write and commit replays the
 batch and double-counts (SURVEY.md §4.3). This sink keeps the reference
 semantics — per-batch delta aggregation + incremental HINCRBY,
 accumulate-forever late data, no watermark, zero Spark state — but adds
@@ -275,7 +275,7 @@ def day_rollup_sink(
     store_name: str = "default",
 ):
     """Attach the KV sink to a raw order-event stream; checkpointLocation
-    replaces both reference offset managers (KafkaApp.scala:79
+    replaces both reference offset managers (StreamingAnalysisAppWithKafkaManageOffset.scala:79
     commitAsync, ZkApp.scala:114-116 ZK znodes). The idempotence
     watermark is scoped to this checkpoint (batch ids are monotonic per
     checkpoint), so streams sharing one store never collide."""

@@ -69,41 +69,54 @@ def test_demo_app_accumulates_day_totals(spark):
             assert h["fee_cents"] == 0
 
 
-def test_round3_correctness_window_composition():
-    """The driver verifies the FIRST ~50 registered queries; the round-3
-    window is the explicit ROUND3_WINDOW key list (stale re-verify keys
-    + flagship replay + sql_surface/udfs/storage/reshape/pipeline/
-    streaming/multimodal). Pin it so a stray registration (or an import
-    reorder) cannot silently displace queries out of the checked window
-    before the driver runs. Update deliberately on each round's
+def test_round4_correctness_window_composition():
+    """The driver verifies the FIRST ~50 registered queries; the round-4
+    window is the explicit ROUND4_WINDOW key list — the 43 keys never
+    driver-checked in rounds 1-3 plus the two canaries and the five
+    staging-refactor re-checks. Pin it so a stray registration (or an
+    import reorder) cannot silently displace queries out of the checked
+    window before the driver runs. Update deliberately on each round's
     rotation."""
-    from steaminganalysis_spark.registry import ROUND3_WINDOW, collect_queries
+    import json
+    from pathlib import Path
+
+    from steaminganalysis_spark.registry import ROUND4_WINDOW, collect_queries
 
     QUERIES, ORACLE = collect_queries()
     first50 = list(QUERIES)[:50]
-    assert len(ROUND3_WINDOW) == 50
-    assert first50 == ROUND3_WINDOW
-    # the stale-stamp re-verifications and the new end-to-end flagship
-    # key must sit inside the window
+    assert len(ROUND4_WINDOW) == 50
+    assert first50 == ROUND4_WINDOW
+    # the canaries and re-checks must sit inside the window
     for k in (
         "q_daily_rollup",
+        "q_tpch_q12",  # HUGEINT-class sentinel (round 2's one red row)
         "q_dedup_ngram_jaccard",
-        "q_text_entropy",
-        "q_tpch_q12",  # round 2's one red row — its fix must be in-window
-        "q_stream_flagship_replay",
+        "q_sim_threshold_pairs",
     ):
         assert k in first50, k
+    # Rotation closure: after this round, every registered key has a
+    # driver CORRECTNESS row — the window must cover everything the
+    # union of CORRECTNESS_r01..r03 did not.
+    checked = set()
+    for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):
+        checked |= set(json.loads(p.read_text()))
+    never = [k for k in QUERIES if k not in checked]
+    assert set(never) <= set(first50), sorted(set(never) - set(first50))
     # every key in the window is registered with an oracle unless it is
     # one of the documented rows-only keys (binary synthesis, file
-    # layout, float-variance UDAF — see test_oracle_parity's list)
+    # layout, LSH/PQ recall-floor ops, stateful streaming index — see
+    # test_oracle_parity's list)
     rows_only_in_window = {k for k in first50 if k not in ORACLE}
     assert rows_only_in_window == {
-        "q_udtf_applyinpandas",
-        "q_scan_binary",
-        "q_compact_small_files",
-        "q_multimodal_decode",
-        "q_multimodal_image_features",
-        "q_multimodal_audio_features",
+        "q_dedup_near",
+        "q_dedup_clusters",
+        "q_zorder_layout",
+        "q_agg_approx_percentile",
+        "q_datagen",
+        "q_stream_neardup",
+        "q_multimodal_frame_sample",
+        "q_sim_ann_pq",
+        "q_sim_ann_ivfpq",
     }, rows_only_in_window
 
 

@@ -28,3 +28,15 @@ def test_oracle_type_classes_match(spark, duck, name):
     orel = duck.sql(ORACLE[name])  # bound — no execution
     problems = type_class_problems(sdf.schema, orel.columns, orel.types, name)
     assert not problems, "\n".join(problems)
+
+
+def test_round4_window_oracles_all_audited():
+    """Rotation pre-audit closure (VERDICT r3 order #2): every oracle
+    key in the round-4 driver window is inside the parametrized
+    type-class audit above, so none of the 43 first-time-checked keys
+    can hit the driver with an unaudited HUGEINT/DECIMAL oracle."""
+    from steaminganalysis_spark.registry import ROUND4_WINDOW
+
+    window_oracles = [k for k in ROUND4_WINDOW if k in ORACLE]
+    assert len(window_oracles) == 41  # 50 minus the 9 rows-only keys
+    assert set(window_oracles) <= set(ORACLE)

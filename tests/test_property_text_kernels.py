@@ -4,6 +4,7 @@ Python reference on arbitrary inputs — not just the fixture corpus."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -156,4 +157,26 @@ def test_shingle_df_cap_drops_hot_shingles(spark):
     identity = cap_document_frequency(sh, df_cap=5)
     assert {(r.doc_id, r.h) for r in identity.collect()} == set(
         (d, h) for d, h in rows
+    )
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_shingle_df_cap_is_noop_at_fixture_sfs(spark, sf_dir):
+    """Oracle-exactness precondition (ADVICE r3): the DF cap inside
+    ``_shingle_hashes`` is applied by the Jaccard/containment/minhash
+    operators while their DuckDB oracles stay uncapped, so those
+    oracles are exact ONLY while no fixture shingle exceeds the cap.
+    Assert it here so a fixture regen or a cap change turns silent
+    divergence into a loud red test."""
+    from steaminganalysis_spark.functions import shingle_hashes
+    from steaminganalysis_spark.operators.llm import _SHINGLE_DF_CAP
+    from steaminganalysis_spark.sources import load
+
+    sh = shingle_hashes(load(spark, sf_dir, "documents"))
+    max_df = sh.groupBy("h").count().agg(F.max("count").alias("m")).collect()[0].m
+    assert max_df <= _SHINGLE_DF_CAP, (
+        f"max shingle DF {max_df} exceeds cap {_SHINGLE_DF_CAP}: the "
+        "uncapped dedup oracles are no longer exact at this SF"
     )

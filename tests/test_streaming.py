@@ -49,7 +49,7 @@ def test_datagen_matches_reference_schema(spark):
 
 def test_json_roundtrip_and_classify(spark):
     """to_json → from_json roundtrip preserves the order event; the
-    classifier reproduces KafkaApp.scala:62-64 semantics."""
+    classifier reproduces StreamingAnalysisAppWithKafkaManageOffset.scala:62-64 semantics."""
     orders = order_events_batch(spark, n=100)
     wire = to_kafka_json(orders)
     parsed = parse_order_json(wire)
