@@ -25,6 +25,9 @@ __all__ = [
     "classify_orders",
     "day_rollup_delta",
     "kafka_order_stream",
+    "kafka_source_options",
+    "kafka_sink_options",
+    "starting_offsets_json",
 ]
 
 
@@ -44,7 +47,7 @@ def classify_orders(orders: DataFrame) -> DataFrame:
     (the reference reads fee as a long, StreamingAnalysisAppWithKafkaManageOffset.scala:55)."""
     paid = F.col("flag") == "1"
     return orders.select(
-        F.substring("time", 1, 10).alias("day"),  # reference substring bucketing, KafkaApp:58
+        F.substring("time", 1, 10).alias("day"),  # reference substring bucketing (line 58)
         paid.cast("int").alias("success"),
         F.when(paid, (F.col("fee").cast("decimal(18,2)") * 100).cast("long"))
         .otherwise(0)
@@ -67,6 +70,66 @@ def day_rollup_delta(classified_or_raw: DataFrame) -> DataFrame:
     )
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = True,
+) -> dict[str, str]:
+    """The Kafka source option contract (reference A1/A2,
+    StreamingAnalysisAppWithKafkaManageOffset.scala:28-45), as a pure
+    dict so tests can pin the exact spelling without a broker:
+
+    - ``kafka.bootstrap.servers`` — the ``kafka.``-prefixed passthrough
+      key (a bare ``bootstrap.servers`` is silently ignored by the
+      source — the typo this contract exists to catch);
+    - ``subscribe`` — topic subscription (the reference's
+      ConsumerStrategies.Subscribe); assign-at-offsets (A2) is the same
+      option set with ``starting_offsets`` as the per-partition JSON
+      from ``starting_offsets_json``;
+    - ``startingOffsets`` — ``earliest`` mirrors the reference's
+      ``auto.offset.reset=earliest`` for a fresh group; ignored on
+      restart because the checkpoint owns progress (A11/A12);
+    - ``failOnDataLoss`` — ``true`` matches the reference's
+      fail-on-missing-offsets DStream behavior.
+
+    ``enable.auto.commit=false`` / ``group.id`` have no translation:
+    Structured Streaming never autocommits and manages its own group.
+    """
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+
+
+def kafka_sink_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
+    """Kafka producer-sink option contract (reference A15,
+    KafkaProducerApp.scala:17-31): broker list + target topic. The
+    payload contract — (key, value) string columns — is
+    ``datagen.to_kafka_json``."""
+    return {"kafka.bootstrap.servers": bootstrap_servers, "topic": topic}
+
+
+def starting_offsets_json(topic: str, partition_offsets: dict[int, int]) -> str:
+    """Per-partition starting offsets as the Kafka source's JSON format
+    (assign-at-offsets, reference A2): partitions are STRING keys,
+    offsets are numbers; -2 = earliest, -1 = latest."""
+    import json
+
+    return json.dumps({topic: {str(p): o for p, o in partition_offsets.items()}})
+
+
+def build_kafka_reader(reader, options: dict[str, str]):
+    """Apply the Kafka format + options to a DataStreamReader (or any
+    recorder standing in for one — the broker-less contract test)."""
+    r = reader.format("kafka")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r
+
+
 def kafka_order_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -78,13 +141,10 @@ def kafka_order_stream(
     checkpoint's job. Per-partition placement (PreferConsistent in the
     reference) is the Kafka source's default. Requires a broker; in this
     environment the file/rate/memory sources drive the same pipeline."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+    raw = build_kafka_reader(
+        spark.readStream,
+        kafka_source_options(bootstrap_servers, topic, starting_offsets),
+    ).load()
     return classify_orders(parse_order_json(raw))
 
 

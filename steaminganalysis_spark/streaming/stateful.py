@@ -209,13 +209,33 @@ class RunningTotalsProcessor(StatefulProcessor):
         pass
 
 
+def have_tws_protocol() -> tuple[bool, str]:
+    """Probe the exact runtime dependency of transformWithStateInPandas:
+    the TWS worker protocol serializes state over protobuf, so the
+    operator needs ``google.protobuf`` importable on the driver AND
+    workers. Returns (available, reason) — the batch-equivalence test
+    skips with this reason, and flips to a real run automatically in
+    any environment where the probe passes (VERDICT r3 order #7)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True, ""
+    except ImportError:
+        return False, "google.protobuf not installed (TWS worker protocol)"
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """`running_user_totals` on the new API. Requires the RocksDB state
     store provider (transformWithState's backing store) and the
     ``protobuf`` package (the TWS worker protocol) — absent in this
-    container, so the batch-equivalence test skip-guards on it; the
-    applyInPandasWithState twin above is the fully-executed path
-    here."""
+    container, so the batch-equivalence test skip-guards on
+    ``have_tws_protocol``; the applyInPandasWithState twin above is the
+    fully-executed path here. Fail-fast: raising at plan-build time
+    with the missing dep beats the opaque worker crash the bare
+    operator produces."""
+    ok, reason = have_tws_protocol()
+    if not ok:
+        raise ImportError(f"running_user_totals_tws: {reason}")
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=RunningTotalsProcessor(),
         outputStructType=_OUTPUT_SCHEMA,

@@ -625,12 +625,19 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
     the TWS worker protocol needs google.protobuf, absent in this
     container — the operator is wired and this test runs wherever
     protobuf is installed (same policy as the Redis/Kafka adapters)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf not installed (TWS worker protocol)")
+    from steaminganalysis_spark.streaming.stateful import (
+        have_tws_protocol,
+        running_user_totals_tws,
+    )
+
+    ok, reason = have_tws_protocol()
+    if not ok:
+        # the operator itself fail-fasts with the same probe, so the
+        # wiring (not just this test) names the exact missing dep
+        with pytest.raises(ImportError, match="google.protobuf"):
+            running_user_totals_tws(events_stream(spark, "/root/testdata/sf0.001"))
+        pytest.skip(reason)
     from steaminganalysis_spark.sources import load
-    from steaminganalysis_spark.streaming.stateful import running_user_totals_tws
 
     sf = "/root/testdata/sf0.001"
     name = f"tws_{uuid.uuid4().hex[:6]}"
