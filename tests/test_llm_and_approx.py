@@ -233,8 +233,10 @@ def test_dedup_clusters_match_union_find(spark):
 
 def test_ann_pq_recall_vs_brute_force(spark):
     """PQ ADC shortlist (top-50 of 500 by table lookups) + exact
-    re-rank must recover most of the exact top-5; measured 0.74 at
-    sf0.001 and sf0.01 — floor at 0.55 to absorb fixture drift."""
+    re-rank must recover most of the exact top-5; measured 0.744 at
+    sf0.001 / 0.736 at sf0.01 (round 4) — floor 0.63, ~0.1 below the
+    measured minimum so a real quantization regression trips it while
+    fixture drift doesn't (VERDICT r3 order #5)."""
     pq = {
         (r.query_id, r.neighbor_id)
         for r in QUERIES["q_sim_ann_pq"](spark, SF).collect()
@@ -243,7 +245,7 @@ def test_ann_pq_recall_vs_brute_force(spark):
         (r.query_id, r.neighbor_id)
         for r in QUERIES["q_sim_topk"](spark, SF).collect()
     }
-    assert len(pq & exact) >= 0.55 * len(exact), (len(pq & exact), len(exact))
+    assert len(pq & exact) >= 0.63 * len(exact), (len(pq & exact), len(exact))
 
 
 def test_pq_codes_are_complete_and_in_range(spark):
@@ -272,7 +274,8 @@ def test_pq_codes_are_complete_and_in_range(spark):
 def test_ann_ivfpq_recall_vs_brute_force(spark):
     """IVF routing (probe 4/16) + PQ ADC shortlist + exact re-rank:
     recall is bounded by the IVF routing (~0.66 measured); measured
-    0.61-0.62 for the full pipeline — floor at 0.45."""
+    0.624 at sf0.001 / 0.608 at sf0.01 for the full pipeline (round 4)
+    — floor 0.50, ~0.1 below the measured minimum (VERDICT r3 #5)."""
     pq = {
         (r.query_id, r.neighbor_id)
         for r in QUERIES["q_sim_ann_ivfpq"](spark, SF).collect()
@@ -281,7 +284,7 @@ def test_ann_ivfpq_recall_vs_brute_force(spark):
         (r.query_id, r.neighbor_id)
         for r in QUERIES["q_sim_topk"](spark, SF).collect()
     }
-    assert len(pq & exact) >= 0.45 * len(exact), (len(pq & exact), len(exact))
+    assert len(pq & exact) >= 0.50 * len(exact), (len(pq & exact), len(exact))
 
 
 def test_df_cap_bounds_hot_shingle_pair_explosion(spark):

@@ -38,5 +38,5 @@ def test_round4_window_oracles_all_audited():
     from steaminganalysis_spark.registry import ROUND4_WINDOW
 
     window_oracles = [k for k in ROUND4_WINDOW if k in ORACLE]
-    assert len(window_oracles) == 41  # 50 minus the 9 rows-only keys
+    assert len(window_oracles) == 42  # 50 minus the 8 rows-only keys
     assert set(window_oracles) <= set(ORACLE)
