@@ -73,6 +73,20 @@ def main() -> None:
 
     force("q_daily_rollup")  # warmup (untimed)
 
+    # Load gate (round-3 judge order #6): timings taken on a contended
+    # box are noise (round 2's "regression" was machine load — the
+    # unchanged r01 tree measured 3.5× its recorded time under load).
+    # If the 1-minute load average is above the gate at start, wait —
+    # bounded — for the box to quiet down before timing; record how
+    # long we waited and the load we settled at so a reader of the
+    # JSON line can judge the measurement's credibility either way.
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "8"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT_S", "120"))
+    waited = 0.0
+    while os.getloadavg()[0] > gate and waited < max_wait:
+        time.sleep(10.0)
+        waited += 10.0
+
     loadavg_1m = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -105,6 +119,7 @@ def main() -> None:
                 "sf": sf_val,
                 "spread_pct": spreads,
                 "loadavg_1m": loadavg_1m,
+                "load_gate_waited_s": waited,
                 "double_sums_total_sec": double_sums_total,
                 "decimal_sum_tax_sec": round(total - double_sums_total, 3),
             }
