@@ -344,6 +344,93 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.unionAll(merged)
 
 
+_THETA_LG_K = 16  # 2^16 nominal entries: exact-mode ceiling far above
+# every fixture's per-cohort distinct-user count (~15k at sf0.1), so
+# estimates are EXACT there and the oracle can be the exact SQL.
+
+
+@query(
+    "q_agg_theta_sketch",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+    SELECT 'type:' || event_type AS cohort,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'purchase&click',
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM p INTERSECT SELECT * FROM c)) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase|click',
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM p UNION SELECT * FROM c)) AS BIGINT)
+    UNION ALL
+    SELECT 'click-purchase',
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p)) AS BIGINT)
+    """,
+)
+def agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch cohort set algebra (Apache DataSketches via Spark 4
+    ``theta_*``): per-event-type distinct users, plus purchase∩click,
+    purchase∪click and click∖purchase computed ON THE SKETCHES — no
+    re-scan, no distinct-user shuffle per cohort pair. This is the
+    capability HLL cannot provide (HLL unions but never intersects):
+    at 100 TB, per-segment theta sketches (KB each) are aggregated
+    once, and ANY audience-overlap question is then answered by
+    intersecting/differencing sketches, where the exact answer would
+    re-shuffle the full user set per question.
+
+    Below 2^{_THETA_LG_K} distinct values a theta sketch is in exact
+    mode, so every estimate here is the exact count and the oracle is
+    the plain COUNT(DISTINCT)/INTERSECT/EXCEPT SQL (precondition
+    pinned in tests/test_stateful_and_sketches.py); past the ceiling
+    it degrades to ~1% estimation with bounded memory instead of
+    failing. The cohort-pair frame is a 1×1 crossJoin of single-row
+    sketch aggregates — driver-size data by construction."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id", F.lit(_THETA_LG_K)).alias("sk")
+    )
+    base = per_type.select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("cohort"),
+        F.theta_sketch_estimate("sk").alias("n_users"),
+    )
+    p = per_type.filter(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("skp")
+    )
+    c = per_type.filter(F.col("event_type") == "click").select(
+        F.col("sk").alias("skc")
+    )
+    algebra = (
+        p.crossJoin(c)  # 1×1: two single-row sketch frames
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("purchase&click").alias("cohort"),
+                        F.theta_sketch_estimate(
+                            F.theta_intersection("skp", "skc")
+                        ).alias("n_users"),
+                    ),
+                    F.struct(
+                        F.lit("purchase|click").alias("cohort"),
+                        F.theta_sketch_estimate(
+                            F.theta_union("skp", "skc", _THETA_LG_K)
+                        ).alias("n_users"),
+                    ),
+                    F.struct(
+                        F.lit("click-purchase").alias("cohort"),
+                        F.theta_sketch_estimate(
+                            F.theta_difference("skc", "skp")
+                        ).alias("n_users"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.cohort", "r.n_users")
+    )
+    return base.unionByName(algebra)
+
+
 @query(
     "q_agg_stats",
     oracle="""

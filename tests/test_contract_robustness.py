@@ -104,6 +104,7 @@ def test_round4_correctness_window_composition():
         "q_chunk_documents",
         "q_shuffle_deterministic",
         "q_index_inverted",
+        "q_agg_theta_sketch",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

@@ -129,6 +129,34 @@ def test_hll_sketch_estimates_within_tolerance(spark):
         assert est == pytest.approx(exact[k], rel=0.05), (k, est, exact[k])
 
 
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_theta_sketch_exact_mode_precondition(spark, sf_dir):
+    """q_agg_theta_sketch's oracle is the EXACT set-algebra SQL, valid
+    only while every cohort stays under the sketch's 2^lgK exact-mode
+    ceiling. Pin the precondition (so a fixture regen that crosses the
+    ceiling fails loudly) and the set-algebra values themselves against
+    exact DataFrame computation."""
+    from steaminganalysis_spark.operators.aggregates import _THETA_LG_K
+    from steaminganalysis_spark.registry import collect_queries
+
+    Q, _ = collect_queries()
+    ev = load(spark, sf_dir, "events")
+    total_users = ev.select("user_id").distinct().count()
+    assert total_users < 2**_THETA_LG_K, (
+        f"{total_users} distinct users >= 2^{_THETA_LG_K}: theta "
+        "estimates leave exact mode and the exact oracle is invalid"
+    )
+    rows = {r.cohort: r.n_users for r in Q["q_agg_theta_sketch"](spark, sf_dir).collect()}
+    p = {r.user_id for r in ev.filter("event_type = 'purchase'").select("user_id").distinct().collect()}
+    c = {r.user_id for r in ev.filter("event_type = 'click'").select("user_id").distinct().collect()}
+    assert rows["purchase&click"] == len(p & c)
+    assert rows["purchase|click"] == len(p | c)
+    assert rows["click-purchase"] == len(c - p)
+    assert rows["type:purchase"] == len(p)
+
+
 def test_scan_binary_matches_document_bytes(spark):
     """The binaryFile scan must surface exactly the exported files with
     correct sizes and content hashes (recomputed in Python)."""
