@@ -160,6 +160,52 @@ def test_shingle_df_cap_drops_hot_shingles(spark):
     )
 
 
+def _py_chunks(toks: list[str], size: int, stride: int):
+    """Python reference for chunk_documents' windowing rule."""
+    if len(toks) < 1:
+        return []
+    out = []
+    i = 0
+    while i * stride <= len(toks) - 1:
+        piece = toks[i * stride : i * stride + size]
+        out.append((i, " ".join(piece), len(piece)))
+        i += 1
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.lists(WORD, min_size=0, max_size=130), min_size=1, max_size=5))
+def test_chunk_documents_matches_python_reference(spark, docs):
+    """The chunking operator's window rule (size 50, stride 40, short
+    tail kept, empty docs dropped) equals the plain-Python reference on
+    arbitrary token lists — including docs shorter than one stride,
+    exactly one window, and lengths straddling the overlap region."""
+    from steaminganalysis_spark.operators import corpus as corpus_mod
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    orig_load = corpus_mod.load
+    corpus_mod.load = lambda _s, _d, _t: df
+    try:
+        got = {
+            (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+            for r in corpus_mod.chunk_documents(spark, "unused").collect()
+        }
+    finally:
+        corpus_mod.load = orig_load
+    exp = set()
+    for i, d in enumerate(docs):
+        # split(" ") on a joined-empty list yields [''] — one token,
+        # matching Spark's split of the empty string
+        toks = " ".join(d).split(" ")
+        for idx, text, n in _py_chunks(
+            toks, corpus_mod.CHUNK_TOKENS, corpus_mod.CHUNK_STRIDE
+        ):
+            exp.add((i, idx, text, n))
+    assert got == exp
+
+
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 )
