@@ -155,15 +155,15 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, u.token
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
             FROM documents) u
-    ), df AS (
-      SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
-      FROM pairs GROUP BY token
-      HAVING COUNT(*) <= {_INDEX_DF_CAP}
+    ), hot AS (
+      SELECT token FROM pairs GROUP BY token
+      HAVING COUNT(*) > {_INDEX_DF_CAP}
     )
-    SELECT p.token, MIN(f.doc_freq) AS doc_freq,
+    SELECT p.token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
            array_to_string((list(p.doc_id ORDER BY p.doc_id))[1:{_POSTINGS_K}], ',')
              AS postings
-    FROM pairs p JOIN df f ON p.token = f.token
+    FROM pairs p
+    WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.token = p.token)
     GROUP BY p.token
     """,
 )
@@ -178,13 +178,18 @@ def index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
     it then filtering is the same single-key blow-up the shingle DF
     cap exists for. The cap is part of the operator's semantics and is
     replicated in the oracle (HAVING <= cap), so the key stays exact
-    at any SF. Post-cap, per-token state is bounded by cap ids. The
-    kept-token set joins back as a broadcast (tokens with df <= cap
-    that survive are a vocabulary, small relative to the pair stream).
-    The distinct (doc_id, token) pair table is STAGED once
-    (staging.stage — Catalyst does not canonicalize across the two
-    aliased uses), so the tokenize+distinct pass runs once, not once
-    per branch."""
+    at any SF. Post-cap, per-token state is bounded by cap ids.
+
+    The broadcast side is the HOT set (tokens ABOVE the cap — a
+    bounded stopword list), anti-joined away, never the kept
+    vocabulary: at corpus scale the kept side is the long tail of rare
+    tokens (potentially billions of typos/numbers) and broadcasting it
+    would be a driver OOM. Document frequency is then just COUNT(*)
+    inside the same posting aggregate (pairs are distinct), so no
+    join-back is needed at all. The distinct (doc_id, token) pair
+    table is STAGED once (staging.stage — Catalyst does not
+    canonicalize across the two aliased uses), so the
+    tokenize+distinct pass runs once, not once per branch."""
     from steaminganalysis_spark.staging import stage
 
     d = load(spark, sf_dir, "documents")
@@ -192,16 +197,17 @@ def index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(tokens("text")).alias("token")).distinct(),
         "inverted_pairs",
     )
-    kept = (
+    hot = (
         pairs.groupBy("token")
         .agg(F.count("*").alias("doc_freq"))
-        .filter(F.col("doc_freq") <= _INDEX_DF_CAP)
+        .filter(F.col("doc_freq") > _INDEX_DF_CAP)
+        .select("token")
     )
     return (
-        pairs.join(F.broadcast(kept), "token")
+        pairs.join(F.broadcast(hot), "token", "left_anti")
         .groupBy("token")
         .agg(
-            F.min("doc_freq").alias("doc_freq"),
+            F.count("*").alias("doc_freq"),
             F.concat_ws(
                 ",",
                 F.transform(

@@ -151,10 +151,11 @@ def test_inverted_index_df_cap_drops_hot_tokens(spark):
 def test_inverted_index_aggregates_before_collect(spark):
     """Scale-order pin: the doc-frequency aggregate (HashAggregate on
     token) appears BELOW the posting-collecting ObjectHashAggregate in
-    the plan, and the kept-token set joins back as a broadcast — hot
-    tokens are dropped before any posting list materializes."""
+    the plan, and the HOT set (a bounded stopword list — never the
+    unbounded kept vocabulary) is the broadcast side of a LeftAnti —
+    hot tokens are dropped before any posting list materializes."""
     plan = _plan(QUERIES["q_index_inverted"](spark, SF))
-    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     obj = plan.find("ObjectHashAggregate")
     assert obj != -1, plan
     assert "HashAggregate" in plan[obj:], plan  # df agg below the collect
