@@ -126,10 +126,10 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_daily_rollup_substring), functions_pack 13 (incl. the new
 # q_fn_try, deferred to round 4), llm 23, ann 3, extras 24 (incl.
 # the new q_ts_resample + q_scd2_from_cdc, deferred to round 4),
-# corpus 3 + q_agg_theta_sketch (registered after the round-4 window
-# froze — the round-5 window head: q_chunk_documents,
-# q_shuffle_deterministic, q_index_inverted, q_agg_theta_sketch)
-# (194 total).
+# corpus 3 + q_agg_theta_sketch + q_stream_hll_daily (registered
+# after the round-4 window froze — the round-5 window head:
+# q_chunk_documents, q_shuffle_deterministic, q_index_inverted,
+# q_agg_theta_sketch, q_stream_hll_daily) (195 total).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

@@ -244,6 +244,44 @@ def datagen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return order_events_batch(spark, n=1000)
 
 
+@query("q_stream_hll_daily")  # rows-only: HLL estimate has no DuckDB twin
+def stream_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-users-per-day via a MERGEABLE sketch: the
+    events stream feeds a stateful daily-window aggregate whose state
+    is a DataSketches HLL sketch per day (``hll_sketch_agg`` is a
+    typed-imperative aggregate, so streaming state holds the sketch
+    buffer itself — bounded at 2^lgK registers per day regardless of
+    input volume). This is the production streaming-dashboard shape:
+    exact streaming COUNT(DISTINCT) needs per-key user sets (unbounded
+    state), while sketch state is KBs and the register-max merge makes
+    per-batch accumulation ORDER-INVARIANT — the streamed estimate
+    equals the single-pass batch estimate bit-for-bit, which is the
+    pinned test (stream≡batch sketch equivalence,
+    tests/test_streaming.py::test_stream_hll_daily_equals_batch), plus
+    a ≤5% tolerance vs exact counts. Rows-only: DuckDB's
+    approx_count_distinct is a different sketch."""
+    name = f"hll_daily_{uuid.uuid4().hex[:8]}"
+    stream = events_stream(spark, sf_dir)
+    agg = stream.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias(
+            "est_users"
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "est_users"
+    )
+
+
 @query("q_stream_neardup")  # rows-only: LSH signatures use engine xxhash64
 def stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental near-dup detection over the documents

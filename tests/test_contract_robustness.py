@@ -105,6 +105,7 @@ def test_round4_correctness_window_composition():
         "q_shuffle_deterministic",
         "q_index_inverted",
         "q_agg_theta_sketch",
+        "q_stream_hll_daily",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

@@ -54,5 +54,6 @@ def test_every_query_has_oracle_or_is_documented():
         "q_compact_small_files",  # file-layout maintenance op; invariants in the result row
         "q_zorder_layout",  # file-layout op; preservation + locality invariants in the result row
         "q_datagen",  # randomized generator; schema+domain-tested
+        "q_stream_hll_daily",  # HLL estimate; stream≡batch equality-tested
     }
     assert rows_only <= documented, f"undocumented rows-only queries: {rows_only - documented}"

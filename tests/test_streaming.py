@@ -134,6 +134,44 @@ def test_idempotent_sink_skips_replayed_batch(spark):
         assert doubled[k]["total"] == 2 * h["total"]
 
 
+def test_stream_hll_daily_equals_batch(spark):
+    """Stream≡batch sketch equivalence: the streamed per-day HLL
+    estimate must equal the single-pass batch estimate EXACTLY (the
+    register-max merge is order-invariant, so micro-batch accumulation
+    cannot perturb it), and both within 5% of the exact distinct
+    counts."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.day: r.est_users
+        for r in E.queries()["q_stream_hll_daily"](spark, sf).collect()
+    }
+    from steaminganalysis_spark.sources import load
+
+    ev = load(spark, sf, "events")
+    batch = {
+        r.day: r.est
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias(
+                "est"
+            )
+        )
+        .collect()
+    }
+    assert got == batch
+    exact = {
+        r.day: r.n
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for day, est in got.items():
+        assert est == pytest.approx(exact[day], rel=0.05), (day, est, exact[day])
+
+
 def test_streaming_dedup_drops_replayed_duplicates(spark, tmp_path):
     """dropDuplicates over a keyed stream collapses a re-delivered file
     of duplicate events (at-least-once upstream → effectively-once)."""
