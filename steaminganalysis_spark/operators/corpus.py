@@ -148,6 +148,34 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def materialize_epoch_shuffle(
+    df: DataFrame,
+    seed: str,
+    key_col: str = "doc_id",
+    num_shards: int = 256,
+) -> DataFrame:
+    """Materialize the shuffled order ``q_shuffle_deterministic``
+    assigns: tag every row with its md5 permutation key, then
+    ``repartitionByRange`` + ``sortWithinPartitions`` on it. Reading
+    the output shards in shard order IS the seeded global permutation.
+
+    Scale shape: md5 keys are uniform, so the range split is balanced
+    with NO skew sampling surprises and no single-partition global
+    sort (the plan audit asserts rangepartitioning and the absence of
+    SinglePartition). One shuffle — the unavoidable one: rows must
+    physically move to their epoch positions. Same seed → identical
+    shard contents and order, which is what makes a training run
+    resumable mid-epoch."""
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))
+    )
+    return (
+        df.withColumn("_shuffle_key", key)
+        .repartitionByRange(num_shards, "_shuffle_key")
+        .sortWithinPartitions("_shuffle_key")
+    )
+
+
 @query(
     "q_index_inverted",
     oracle=f"""

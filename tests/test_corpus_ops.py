@@ -110,6 +110,40 @@ def test_shuffle_plan_has_zero_exchanges(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_materialize_epoch_shuffle_order_and_plan(spark):
+    """materialize_epoch_shuffle produces the exact permutation the
+    assignment query declares (rows read in partition-then-row order
+    == rows sorted by shuffle_key), via rangepartitioning — never a
+    single-partition global sort."""
+    from steaminganalysis_spark.operators.corpus import materialize_epoch_shuffle
+    from steaminganalysis_spark.sources import load
+
+    d = load(spark, SF, "documents").select("doc_id")
+    out = materialize_epoch_shuffle(d, "epoch-0", num_shards=8)
+    plan = _plan(out)
+    assert "rangepartitioning" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    # physical order across shards == global key order
+    rows = out.select("doc_id", "_shuffle_key").rdd.glom().collect()
+    flat = [r for part in rows for r in part]
+    keys = [r["_shuffle_key"] for r in flat]
+    assert keys == sorted(keys) and len(keys) == d.count()
+    # per-partition sortWithinPartitions held, and ranges are disjoint
+    ends = [p[-1]["_shuffle_key"] for p in rows if p]
+    starts = [p[0]["_shuffle_key"] for p in rows if p]
+    assert all(s <= e for s, e in zip(starts, ends))
+    # determinism: a second materialization yields the identical order
+    flat2 = [
+        r
+        for part in materialize_epoch_shuffle(d, "epoch-0", num_shards=8)
+        .select("doc_id", "_shuffle_key")
+        .rdd.glom()
+        .collect()
+        for r in part
+    ]
+    assert [r["doc_id"] for r in flat2] == [r["doc_id"] for r in flat]
+
+
 def test_inverted_index_postings_and_df(spark):
     """Postings are sorted, unique, bounded by K; doc_freq counts ALL
     docs (not just kept postings); a token known to be in two docs
