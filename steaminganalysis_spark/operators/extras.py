@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from steaminganalysis_spark.functions import shingle_hashes, tokens, word_ngrams
-from steaminganalysis_spark.registry import query, to_cents
+from steaminganalysis_spark.registry import query, round_half_up, to_cents
 from steaminganalysis_spark.sources import load
 from steaminganalysis_spark.staging import stage
 
@@ -101,8 +101,8 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
     top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM cnt GROUP BY 1)
     SELECT s.doc_id,
-           round(1.0 - CAST(n_dist AS DOUBLE) / n_tok, 6) AS dup_token_frac,
-           round(CAST(top_c AS DOUBLE) / n_bg, 6) AS top_bigram_frac,
+           FLOOR((1.0 - CAST(n_dist AS DOUBLE) / n_tok) * 1000000.0 + 0.5) / 1000000.0 AS dup_token_frac,
+           FLOOR(CAST(top_c AS DOUBLE) / n_bg * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac,
            (1.0 - CAST(n_dist AS DOUBLE) / n_tok > 0.2
             OR CAST(top_c AS DOUBLE) / n_bg > 0.1) AS flagged
     FROM tok_stats s JOIN top ON s.doc_id = top.doc_id
@@ -133,8 +133,8 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_stats.join(top, "doc_id")
         .select(
             "doc_id",
-            F.round(dup_frac, 6).alias("dup_token_frac"),
-            F.round(top_frac, 6).alias("top_bigram_frac"),
+            round_half_up(dup_frac, 6).alias("dup_token_frac"),
+            round_half_up(top_frac, 6).alias("top_bigram_frac"),
             ((dup_frac > 0.2) | (top_frac > 0.1)).alias("flagged"),
         )
     )
@@ -180,7 +180,7 @@ def window_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_orderpriority,
            ntile(4) OVER w AS quartile,
-           round(cume_dist() OVER w, 6) AS cd,
+           FLOOR(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cd,
            nth_value(o_orderkey, 3) OVER wf AS third_key
     FROM orders
     WINDOW w  AS (PARTITION BY o_orderpriority
@@ -204,7 +204,7 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderpriority",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cd"),
         F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
     )
 

@@ -98,7 +98,7 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT doc_a, doc_b,
-           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+           FLOOR(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
     FROM inter
     JOIN sizes sa ON doc_a = sa.doc_id
     JOIN sizes sb ON doc_b = sb.doc_id
@@ -147,8 +147,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
+    # floor-based rounding: the jaccard is an exact integer ratio, the
+    # value class that terminates one digit past scale 6 and splits
+    # Spark's string-round from DuckDB's binary-round (see
+    # registry.round_half_up)
+    from steaminganalysis_spark.registry import round_half_up
+
     return inter.filter(jac >= 0.8).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        "doc_a", "doc_b", round_half_up(jac, 6).alias("jaccard")
     )
 
 
@@ -214,11 +220,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("n_common")
     )
+    from steaminganalysis_spark.registry import round_half_up
+
     return (
         inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", round_half_up(jac, 6).alias("jaccard"))
     )
 
 
@@ -652,22 +660,28 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           round(0.5 * least(n_toks / 100.0, 1.0)
+           FLOOR((0.5 * least(n_toks / 100.0, 1.0)
                + 0.3 * (CAST(len(list_filter(toks, x -> list_contains({_sql_list(_STOPWORDS)}, x))) AS DOUBLE) / n_toks)
-               + 0.2 * least((CAST(n_chars AS DOUBLE) / n_toks) / 8.0, 1.0), 6) AS quality
+               + 0.2 * least((CAST(n_chars AS DOUBLE) / n_toks) / 8.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
     FROM t
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score in [0,1]: length component + stopword
-    ratio + average-word-length component, mirrored exactly in SQL."""
+    ratio + average-word-length component, mirrored exactly in SQL.
+    Rounded with ``round_half_up`` (floor-based), not ``F.round``: the
+    integer-ratio terms produce terminating decimals that land exactly
+    on the 6th-decimal boundary, where Spark's string-based round and
+    DuckDB's binary round disagree (found at sf0.1, round 4)."""
+    from steaminganalysis_spark.registry import round_half_up
+
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", F.split("text", " ").alias("toks")
     )
     n_toks = F.size("toks")
     arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     stop_hits = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(arr, x)))
-    quality = F.round(
+    quality = round_half_up(
         0.5 * F.least(n_toks / F.lit(100.0), F.lit(1.0))
         + 0.3 * (stop_hits.cast("double") / n_toks)
         + 0.2 * F.least((F.col("n_chars").cast("double") / n_toks) / 8.0, F.lit(1.0)),
@@ -1142,7 +1156,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
               GROUP BY 1, 2)
     SELECT doc_a, doc_b,
-           round(CAST(n_common AS DOUBLE) / sa.n, 6) AS containment
+           FLOOR(CAST(n_common AS DOUBLE) / sa.n * 1000000.0 + 0.5) / 1000000.0 AS containment
     FROM inter JOIN sizes sa ON doc_a = sa.doc_id
     WHERE CAST(n_common AS DOUBLE) / sa.n >= 0.9
     """,
@@ -1175,6 +1189,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_common"))
     )
     cont = F.col("n_common").cast("double") / F.col("na")
+    from steaminganalysis_spark.registry import round_half_up
+
     return inter.filter(cont >= 0.9).select(
-        "doc_a", "doc_b", F.round(cont, 6).alias("containment")
+        "doc_a", "doc_b", round_half_up(cont, 6).alias("containment")
     )

@@ -720,7 +720,8 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(unit_cost) OVER (PARTITION BY l_partkey) AS best
       FROM cost
     )
-    SELECT p_partkey, s_name, round(unit_cost, 4) AS unit_cost
+    SELECT p_partkey, s_name,
+           FLOOR(unit_cost * 10000.0 + 0.5) / 10000.0 AS unit_cost
     FROM ranked
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -738,8 +739,13 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated rescan (quadratic). Adaptation: no
     partsupp, so unit cost is MIN(l_extendedprice/l_quantity) observed
     in lineitem; no region/acctbal output columns. Ties keep all rows
-    (deterministic set semantics, no arbitrary pick)."""
+    (deterministic set semantics, no arbitrary pick). unit_cost is
+    emitted via floor-based ``round_half_up``: price(2dp)/quantity(int)
+    terminates one digit past scale 4 constantly, the boundary where
+    Spark's round and DuckDB's round split (found at sf0.1, round 4)."""
     from pyspark.sql import Window
+
+    from steaminganalysis_spark.registry import round_half_up
 
     p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     s = load(spark, sf_dir, "supplier")
@@ -753,7 +759,11 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter(F.col("unit_cost") == F.col("best"))
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .select("p_partkey", "s_name", F.round("unit_cost", 4).alias("unit_cost"))
+        .select(
+            "p_partkey",
+            "s_name",
+            round_half_up(F.col("unit_cost"), 4).alias("unit_cost"),
+        )
     )
 
 

@@ -156,22 +156,27 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            o_orderpriority,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist() OVER w, 6) AS cd
+           FLOOR(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pr,
+           FLOOR(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cd
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     """,
 )
 def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-rank analytics: percent_rank and cume_dist per priority
-    class (order-by includes the unique key so ranks are total)."""
+    class (order-by includes the unique key so ranks are total).
+    Floor-based rounding: rank ratios k/n are the integer-ratio class
+    that lands on 6th-decimal boundaries where Spark's round and
+    DuckDB's round split (registry.round_half_up)."""
+    from steaminganalysis_spark.registry import round_half_up
+
     o = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        round_half_up(F.percent_rank().over(w), 6).alias("pr"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cd"),
     )
 
 

@@ -11,6 +11,10 @@ query AND its oracle:
 - money/double sums go through exact decimal accumulation then a final
   cast to double (``dsum`` helper) so summation order cannot perturb
   the value hash;
+- deterministic ratio metrics round via ``round_half_up`` (floor-based,
+  identical IEEE ops both engines), never ``F.round``/SQL ``round`` —
+  the two round different things on boundary doubles (see the helper's
+  docstring);
 - calendar buckets are emitted as strings (``yyyy-MM-dd`` etc.), never
   raw timestamps, so session-timezone settings cannot perturb them;
 - top-k / ranking queries always break ties on a unique key;
@@ -24,7 +28,17 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["QUERIES", "ORACLE", "query", "dsum", "to_cents", "SQL_DSUM", "collect_queries"]
+__all__ = [
+    "QUERIES",
+    "ORACLE",
+    "query",
+    "dsum",
+    "to_cents",
+    "round_half_up",
+    "SQL_DSUM",
+    "SQL_ROUND",
+    "collect_queries",
+]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -88,6 +102,34 @@ def dsum(col: Column, scale: int = 2) -> Column:
     m = 10**scale
     cents = to_cents(col, scale).cast("decimal(38,0)")
     return F.sum(cents).cast("double") / F.lit(float(m))
+
+
+def round_half_up(col: Column, scale: int = 6) -> Column:
+    """Engine-agnostic half-up rounding: ``floor(x·10^s + 0.5) / 10^s``
+    as pure IEEE ops, identical on Spark and DuckDB.
+
+    Why not ``F.round``: Spark's round on a double goes through
+    ``BigDecimal.valueOf`` — it rounds the SHORTEST DECIMAL STRING that
+    round-trips to the double — while DuckDB (and C engines generally)
+    round the binary value. A pre-round value that is a terminating
+    decimal one digit past the target scale (integer ratios produce
+    these constantly: stopword k/160 = 0.2534375, unit cost
+    1477.0125/10) sits within 1 ulp of the .5 boundary, and the two
+    conventions split (found by the round-4 sf0.1 parity sweep:
+    q_text_quality 0.253438 vs 0.253437, q_tpch_q2 at scale 4). The
+    floor spelling evaluates the same float ops on both engines, so the
+    boundary case is decided identically. The SQL twin is
+    ``SQL_ROUND``. Half-up here means toward +inf for negative ties,
+    same as the SQL twin by construction."""
+    m = float(10**scale)
+    return F.floor(col.cast("double") * F.lit(m) + F.lit(0.5)) / F.lit(m)
+
+
+def SQL_ROUND(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of ``round_half_up`` — identical float ops, fully
+    parenthesized."""
+    m = float(10**scale)
+    return f"(FLOOR(CAST(({expr}) AS DOUBLE) * {m} + 0.5) / {m})"
 
 
 def SQL_DSUM(expr: str, scale: int = 2) -> str:
