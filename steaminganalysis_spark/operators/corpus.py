@@ -1,8 +1,9 @@
 """Corpus-preparation operators (round 4): the remaining steps a
 large-scale pre-training data pipeline runs between "cleaned corpus"
-and "training shards" — chunking, deterministic global shuffling, and
-inverted-index construction. All three are registered with exact
-DuckDB oracles (registration order puts them AFTER the round-4
+and "training shards" — chunking, deterministic global shuffling,
+inverted-index construction, incremental dedup of a new crawl against
+the existing corpus, and key-skew profiling. All are registered with
+exact DuckDB oracles (registration order puts them AFTER the round-4
 correctness window; they are the first members of the round-5 window).
 
 Scale notes (the 100 TB contract each operator is designed against):
@@ -34,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from steaminganalysis_spark.functions import tokens
-from steaminganalysis_spark.registry import query
+from steaminganalysis_spark.registry import SQL_ROUND, query, round_half_up
 from steaminganalysis_spark.sources import load
 
 CHUNK_TOKENS = 50  # tokens per chunk
@@ -248,3 +249,112 @@ def index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 index_inverted.__doc__ = index_inverted.__doc__.replace("{K}", str(_POSTINGS_K))
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 5 = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM documents r
+        WHERE r.doc_id % 5 <> 0 AND md5(r.text) = md5(d.text)
+      )
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: keep only the NEW-batch documents whose
+    content hash does not already exist in the reference corpus — the
+    steady-state shape of production dedup, where each crawl snapshot
+    is deduped against petabytes of already-accepted corpus rather
+    than re-deduping the world. (The fixture split is deterministic:
+    ``doc_id % 5 == 0`` is the new batch, the rest is the corpus.)
+
+    Plan shape: the corpus side reduces to DISTINCT 16-byte content
+    hashes BEFORE the shuffle — the anti-join never moves corpus text,
+    only hashes, so the shuffled bytes are O(|corpus|·16B) regardless
+    of document size. At 100 TB the standing corpus-hash table is a
+    bucketed table on the hash (build once, append per batch), making
+    each incremental run a zero-exchange bucket-local anti-join on the
+    corpus side; Spark's runtime row-level Bloom pruning
+    (spark.sql.optimizer.runtime.bloomFilter, enabled in session.py)
+    additionally prunes new-batch rows before the shuffle when the
+    batch is far larger than the corpus delta."""
+    d = load(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0).withColumn("h", F.md5("text"))
+    corpus_hashes = (
+        d.filter(F.col("doc_id") % 5 != 0).select(F.md5("text").alias("h")).distinct()
+    )
+    return batch.join(corpus_hashes, "h", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+_SKEW_TOP_K = 5
+
+
+@query(
+    "q_skew_profile",
+    oracle=f"""
+    WITH pk AS (
+      SELECT l_suppkey AS suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             COUNT(*) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM pk
+    ), ranked AS (
+      SELECT suppkey, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, suppkey) AS rnk
+      FROM pk
+    )
+    SELECT CAST(r.rnk AS BIGINT) AS rnk, r.suppkey, r.cnt,
+           {SQL_ROUND("r.cnt * 100.0 / t.total_rows")} AS share_pct,
+           t.n_keys, t.total_rows,
+           {SQL_ROUND("t.max_cnt * 1.0 * t.n_keys / t.total_rows")} AS skew_ratio
+    FROM ranked r, tot t
+    WHERE r.rnk <= {_SKEW_TOP_K}
+    """,
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiler: per-key counts for a join/shuffle key, the
+    top-{K} heaviest keys with their share of all rows, and the global
+    skew ratio (max key count / mean key count) — the diagnostic every
+    100 TB shuffle plan should be checked against BEFORE it runs,
+    since a skew ratio ≫ 1 is exactly the straggler condition that
+    motivates salting (``q_join_salted``/``q_agg_salted``) and AQE
+    skew-split.
+
+    Plan shape: ONE shuffle (the per-key count, with map-side partial
+    combine); the summary is a single-row aggregate over the key
+    domain, the top-{K} is TakeOrderedAndProject (never a global
+    sort), and the 5-row ranked slice cross-joins the broadcast 1-row
+    summary — the same bounded 1×N pattern as the DQ summary in
+    operators/pipeline.py."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    pk = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(F.count("*").alias("cnt"))
+    tot = pk.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = pk.orderBy(F.desc("cnt"), F.asc("suppkey")).limit(_SKEW_TOP_K)
+    w = Window.orderBy(F.desc("cnt"), F.asc("suppkey"))
+    ranked = top.withColumn("rnk", F.row_number().over(w).cast("long"))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rnk",
+        "suppkey",
+        "cnt",
+        round_half_up(F.col("cnt") * 100.0 / F.col("total_rows")).alias("share_pct"),
+        "n_keys",
+        "total_rows",
+        round_half_up(F.col("max_cnt") * 1.0 * F.col("n_keys") / F.col("total_rows")).alias(
+            "skew_ratio"
+        ),
+    )
+
+
+skew_profile.__doc__ = skew_profile.__doc__.replace("{K}", str(_SKEW_TOP_K))

@@ -272,6 +272,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import ann  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import extras  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import corpus  # noqa: F401  isort: skip
+    from steaminganalysis_spark.operators import graph  # noqa: F401  isort: skip
 
     missing = [k for k in ROUND4_WINDOW if k not in QUERIES]
     if missing:

@@ -106,6 +106,9 @@ def test_round4_correctness_window_composition():
         "q_index_inverted",
         "q_agg_theta_sketch",
         "q_stream_hll_daily",
+        "q_dedup_incremental",
+        "q_skew_profile",
+        "q_graph_pagerank",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

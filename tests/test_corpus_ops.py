@@ -193,3 +193,57 @@ def test_inverted_index_aggregates_before_collect(spark):
     obj = plan.find("ObjectHashAggregate")
     assert obj != -1, plan
     assert "HashAggregate" in plan[obj:], plan  # df agg below the collect
+
+
+def test_dedup_incremental_partition_and_completeness(spark):
+    """Every kept row is from the new batch (doc_id % 5 == 0) and its
+    content hash is genuinely absent from the corpus; every DROPPED
+    batch row's hash IS present — the anti-join removes exactly the
+    already-seen documents."""
+    kept = QUERIES["q_dedup_incremental"](spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert all(i % 5 == 0 for i in kept_ids)
+    corpus_hashes = {
+        r["h"]
+        for r in docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    }
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    for r in batch.collect():
+        assert (r["doc_id"] in kept_ids) == (r["h"] not in corpus_hashes)
+
+
+def test_dedup_incremental_plan_anti_join_on_hashes(spark):
+    """The corpus side reduces to DISTINCT hashes before the LeftAnti
+    join (a HashAggregate feeds the join's right side) and no text
+    column crosses the exchange on that side — the shuffled corpus
+    payload is O(16 bytes/doc) regardless of document size."""
+    plan = _plan(QUERIES["q_dedup_incremental"](spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    anti = plan.find("LeftAnti")
+    assert "HashAggregate" in plan[anti:], plan  # distinct below the join
+
+
+def test_skew_profile_values_and_plan(spark):
+    """Top-k slice is exactly k rows ranked 1..k by descending count;
+    shares are in (0,100]; skew_ratio >= 1 (max >= mean) — and the
+    top-k is a TakeOrderedAndProject, never a global sort of the key
+    domain."""
+    from steaminganalysis_spark.operators.corpus import _SKEW_TOP_K
+
+    df = QUERIES["q_skew_profile"](spark, SF)
+    rows = sorted(df.collect(), key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in rows] == list(range(1, _SKEW_TOP_K + 1))
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        assert 0 < r["share_pct"] <= 100
+        assert r["skew_ratio"] >= 1.0
+        assert r["total_rows"] >= r["n_keys"]
+    assert "TakeOrderedAndProject" in _plan(df)

@@ -1,0 +1,78 @@
+"""Iterative graph analytics (operators/graph.py): invariants and plan
+shapes the DuckDB oracle can't see — value equality is covered by the
+oracle-parity sweep (q_graph_pagerank has an exact unrolled-CTE twin)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.operators.graph import DAMPING
+from steaminganalysis_spark.registry import collect_queries
+
+QUERIES, ORACLE = collect_queries()
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pagerank_bounds_and_node_domain(spark):
+    """Every rank is >= (1-d) (the teleport floor), finite, and there
+    is exactly one row per nation that participates in the trade graph
+    — rank mass beyond the floor only ever comes from real edges."""
+    pr = QUERIES["q_graph_pagerank"](spark, SF)
+    rows = pr.collect()
+    assert len(rows) > 0
+    assert len({r["nation"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["pagerank"] >= (1.0 - DAMPING) - 1e-9
+        assert r["pagerank"] == r["pagerank"]  # not NaN
+    # Dangling mass is dropped, so total rank is at most V (the
+    # no-dangling fixed point) and at least V*(1-d).
+    n = len(rows)
+    total = sum(r["pagerank"] for r in rows)
+    assert n * (1.0 - DAMPING) - 1e-6 <= total <= n + 1e-6
+
+
+def test_pagerank_fact_join_staged_once(spark):
+    """The lineitem⋈orders edge build runs ONCE (staged), not once per
+    iteration: the final executed plan reads the staged edge fractions
+    and never re-scans the fact tables, and the five iteration joins
+    are all broadcast joins (rank vector is O(V)) — no sort-merge join
+    appears after staging."""
+    pr = QUERIES["q_graph_pagerank"](spark, SF)
+    plan = _plan(pr)
+    assert "lineitem" not in plan
+    assert "orders" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_sink_nation_outranks_sources(spark):
+    """A nation that only RECEIVES trade (a dst that is never a src)
+    must outrank the uniform floor if it has in-edges; conversely every
+    rank above the floor implies at least one in-edge — sanity that the
+    edge direction (supplier→customer) made it through the plumbing."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey", "c_nationkey")
+    s = spark.read.parquet(f"{SF}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+    )
+    dst_nations = {
+        r["n_name"]
+        for r in edges.join(n, edges.dst == n.n_nationkey).select("n_name").distinct().collect()
+    }
+    pr = {r["nation"]: r["pagerank"] for r in QUERIES["q_graph_pagerank"](spark, SF).collect()}
+    floor = 1.0 - DAMPING
+    for nation, rank in pr.items():
+        if rank > floor + 1e-6:
+            assert nation in dst_nations
