@@ -358,3 +358,75 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 skew_profile.__doc__ = skew_profile.__doc__.replace("{K}", str(_SKEW_TOP_K))
+
+
+_LM_TOP_K = 50
+
+
+@query(
+    "q_ngram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ), big AS (
+      SELECT t[r.i] AS w1, t[r.i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 2
+    ), uni AS (
+      SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+    ), bg AS (
+      SELECT w1, w2, COUNT(*) AS cnt FROM big GROUP BY w1, w2
+    )
+    SELECT b.w1, b.w2, b.cnt,
+           {SQL_ROUND("b.cnt * 1.0 / u.c1")} AS cond_p
+    FROM bg b JOIN uni u USING (w1)
+    ORDER BY b.cnt DESC, b.w1, b.w2
+    LIMIT {_LM_TOP_K}
+    """,
+)
+def ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics over the corpus: bigram counts
+    and conditional probabilities P(w2|w1) = c(w1,w2) / c(w1,·) — the
+    KenLM-style count step behind perplexity-based quality filtering
+    and contamination heuristics. Emits the top-{K} bigrams (count
+    desc, then lexicographic — deterministic).
+
+    Scale shape: the bigram stream is a pure map (slice+zip+explode, no
+    exchange); both count aggregates have map-side partial combine, and
+    the context-total denominator c(w1,·) joins back to the bigram
+    counts on an EQUI-join keyed by w1 — never a STATIC broadcast hint
+    on the unigram table, whose size is the full vocabulary (unbounded
+    at corpus scale: typos, numbers, code; AQE may still pick a runtime
+    broadcast when the measured size is small, which is the right
+    adaptive call). The top-{K} is
+    TakeOrderedAndProject. Hot contexts (stopwords start millions of
+    bigrams) skew the w1 shuffle: AQE skew-split handles the join; the
+    aggregates are fine because partial combine collapses each
+    partition to its distinct keys first."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+    )
+    big = (
+        d.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    bg = big.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    return (
+        bg.join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            round_half_up(F.col("cnt") * 1.0 / F.col("c1")).alias("cond_p"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(_LM_TOP_K)
+    )
+
+
+ngram_lm.__doc__ = ngram_lm.__doc__.replace("{K}", str(_LM_TOP_K))

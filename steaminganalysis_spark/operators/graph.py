@@ -159,3 +159,109 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         F.broadcast(nat), ranks.node == nat.n_nationkey
     ).select(F.col("n_name").alias("nation"), round_half_up(F.col("pr"), 6).alias("pagerank"))
+
+
+_SQL_DIRECTED_EDGES = """
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+"""
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH de AS ({_SQL_DIRECTED_EDGES}),
+    ue AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM de WHERE src <> dst
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM ue UNION ALL SELECT b AS node FROM ue
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM ue e1
+      JOIN ue e2 ON e2.a = e1.b
+      JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    summ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT s.n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ue) AS n_edges,
+           s.n_wedges, t.n_triangles,
+           {SQL_ROUND('3.0 * t.n_triangles / s.n_wedges')} AS global_clustering
+    FROM summ s, tri t
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    (undirected) nation trade graph — the other workhorse graph metric
+    next to centrality, and the classic shuffle-explosion benchmark.
+
+    Scale shape: edges are ORIENTED low-endpoint → high-endpoint before
+    the wedge join, so each triangle is generated exactly once and the
+    wedge intermediate is bounded by Σ out-deg² under the orientation —
+    the standard compact-forward trick. (At web scale the orientation
+    key is DEGREE order, not id order, which provably bounds out-degree
+    by O(√m); id order is used here because the oracle must replicate
+    the orientation exactly and ids are deterministic.) The two wedge
+    joins are plain equi-joins on node keys — shuffle-partitioned,
+    skew-salvageable by AQE — never a cartesian. Degree/wedge counts
+    are integer-exact; the clustering ratio rounds via the engine's
+    half-up convention."""
+    from steaminganalysis_spark.staging import stage
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    de = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    ue = stage(de, "triangle_edges")
+    deg = (
+        ue.select(F.col("a").alias("node"))
+        .unionAll(ue.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    summ = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    e1, e2, e3 = ue.alias("e1"), ue.alias("e2"), ue.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = ue.agg(F.count("*").alias("n_edges"))
+    return (
+        summ.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            round_half_up(3.0 * F.col("n_triangles") / F.col("n_wedges")).alias(
+                "global_clustering"
+            ),
+        )
+    )

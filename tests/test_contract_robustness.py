@@ -109,6 +109,8 @@ def test_round4_correctness_window_composition():
         "q_dedup_incremental",
         "q_skew_profile",
         "q_graph_pagerank",
+        "q_graph_triangles",
+        "q_ngram_lm",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

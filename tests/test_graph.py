@@ -76,3 +76,56 @@ def test_pagerank_sink_nation_outranks_sources(spark):
     for nation, rank in pr.items():
         if rank > floor + 1e-6:
             assert nation in dst_nations
+
+
+def test_triangles_match_bruteforce(spark):
+    """The distributed oriented-wedge count equals a driver-side
+    brute-force enumeration of the same undirected edge set (ground
+    truth at fixture scale), and the summary counts are consistent."""
+    from itertools import combinations
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey", "c_nationkey")
+    s = spark.read.parquet(f"{SF}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    edges = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .collect()
+        )
+    }
+    nodes = {n for e in edges for n in e}
+    tri = sum(
+        1
+        for a, b, ccc in combinations(sorted(nodes), 3)
+        if (a, b) in edges and (b, ccc) in edges and (a, ccc) in edges
+    )
+    row = QUERIES["q_graph_triangles"](spark, SF).collect()[0]
+    assert row["n_triangles"] == tri
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert row["n_wedges"] == sum(d * (d - 1) // 2 for d in deg.values())
+
+
+def test_triangles_plan_staged_and_no_cartesian(spark):
+    """The fact join that builds the edge set is staged once; the wedge
+    joins are equi-joins (no CartesianProduct / BroadcastNestedLoop in
+    the plan) — triangle counting must never degenerate to all-pairs."""
+    plan = _plan(QUERIES["q_graph_triangles"](spark, SF))
+    assert "lineitem" not in plan
+    assert "CartesianProduct" not in plan
+    # The only nested-loop joins allowed are the two 1-row × 1-row
+    # summary cross-joins (edge count + triangle count onto the degree
+    # summary); the wedge joins themselves must be hash equi-joins.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
