@@ -497,3 +497,96 @@ def stream_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "total"
     )
+
+
+@query(
+    "q_stream_cdc_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type AS status, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, status,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+)
+def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD Type-2 dimension maintenance: the events change
+    log arrives in three time-ordered micro-batches (ts-boundary file
+    split, maxFilesPerTrigger=1) and each batch MERGEs into the
+    standing change table via the recompute-affected-keys pattern
+    (streaming/scd2.py) — per-batch work is O(batch + affected users),
+    never O(history). The returned frame is the validity-interval view
+    of the FINAL table state, and the oracle is the batch SCD2 SQL
+    (identical to q_scd2_from_cdc): incremental maintenance must
+    converge to the batch answer regardless of batch boundaries. The
+    merge commits a version dir then the batch watermark through the
+    same atomic KVStore step as the KV sink, so crash-replays rewrite
+    an identical version (idempotent by construction)."""
+    import glob
+    import os
+    import shutil
+
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.scd2 import (
+        intervals_from_changes,
+        read_changes,
+        scd2_sink,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("cdc_scd2")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    bounds = [
+        (None, "2024-01-11"),
+        ("2024-01-11", "2024-01-21"),
+        ("2024-01-21", None),
+    ]
+    for i, (lo, hi) in enumerate(bounds):
+        part = ev
+        if lo:
+            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            part = part.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        d = os.path.join(tmp, f"b{i}")
+        part.coalesce(1).write.parquet(d)
+        shutil.copy(
+            glob.glob(os.path.join(d, "part-*.parquet"))[0],
+            os.path.join(src, f"b{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table_dir = os.path.join(tmp, "table")
+    store_name = f"cdc_scd2_{run}"
+    writer, scope = scd2_sink(
+        stream, table_dir, os.path.join(tmp, f"ckpt_{run}"), store_name
+    )
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = intervals_from_changes(
+        read_changes(spark, table_dir, store_name, scope)
+    ).localCheckpoint(eager=True)  # detach from the scratch dirs before cleanup
+    KVStore.reset(store_name)
+    return out
