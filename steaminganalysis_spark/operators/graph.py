@@ -170,6 +170,25 @@ _SQL_DIRECTED_EDGES = """
 """
 
 
+def _directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier-nation → customer-nation edges: the shared
+    edge build for the unweighted graph operators (the weighted
+    PageRank build keeps its own count aggregate). The fact⋈fact join
+    shuffles once; the DISTINCT's map-side partial collapses each
+    partition to ≤|nations|² rows before the exchange."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+    )
+
+
 @query(
     "q_graph_triangles",
     oracle=f"""
@@ -219,15 +238,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-up convention."""
     from steaminganalysis_spark.staging import stage
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     de = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        _directed_edges(spark, sf_dir)
         .filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -265,3 +277,100 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+BFS_ITERATIONS = 6
+
+
+def _bfs_oracle() -> str:
+    """Unrolled min-plus relaxation: d0(source)=0, d_{k+1}(v) =
+    min(d_k(v), 1 + min over edges u→v of d_k(u)). Source = the
+    smallest nationkey that appears in the edge set (deterministic)."""
+    ctes = [
+        f"de AS ({_SQL_DIRECTED_EDGES})",
+        """nodes AS (SELECT DISTINCT src AS node FROM de
+                     UNION SELECT DISTINCT dst FROM de)""",
+        "srcn AS (SELECT MIN(node) AS s FROM nodes)",
+        """d0 AS (SELECT n.node,
+                    CASE WHEN n.node = srcn.s THEN 0 END AS dist
+                  FROM nodes n, srcn)""",
+    ]
+    for k in range(1, BFS_ITERATIONS + 1):
+        ctes.append(
+            f"""relax{k} AS (SELECT e.dst AS node, MIN(d.dist + 1) AS cand
+                 FROM de e JOIN d{k - 1} d ON d.node = e.src
+                 WHERE d.dist IS NOT NULL GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""d{k} AS (SELECT n.node,
+                   LEAST(COALESCE(d.dist, 999999), COALESCE(r.cand, 999999)) AS raw,
+                   CASE WHEN LEAST(COALESCE(d.dist, 999999), COALESCE(r.cand, 999999)) < 999999
+                        THEN LEAST(COALESCE(d.dist, 999999), COALESCE(r.cand, 999999)) END AS dist
+                 FROM nodes n
+                 LEFT JOIN d{k - 1} d ON d.node = n.node
+                 LEFT JOIN relax{k} r ON r.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT nat.n_name AS nation, CAST(d.dist AS BIGINT) AS distance
+        FROM d{BFS_ITERATIONS} d
+        JOIN nation nat ON nat.n_nationkey = d.node
+        WHERE d.dist IS NOT NULL
+        """
+    )
+
+
+@query("q_graph_bfs", oracle=_bfs_oracle())
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (unweighted BFS, {K} fixed
+    min-plus relaxation rounds — enough to saturate any diameter the
+    nation graph can have) from the smallest participating nationkey,
+    over the directed trade graph. Unreached nodes are absent from the
+    output.
+
+    Plan shape: the edge build is the shared fact⋈fact aggregate,
+    staged once; each relaxation round is edges ⋈ broadcast(frontier
+    distances, O(V)) + a per-destination MIN aggregate — the same
+    iterate-on-the-small-table loop as PageRank, with integer
+    distances so the result is exact (no rounding convention needed).
+    At billion-node scale the broadcast becomes a co-partitioned join
+    and only the FRONTIER (nodes whose distance changed last round)
+    joins edges — the classic Pregel delta optimization; here V=25 so
+    the full vector rides along."""
+    from steaminganalysis_spark.staging import stage
+
+    de = stage(_directed_edges(spark, sf_dir), "bfs_edges")
+    nodes = (
+        de.select(F.col("src").alias("node"))
+        .union(de.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    src = nodes.agg(F.min("node").alias("s"))
+    dist = nodes.join(F.broadcast(src)).select(
+        "node", F.when(F.col("node") == F.col("s"), 0).alias("dist")
+    )
+    for _ in range(BFS_ITERATIONS):
+        relax = (
+            de.join(
+                F.broadcast(dist.filter(F.col("dist").isNotNull())),
+                de.src == F.col("node"),
+            )
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + 1).alias("cand"))
+        )
+        dist = dist.join(F.broadcast(relax), dist.node == relax.dst, "left").select(
+            "node", F.least(F.col("dist"), F.col("cand")).alias("dist")
+        )
+    nat = load(spark, sf_dir, "nation")
+    return (
+        dist.filter(F.col("dist").isNotNull())
+        .join(F.broadcast(nat), dist.node == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"), F.col("dist").cast("long").alias("distance")
+        )
+    )
+
+
+graph_bfs.__doc__ = graph_bfs.__doc__.replace("{K}", str(BFS_ITERATIONS))

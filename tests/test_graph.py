@@ -129,3 +129,48 @@ def test_triangles_plan_staged_and_no_cartesian(spark):
     # summary); the wedge joins themselves must be hash equi-joins.
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_bfs_matches_bruteforce(spark):
+    """Distributed min-plus BFS equals a driver-side BFS over the same
+    directed edge set from the same source (smallest participating
+    nationkey); unreached nodes are absent."""
+    from collections import deque
+
+    from steaminganalysis_spark.operators.graph import _directed_edges
+
+    edges = [(r["src"], r["dst"]) for r in _directed_edges(spark, SF).collect()]
+    nodes = {n for e in edges for n in e}
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    src = min(nodes)
+    dist = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    expect = {nat[n]: d for n, d in dist.items()}
+    got = {
+        r["nation"]: r["distance"]
+        for r in QUERIES["q_graph_bfs"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_bfs_plan_staged_and_broadcast_iterations(spark):
+    """The fact join is staged once (no fact re-scan in the final
+    plan); every relaxation round joins the broadcast distance vector —
+    no sort-merge join, no cartesian."""
+    plan = _plan(QUERIES["q_graph_bfs"](spark, SF))
+    assert "lineitem" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
