@@ -135,10 +135,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.join(outw, "src").select("src", "dst", (F.col("w") / F.col("ow")).alias("p")),
         "pagerank_frac",
     )
-    nodes = (
+    # nodes is referenced in EVERY iteration's left join — stage it too
+    # or the union+distinct over the edge table replays per iteration
+    # (invisible at V=25, a full edge scan per round at web scale).
+    nodes = stage(
         frac.select(F.col("src").alias("node"))
         .union(frac.select(F.col("dst").alias("node")))
-        .distinct()
+        .distinct(),
+        "pagerank_nodes",
     )
 
     ranks = nodes.withColumn("pr", F.lit(1.0))
@@ -342,10 +346,11 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from steaminganalysis_spark.staging import stage
 
     de = stage(_directed_edges(spark, sf_dir), "bfs_edges")
-    nodes = (
+    nodes = stage(
         de.select(F.col("src").alias("node"))
         .union(de.select(F.col("dst").alias("node")))
-        .distinct()
+        .distinct(),
+        "bfs_nodes",
     )
     src = nodes.agg(F.min("node").alias("s"))
     dist = nodes.join(F.broadcast(src)).select(

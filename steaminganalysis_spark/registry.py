@@ -187,8 +187,10 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # path was refactored in round 3 (staging.stage table/localCheckpoint
 # mode switch) AFTER their round-1 green rows. After this round every
 # key that existed at the rotation freeze has at least one driver
-# CORRECTNESS row. Round 5 window head: the three corpus.py keys
-# registered after the freeze, then rotate back over
+# CORRECTNESS row. Round 5 window head: every key registered after
+# the freeze (the pinned deferred_to_round5 set in
+# tests/test_contract_robustness.py — corpus.py's six, the sketch
+# pair, graph.py's three, q_stream_cdc_scd2), then rotate back over
 # llm/aggregates/functions_pack/tpch re-checks (oldest stamps first:
 # their greens date to round 1).
 #
