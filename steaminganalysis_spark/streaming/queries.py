@@ -590,3 +590,77 @@ def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)  # detach from the scratch dirs before cleanup
     KVStore.reset(store_name)
     return out
+
+
+@query(
+    "q_stream_stream_left_join",
+    oracle="""
+    WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+          WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events
+          WHERE event_type = 'click'),
+    wm AS (SELECT LEAST((SELECT MAX(p_ts) FROM p), (SELECT MAX(c_ts) FROM c))
+                    - INTERVAL 2 HOUR AS w),
+    matched AS (
+      SELECT p.p_id, c.c_id
+      FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.c_ts < p.p_ts
+                   AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT p_id, c_id FROM matched
+    UNION ALL
+    SELECT p.p_id, NULL AS c_id
+    FROM p, wm
+    WHERE p.p_ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.p_id = p.p_id)
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join under watermarks — the hard mode
+    of streaming joins: matched (purchase, prior click ≤1h) pairs emit
+    immediately, while an UNMATCHED purchase can only emit its
+    null-padded row once the watermark proves no future click can match
+    (state eviction = emission, the same finalize-once semantics as
+    ``q_stream_append_watermark``). Run to completion, the emitted set
+    is: every matched pair, plus null rows exactly for the unmatched
+    purchases whose timestamp the final watermark has passed —
+    purchases above it are still held in state when the query stops and
+    are deliberately absent. The final watermark is the MIN across the
+    two watermarked branches of (that branch's max event time − 2 h):
+    Spark advances the query watermark to the minimum over all
+    watermark operators, so the slower branch (here whichever of
+    purchases/clicks saw the earlier last event) gates eviction — a
+    semantic pinned empirically against all three fixture SFs, where
+    the single withheld row differs per SF exactly per this rule. The
+    oracle states the rule in SQL; without watermarks both sides would
+    buffer forever (unbounded state at 100 TB), and the no-data
+    micro-batch after the last file is what flushes the
+    expired-unmatched rows."""
+    name = f"ssoj_{uuid.uuid4().hex[:8]}"
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    cond = (
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts < purchases.p_ts)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = purchases.join(clicks, cond, "left_outer").select("p_id", "c_id")
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
