@@ -541,3 +541,38 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.product(1.0 + F.col("l_discount")), 6).alias("discount_factor"),
         F.count("*").alias("n_lines"),
     )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via roaring-bitmap-style aggregation
+    (``bitmap_bit_position`` / ``bitmap_construct_agg`` /
+    ``bitmap_count``): ids within each 32k-bucket collapse to one
+    bitmap map-side, buckets merge associatively, and the final count
+    is a SUM of per-bucket popcounts. This is the middle path between
+    ``COUNT(DISTINCT)`` (exact, but shuffles every distinct id) and
+    HLL (`q_agg_hll_sketch`, mergeable but approximate): bitmaps are
+    exact AND mergeable, shuffling at most one ~4 KB buffer per
+    (group, id-bucket) regardless of row count — the right tool when
+    the id domain is dense (user ids are). Two bounded shuffles:
+    (event_type, bucket) bitmap partials, then the per-type popcount
+    sum."""
+    ev = load(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"),
+        F.count("*").alias("c"),
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users"),
+        F.sum("c").alias("n_events"),
+    )

@@ -449,3 +449,52 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(event_type AS BIGINT)").alias("bad_cast"),
         F.expr("try_cast(CAST(event_id AS STRING) AS BIGINT)").alias("good_cast"),
     )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang,
+             'https://' || source || '.example.com/docs/' ||
+               CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT split_part(split_part(url, '//', 2), '/', 1) AS host,
+           COUNT(*) AS n_docs,
+           array_to_string(list_sort(list(DISTINCT split_part(split_part(url, 'lang=', 2), '&', 1))), ',')
+             AS langs
+    FROM u GROUP BY 1
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function pack — ``parse_url`` (HOST / QUERY-parameter
+    extraction), the domain-analytics primitive every web-corpus
+    pipeline leans on (per-domain quality priors, domain caps,
+    blocklists). Documents are assigned deterministic URLs
+    (https://{source}.example.com/docs/{doc_id}?lang={lang}) and the
+    operator recovers host and the lang query parameter WITH
+    ``parse_url`` — the oracle recovers the same parts with plain
+    string splitting, so the JVM URL parser itself is under test.
+    Map-side parse + one aggregate; at 100 TB the host extraction
+    stays inside whole-stage codegen (no UDF)."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return (
+        d.select(
+            F.parse_url(url, F.lit("HOST")).alias("host"),
+            F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.concat_ws(",", F.array_sort(F.collect_set("lang_param"))).alias("langs"),
+        )
+    )

@@ -114,6 +114,8 @@ def test_round4_correctness_window_composition():
         "q_stream_cdc_scd2",
         "q_graph_bfs",
         "q_stream_stream_left_join",
+        "q_fn_url",
+        "q_agg_bitmap_distinct",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

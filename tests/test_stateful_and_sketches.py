@@ -131,3 +131,32 @@ def test_approx_percentile_tolerance(spark):
         am, ap90 = approx[k]
         assert abs(am - m) <= 0.02 * max(abs(m), 1), (k, am, m)
         assert abs(ap90 - p90) <= 0.02 * max(abs(p90), 1), (k, ap90, p90)
+
+
+def test_bitmap_distinct_avoids_expand_and_bounds_state(spark):
+    """q_agg_bitmap_distinct must NOT plan as a COUNT(DISTINCT) Expand
+    (the whole point: per-bucket bitmap partials merge associatively
+    instead of shuffling every distinct id); the plan is two
+    HashAggregate pairs and contains the bitmap aggregate, no Expand
+    node."""
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    df = QUERIES["q_agg_bitmap_distinct"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    assert "bitmap_construct_agg" in plan
+    # exactness vs the engine's own countDistinct
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.sources import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    exact = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {(r["event_type"], r["n_users"]) for r in df.collect()}
+    assert got == exact
