@@ -169,9 +169,12 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_fn_try, deferred to round 4), llm 23, ann 3, extras 24 (incl.
 # the new q_ts_resample + q_scd2_from_cdc, deferred to round 4),
 # corpus 3 + q_agg_theta_sketch + q_stream_hll_daily (registered
-# after the round-4 window froze — the round-5 window head:
-# q_chunk_documents, q_shuffle_deterministic, q_index_inverted,
-# q_agg_theta_sketch, q_stream_hll_daily) (195 total).
+# after the round-4 window froze) (195 at the freeze; later round-4
+# additions — corpus dedup-incremental/skew/ngram, graph
+# pagerank/triangles/bfs, streaming cdc-scd2 + left-outer join,
+# fn_url, bitmap distinct — bring the registry to 205; the full
+# post-freeze set is pinned as deferred_to_round5 in
+# tests/test_contract_robustness.py and heads the round-5 window).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the
