@@ -40,3 +40,34 @@ def test_round4_window_oracles_all_audited():
     window_oracles = [k for k in ROUND4_WINDOW if k in ORACLE]
     assert len(window_oracles) == 42  # 50 minus the 8 rows-only keys
     assert set(window_oracles) <= set(ORACLE)
+
+
+def test_round5_deferred_oracles_all_audited():
+    """Round-5 rotation pre-audit closure: every key registered after
+    the round-4 window froze (the pinned deferred_to_round5 set — the
+    next round's window head) that has an oracle is inside the
+    parametrized type-class audit above, so none can hit the driver
+    with an unaudited HUGEINT/DECIMAL oracle either."""
+    import importlib
+
+    crt = importlib.import_module("tests.test_contract_robustness")
+    # the set is defined inline in the composition test; re-derive it
+    # the same way: keys not in the window and not in CORRECTNESS_r01-03
+    import json
+    from pathlib import Path
+
+    from steaminganalysis_spark.registry import ROUND4_WINDOW
+
+    checked = set(ROUND4_WINDOW)
+    for p in sorted(
+        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")
+    ):
+        checked |= set(json.loads(p.read_text()))
+    deferred = [k for k in QUERIES if k not in checked]
+    assert len(deferred) >= 12  # the round-4 post-freeze additions
+    deferred_oracles = [k for k in deferred if k in ORACLE]
+    # every deferred key carries an oracle except the documented
+    # rows-only streaming sketch (HLL has no DuckDB twin)
+    rows_only = set(deferred) - set(deferred_oracles)
+    assert rows_only == {"q_stream_hll_daily"}, rows_only
+    assert set(deferred_oracles) <= set(ORACLE)
