@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from steaminganalysis_spark.registry import query
+from steaminganalysis_spark.registry import SQL_DSUM, dsum, query
 from steaminganalysis_spark.schemas import PROPS_SCHEMA
 from steaminganalysis_spark.sources import load
 
@@ -496,5 +496,64 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.concat_ws(",", F.array_sort(F.collect_set("lang_param"))).alias("langs"),
+        )
+    )
+
+
+@query(
+    "q_fn_csv",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           {SQL_DSUM("o_totalprice")} AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+def fn_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scalar pack — ``to_csv`` / ``from_csv`` round-trip: each
+    order serializes to a CSV line and is parsed back with a declared
+    schema, and the aggregate over the PARSED columns must equal the
+    aggregate over the originals (the oracle) — so the
+    serialize→parse pair itself is under test, including double
+    formatting round-trips. Both directions are JVM expressions inside
+    whole-stage codegen: per-row semi-structured encode/decode at
+    100 TB never touches Python."""
+    o = load(spark, sf_dir, "orders")
+    line = F.to_csv(F.struct("o_orderkey", "o_orderstatus", "o_totalprice"))
+    parsed = F.from_csv(line, F.lit("k long, st string, price double"))
+    return (
+        o.select(parsed.alias("p"))
+        .groupBy(F.col("p.st").alias("status"))
+        .agg(F.count("*").alias("n"), dsum(F.col("p.price")).alias("sum_price"))
+    )
+
+
+@query(
+    "q_fn_xml",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+    FROM orders GROUP BY 1
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scalar pack — ``from_xml`` with a declared schema: orders
+    render as XML fragments and parse back, completing the
+    semi-structured trio (JSON pack, VARIANT, XML). The oracle
+    aggregates the original columns, so the XML render→parse pair is
+    what is verified. Same scale posture as the CSV pack: pure JVM
+    expressions, no Python in the row path."""
+    o = load(spark, sf_dir, "orders")
+    xml = F.format_string(
+        "<o><k>%d</k><st>%s</st></o>", F.col("o_orderkey"), F.col("o_orderstatus")
+    )
+    parsed = F.from_xml(xml, F.lit("k long, st string"))
+    return (
+        o.select(parsed.alias("p"))
+        .groupBy(F.col("p.st").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p.k").cast("long").alias("sum_keys"),
         )
     )

@@ -116,6 +116,8 @@ def test_round4_correctness_window_composition():
         "q_stream_stream_left_join",
         "q_fn_url",
         "q_agg_bitmap_distinct",
+        "q_fn_csv",
+        "q_fn_xml",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

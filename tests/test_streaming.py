@@ -817,3 +817,43 @@ def test_scd2_stream_invariant_to_batch_boundaries(spark, tmp_path):
     whole = run([data], "whole")
     split = run([data[:3], data[3:]], "split")
     assert whole == split and len(whole) == 4
+
+
+def test_available_now_trigger_drains_and_terminates(spark):
+    """``Trigger.AvailableNow`` — the production batch-drain mode (run a
+    streaming pipeline over everything currently available, commit, and
+    STOP, preserving the checkpoint for the next scheduled drain): the
+    flagship KV pipeline under availableNow terminates on its own (no
+    processAllAvailable/stop choreography) and leaves exactly the batch
+    answer in the store — same totals as the always-on variant."""
+    store_name = f"avnow-{uuid.uuid4().hex[:6]}"
+    sf_dir = "/root/testdata/sf0.001"
+    ev = events_stream(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (F.col("event_type") == "purchase").cast("int").alias("success"),
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+        )
+        .otherwise(0)
+        .alias("fee_cents"),
+    )
+    q = (
+        day_rollup_sink(ev, _ckpt(), day_rollup_delta, store_name=store_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not self-terminate"
+
+    from steaminganalysis_spark.sources import load
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("total"))
+        .collect()
+    )
+    store = KVStore.instance(store_name)
+    got = {k.removeprefix(KEY_PREFIX): store.hgetall(k)["total"] for k in store.keys()}
+    assert got == {r["day"]: r["total"] for r in batch}
+    KVStore.reset(store_name)
