@@ -857,3 +857,54 @@ def test_available_now_trigger_drains_and_terminates(spark):
     got = {k.removeprefix(KEY_PREFIX): store.hgetall(k)["total"] for k in store.keys()}
     assert got == {r["day"]: r["total"] for r in batch}
     KVStore.reset(store_name)
+
+
+def test_scd2_merge_crash_between_write_and_commit_is_idempotent(spark, tmp_path):
+    """The SCD2 merge's crash story (streaming/scd2.py): the version
+    directory is written BEFORE the watermark commits, so a crash
+    between the two leaves an orphan version dir and an unmoved
+    marker. The replay must recompute the identical version from the
+    committed predecessor, overwrite the orphan, and commit — final
+    state equal to the no-crash run."""
+    import os
+
+    from steaminganalysis_spark.streaming.scd2 import (
+        merge_cdc_batch,
+        read_changes,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    schema = "user_id long, event_type string, ts string, event_id long"
+    b0 = [(1, "a", "2024-01-01 00:00:00", 1), (2, "x", "2024-01-01 01:00:00", 2)]
+    b1 = [(1, "b", "2024-01-02 00:00:00", 3), (2, "x", "2024-01-02 01:00:00", 4)]
+
+    def df(rows):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    store = f"scd2_crash_{os.getpid()}"
+    tdir = str(tmp_path / "t")
+    merge_cdc_batch(df(b0), 0, tdir, store, "s")
+
+    # Simulate the crash: write batch 1's version dir WITHOUT the
+    # marker commit — and corrupt it, so only a genuine recompute (not
+    # a lucky read of the orphan) can produce the right answer.
+    orphan = os.path.join(tdir, "v1")
+    read_changes(spark, tdir, store, "s").limit(0).write.mode("overwrite").parquet(orphan)
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX
+
+    assert KVStore.instance(store).last_applied(f"{KEY_PREFIX}scd2-last-applied:s") == 0
+
+    # Replay of batch 1 (same bid, marker still 0): must overwrite the
+    # corrupt orphan from the committed v0 and commit.
+    merge_cdc_batch(df(b1), 1, tdir, store, "s")
+    rows = {
+        (r["user_id"], r["status"], r["event_id"])
+        for r in read_changes(spark, tdir, store, "s").collect()
+    }
+    # user 1: a then b (both changes); user 2: x only (batch-1 repeat collapsed)
+    assert rows == {(1, "a", 1), (1, "b", 3), (2, "x", 2)}
+    KVStore.reset(store)
