@@ -508,6 +508,45 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_pairs_exact(base, cand, 0.4)
 
 
+@query(
+    "q_dedup_semantic",
+    oracle=_SIM_ORACLE_BASE.replace("WHERE a.vec_id < 50", "WHERE a.vec_id < b.vec_id")
+    + """
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pairs p
+      WHERE p.neighbor_id = e.vec_id AND round(p.cosine, 6) >= 0.4
+    )
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) deduplication — the SemDeDup-class
+    keep/drop decision over the embedding table: a vector is DROPPED
+    iff some lower-id vector lies within cosine ≥ 0.4 of it (the
+    deterministic keep-lowest-id canonical rule; production pipelines
+    use the same rule with the crawl-order id). This turns
+    ``q_sim_threshold_pairs``'s pair LIST into the actual curation
+    output: the kept corpus.
+
+    Scale shape: candidates come from the same 24-table × 2-bit
+    hyperplane LSH bucket equi-join (never all-pairs), exact cosine
+    re-scores candidates only, and the keep decision is one anti-join
+    of the corpus against the distinct higher-id side of the
+    over-threshold pairs — O(pairs) extra work on top of the bucketed
+    pair generation. The registered oracle stays the exact all-pairs
+    SQL (per-true-pair LSH miss probability ~5e-6 at τ=0.4, see
+    THRESH_LSH_* above)."""
+    base = _emb_double(spark, sf_dir)
+    cand = _lsh_candidate_pairs(base, THRESH_LSH_TABLES, THRESH_LSH_BITS)
+    dropped = (
+        _score_pairs_exact(base, cand, 0.4)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    e = load(spark, sf_dir, "embeddings")
+    return e.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
 @query("q_sim_ann_lsh")  # rows-only: ANN recall is probabilistic by design
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-table random-hyperplane LSH:

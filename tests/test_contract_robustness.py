@@ -118,6 +118,7 @@ def test_round4_correctness_window_composition():
         "q_agg_bitmap_distinct",
         "q_fn_csv",
         "q_fn_xml",
+        "q_dedup_semantic",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

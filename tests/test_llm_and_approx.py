@@ -319,3 +319,39 @@ def test_df_cap_bounds_hot_shingle_pair_explosion(spark):
     assert n_pairs(sh) == 60 * 59 // 2  # uncapped: quadratic in the hot key
     capped = cap_document_frequency(sh, df_cap=50)
     assert n_pairs(capped) == 1  # only the genuine pair survives
+
+
+def test_dedup_semantic_no_all_pairs_and_keep_rule(spark):
+    """q_dedup_semantic: candidate generation is the LSH bucket
+    equi-join (no CartesianProduct; the final keep decision is a
+    LeftAnti), and the keep rule matches a brute-force check — a
+    vector survives iff it has no lower-id neighbor at cosine >= 0.4."""
+    import math
+
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["q_dedup_semantic"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+    embs = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    ids = sorted(embs)
+    expect_kept = {
+        i
+        for i in ids
+        if not any(round(cos(embs[j], embs[i]), 6) >= 0.4 for j in ids if j < i)
+    }
+    got_kept = {r["vec_id"] for r in df.collect()}
+    assert got_kept == expect_kept
