@@ -557,3 +557,48 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p.k").cast("long").alias("sum_keys"),
         )
     )
+
+
+@query(
+    "q_fn_collation",
+    oracle="""
+    WITH cased AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) ELSE p_type END AS t
+      FROM part
+    )
+    SELECT lower(t) AS type_ci,
+           COUNT(*) AS n,
+           COUNT(DISTINCT t) AS n_case_variants
+    FROM cased GROUP BY 1
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): grouping under the UTF8_LCASE
+    collation merges case variants that a binary-collated group-by
+    would split. Case variation is synthesized deterministically
+    (every even part key upper-cases its type), the group key is the
+    COLLATED string, and the emitted label is canonicalized with
+    lower() because the collation-group representative is
+    engine-chosen (first-seen) — the one nondeterminism collations
+    introduce, handled exactly as a 100 TB pipeline must handle it.
+    n_case_variants counts the distinct binary spellings each
+    case-insensitive group absorbed (>1 for every group at any SF —
+    proof the collation, not the data, did the merging)."""
+    p = load(spark, sf_dir, "part")
+    cased = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type"))
+        .otherwise(F.col("p_type"))
+        .alias("t")
+    )
+    return (
+        cased.groupBy(F.collate(F.col("t"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("t").alias("nv"),
+        )
+        .select(
+            F.lower(F.collate(F.col("k"), "UTF8_BINARY")).alias("type_ci"),
+            "n",
+            F.col("nv").alias("n_case_variants"),
+        )
+    )

@@ -119,6 +119,7 @@ def test_round4_correctness_window_composition():
         "q_fn_csv",
         "q_fn_xml",
         "q_dedup_semantic",
+        "q_fn_collation",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):
