@@ -908,3 +908,127 @@ def test_scd2_merge_crash_between_write_and_commit_is_idempotent(spark, tmp_path
     # user 1: a then b (both changes); user 2: x only (batch-1 repeat collapsed)
     assert rows == {(1, "a", 1), (1, "b", 3), (2, "x", 2)}
     KVStore.reset(store)
+
+
+def test_stream_stream_join_state_survives_restart(spark, tmp_path):
+    """Checkpointed JOIN state recovery: run the watermarked
+    purchase⋈click stream-stream inner join over the first tranche of
+    events, stop, deliver two more tranches, restart from the SAME
+    checkpoint, and drain. The union of the two runs' (append-mode
+    parquet) output must equal the batch join over all events — pairs
+    whose purchase and click arrived in DIFFERENT runs can only match
+    if the buffered join state was restored from the checkpoint."""
+    import glob
+    import os
+    import shutil
+
+    from steaminganalysis_spark.sources import load
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # first boundary chosen to SPLIT a known matched pair (purchase
+    # event 178 @ 2024-01-06 08:24 vs click 175 @ 07:44) so the
+    # cross-run recovery evidence below cannot be vacuous
+    bounds = [
+        (None, "2024-01-06 08:00:00"),
+        ("2024-01-06 08:00:00", "2024-01-16 00:00:00"),
+        ("2024-01-16 00:00:00", None),
+    ]
+    tranches = []
+    for i, (lo, hi) in enumerate(bounds):
+        part = ev
+        if lo:
+            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            part = part.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        d = str(tmp_path / f"b{i}")
+        part.coalesce(1).write.parquet(d)
+        tranches.append(glob.glob(os.path.join(d, "part-*.parquet"))[0])
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        p = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+            .withWatermark("p_ts", "2 hours")
+        )
+        c = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"),
+            )
+            .withWatermark("c_ts", "2 hours")
+        )
+        cond = (
+            (p.user_id == c.c_user)
+            & (c.c_ts < p.p_ts)
+            & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        )
+        q = (
+            p.join(c, cond)
+            .select("p_id", "c_id")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # run 1: only the first tranche has arrived
+    shutil.copy(tranches[0], os.path.join(src, "b0.parquet"))
+    run_once()
+    # tranches 2 and 3 arrive while the pipeline is DOWN
+    shutil.copy(tranches[1], os.path.join(src, "b1.parquet"))
+    shutil.copy(tranches[2], os.path.join(src, "b2.parquet"))
+    run_once()
+
+    got = {
+        (r["p_id"], r["c_id"])
+        for r in spark.read.schema("p_id long, c_id long").parquet(out).collect()
+    }
+    pb = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    cb = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    want = {
+        (r["p_id"], r["c_id"])
+        for r in pb.join(
+            cb,
+            (pb.user_id == cb.c_user)
+            & (cb.c_ts < pb.p_ts)
+            & (cb.c_ts >= pb.p_ts - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("p_id", "c_id")
+        .collect()
+    }
+    assert got == want
+    # cross-run evidence: at least one pair straddles the restart
+    # (purchase in tranche 2/3 matching a click from tranche 1, within
+    # the 1h window across the 2024-01-11 boundary) OR no such pair
+    # exists in the data — then the equality above already proves
+    # nothing was lost. Check which, and if a straddler exists assert
+    # it was emitted by run 2 (i.e., present in got).
+    t0_ids = {r["event_id"] for r in spark.read.parquet(str(tmp_path / "b0")).collect()}
+    straddlers = {(a, b) for (a, b) in want if b in t0_ids and a not in t0_ids}
+    assert straddlers, "fixture drift: no pair straddles the restart boundary"
+    assert straddlers <= got
