@@ -81,7 +81,11 @@ def main() -> None:
     # long we waited and the load we settled at so a reader of the
     # JSON line can judge the measurement's credibility either way.
     gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "8"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT_S", "120"))
+    # 240 s default: the driver benches right after its own verify
+    # sweep, and round-4 A/Bs showed a post-sweep box needs ~3-4 min
+    # to drain below the gate (120 s was often not enough — the same
+    # tree measured 7.8 s drained vs 11.2 s right after a sweep).
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT_S", "240"))
     waited = 0.0
     while os.getloadavg()[0] > gate and waited < max_wait:
         time.sleep(10.0)
