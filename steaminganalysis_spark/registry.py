@@ -209,6 +209,25 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # - round 2: joins/tpch/windows/relational[:10] (49/50; q_tpch_q12 red
 #   — DuckDB HUGEINT promotion, fixed 5431017)
 # - round 3: ROUND3_WINDOW list at commit 4241eec (50/50 green)
+#
+# ROUND-5 WINDOW, pre-planned (swap into ROUND5_WINDOW next round):
+# canaries q_daily_rollup + q_tpch_q12, then the 19 post-freeze
+# round-4 keys (the deferred_to_round5 set in
+# tests/test_contract_robustness.py: q_chunk_documents,
+# q_shuffle_deterministic, q_index_inverted, q_agg_theta_sketch,
+# q_stream_hll_daily, q_dedup_incremental, q_skew_profile,
+# q_graph_pagerank, q_graph_triangles, q_graph_bfs, q_ngram_lm,
+# q_stream_cdc_scd2, q_stream_stream_left_join, q_fn_url,
+# q_agg_bitmap_distinct, q_fn_csv, q_fn_xml, q_dedup_semantic,
+# q_fn_collation), then 29 oldest-green re-checks (round-1 stamps):
+# q_agg_basic, q_agg_distinct, q_agg_rollup, q_agg_cube,
+# q_agg_collect, q_time_buckets, q_fn_string, q_fn_datetime,
+# q_fn_math, q_fn_array, q_json_parse, q_fn_map, q_json_malformed,
+# q_fn_array2, q_fn_datetime2, q_fn_string2, q_dedup_exact,
+# q_sim_topk, q_text_stats, q_text_tokens, q_text_langid,
+# q_text_quality, q_text_tfidf, q_emb_centroid, q_text_fingerprint,
+# q_text_entropy, q_emb_quantize, q_pack_sequences,
+# q_dedup_containment.
 ROUND4_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
