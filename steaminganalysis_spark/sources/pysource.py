@@ -22,8 +22,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 LEDGER_ROWS = 10_000
@@ -71,6 +73,9 @@ class LedgerDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return LedgerStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return LedgerWriter(self.options)
 
 
 def register_ledger_source(spark) -> None:
@@ -159,3 +164,82 @@ class LedgerPushdownDataSource(DataSource):
 
 def register_ledger_pushdown_source(spark) -> None:
     spark.dataSource.register(LedgerPushdownDataSource)
+
+
+# ------------------------------------------------------ writer path
+#
+# The write half of the DataSource API: executors write task files,
+# the driver commits by writing a MANIFEST naming exactly the files of
+# successful tasks (commit/abort protocol). Readers honor the manifest
+# and ignore stray files from failed/aborted tasks — the same
+# two-phase-commit shape every production table format uses.
+
+
+class _LedgerCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int) -> None:
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class LedgerWriter(DataSourceWriter):
+    """Executor-side JSON-lines task writer. Each task writes ONE
+    uniquely-named file and reports it in its commit message; nothing
+    becomes visible until the driver-side ``commit`` writes the
+    manifest. ``abort`` removes whatever half-written files the failed
+    tasks reported — no torn output either way."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("sa_ledger writer requires a 'path' option")
+        self.path = path
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.json"
+        n = 0
+        with open(os.path.join(self.path, fname), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _LedgerCommit(fname, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "rows": sum(m.n_rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))  # atomic publish
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except FileNotFoundError:
+                pass
+
+
+def read_ledger_output(spark, path: str, schema: str):
+    """Manifest-honoring read of a committed sa_ledger write: ONLY the
+    files the commit published are visible — stray files from aborted
+    or still-running tasks are invisible, which is the entire point of
+    the two-phase protocol."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, fn) for fn in manifest["files"]]
+    return spark.read.schema(schema).json(files)

@@ -174,3 +174,34 @@ def test_python_source_filter_pushdown(spark):
         assert "= paid" not in plan and "isnotnull" in plan
     finally:
         spark.conf.set(conf_key, prev)
+
+
+def test_python_datasource_writer_commit_protocol(spark, tmp_path):
+    """The sa_ledger connector's WRITE half (DataSource API two-phase
+    commit): executors write uniquely-named task files, the driver's
+    commit atomically publishes a manifest naming exactly the
+    successful tasks' files, and the manifest-honoring reader sees the
+    committed rows — and ONLY them: a stray uncommitted file in the
+    directory is invisible."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.sources.pysource import (
+        read_ledger_output,
+        register_ledger_source,
+    )
+
+    register_ledger_source(spark)
+    out = str(tmp_path / "ledger_out")
+    df = spark.read.format("sa_ledger").option("n_rows", "300").load()
+    df.write.format("sa_ledger").option("path", out).mode("append").save()
+
+    with open(os.path.join(out, "part-stray-uncommitted.json"), "w") as f:
+        f.write('{"order_id": 999999, "day": "x", "amount_cents": 1, "status": "paid"}\n')
+
+    schema = "order_id long, day string, amount_cents long, status string"
+    back = read_ledger_output(spark, out, schema)
+    assert back.count() == 300
+    assert back.filter(F.col("order_id") == 999999).count() == 0
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
