@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from steaminganalysis_spark.functions import tokens
 from steaminganalysis_spark.registry import SQL_ROUND, query, round_half_up
 from steaminganalysis_spark.sources import load
+from steaminganalysis_spark.staging import stage
 
 CHUNK_TOKENS = 50  # tokens per chunk
 CHUNK_STRIDE = 40  # start-to-start distance (=> 10-token overlap)
@@ -430,3 +431,90 @@ def ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ngram_lm.__doc__ = ngram_lm.__doc__.replace("{K}", str(_LM_TOP_K))
+
+
+@query(
+    "q_quality_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), big AS (
+      SELECT doc_id, t[r.i] AS w1, t[r.i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 2
+    ), uni AS (
+      SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+    ), bg AS (
+      SELECT w1, w2, COUNT(*) AS cnt FROM big GROUP BY w1, w2
+    ), scored AS (
+      SELECT b.doc_id, (g.cnt * 1000000) // u.c1 AS ppm
+      FROM big b
+      JOIN bg g ON b.w1 = g.w1 AND b.w2 = g.w2
+      JOIN uni u ON b.w1 = u.w1
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(ppm) AS BIGINT) // COUNT(*) AS score_ppm
+    FROM scored GROUP BY doc_id
+    """,
+)
+def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring (the CCNet / Gopher "perplexity
+    filter" step): score every document by how predictable its text is
+    under a bigram LM trained on the corpus itself. Per bigram the
+    model probability is P(w2|w1) = c(w1,w2)/c(w1,·); the document
+    score is the mean bigram probability. Low scores mark the
+    high-perplexity tail (garbled text, boilerplate soup) that
+    pre-training pipelines drop; a real deployment thresholds on the
+    two tails of this column.
+
+    Determinism contract: true perplexity exponentiates a mean of
+    logs, but ``ln`` is not bit-identical across engines (JVM StrictMath
+    vs libm — the same class of divergence ``round_half_up`` exists to
+    kill), so the pinned score is a pure-rational proxy: each bigram's
+    probability in parts-per-million by INTEGER division
+    (``cnt * 1e6 div c1``), then the integer mean per document. Both
+    engines do exact int64 arithmetic — no float enters the plan — and
+    the ranking is monotone in mean probability, which is what the
+    filter thresholds on. (The DuckDB twin casts its HUGEINT sum back
+    to BIGINT — the q_tpch_q12 type-class rule.)
+
+    Scale shape (100 TB): the hashed bigram stream
+    (doc_id, xxhash64(w1), xxhash64(w1,w2)) is STAGED ONCE
+    (``staging.stage``, bucketed on the bigram hash) and feeds all
+    three consumers — the context totals, the bigram counts, and the
+    per-occurrence score join — so the corpus is tokenized exactly
+    once and every downstream shuffle moves 8-byte keys, never words
+    (the `_shingle_hashes` convention; 64-bit collisions are
+    negligible and only merge counts, they cannot drop rows). Both
+    count aggregates have map-side partial combine; the score join is
+    an EQUI-join on the staged bucket key (hot stopword contexts skew
+    the h1 side — AQE skew-split handles it, and no posting/list state
+    is ever collected, so there is no k² blow-up mode); the final
+    per-document mean is one partial+final hash aggregate on doc_id."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+    )
+    big = (
+        d.filter(n >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.xxhash64(F.col("p.w1")).alias("h1"),
+            F.xxhash64(F.col("p.w1"), F.col("p.w2")).alias("h2"),
+        )
+    )
+    big = stage(big, "lm_bigrams", bucket_col="h2")
+    uni = big.groupBy("h1").agg(F.count("*").alias("c1"))
+    bg = big.groupBy("h2").agg(F.count("*").alias("cnt"))
+    scored = (
+        big.join(bg, "h2")
+        .join(uni, "h1")
+        .select("doc_id", F.expr("cnt * 1000000 DIV c1").alias("ppm"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr("sum(ppm) DIV count(*)").alias("score_ppm"),
+    )

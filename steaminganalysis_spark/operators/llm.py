@@ -1233,3 +1233,89 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(cont >= 0.9).select(
         "doc_a", "doc_b", round_half_up(cont, 6).alias("containment")
     )
+
+
+# ---------------------------------------------------------------- JL projection
+
+_RP_OUT_DIMS = 4
+_RP_IN_DIMS = 64
+_RP_SCALE = 10_000.0  # fixed-point scale for exact cross-engine sums
+
+
+def _rp_signs() -> list[list[int]]:
+    """±1 random-projection matrix (Achlioptas'01 sign variant of
+    Johnson–Lindenstrauss), seeded from md5 of the (row, col) index —
+    a COMPILE-TIME constant: both the Spark plan and the DuckDB oracle
+    embed the identical literal matrix, so nothing about the
+    projection depends on engine RNGs."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"rp:{j}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(_RP_IN_DIMS)
+        ]
+        for j in range(_RP_OUT_DIMS)
+    ]
+
+
+def _rp_oracle() -> str:
+    cols = ",\n           ".join(
+        f"CAST(list_sum(list_transform(generate_series(1, {_RP_IN_DIMS}), "
+        f"i -> q[i] * ([{', '.join(str(s) for s in row)}])[i])) AS BIGINT) AS p{j}"
+        for j, row in enumerate(_rp_signs())
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_RP_SCALE} + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    )
+    SELECT vec_id,
+           {cols}
+    FROM c
+    """
+
+
+@query("q_emb_random_projection", oracle=_rp_oracle())
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random projection (Johnson–Lindenstrauss) of the embedding
+    column to {K} dims with a seeded ±1 sign matrix — the standard
+    cheap dimensionality reduction in front of clustering / LSH /
+    shuffle-heavy similarity stages (project first, then shuffle {K}
+    numbers per row instead of {D}). Components are fixed-pointed at
+    scale 1e4 BEFORE the signed sums, so every projected coordinate is
+    an exact int64 on both engines and the whole projection arithmetic
+    is value-hash-verified (the `q_emb_quantize` convention).
+
+    Scale shape: a PURE MAP — one transform() to fixed-point, {K}
+    zip_with/aggregate folds per row, all JVM higher-order expressions
+    inside whole-stage codegen; zero exchanges, zero Python, and the
+    sign matrix is a plan literal (nothing is broadcast or collected).
+    At 100 TB this runs at scan speed and cuts every downstream
+    shuffle's width by {D}/{K}×."""
+    e = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        to_double_array("embedding"),
+        lambda x: F.floor(x * F.lit(_RP_SCALE) + F.lit(0.5)).cast("long"),
+    )
+    signs = _rp_signs()
+    proj = [
+        F.aggregate(
+            F.zip_with(
+                q,
+                F.array(*[F.lit(s) for s in signs[j]]).cast("array<long>"),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j in range(_RP_OUT_DIMS)
+    ]
+    return e.select("vec_id", *proj)
+
+
+emb_random_projection.__doc__ = emb_random_projection.__doc__.replace(
+    "{K}", str(_RP_OUT_DIMS)
+).replace("{D}", str(_RP_IN_DIMS))

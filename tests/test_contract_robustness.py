@@ -120,6 +120,8 @@ def test_round4_correctness_window_composition():
         "q_fn_xml",
         "q_dedup_semantic",
         "q_fn_collation",
+        "q_quality_lm_score",
+        "q_emb_random_projection",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

@@ -284,3 +284,43 @@ def test_ngram_lm_plan_topk_and_map_side_bigrams(spark):
     plan = _plan(QUERIES["q_ngram_lm"](spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_lm_score_matches_python(spark):
+    """Ground-truth recompute of the integer LM score: per bigram
+    ppm = (cnt * 1e6) // c1, per doc score = sum(ppm) // n — exact
+    integer equality against a driver-side Python model."""
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+    big = Counter()
+    uni = Counter()
+    per_doc: dict[int, list[tuple[str, str]]] = {}
+    for r in docs:
+        t = r["text"].split(" ")
+        pairs = list(zip(t, t[1:]))
+        per_doc[r["doc_id"]] = pairs
+        for a, b in pairs:
+            big[(a, b)] += 1
+            uni[a] += 1
+    rows = {r["doc_id"]: r for r in QUERIES["q_quality_lm_score"](spark, SF).collect()}
+    expected_docs = {d for d, p in per_doc.items() if p}
+    assert set(rows) == expected_docs
+    for doc_id, pairs in per_doc.items():
+        if not pairs:
+            continue
+        ppms = [(big[p] * 1_000_000) // uni[p[0]] for p in pairs]
+        assert rows[doc_id]["n_bigrams"] == len(pairs)
+        assert rows[doc_id]["score_ppm"] == sum(ppms) // len(ppms)
+
+
+def test_quality_lm_score_plan_staged_once(spark):
+    """The hashed bigram stream is staged once: the final plan reads
+    the materialization (ExistingRDD), never re-scans documents for
+    the three consumers, and stays equi-join shaped (no cartesian, no
+    BroadcastNestedLoopJoin)."""
+    plan = _plan(QUERIES["q_quality_lm_score"](spark, SF))
+    assert "ExistingRDD" in plan
+    assert "documents.parquet" not in plan  # tokenize+explode ran at staging time
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

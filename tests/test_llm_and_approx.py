@@ -355,3 +355,34 @@ def test_dedup_semantic_no_all_pairs_and_keep_rule(spark):
     }
     got_kept = {r["vec_id"] for r in df.collect()}
     assert got_kept == expect_kept
+
+
+def test_emb_random_projection_matches_numpy(spark):
+    """The ±1 JL projection equals a numpy recompute of the same
+    fixed-point arithmetic, exactly (int64 both ways)."""
+    import numpy as np
+
+    from steaminganalysis_spark.operators.llm import _rp_signs
+
+    S = np.array(_rp_signs(), dtype=np.int64)  # (k, d)
+    emb = {
+        r["vec_id"]: np.floor(
+            np.array(r["embedding"], dtype=np.float64) * 10_000.0 + 0.5
+        ).astype(np.int64)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    rows = QUERIES["q_emb_random_projection"](spark, SF).collect()
+    assert len(rows) == len(emb)
+    for r in rows:
+        want = S @ emb[r["vec_id"]]
+        got = np.array([r[f"p{j}"] for j in range(S.shape[0])], dtype=np.int64)
+        assert (want == got).all(), r["vec_id"]
+
+
+def test_emb_random_projection_plan_pure_map(spark):
+    """The projection is a pure map: zero exchanges, no Python eval in
+    the plan (all JVM higher-order expressions)."""
+    df = QUERIES["q_emb_random_projection"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
