@@ -960,6 +960,64 @@ def stream_source_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_sink_python",
+    oracle="""
+    WITH g AS (
+      SELECT i AS order_id, (i * 2654435761) % 100000 AS amount_cents
+      FROM generate_series(0, 9999) AS t(i)
+    ), r AS (
+      SELECT order_id, amount_cents,
+             CASE WHEN amount_cents % 10 < 7 THEN 'paid' ELSE 'refund' END AS status,
+             printf('2024-01-%02d', CAST(order_id % 30 + 1 AS INT)) AS day
+      FROM g
+    )
+    SELECT day, status, COUNT(*) AS n, CAST(SUM(amount_cents) AS BIGINT) AS cents
+    FROM r GROUP BY day, status
+    """,
+)
+def stream_sink_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom connector's STREAMING SINK half, run end-to-end: the
+    sa_ledger stream source emits the deterministic ledger in
+    micro-batches, `writeStream.format("sa_ledger")` drives the
+    DataSourceStreamWriter (per-batch task files + atomic
+    `_MANIFEST-<batchId>` publish — replayed batch ids replace their
+    own manifest, so readers count each batch exactly once), and the
+    manifest-honoring read-back must reconstruct the ENTIRE ledger:
+    the oracle is the same generate_series arithmetic as
+    `q_source_python`, so a dropped batch, a double-counted replay, or
+    a stray uncommitted task file all surface as a hash mismatch."""
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.sources.pysource import (
+        read_ledger_stream_output,
+        register_ledger_source,
+    )
+    import os
+
+    register_ledger_source(spark)
+    root = scratch_dir("pysink")
+    q = (
+        spark.readStream.format("sa_ledger")
+        .load()
+        .writeStream.format("sa_ledger")
+        .option("path", os.path.join(root, "out"))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    led = read_ledger_stream_output(
+        spark,
+        os.path.join(root, "out"),
+        "order_id long, day string, amount_cents long, status string",
+    )
+    return led.groupBy("day", "status").agg(
+        F.count("*").alias("n"), F.sum("amount_cents").alias("cents")
+    )
+
+
+@query(
     "q_ts_similarity",
     oracle="""
     WITH grid AS (

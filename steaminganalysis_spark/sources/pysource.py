@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -76,6 +77,9 @@ class LedgerDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return LedgerWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return LedgerStreamWriter(self.options)
 
 
 def register_ledger_source(spark) -> None:
@@ -229,6 +233,72 @@ class LedgerWriter(DataSourceWriter):
                 os.remove(os.path.join(self.path, m.filename))
             except FileNotFoundError:
                 pass
+
+
+class LedgerStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the sink: the SAME two-phase protocol as the
+    batch writer, applied per MICRO-BATCH. Executor tasks write
+    uniquely-named files; the driver-side ``commit(messages, batchId)``
+    atomically publishes ``_MANIFEST-<batchId>`` naming exactly that
+    batch's successful task files. A REPLAYED batch id (restart after
+    a crash between sink write and checkpoint commit — the reference's
+    at-least-once hazard) atomically REPLACES its own manifest, and the
+    orphaned first-attempt files are never referenced by any manifest,
+    so manifest-honoring readers count each batch exactly once — the
+    same batch-id idempotence contract as the Redis KV sink
+    (streaming/sinks.py)."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("sa_ledger stream writer requires a 'path' option")
+        self.path = path
+
+    # executor-side task write is identical to the batch writer's
+    write = LedgerWriter.write
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.filename for m in messages if m is not None),
+            "rows": sum(m.n_rows for m in messages if m is not None),
+            "batch_id": batchId,
+        }
+        tmp = os.path.join(self.path, f"_MANIFEST-{batchId}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, f"_MANIFEST-{batchId}"))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except FileNotFoundError:
+                pass
+
+
+def read_ledger_stream_output(spark, path: str, schema: str):
+    """Manifest-honoring read of a committed STREAMING write: the
+    visible table is the union of every ``_MANIFEST-<batchId>``'s file
+    list — one manifest per committed micro-batch, latest replay wins
+    per batch id, stray uncommitted task files invisible."""
+    import json
+    import os
+
+    files = []
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("_MANIFEST-") and not entry.endswith(".tmp"):
+            with open(os.path.join(path, entry)) as f:
+                files.extend(
+                    os.path.join(path, fn) for fn in json.load(f)["files"]
+                )
+    return spark.read.schema(schema).json(files)
 
 
 def read_ledger_output(spark, path: str, schema: str):

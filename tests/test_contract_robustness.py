@@ -122,6 +122,7 @@ def test_round4_correctness_window_composition():
         "q_fn_collation",
         "q_quality_lm_score",
         "q_emb_random_projection",
+        "q_stream_sink_python",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):
@@ -207,3 +208,52 @@ def test_python_datasource_writer_commit_protocol(spark, tmp_path):
     assert back.count() == 300
     assert back.filter(F.col("order_id") == 999999).count() == 0
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_python_datasource_stream_writer_replay_idempotent(spark, tmp_path):
+    """The streaming sink's per-batch manifest protocol: a REPLAYED
+    batch id (crash between sink write and checkpoint commit) replaces
+    its own manifest atomically, so the read-back sees the replay's
+    files exactly once — never the orphaned first attempt, never both.
+    Stray uncommitted task files stay invisible."""
+    import json
+    import os
+
+    from steaminganalysis_spark.sources.pysource import (
+        LedgerStreamWriter,
+        _LedgerCommit,
+        read_ledger_stream_output,
+    )
+
+    out = str(tmp_path / "stream_out")
+    os.makedirs(out)
+
+    def task_file(name: str, order_ids: list[int]) -> _LedgerCommit:
+        from steaminganalysis_spark.sources.pysource import ledger_row
+
+        with open(os.path.join(out, name), "w") as f:
+            for oid in order_ids:
+                oid_, day, cents, status = ledger_row(oid)
+                f.write(json.dumps({
+                    "order_id": oid_, "day": day,
+                    "amount_cents": cents, "status": status,
+                }) + "\n")
+        return _LedgerCommit(name, len(order_ids))
+
+    w = LedgerStreamWriter({"path": out})
+    # batch 0 first attempt: files written, commit happens
+    w.commit([task_file("part-b0-try1.json", [0, 1, 2])], batchId=0)
+    # crash before checkpoint commit -> batch 0 REPLAYS with new files
+    w.commit([task_file("part-b0-try2.json", [0, 1, 2])], batchId=0)
+    # batch 1 commits normally; one of its tasks failed and aborted
+    aborted = task_file("part-b1-failed.json", [99])
+    w.abort([aborted, None], batchId=1)
+    w.commit([task_file("part-b1-ok.json", [3, 4])], batchId=1)
+    # a stray never-reported file appears (torn task, no commit message)
+    task_file("part-stray.json", [98])
+
+    schema = "order_id long, day string, amount_cents long, status string"
+    back = read_ledger_stream_output(spark, out, schema)
+    got = sorted(r["order_id"] for r in back.collect())
+    assert got == [0, 1, 2, 3, 4]  # each batch once; no 98, no 99
+    assert not os.path.exists(os.path.join(out, "part-b1-failed.json"))
