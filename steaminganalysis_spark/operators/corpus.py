@@ -518,3 +518,125 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.expr("sum(ppm) DIV count(*)").alias("score_ppm"),
     )
+
+
+_BPE_MERGES = 5  # merge rounds learned by q_bpe_train
+
+
+def _bpe_merge_step(left: str, right: str):
+    """Fold step merging non-overlapping left-to-right occurrences of
+    the symbol pair (left, right): if the accumulator ends with `left`
+    and the incoming symbol is `right`, replace the tail with the
+    merged symbol — because the merged symbol is a NEW string, a
+    just-merged tail can't immediately merge again, which is exactly
+    BPE's left-to-right non-overlap rule."""
+
+    def step(acc, s):
+        tail = F.try_element_at(acc, F.lit(-1))
+        hit = (F.size(acc) > 0) & (tail == F.lit(left)) & (s == F.lit(right))
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return step
+
+
+def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES):
+    """Distributed BPE tokenizer training (Sennrich'16), Spark-first:
+
+    1. ONE pass over the corpus builds the word-count vocabulary —
+       after that, every merge round iterates on the DISTINCT-WORD
+       table (|V| rows), never the corpus. This is the property that
+       makes BPE trainable at 100 TB: the corpus contributes exactly
+       one shuffle (the word count, map-side combined), and the
+       iteration cost is O(|V|) per round regardless of corpus size.
+    2. Each round: explode adjacent symbol pairs weighted by word
+       count → hash-aggregate pair counts (partial+final) → the single
+       best pair comes to the driver (O(1) rows — the Lloyd-iteration
+       convention of operators/ann.py) → a pure-map fold rewrites each
+       word's symbol array, merging that pair left-to-right. The vocab
+       frame is re-staged (localCheckpoint / durable table via
+       ``staging.stage``) every round so the iterative plan's lineage
+       stays flat.
+    3. Ties on pair count break lexicographically (count desc, left,
+       right) — fully deterministic, pinned against a driver-side
+       Python reimplementation in tests/test_corpus_ops.py.
+
+    Returns (merges, vocab): the learned merge table
+    [(rank, left, right, merged, pair_count)] and the final segmented
+    vocabulary DataFrame (word, n, symbols)."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = stage(
+        words.select(
+            "word",
+            "n",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+            ).alias("symbols"),
+        ),
+        "bpe_vocab",
+        bucket_col="word",
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = vocab.select(
+            "n",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("symbols"), 1, F.size("symbols") - 1).alias("a"),
+                    F.slice(F.col("symbols"), 2, F.size("symbols") - 1).alias("b"),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((rank, a, b, a + b, cnt))
+        vocab = stage(
+            vocab.select(
+                "word",
+                "n",
+                F.aggregate(
+                    "symbols",
+                    F.array().cast("array<string>"),
+                    _bpe_merge_step(a, b),
+                ).alias("symbols"),
+            ),
+            "bpe_vocab",
+            bucket_col="word",
+        )
+    return merges, vocab
+
+
+@query("q_bpe_train")
+def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the BPE trainer (rows-only: the merge
+    loop is iterative and driver-coordinated, the same non-SQL class
+    as q_dedup_clusters; exactness is pinned by the Python-BPE
+    equivalence test instead). Emits the final segmented vocabulary —
+    each distinct word with its count and its post-merge symbol
+    sequence joined by '·' — plus the number of merges applied, so a
+    wrong merge order, a missed occurrence, or an overlap bug all
+    change the output."""
+    merges, vocab = bpe_train(spark, sf_dir)
+    return vocab.select(
+        "word",
+        "n",
+        F.concat_ws("·", "symbols").alias("segmentation"),
+        F.lit(len(merges)).cast("long").alias("n_merges"),
+    )

@@ -123,6 +123,7 @@ def test_round4_correctness_window_composition():
         "q_quality_lm_score",
         "q_emb_random_projection",
         "q_stream_sink_python",
+        "q_bpe_train",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

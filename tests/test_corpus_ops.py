@@ -324,3 +324,65 @@ def test_quality_lm_score_plan_staged_once(spark):
     assert "documents.parquet" not in plan  # tokenize+explode ran at staging time
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _python_bpe(word_counts: dict[str, int], n_merges: int):
+    """Reference BPE: pair counts weighted by word count, best pair by
+    (count desc, left, right), left-to-right non-overlapping merge."""
+    from collections import Counter
+
+    vocab = {w: [*w] for w in word_counts}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += word_counts[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, cnt))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed BPE trainer's merge table AND final vocabulary
+    segmentation equal a driver-side Python BPE on the same word
+    counts — merge order, tie-breaks, and the non-overlap rule all
+    pinned exactly."""
+    from collections import Counter
+
+    from steaminganalysis_spark.operators.corpus import _BPE_MERGES, bpe_train
+
+    wc = Counter()
+    for r in spark.read.parquet(f"{SF}/documents.parquet").select("text").collect():
+        wc.update(r["text"].split(" "))
+    exp_merges, exp_vocab = _python_bpe(dict(wc), _BPE_MERGES)
+
+    merges, vocab = bpe_train(spark, SF)
+    assert merges == exp_merges
+    got = {r["word"]: (r["n"], list(r["symbols"])) for r in vocab.collect()}
+    assert set(got) == set(exp_vocab)
+    for w, syms in exp_vocab.items():
+        assert got[w] == (wc[w], syms), w
+
+
+def test_bpe_iteration_runs_on_staged_vocab_not_corpus(spark):
+    """After the single word-count pass, every merge round's plan reads
+    the staged vocabulary materialization (ExistingRDD) — the corpus
+    parquet never re-enters the iteration, which is what makes BPE
+    trainable at corpus scale."""
+    from steaminganalysis_spark.operators.corpus import bpe_train
+
+    _, vocab = bpe_train(spark, SF, n_merges=2)
+    plan = _plan(vocab)
+    assert "ExistingRDD" in plan
+    assert "documents.parquet" not in plan
