@@ -664,3 +664,79 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "q_stream_stream_full_join",
+    oracle="""
+    WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+          WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events
+          WHERE event_type = 'click'),
+    wm AS (SELECT LEAST((SELECT MAX(p_ts) FROM p), (SELECT MAX(c_ts) FROM c))
+                    - INTERVAL 2 HOUR AS w),
+    matched AS (
+      SELECT p.p_id, c.c_id
+      FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.c_ts < p.p_ts
+                   AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT p_id, c_id FROM matched
+    UNION ALL
+    SELECT p.p_id, NULL AS c_id
+    FROM p, wm
+    WHERE p.p_ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.p_id = p.p_id)
+    UNION ALL
+    SELECT NULL AS p_id, c.c_id
+    FROM c, wm
+    WHERE c.c_ts + INTERVAL 1 HOUR < wm.w
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.c_id = c.c_id)
+    """,
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join under watermarks — both sides'
+    unmatched rows must eventually emit, and each side has its OWN
+    eviction boundary derived from the join condition: an unmatched
+    purchase null-pads once the watermark passes p_ts (no future click
+    can satisfy c_ts < p_ts), while an unmatched click must wait until
+    the watermark passes c_ts + 1h (a purchase up to one hour later
+    could still match it). Run to completion the emitted set is:
+    every matched pair, plus null rows for exactly the unmatched
+    purchases with p_ts below the final watermark and the unmatched
+    clicks with c_ts + 1h below it — rows above either boundary are
+    still buffered when the query stops and are deliberately absent.
+    The final watermark is the MIN across the two branches of
+    (max event time − 2 h), the same global-watermark rule pinned by
+    ``q_stream_stream_left_join``; the oracle states both per-side
+    boundaries in SQL and is verified at all three fixture SFs. At
+    100 TB the watermarks are what bound both state stores — without
+    them a full-outer stream join buffers both streams forever."""
+    name = f"ssfj_{uuid.uuid4().hex[:8]}"
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    cond = (
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts < purchases.p_ts)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = purchases.join(clicks, cond, "full_outer").select("p_id", "c_id")
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
