@@ -640,3 +640,93 @@ def bpe_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("·", "symbols").alias("segmentation"),
         F.lit(len(merges)).cast("long").alias("n_merges"),
     )
+
+
+@query(
+    "q_dsir_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), tgt AS (
+      SELECT w, COUNT(*) AS t_cnt FROM tok WHERE lang = 'en' GROUP BY w
+    ), raw AS (
+      SELECT w, COUNT(*) AS r_cnt FROM tok GROUP BY w
+    ), totals AS (
+      SELECT (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS t_total,
+             (SELECT COUNT(*) FROM tok) AS r_total
+    ), scored AS (
+      SELECT tok.doc_id, tok.lang,
+             (COALESCE(tgt.t_cnt, 0) * 1000000) // totals.t_total
+               - (raw.r_cnt * 1000000) // totals.r_total AS diff_ppm
+      FROM tok
+      JOIN raw ON tok.w = raw.w
+      LEFT JOIN tgt ON tok.w = tgt.w
+      CROSS JOIN totals
+    )
+    SELECT doc_id, lang, COUNT(*) AS n_tokens,
+           CAST(CAST(SUM(diff_ppm) AS BIGINT)
+                // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS dsir_ppm
+    FROM scored GROUP BY doc_id, lang
+    """,
+)
+def dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring for domain-targeted data selection
+    (Xie'23 "Data Selection via Importance Resampling", reduced to a
+    cross-engine-exact form): with the English subset as the target
+    domain, each document is scored by the mean over its tokens of
+    (target token frequency − corpus token frequency), both in integer
+    parts-per-million. Documents whose unigram distribution resembles
+    the target score high and are what importance resampling keeps;
+    the real DSIR uses a log-ratio of hashed-n-gram probabilities —
+    the log is replaced by the frequency DIFFERENCE here for the same
+    reason as ``q_quality_lm_score``: ``ln`` is not bit-identical
+    across engines, while the difference is pure int64 arithmetic and
+    preserves the resemble-the-target ordering the selection needs
+    (monotone in the per-token comparison; the English-docs-score-
+    higher invariant is pinned in tests/test_corpus_ops.py). The final
+    mean divides a possibly NEGATIVE sum: Spark ``DIV`` and DuckDB
+    ``//`` both truncate toward zero on integers (probed: -7/2 → -3
+    on both), so the rounding direction cannot diverge.
+
+    Scale shape: the hashed token stream (doc_id, lang, xxhash64(w))
+    is STAGED ONCE and feeds the target counts, the corpus counts and
+    the per-occurrence score join — one corpus tokenization, all
+    shuffles on 8-byte keys. The two scalar totals ride in as
+    single-row broadcast cross-joins (the scalar-subquery shape, never
+    a collect); the frequency tables join the token stream on the
+    staged bucket key with AQE skew-split for stopword heat; the
+    per-document mean is one partial+final hash aggregate."""
+    d = load(spark, sf_dir, "documents")
+    tok = stage(
+        d.select(
+            "doc_id", "lang", F.explode(tokens("text")).alias("w")
+        ).select("doc_id", "lang", F.xxhash64("w").alias("h")),
+        "dsir_tokens",
+        bucket_col="h",
+    )
+    tgt = tok.filter(F.col("lang") == "en").groupBy("h").agg(
+        F.count("*").alias("t_cnt")
+    )
+    raw = tok.groupBy("h").agg(F.count("*").alias("r_cnt"))
+    totals = tok.agg(
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_total"),
+        F.count("*").alias("r_total"),
+    )
+    scored = (
+        tok.join(raw, "h")
+        .join(tgt, "h", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "coalesce(t_cnt, 0) * 1000000 DIV t_total"
+                " - r_cnt * 1000000 DIV r_total"
+            ).alias("diff_ppm"),
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.expr("sum(diff_ppm) DIV count(*)").alias("dsir_ppm"),
+    )

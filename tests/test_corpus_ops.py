@@ -386,3 +386,47 @@ def test_bpe_iteration_runs_on_staged_vocab_not_corpus(spark):
     plan = _plan(vocab)
     assert "ExistingRDD" in plan
     assert "documents.parquet" not in plan
+
+
+def test_dsir_score_ranks_target_language_higher(spark):
+    """The DSIR importance score must separate the target domain: the
+    mean score of English (target) documents exceeds the mean score of
+    every other language's documents, and every score is the exact
+    integer mean of its per-token diffs (spot-checked via recompute of
+    one document)."""
+    from collections import Counter, defaultdict
+
+    rows = QUERIES["q_dsir_score"](spark, SF).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r["dsir_ppm"])
+    means = {la: sum(v) / len(v) for la, v in by_lang.items()}
+    for la, m in means.items():
+        if la != "en":
+            assert means["en"] > m, (la, means)
+
+    # exact recompute for one doc
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    tgt, raw = Counter(), Counter()
+    t_total = r_total = 0
+    for d in docs:
+        ws = d["text"].split(" ")
+        raw.update(ws)
+        r_total += len(ws)
+        if d["lang"] == "en":
+            tgt.update(ws)
+            t_total += len(ws)
+    d0 = docs[0]
+    ws = d0["text"].split(" ")
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+    diffs = [
+        (tgt.get(w, 0) * 1_000_000) // t_total - (raw[w] * 1_000_000) // r_total
+        for w in ws
+    ]
+    got = {r["doc_id"]: r for r in rows}[d0["doc_id"]]
+    assert got["n_tokens"] == len(ws)
+    assert got["dsir_ppm"] == trunc_div(sum(diffs), len(diffs))
