@@ -469,3 +469,80 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "naive_user_span double, naive_hour_span double, "
         "zorder_user_span double, zorder_hour_span double",
     )
+
+
+@query("q_partition_overwrite_dynamic")  # rows-only: write-path layout op
+def partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite registered end-to-end — the write
+    mode every day-partitioned production table depends on: a backfill
+    that recomputes TWO days must replace exactly those two partition
+    directories and leave every other day's files physically untouched
+    (same file names — no rewrite, no delete). Static overwrite mode
+    would instead drop the WHOLE table and keep only the backfilled
+    days — the classic data-loss footgun this op exists to avoid. The
+    verification row carries the full contract: total/touched day
+    counts, untouched directories byte-stable, replaced rows carrying
+    the new values, and total row count preserved. At 100 TB (years of
+    days), rewriting only the touched partitions is the difference
+    between a backfill costing O(touched days) and O(table)."""
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.sources import load as _load
+
+    tmp = scratch_dir("dynow")
+    path = f"{tmp}/t"
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    ev.write.partitionBy("day").parquet(path)
+
+    def day_files() -> dict[str, list[str]]:
+        return {
+            d: sorted(os.listdir(os.path.join(path, d)))
+            for d in os.listdir(path)
+            if d.startswith("day=")
+        }
+
+    before = day_files()
+    days = sorted(before)
+    touched = [d.removeprefix("day=") for d in days[:2]]
+    update = (
+        ev.filter(F.col("day").isin(touched))
+        .withColumn("value", F.lit(-1.0))
+    )
+    n_touched_rows = update.count()
+    (
+        update.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    after = day_files()
+    untouched_stable = all(
+        before[d] == after[d] for d in days[2:]
+    ) and set(after) == set(before)
+    out = spark.read.parquet(path)
+    replaced_ok = (
+        out.filter(F.col("day").isin(touched))
+        .filter(F.col("value") != -1.0)
+        .count()
+        == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(days),
+                len(touched),
+                bool(untouched_stable),
+                bool(replaced_ok),
+                int(n_touched_rows),
+                out.count(),
+                ev.count(),
+            )
+        ],
+        "days_total int, days_touched int, untouched_dirs_stable boolean, "
+        "replaced_rows_updated boolean, touched_rows long, rows_after long, "
+        "rows_before long",
+    )

@@ -126,6 +126,7 @@ def test_round4_correctness_window_composition():
         "q_bpe_train",
         "q_stream_stream_full_join",
         "q_dsir_score",
+        "q_partition_overwrite_dynamic",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

@@ -230,3 +230,47 @@ def test_zorder_layout_locality(spark):
     # files = 4 curve cuts = each dim quartered in expectation)
     assert r.zorder_user_span < 0.5 * r.naive_user_span
     assert r.zorder_hour_span < 0.5 * r.naive_hour_span
+
+
+def test_registered_dynamic_partition_overwrite_invariants(spark):
+    """The registered dynamic-overwrite op's verification row: only
+    the two backfilled day partitions rewrote (every other day's file
+    list identical), the replaced rows carry the new value, and the
+    total row count is preserved."""
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    r = QUERIES["q_partition_overwrite_dynamic"](spark, SF_DIR).first()
+    assert r.days_total > r.days_touched == 2
+    assert r.untouched_dirs_stable
+    assert r.replaced_rows_updated
+    assert r.rows_after == r.rows_before
+    assert 0 < r.touched_rows < r.rows_before
+
+
+def test_static_partition_overwrite_drops_other_days(spark, tmp_path):
+    """The contrast that motivates the op: STATIC overwrite mode (the
+    default) replaces the WHOLE table with the backfill frame — every
+    untouched day partition is deleted. Pinning the hazard documents
+    why production backfills must use dynamic mode."""
+    ev = load(spark, SF_DIR, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    path = str(tmp_path / "t")
+    ev.write.partitionBy("day").parquet(path)
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    upd = ev.filter(F.col("day") == days[0])
+    (
+        upd.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    left = {
+        r["day"]
+        for r in spark.read.parquet(path)
+        .select(F.col("day").cast("string").alias("day"))  # partition col infers as DATE
+        .distinct()
+        .collect()
+    }
+    assert left == {days[0]}  # everything else is gone — the footgun
