@@ -576,3 +576,114 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bitmap_count("bm")).alias("n_users"),
         F.sum("c").alias("n_events"),
     )
+
+
+_CMS_EPS = 0.002  # width 1000: over-estimate bound eps*N
+_CMS_CONF = 0.99  # depth 7
+_CMS_SEED = 42
+_CMS_TOP = 5
+
+
+def _cms_parse(b: bytes):
+    """Parse Spark's serialized CountMinSketch (version 1): header
+    (version int, totalCount long, depth int, width int), then the
+    depth hashA longs, then the depth×width counter table — all
+    big-endian. O(KB) driver-side bytes."""
+    import struct
+
+    v, total, depth, width = struct.unpack(">iqii", b[:20])
+    assert v == 1, f"unexpected CMS serialization version {v}"
+    off = 20
+    hash_a = struct.unpack(f">{depth}q", b[off : off + 8 * depth])
+    off += 8 * depth
+    table = [
+        struct.unpack(f">{width}q", b[off + i * 8 * width : off + (i + 1) * 8 * width])
+        for i in range(depth)
+    ]
+    return total, depth, width, hash_a, table
+
+
+def _cms_estimate(parsed, item: int) -> int:
+    """Point estimate for a LONG item — Spark's universal-hash scheme
+    (hashA[i]·item, fold the high word, mask by the Mersenne prime
+    2³¹−1, mod width; Java arithmetic shift reproduced on signed
+    ints), min across the depth rows."""
+    _, depth, width, hash_a, table = parsed
+    vals = []
+    for i in range(depth):
+        h = (hash_a[i] * item) & ((1 << 64) - 1)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        h += h >> 32
+        h &= (1 << 31) - 1
+        vals.append(table[i][int(h % width)])
+    return min(vals)
+
+
+@query("q_agg_cms_sketch")  # rows-only: sketch internals are engine-specific
+def agg_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable COUNT-MIN sketches (Spark ``count_min_sketch``) — the
+    heavy-hitter frequency sketch that completes the sketch family
+    (HLL/theta/bitmap count distincts; CMS counts frequencies): how
+    often does each hot user appear, answered from KB-sized state.
+    Three sketches are built in ONE pass each — the global sketch and
+    two disjoint-half partials (even/odd event_id) — and the registered
+    row carries the two properties production pre-aggregation relies
+    on, verified EXACTLY:
+
+    - mergeability: CMS is linear, so the element-wise SUM of the two
+      partial counter tables must equal the global table bit-for-bit
+      (same seed → same hash functions). This is what lets 1000
+      executors sketch their partitions independently and a reader
+      merge per-day sketches without rescanning 100 TB.
+    - one-sided error: for the top-{TOP} users by exact count, the
+      sketch estimate never under-counts and over-counts by at most
+      eps·N (eps={EPS}).
+
+    Only the three ~KB sketches and {TOP} exact rows reach the driver."""
+    ev = load(spark, sf_dir, "events")
+    cms = f"count_min_sketch(user_id, {_CMS_EPS}d, {_CMS_CONF}d, {_CMS_SEED})"
+    glob = bytes(ev.agg(F.expr(cms).alias("c")).collect()[0]["c"])
+    halves = {
+        r["half"]: bytes(r["c"])
+        for r in ev.groupBy(F.pmod("event_id", F.lit(2)).alias("half"))
+        .agg(F.expr(cms).alias("c"))
+        .collect()
+    }
+    g = _cms_parse(glob)
+    h0, h1 = _cms_parse(halves[0]), _cms_parse(halves[1])
+    merged_ok = all(
+        a + b == c
+        for ra, rb, rc in zip(h0[4], h1[4], g[4])
+        for a, b, c in zip(ra, rb, rc)
+    ) and h0[0] + h1[0] == g[0]
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(_CMS_TOP)
+        .collect()
+    )
+    n_total = g[0]
+    rows = []
+    for r in top:
+        est = _cms_estimate(g, int(r["user_id"]))
+        rows.append(
+            (
+                int(r["user_id"]),
+                int(r["exact_n"]),
+                int(est),
+                bool(r["exact_n"] <= est <= r["exact_n"] + _CMS_EPS * n_total),
+                bool(merged_ok),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "user_id long, exact_n long, cms_est long, within_bound boolean, "
+        "merged_equals_global boolean",
+    )
+
+
+agg_cms_sketch.__doc__ = agg_cms_sketch.__doc__.replace(
+    "{TOP}", str(_CMS_TOP)
+).replace("{EPS}", str(_CMS_EPS))

@@ -175,7 +175,8 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # fn_url, bitmap distinct, the LM quality score and the JL
 # projection, the streaming Python sink, the BPE trainer, the
 # full-outer stream-stream join, the DSIR score, dynamic partition
-# overwrite — bring the registry to 216 keys / 191 oracles (count with collect_queries(),
+# overwrite, chained stateful aggs, the CMS sketch — bring the
+# registry to 218 keys / 192 oracles (count with collect_queries(),
 # never this comment); the full
 # post-freeze set is pinned as deferred_to_round5 in
 # tests/test_contract_robustness.py and heads the round-5 window).
@@ -225,7 +226,8 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_agg_bitmap_distinct, q_fn_csv, q_fn_xml, q_dedup_semantic,
 # q_fn_collation, q_quality_lm_score, q_emb_random_projection,
 # q_stream_sink_python, q_bpe_train, q_stream_stream_full_join,
-# q_dsir_score, q_partition_overwrite_dynamic), then 29
+# q_dsir_score, q_partition_overwrite_dynamic,
+# q_stream_chained_aggs, q_agg_cms_sketch), then 29
 # oldest-green re-checks
 # (round-1 stamps):
 # q_agg_basic, q_agg_distinct, q_agg_rollup, q_agg_cube,

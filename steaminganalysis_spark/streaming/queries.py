@@ -740,3 +740,60 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "q_stream_chained_aggs",
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
+    pu AS (
+      SELECT date_trunc('hour', ts) AS h, user_id, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:00') AS hour,
+           COUNT(*) AS active_users,
+           CAST(SUM(n) AS BIGINT) AS events
+    FROM pu, wm
+    WHERE h + INTERVAL 1 HOUR <= wm.w
+    GROUP BY h
+    """,
+)
+def stream_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (multiple
+    stateful ops per query, Spark 3.4+): a per-(user, 1h-window) count
+    feeds a second windowed aggregation that reduces each hour to its
+    active-user count and event total — the classic two-level rollup
+    (dedupe/profile per key, then summarize per window) that older
+    engines forced into two jobs with an intermediate topic. Both
+    operators share the event-time watermark; in append mode an hour
+    emits from the SECOND aggregate only once the watermark finalizes
+    it in the FIRST, so the run-to-completion output is exactly the
+    hours whose end ≤ final watermark (max event time − 2 h) — the
+    oracle states that finalize-once rule. At 100 TB both state stores
+    stay bounded: the first by (users × open windows), the second by
+    open windows, and eviction cascades through the chain as the
+    watermark advances."""
+    name = f"chained_{uuid.uuid4().hex[:8]}"
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    per_user = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n"))
+    per_hour = per_user.groupBy("w").agg(
+        F.count("*").alias("active_users"),
+        F.sum("n").alias("events"),
+    )
+    q = (
+        per_hour.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("hour"),
+        "active_users",
+        "events",
+    )

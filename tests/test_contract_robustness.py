@@ -127,6 +127,8 @@ def test_round4_correctness_window_composition():
         "q_stream_stream_full_join",
         "q_dsir_score",
         "q_partition_overwrite_dynamic",
+        "q_stream_chained_aggs",
+        "q_agg_cms_sketch",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

@@ -160,3 +160,18 @@ def test_bitmap_distinct_avoids_expand_and_bounds_state(spark):
     }
     got = {(r["event_type"], r["n_users"]) for r in df.collect()}
     assert got == exact
+
+
+def test_cms_sketch_bounds_and_mergeability(spark):
+    """The registered CMS row must show: estimates never under-count,
+    stay within eps*N, and the element-wise sum of the two partial
+    sketches' counter tables equals the global sketch exactly (CMS
+    linearity — the mergeability production pre-aggregation relies
+    on)."""
+    QUERIES, _ = collect_queries()
+    rows = QUERIES["q_agg_cms_sketch"](spark, SF_DIR_CORRECTNESS).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.cms_est >= r.exact_n  # one-sided error
+        assert r.within_bound
+        assert r.merged_equals_global
