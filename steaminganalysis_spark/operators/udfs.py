@@ -294,3 +294,52 @@ def udf_applyinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_linestatus").applyInArrow(
         per_group, schema="l_linestatus string, n long, qty_cents long, max_cents long"
     )
+
+
+@query(
+    "q_udtf_analyze",
+    oracle="""
+    SELECT doc_id, t[1] AS tok0, t[2] AS tok1, t[3] AS tok2
+    FROM (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE doc_id < 50)
+    """,
+)
+def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output
+    schema is not declared statically — the planner calls the UDTF's
+    static ``analyze`` with the call-site arguments and the function
+    computes its own schema from the literal k (here: k=3 → columns
+    tok0..tok2). This is the extension point for connector-style
+    functions whose shape depends on their arguments (parse_csv with a
+    header literal, pivot-like expanders). Same deliberate 50-doc
+    projection as ``q_udtf_python``: per-row Python is the slow path;
+    what's being verified is the planner-to-Python schema negotiation,
+    oracle-checked against plain list indexing."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FirstK:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            n = int(k.value)  # literal argument drives the schema
+            st = StructType()
+            for i in range(n):
+                st.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, k: int):
+            toks = text.split(" ")[:k]
+            yield tuple(toks + [None] * (k - len(toks)))
+
+    spark.udtf.register("sa_first_k", FirstK)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("docs_udtf_analyze")
+    return spark.sql(
+        """
+        SELECT doc_id, t.tok0, t.tok1, t.tok2
+        FROM docs_udtf_analyze, LATERAL sa_first_k(text, 3) AS t
+        """
+    )

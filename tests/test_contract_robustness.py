@@ -129,6 +129,7 @@ def test_round4_correctness_window_composition():
         "q_partition_overwrite_dynamic",
         "q_stream_chained_aggs",
         "q_agg_cms_sketch",
+        "q_udtf_analyze",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

@@ -55,5 +55,8 @@ def test_every_query_has_oracle_or_is_documented():
         "q_zorder_layout",  # file-layout op; preservation + locality invariants in the result row
         "q_datagen",  # randomized generator; schema+domain-tested
         "q_stream_hll_daily",  # HLL estimate; stream≡batch equality-tested
+        "q_bpe_train",  # iterative merge loop; equality-tested vs Python BPE
+        "q_partition_overwrite_dynamic",  # write-path layout op; invariants in the result row
+        "q_agg_cms_sketch",  # sketch internals; linearity + bound invariants in the result row
     }
     assert rows_only <= documented, f"undocumented rows-only queries: {rows_only - documented}"

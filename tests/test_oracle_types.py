@@ -67,7 +67,13 @@ def test_round5_deferred_oracles_all_audited():
     assert len(deferred) >= 12  # the round-4 post-freeze additions
     deferred_oracles = [k for k in deferred if k in ORACLE]
     # every deferred key carries an oracle except the documented
-    # rows-only streaming sketch (HLL has no DuckDB twin)
+    # rows-only ones (no DuckDB twin: the streaming HLL sketch, the
+    # iterative BPE merge loop, the two result-row-invariant ops)
     rows_only = set(deferred) - set(deferred_oracles)
-    assert rows_only == {"q_stream_hll_daily"}, rows_only
+    assert rows_only == {
+        "q_stream_hll_daily",
+        "q_bpe_train",
+        "q_partition_overwrite_dynamic",
+        "q_agg_cms_sketch",
+    }, rows_only
     assert set(deferred_oracles) <= set(ORACLE)
