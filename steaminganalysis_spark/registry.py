@@ -216,7 +216,7 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # - round 3: ROUND3_WINDOW list at commit 4241eec (50/50 green)
 #
 # ROUND-5 WINDOW, pre-planned (swap into ROUND5_WINDOW next round):
-# canaries q_daily_rollup + q_tpch_q12, then the 19 post-freeze
+# canaries q_daily_rollup + q_tpch_q12, then the 29 post-freeze
 # round-4 keys (the deferred_to_round5 set in
 # tests/test_contract_robustness.py: q_chunk_documents,
 # q_shuffle_deterministic, q_index_inverted, q_agg_theta_sketch,
@@ -228,16 +228,16 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_stream_sink_python, q_bpe_train, q_stream_stream_full_join,
 # q_dsir_score, q_partition_overwrite_dynamic,
 # q_stream_chained_aggs, q_agg_cms_sketch, q_udtf_analyze), then
-# 29 oldest-green re-checks
-# (round-1 stamps):
+# 19 oldest-green re-checks (round-1 stamps, oldest families first —
+# the tail of the previous 29-slot plan moves to round 6):
 # q_agg_basic, q_agg_distinct, q_agg_rollup, q_agg_cube,
 # q_agg_collect, q_time_buckets, q_fn_string, q_fn_datetime,
 # q_fn_math, q_fn_array, q_json_parse, q_fn_map, q_json_malformed,
 # q_fn_array2, q_fn_datetime2, q_fn_string2, q_dedup_exact,
-# q_sim_topk, q_text_stats, q_text_tokens, q_text_langid,
-# q_text_quality, q_text_tfidf, q_emb_centroid, q_text_fingerprint,
-# q_text_entropy, q_emb_quantize, q_pack_sequences,
-# q_dedup_containment.
+# q_sim_topk, q_text_stats. (Round-6 re-check backlog: q_text_tokens,
+# q_text_langid, q_text_quality, q_text_tfidf, q_emb_centroid,
+# q_text_fingerprint, q_text_entropy, q_emb_quantize,
+# q_pack_sequences, q_dedup_containment.)
 ROUND4_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
