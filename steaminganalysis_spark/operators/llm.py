@@ -1319,3 +1319,53 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 emb_random_projection.__doc__ = emb_random_projection.__doc__.replace(
     "{K}", str(_RP_OUT_DIMS)
 ).replace("{D}", str(_RP_IN_DIMS))
+
+
+@query(
+    "q_knn_graph",
+    oracle=_SIM_ORACLE_BASE.replace("WHERE a.vec_id < 50", "")
+    + """
+    , sym AS (
+      SELECT query_id AS src, neighbor_id AS dst, round(cosine, 6) AS cosine
+      FROM pairs WHERE round(cosine, 6) >= 0.4
+    ), ranked AS (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rn
+      FROM sym
+    )
+    SELECT src, dst, cosine, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor GRAPH construction over the whole embedding
+    table (every vector's top-3 neighbors among those with cosine ≥
+    0.4) — the neighbor-graph build behind SemDeDup clustering,
+    graph-based ANN indexes, and duplicate-cluster mining. Unlike
+    ``q_sim_topk`` (a small broadcast query set against the corpus)
+    this is corpus × corpus: the only viable scale shape is candidate
+    generation by LSH bucket EQUI-join (the same 24-table × 2-bit
+    hyperplane family as ``q_sim_threshold_pairs``, per-true-pair miss
+    ~5e-6 at τ=0.4 — the registered oracle stays the exact all-pairs
+    SQL), exact cosine on candidates only, then a per-source top-3 via
+    ROW_NUMBER with a deterministic (cosine desc, dst) tie-break —
+    rank-based per-group limits compile to WindowGroupLimit, so the
+    partial top-k runs before the exchange. The threshold matters at
+    100 TB twice: it bounds pair count AND makes the window partition
+    per-vector state O(k)."""
+    base = _emb_double(spark, sf_dir)
+    cand = _lsh_candidate_pairs(base, THRESH_LSH_TABLES, THRESH_LSH_BITS)
+    scored = _score_pairs_exact(base, cand, 0.4)
+    sym = scored.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cosine"
+    ).unionAll(
+        scored.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cosine"
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst", "cosine", "rn")
+    )

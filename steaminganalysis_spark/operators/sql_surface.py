@@ -328,3 +328,46 @@ def pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("cents").cast("bigint").alias("cents"),
     )
+
+
+@query(
+    "q_sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_large
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (Spark 3.4+ named-parameter API): the query
+    text carries ``:year_start``/``:threshold`` placeholders and the
+    values arrive through ``spark.sql(..., args=...)`` — never string
+    interpolation. This is the injection-safe surface an application
+    layer builds on, and parameter markers bind as LITERALS in the
+    plan, so Catalyst still constant-folds them and pushes the date
+    bounds to the parquet scan exactly as with inline constants. The
+    session-variable spelling (DECLARE/SET VAR) compiles to the same
+    plan; the args form is the one that works from any client."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN o_totalprice > :threshold THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_large
+        FROM orders
+        WHERE o_orderdate >= CAST(:year_start AS TIMESTAMP)
+          AND o_orderdate < CAST(:year_end AS TIMESTAMP)
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "threshold": 150000.0,
+            "year_start": "1995-01-01",
+            "year_end": "1996-01-01",
+        },
+    )

@@ -130,6 +130,8 @@ def test_round4_correctness_window_composition():
         "q_stream_chained_aggs",
         "q_agg_cms_sketch",
         "q_udtf_analyze",
+        "q_sql_parameterized",
+        "q_knn_graph",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):
