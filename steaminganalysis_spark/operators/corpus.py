@@ -730,3 +730,36 @@ def dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.expr("sum(diff_ppm) DIV count(*)").alias("dsir_ppm"),
     )
+
+
+@query("q_bpe_encode")
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges to the corpus (rows-only: the
+    merge table comes from the iterative trainer, same non-SQL class
+    as ``q_bpe_train``): every document's token stream joins the
+    segmented vocabulary and reduces to its BPE token count — the
+    tokenizer-application pass that turns "trained tokenizer" into
+    "token-counted corpus" for packing/billing/mixture decisions.
+
+    Scale shape: the vocabulary segmentation (|V| rows — the
+    distinct-word table, already orders of magnitude smaller than the
+    corpus) joins the exploded word stream on an EQUI-join keyed by
+    the word; AQE broadcasts it when measured-small and skew-splits
+    the stopword heat otherwise — a STATIC broadcast hint is avoided
+    for the same unbounded-vocabulary reason as ``q_ngram_lm``. The
+    per-document reduction is one partial+final hash aggregate.
+    Exactness is pinned by the Python-BPE equivalence test
+    (tests/test_corpus_ops.py): counts must equal encoding every
+    document with the reference merges."""
+    _, vocab = bpe_train(spark, sf_dir)
+    seg = vocab.select("word", F.size("symbols").alias("n_sym"))
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    return (
+        words.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )

@@ -176,8 +176,9 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # projection, the streaming Python sink, the BPE trainer, the
 # full-outer stream-stream join, the DSIR score, dynamic partition
 # overwrite, chained stateful aggs, the CMS sketch, the polymorphic
-# UDTF, parameterized SQL, the kNN graph — bring the registry to 221
-# keys / 195 oracles (count with collect_queries(),
+# UDTF, parameterized SQL, the kNN graph, bounded-state stream
+# dedup, the BPE encode pass — bring the registry to 223 keys /
+# 196 oracles (count with collect_queries(),
 # never this comment); the full
 # post-freeze set is pinned as deferred_to_round5 in
 # tests/test_contract_robustness.py and heads the round-5 window).
@@ -229,7 +230,9 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_stream_sink_python, q_bpe_train, q_stream_stream_full_join,
 # q_dsir_score, q_partition_overwrite_dynamic,
 # q_stream_chained_aggs, q_agg_cms_sketch, q_udtf_analyze,
-# q_sql_parameterized, q_knn_graph), then 17 oldest-green re-checks (round-1 stamps, oldest families first —
+# q_sql_parameterized, q_knn_graph,
+# q_stream_dedup_within_watermark, q_bpe_encode), then 15
+# oldest-green re-checks (round-1 stamps, oldest families first —
 # the tail of the previous 29-slot plan moves to round 6):
 # q_agg_basic, q_agg_distinct, q_agg_rollup, q_agg_cube,
 # q_agg_collect, q_time_buckets, q_fn_string, q_fn_datetime,

@@ -797,3 +797,44 @@ def stream_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active_users",
         "events",
     )
+
+
+@query(
+    "q_stream_dedup_within_watermark",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n
+    FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    GROUP BY user_id
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (Spark 3.5+) — the
+    BOUNDED-STATE spelling of streaming dedup: a key's suppression
+    state is evicted once the watermark passes its event time plus the
+    delay, so state size is O(keys per delay window) instead of
+    O(all keys ever) (``q_stream_dedup``'s accumulate-forever
+    ``dropDuplicates`` — correct for the reference's semantics, but
+    unbounded at 100 TB; THIS is the production spelling when
+    duplicates only arrive within a bounded replay horizon, which is
+    exactly how Kafka redelivery behaves). First-seen rows emit
+    immediately (suppression state, not buffering), so the
+    run-to-completion per-user counts equal the batch first-arrival
+    dedup; cross-micro-batch suppression inside the horizon is pinned
+    in tests/test_streaming.py."""
+    name = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        stream.dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -132,6 +132,8 @@ def test_round4_correctness_window_composition():
         "q_udtf_analyze",
         "q_sql_parameterized",
         "q_knn_graph",
+        "q_stream_dedup_within_watermark",
+        "q_bpe_encode",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

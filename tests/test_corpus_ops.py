@@ -430,3 +430,27 @@ def test_dsir_score_ranks_target_language_higher(spark):
     got = {r["doc_id"]: r for r in rows}[d0["doc_id"]]
     assert got["n_tokens"] == len(ws)
     assert got["dsir_ppm"] == trunc_div(sum(diffs), len(diffs))
+
+
+def test_bpe_encode_matches_python_encoding(spark):
+    """Applying the trained merges distributedly equals encoding every
+    document with the Python-BPE reference vocabulary: per-doc word
+    and BPE token counts match exactly."""
+    from collections import Counter
+
+    from steaminganalysis_spark.operators.corpus import _BPE_MERGES
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+    wc = Counter()
+    for r in docs:
+        wc.update(r["text"].split(" "))
+    _, exp_vocab = _python_bpe(dict(wc), _BPE_MERGES)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in QUERIES["q_bpe_encode"](spark, SF).collect()
+    }
+    assert set(got) == {r["doc_id"] for r in docs}
+    for r in docs:
+        ws = r["text"].split(" ")
+        expect = (len(ws), sum(len(exp_vocab[w]) for w in ws))
+        assert got[r["doc_id"]] == expect, r["doc_id"]

@@ -58,5 +58,6 @@ def test_every_query_has_oracle_or_is_documented():
         "q_bpe_train",  # iterative merge loop; equality-tested vs Python BPE
         "q_partition_overwrite_dynamic",  # write-path layout op; invariants in the result row
         "q_agg_cms_sketch",  # sketch internals; linearity + bound invariants in the result row
+        "q_bpe_encode",  # applies the iterative trainer's merges; equality-tested vs Python encode
     }
     assert rows_only <= documented, f"undocumented rows-only queries: {rows_only - documented}"

@@ -75,5 +75,6 @@ def test_round5_deferred_oracles_all_audited():
         "q_bpe_train",
         "q_partition_overwrite_dynamic",
         "q_agg_cms_sketch",
+        "q_bpe_encode",
     }, rows_only
     assert set(deferred_oracles) <= set(ORACLE)

@@ -1032,3 +1032,38 @@ def test_stream_stream_join_state_survives_restart(spark, tmp_path):
     straddlers = {(a, b) for (a, b) in want if b in t0_ids and a not in t0_ids}
     assert straddlers, "fixture drift: no pair straddles the restart boundary"
     assert straddlers <= got
+
+
+def test_dedup_within_watermark_suppresses_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate re-delivered in a
+    LATER micro-batch, inside the watermark horizon, is suppressed by
+    the cross-batch state — and the first-seen copies all emitted.
+    (maxFilesPerTrigger=1 forces the replay into its own batch, so
+    this exercises the state store, not within-batch dedup.)"""
+    src = tmp_path / "dupwm_stream"
+    src.mkdir()
+    ev = order_events_batch(spark, 40)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))  # replay
+    schema = spark.read.parquet(str(src / "a")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"dedupwm_{uuid.uuid4().hex[:6]}"
+    agg = (
+        stream.withColumn("ts", F.to_timestamp("time"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["orderId"])
+        .groupBy()
+        .count()
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    [row] = spark.table(name).collect()
+    assert row["count"] == 40  # 80 delivered across 2 batches, 40 unique
