@@ -384,3 +384,58 @@ def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_seg").alias("seg"))
         .agg(F.count("c_custkey").alias("n_custs"))
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ), filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             first_value(CASE WHEN event_type = 'click'
+                              THEN strftime(ts, '%Y-%m-%d %H:%M:%S.%f') END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts
+      FROM ev
+    )
+    SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, next_click_ts
+    FROM filled
+    WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the mirror of ``q_join_asof``: for each
+    purchase, the earliest STRICTLY LATER click by the same user (the
+    "next action after conversion" lookup attribution pipelines pair
+    with the backward variant). Same single-shuffle union+window shape
+    — partition by user, order by time, first_value IGNORE NULLS over
+    a LEADING frame — never a range join, which explodes at 100 TB;
+    each event shuffles exactly once and both as-of directions reuse
+    the same user partitioning if computed together. Timestamps
+    emitted as strings per the determinism conventions."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    filled = ev.withColumn(
+        "next_click_ts",
+        F.first(
+            F.when(F.col("event_type") == "click", F.date_format("ts", fmt)),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return filled.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        "next_click_ts",
+    )

@@ -177,8 +177,8 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # full-outer stream-stream join, the DSIR score, dynamic partition
 # overwrite, chained stateful aggs, the CMS sketch, the polymorphic
 # UDTF, parameterized SQL, the kNN graph, bounded-state stream
-# dedup, the BPE encode pass — bring the registry to 223 keys /
-# 196 oracles (count with collect_queries(),
+# dedup, the BPE encode pass, the forward as-of join — bring the
+# registry to 224 keys / 197 oracles (count with collect_queries(),
 # never this comment); the full
 # post-freeze set is pinned as deferred_to_round5 in
 # tests/test_contract_robustness.py and heads the round-5 window).
@@ -231,8 +231,8 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_dsir_score, q_partition_overwrite_dynamic,
 # q_stream_chained_aggs, q_agg_cms_sketch, q_udtf_analyze,
 # q_sql_parameterized, q_knn_graph,
-# q_stream_dedup_within_watermark, q_bpe_encode), then 15
-# oldest-green re-checks (round-1 stamps, oldest families first —
+# q_stream_dedup_within_watermark, q_bpe_encode,
+# q_join_asof_forward), then 14 oldest-green re-checks (round-1 stamps, oldest families first —
 # the tail of the previous 29-slot plan moves to round 6):
 # q_agg_basic, q_agg_distinct, q_agg_rollup, q_agg_cube,
 # q_agg_collect, q_time_buckets, q_fn_string, q_fn_datetime,
