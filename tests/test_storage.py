@@ -202,7 +202,13 @@ def test_table_staging_matches_local(spark):
 
     QUERIES, _ = collect_queries()
     sf = "/root/testdata/sf0.001"
-    for name in ("q_dedup_ngram_jaccard", "q_dedup_containment"):
+    for name in (
+        "q_dedup_ngram_jaccard",
+        "q_dedup_containment",
+        "q_quality_lm_score",
+        "q_dsir_score",
+        "q_bpe_encode",
+    ):
         local = sorted(map(tuple, QUERIES[name](spark, sf).collect()))
         os.environ["SPARK_GRAFT_STAGING"] = "table"
         try:
