@@ -602,3 +602,36 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nv").alias("n_case_variants"),
         )
     )
+
+
+@query(
+    "q_fn_mask",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             o_orderpriority, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+             '[0-9]', 'n', 'g') AS masked_priority,
+           sha256(CAST(o_custkey AS VARCHAR)) AS cust_pseudonym,
+           substr(sha256(CAST(o_custkey AS VARCHAR)), 1, 8) AS cust_short
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance scalar pair: ``mask()`` (Spark 3.4+ — uppercase
+    → X, lowercase → x, digits → n, punctuation kept) for display-safe
+    redaction, and ``sha2(…, 256)`` for stable pseudonymization (same
+    customer → same token across tables, so joins still work on the
+    pseudonym — the property PII-safe analytics needs; the regex-based
+    detect+redact big sibling is ``q_text_pii_scrub``). Pure map-side
+    expressions; the oracle replicates mask character-class by
+    character-class with global regexp_replace."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.mask("o_orderpriority").alias("masked_priority"),
+        F.sha2(F.col("o_custkey").cast("string"), 256).alias("cust_pseudonym"),
+        F.substring(
+            F.sha2(F.col("o_custkey").cast("string"), 256), 1, 8
+        ).alias("cust_short"),
+    )

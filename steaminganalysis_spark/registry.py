@@ -177,8 +177,9 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # full-outer stream-stream join, the DSIR score, dynamic partition
 # overwrite, chained stateful aggs, the CMS sketch, the polymorphic
 # UDTF, parameterized SQL, the kNN graph, bounded-state stream
-# dedup, the BPE encode pass, the forward as-of join — bring the
-# registry to 224 keys / 197 oracles (count with collect_queries(),
+# dedup, the BPE encode pass, the forward as-of join, the
+# mask/pseudonym pack — bring the registry to 225 keys / 198 oracles
+# (count with collect_queries(),
 # never this comment); the full
 # post-freeze set is pinned as deferred_to_round5 in
 # tests/test_contract_robustness.py and heads the round-5 window).
@@ -232,7 +233,7 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_stream_chained_aggs, q_agg_cms_sketch, q_udtf_analyze,
 # q_sql_parameterized, q_knn_graph,
 # q_stream_dedup_within_watermark, q_bpe_encode,
-# q_join_asof_forward), then 14 oldest-green re-checks (round-1 stamps, oldest families first —
+# q_join_asof_forward, q_fn_mask), then 13 oldest-green re-checks (round-1 stamps, oldest families first —
 # the tail of the previous 29-slot plan moves to round 6):
 # q_agg_basic, q_agg_distinct, q_agg_rollup, q_agg_cube,
 # q_agg_collect, q_time_buckets, q_fn_string, q_fn_datetime,

@@ -135,6 +135,7 @@ def test_round4_correctness_window_composition():
         "q_stream_dedup_within_watermark",
         "q_bpe_encode",
         "q_join_asof_forward",
+        "q_fn_mask",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):
