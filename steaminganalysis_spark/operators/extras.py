@@ -35,7 +35,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from steaminganalysis_spark.functions import shingle_hashes, tokens, word_ngrams
-from steaminganalysis_spark.registry import query, round_half_up, to_cents
+from steaminganalysis_spark.registry import (
+    SQL_DSUM,
+    SQL_ROUND,
+    query,
+    round_half_up,
+    to_cents,
+)
 from steaminganalysis_spark.sources import load
 from steaminganalysis_spark.staging import stage
 
@@ -1258,4 +1264,132 @@ def scd2_from_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
         F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_yoy_revenue",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+             {SQL_DSUM("o.o_totalprice")} AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, yr, revenue,
+           lag(revenue) OVER (PARTITION BY nation ORDER BY yr) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (PARTITION BY nation ORDER BY yr) IS NULL
+                THEN NULL
+                ELSE {SQL_ROUND("(revenue - lag(revenue) OVER (PARTITION BY nation ORDER BY yr)) / lag(revenue) OVER (PARTITION BY nation ORDER BY yr)")}
+           END AS yoy_growth
+    FROM yearly
+    """,
+)
+def yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue comparison per nation — the standard
+    period-over-period analytic: aggregate to (nation, year), then a
+    LAG window over the yearly grain computes the previous period and
+    the growth ratio. The window runs on the AGGREGATED table
+    (nations × years — thousands of rows at any corpus size), never on
+    the fact table, so the pattern costs one fact shuffle for the
+    group-by (dims broadcast) plus a negligible window pass; growth is
+    ``round_half_up`` so the ratio hashes identically cross-engine."""
+    from steaminganalysis_spark.registry import dsum
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    yearly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = W.partitionBy("nation").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "nation",
+        "yr",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(
+            prev.isNotNull(), round_half_up((F.col("revenue") - prev) / prev)
+        ).alias("yoy_growth"),
+    )
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ), filled AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN k % 5 END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS campaign
+      FROM ev
+    )
+    SELECT COALESCE(CAST(campaign AS VARCHAR), 'organic') AS campaign,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS attributed_cents
+    FROM filled
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH marketing attribution — the as-of join put to its
+    canonical use: each purchase's value is credited to the campaign
+    of the user's most recent prior click (campaign = the click's
+    props.k mod 5; purchases with no prior click fall to 'organic'),
+    then rolled up to campaign totals in exact integer cents. Same
+    single-shuffle union+window shape as ``q_join_asof`` — the
+    attribution column rides the one user partitioning, and the final
+    campaign rollup aggregates the already-tiny purchase set."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    filled = ev.withColumn(
+        "campaign",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("k") % 5),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        filled.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("campaign").cast("string"), F.lit("organic")).alias(
+                "campaign"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(to_cents(F.col("value"))).alias("attributed_cents"),
+        )
     )

@@ -136,6 +136,8 @@ def test_round4_correctness_window_composition():
         "q_bpe_encode",
         "q_join_asof_forward",
         "q_fn_mask",
+        "q_yoy_revenue",
+        "q_attribution_last_touch",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):
