@@ -1393,3 +1393,67 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(to_cents(F.col("value"))).alias("attributed_cents"),
         )
     )
+
+
+@query(
+    "q_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days
+    ), islands AS (
+      SELECT user_id, island,
+             COUNT(*) AS len,
+             strftime(MIN(d), '%Y-%m-%d') AS streak_start,
+             strftime(MAX(d), '%Y-%m-%d') AS streak_end
+      FROM grp GROUP BY user_id, island
+    ), best AS (
+      SELECT user_id, len, streak_start, streak_end,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, streak_start) AS rn
+      FROM islands
+    )
+    SELECT user_id, len AS streak_days, streak_start, streak_end
+    FROM best WHERE rn = 1
+    """,
+)
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — the classic consecutive-run detection
+    pattern: each user's activity days collapse into maximal runs of
+    consecutive dates via the date-minus-row_number trick (consecutive
+    days share a constant difference, so the difference IS the island
+    key — no self-join, no recursion), then the longest streak per
+    user is reported (earliest on ties). Retention and engagement
+    pipelines live on this. Cost at 100 TB: one distinct on
+    (user, day) — partial map-side — then everything else runs inside
+    the per-user sort of a single exchange; the island key is pure
+    arithmetic on already-sorted rows."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    wd = W.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "island", F.date_sub("d", F.row_number().over(wd))
+    )
+    islands = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+    )
+    wb = W.partitionBy("user_id").orderBy(F.desc("len"), F.asc("streak_start"))
+    return (
+        islands.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("streak_days"),
+            "streak_start",
+            "streak_end",
+        )
+    )
