@@ -574,6 +574,14 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES):
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
+    return bpe_train_on_words(words, n_merges)
+
+
+def bpe_train_on_words(words: DataFrame, n_merges: int = _BPE_MERGES):
+    """The trainer's core loop over an arbitrary (word, n) count table
+    — split out so edge-case tests can drive it with adversarial
+    vocabularies (repeated characters, ties, merge exhaustion) without
+    a corpus fixture."""
     vocab = stage(
         words.select(
             "word",

@@ -1457,3 +1457,73 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_end",
         )
     )
+
+
+@query(
+    "q_attribution_first_touch",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ), filled AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             first_value(CASE WHEN event_type = 'click' THEN k % 5 END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS campaign
+      FROM ev
+    )
+    SELECT COALESCE(CAST(campaign AS VARCHAR), 'organic') AS campaign,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS attributed_cents
+    FROM filled
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-TOUCH attribution — the companion model to
+    ``q_attribution_last_touch``: each purchase credits the campaign of
+    the user's EARLIEST prior click (first_value over the same trailing
+    frame), so acquisition channels get the credit instead of closing
+    ones. Identical single-shuffle union+window cost; running both
+    models together shares the one user partitioning and the delta
+    between the two rollups is the classic funnel-position report."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    filled = ev.withColumn(
+        "campaign",
+        F.first(
+            F.when(F.col("event_type") == "click", F.col("k") % 5),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        filled.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("campaign").cast("string"), F.lit("organic")).alias(
+                "campaign"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(to_cents(F.col("value"))).alias("attributed_cents"),
+        )
+    )

@@ -139,6 +139,7 @@ def test_round4_correctness_window_composition():
         "q_yoy_revenue",
         "q_attribution_last_touch",
         "q_gaps_islands",
+        "q_attribution_first_touch",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

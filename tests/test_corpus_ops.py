@@ -454,3 +454,27 @@ def test_bpe_encode_matches_python_encoding(spark):
         ws = r["text"].split(" ")
         expect = (len(ws), sum(len(exp_vocab[w]) for w in ws))
         assert got[r["doc_id"]] == expect, r["doc_id"]
+
+
+def test_bpe_edge_cases_vs_python(spark):
+    """Adversarial vocabularies aimed at the merge fold: runs of a
+    repeated character (non-overlap rule), exact count ties (lexico
+    break), single-char words (no pairs), and merge exhaustion
+    (n_merges beyond the available pair inventory must early-break) —
+    each exact-equal to the Python reference."""
+    from steaminganalysis_spark.operators.corpus import bpe_train_on_words
+
+    cases = [
+        {"aaaa": 3, "aa": 2, "a": 5},          # overlap: 'aaaa' → [aa, aa]
+        {"ab": 1, "ba": 1, "c": 9},            # tie on count → lexicographic
+        {"x": 4, "y": 2},                      # no pairs at all
+        {"abc": 1},                            # exhaustion: 2 pairs, ask for 5
+        {"abab": 2, "bab": 1, "bb": 3},
+    ]
+    for wc in cases:
+        exp_merges, exp_vocab = _python_bpe(dict(wc), 5)
+        words = spark.createDataFrame(list(wc.items()), "word string, n long")
+        merges, vocab = bpe_train_on_words(words, 5)
+        assert merges == exp_merges, wc
+        got = {r["word"]: list(r["symbols"]) for r in vocab.collect()}
+        assert got == exp_vocab, wc
