@@ -72,6 +72,24 @@ def read_changes(
     return spark.read.schema(CHANGES_SCHEMA).parquet(_version_dir(table_dir, cur))
 
 
+def read_changes_at(
+    spark: SparkSession, table_dir: str, batch_id: int
+) -> DataFrame:
+    """TIME TRAVEL: the change table as of an earlier committed batch.
+    Every merge writes a full self-contained version directory before
+    advancing the watermark, so any version ≤ the current watermark is
+    a consistent historical snapshot — the query-the-dimension-as-it-
+    was capability lakehouse formats expose as ``VERSION AS OF``,
+    available here because versions are never destroyed in place (a
+    retention sweep would prune old ``v<k>`` dirs on a real
+    deployment). Reading a version ABOVE the committed watermark is
+    refused: it may be a torn write from a crashed batch."""
+    d = _version_dir(table_dir, batch_id)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"no committed version {batch_id} at {table_dir}")
+    return spark.read.schema(CHANGES_SCHEMA).parquet(d)
+
+
 def merge_cdc_batch(
     batch_df: DataFrame,
     batch_id: int,

@@ -1067,3 +1067,50 @@ def test_dedup_within_watermark_suppresses_across_batches(spark, tmp_path):
         q.stop()
     [row] = spark.table(name).collect()
     assert row["count"] == 40  # 80 delivered across 2 batches, 40 unique
+
+
+def test_scd2_time_travel_reads_historical_version(spark, tmp_path):
+    """Time travel over the SCD2 version chain: after two merged
+    batches, version 0 must equal the merge of batch 0 ALONE (the
+    dimension as it was), while the committed head reflects both — and
+    probing an uncommitted version number is refused."""
+    import os
+
+    import pytest as _pytest
+
+    from steaminganalysis_spark.streaming.scd2 import (
+        merge_cdc_batch,
+        read_changes,
+        read_changes_at,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    schema = "user_id long, event_type string, ts string, event_id long"
+    b0 = [
+        (1, "a", "2024-01-01 00:00:00", 1),
+        (2, "x", "2024-01-01 12:00:00", 2),
+    ]
+    b1 = [
+        (1, "b", "2024-01-02 00:00:00", 3),
+        (2, "x", "2024-01-03 12:00:00", 4),
+    ]
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    store = f"scd2_tt_{os.getpid()}"
+    tdir = str(tmp_path / "table")
+    merge_cdc_batch(df(b0), 0, tdir, store, "s")
+    after_b0 = {tuple(r) for r in read_changes_at(spark, tdir, 0).collect()}
+    merge_cdc_batch(df(b1), 1, tdir, store, "s")
+
+    # version 0 is untouched by batch 1's merge
+    assert {tuple(r) for r in read_changes_at(spark, tdir, 0).collect()} == after_b0
+    head = {tuple(r) for r in read_changes(spark, tdir, store, "s").collect()}
+    assert after_b0 < head  # strictly grew: user 1 gained the 'b' change
+    assert len(after_b0) == 2 and len(head) == 3  # duplicate x dropped
+    with _pytest.raises(FileNotFoundError):
+        read_changes_at(spark, tdir, 7)
+    KVStore.reset(store)
