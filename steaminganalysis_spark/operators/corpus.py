@@ -31,7 +31,7 @@ Scale notes (the 100 TB contract each operator is designed against):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from steaminganalysis_spark.functions import tokens
@@ -491,7 +491,13 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the h1 side — AQE skew-split handles it, and no posting/list state
     is ever collected, so there is no k² blow-up mode); the final
     per-document mean is one partial+final hash aggregate on doc_id."""
-    d = load(spark, sf_dir, "documents")
+    return _lm_scores(load(spark, sf_dir, "documents"))
+
+
+def _lm_scores(d: DataFrame, tag: str = "lm_bigrams") -> DataFrame:
+    """Core of ``q_quality_lm_score`` over an arbitrary documents
+    frame (doc_id, text) — reused by the composed selection pipeline,
+    which trains the LM on the DEDUPED corpus."""
     toks = tokens("text")
     n = F.size(toks)
     pairs = F.arrays_zip(
@@ -506,7 +512,7 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.xxhash64(F.col("p.w1"), F.col("p.w2")).alias("h2"),
         )
     )
-    big = stage(big, "lm_bigrams", bucket_col="h2")
+    big = stage(big, tag, bucket_col="h2")
     uni = big.groupBy("h1").agg(F.count("*").alias("c1"))
     bg = big.groupBy("h2").agg(F.count("*").alias("cnt"))
     scored = (
@@ -705,12 +711,18 @@ def dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     a collect); the frequency tables join the token stream on the
     staged bucket key with AQE skew-split for stopword heat; the
     per-document mean is one partial+final hash aggregate."""
-    d = load(spark, sf_dir, "documents")
+    return _dsir_scores(load(spark, sf_dir, "documents"))
+
+
+def _dsir_scores(d: DataFrame, tag: str = "dsir_tokens") -> DataFrame:
+    """Core of ``q_dsir_score`` over an arbitrary documents frame
+    (doc_id, lang, text) — reused by the composed selection
+    pipeline."""
     tok = stage(
         d.select(
             "doc_id", "lang", F.explode(tokens("text")).alias("w")
         ).select("doc_id", "lang", F.xxhash64("w").alias("h")),
-        "dsir_tokens",
+        tag,
         bucket_col="h",
     )
     tgt = tok.filter(F.col("lang") == "en").groupBy("h").agg(
@@ -771,3 +783,116 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").alias("n_bpe_tokens"),
         )
     )
+
+
+_SELECT_LM_MIN = 34_000  # mean bigram probability gate (ppm)
+_SELECT_DSIR_MIN = -150  # domain-importance gate (ppm diff)
+
+
+@query(
+    "q_corpus_select",
+    oracle=f"""
+    WITH kept0 AS (
+      SELECT doc_id, text, lang, source FROM (
+        SELECT doc_id, text, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM kept0
+    ), big AS (
+      SELECT doc_id, t[r.i] AS w1, t[r.i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 2
+    ), uni AS (
+      SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+    ), bg AS (
+      SELECT w1, w2, COUNT(*) AS cnt FROM big GROUP BY w1, w2
+    ), lm AS (
+      SELECT doc_id,
+             CAST(SUM((g.cnt * 1000000) // u.c1) AS BIGINT) // COUNT(*) AS score_ppm
+      FROM big b
+      JOIN bg g ON b.w1 = g.w1 AND b.w2 = g.w2
+      JOIN uni u ON b.w1 = u.w1
+      GROUP BY doc_id
+    ), tok AS (
+      SELECT doc_id, lang, unnest(t) AS w FROM toks
+    ), tgt AS (
+      SELECT w, COUNT(*) AS t_cnt FROM tok WHERE lang = 'en' GROUP BY w
+    ), raw AS (
+      SELECT w, COUNT(*) AS r_cnt FROM tok GROUP BY w
+    ), totals AS (
+      SELECT (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS t_total,
+             (SELECT COUNT(*) FROM tok) AS r_total
+    ), dsir AS (
+      SELECT tok.doc_id,
+             CAST(SUM((COALESCE(tgt.t_cnt, 0) * 1000000) // totals.t_total
+                      - (raw.r_cnt * 1000000) // totals.r_total) AS BIGINT)
+               // CAST(COUNT(*) AS BIGINT) AS dsir_ppm
+      FROM tok
+      JOIN raw ON tok.w = raw.w
+      LEFT JOIN tgt ON tok.w = tgt.w
+      CROSS JOIN totals
+      GROUP BY tok.doc_id
+    )
+    SELECT k.source, k.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(k.text, ' '))) AS BIGINT) AS n_tokens
+    FROM kept0 k
+    JOIN lm ON k.doc_id = lm.doc_id
+    JOIN dsir ON k.doc_id = dsir.doc_id
+    WHERE lm.score_ppm >= {_SELECT_LM_MIN}
+      AND dsir.dsir_ppm >= {_SELECT_DSIR_MIN}
+    GROUP BY k.source, k.lang
+    """,
+)
+def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED modern data-selection job — what a 2024-era
+    pre-training pipeline actually chains: exact dedup (keep-lowest
+    doc_id per content hash) → CCNet-style LM-quality gate (mean
+    bigram probability ≥ {LM} ppm) → DSIR-style domain gate
+    (importance score ≥ {DS} ppm) → per-(source, lang) accounting of
+    the surviving corpus. Methodologically correct composition: the
+    bigram LM and the importance distributions are trained on the
+    DEDUPED corpus (training them pre-dedup would let boilerplate
+    copies inflate their own probability), which is exactly what the
+    shared ``_lm_scores``/``_dsir_scores`` builders make natural.
+
+    Scale shape: the deduped frame is staged once and feeds the LM
+    builder, the DSIR builder and the final accounting; each builder
+    stages its own hashed stream (one tokenization each, all
+    8-byte-key shuffles, same plan shapes as the standalone keys); the
+    two per-doc score tables join back on doc_id and the final rollup
+    is one tiny aggregate. The oracle restates the ENTIRE chain as one
+    CTE pipeline, so a drift anywhere — dedup rule, LM arithmetic,
+    gate constants, accounting — is a hash mismatch."""
+    d = load(spark, sf_dir, "documents")
+    wdup = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept0 = stage(
+        d.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang", "source"),
+        "select_kept0",
+    )
+    lm = _lm_scores(kept0, tag="select_lm")
+    ds = _dsir_scores(kept0, tag="select_dsir")
+    sel = (
+        kept0.select(
+            "doc_id", "source", "lang", F.size(tokens("text")).alias("n_tok")
+        )
+        .join(lm, "doc_id")
+        .join(ds.select("doc_id", "dsir_ppm"), "doc_id")
+        .filter(
+            (F.col("score_ppm") >= _SELECT_LM_MIN)
+            & (F.col("dsir_ppm") >= _SELECT_DSIR_MIN)
+        )
+    )
+    return sel.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+corpus_select.__doc__ = corpus_select.__doc__.replace(
+    "{LM}", str(_SELECT_LM_MIN)
+).replace("{DS}", str(_SELECT_DSIR_MIN))

@@ -140,6 +140,7 @@ def test_round4_correctness_window_composition():
         "q_attribution_last_touch",
         "q_gaps_islands",
         "q_attribution_first_touch",
+        "q_corpus_select",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

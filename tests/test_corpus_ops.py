@@ -478,3 +478,22 @@ def test_bpe_edge_cases_vs_python(spark):
         assert merges == exp_merges, wc
         got = {r["word"]: list(r["symbols"]) for r in vocab.collect()}
         assert got == exp_vocab, wc
+
+
+def test_corpus_select_gates_and_plan(spark):
+    """The composed selection pipeline must genuinely select (a
+    non-empty strict subset of the corpus survives the dedup + LM +
+    DSIR gates) and stay equi-join shaped: no cartesian, and the only
+    BroadcastNestedLoopJoin is the single-row scalar-totals cross join
+    (the scalar-subquery shape)."""
+    df = QUERIES["q_corpus_select"](spark, SF)
+    rows = df.collect()
+    kept = sum(r["n_docs"] for r in rows)
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < kept < total
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the only BNLJs allowed are single-row scalar-totals cross joins
+    # (AQE may print the shape once or twice depending on stage reuse);
+    # a data×data nested-loop would dwarf this count
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
