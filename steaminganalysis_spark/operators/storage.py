@@ -546,3 +546,39 @@ def partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "replaced_rows_updated boolean, touched_rows long, rows_after long, "
         "rows_before long",
     )
+
+
+@query(
+    "q_scan_file_metadata",
+    oracle="""
+    SELECT 'documents.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` file-introspection column (Spark 3.4+):
+    every file-source row can expose which physical file it came from
+    without any extra scan — the provenance hook incremental pipelines
+    use (process only files newer than the last watermark), debugging
+    uses (which file holds the corrupt row), and compaction audits use
+    (per-file row counts — cf. ``q_compact_small_files``). Emitted as
+    a per-file profile (row count + key range). Every fixture table is
+    a single file, so the oracle can state the expected attribution
+    directly against the registered view; the genuine two-engine
+    per-file attribution check (Spark ``_metadata`` vs DuckDB
+    ``read_parquet(..., filename=true)``) over a MULTI-file directory
+    is pinned in tests/test_storage.py. Zero extra I/O: the column is
+    populated from the reader's own split info."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("_metadata.file_name").alias("file_name"), "doc_id")
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

@@ -141,6 +141,7 @@ def test_round4_correctness_window_composition():
         "q_gaps_islands",
         "q_attribution_first_touch",
         "q_corpus_select",
+        "q_scan_file_metadata",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):

@@ -280,3 +280,30 @@ def test_static_partition_overwrite_drops_other_days(spark, tmp_path):
         .collect()
     }
     assert left == {days[0]}  # everything else is gone — the footgun
+
+
+def test_file_metadata_attribution_matches_duckdb(spark, tmp_path):
+    """Per-file row attribution must agree between Spark's _metadata
+    column and DuckDB's filename=true over a genuinely multi-file
+    directory — the provenance contract incremental pipelines rely
+    on."""
+    import duckdb
+
+    path = str(tmp_path / "multi")
+    load(spark, SF_DIR, "events").select("event_id", "user_id").repartition(
+        6
+    ).write.parquet(path)
+    got = {
+        (r["fn"], r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_name").alias("fn"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    exp = set(
+        duckdb.sql(
+            f"SELECT parse_filename(filename) AS fn, COUNT(*) AS n "
+            f"FROM read_parquet('{path}/*.parquet', filename=true) GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == exp and len(got) == 6
