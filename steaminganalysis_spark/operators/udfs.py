@@ -343,3 +343,49 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf_analyze, LATERAL sa_first_k(text, 3) AS t
         """
     )
+
+
+@query(
+    "q_udf_sql_body",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS disc_cents,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deep
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udf_sql_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-BODY user functions (Spark 4 ``CREATE FUNCTION … RETURN
+    expr``) — the UDF tier every pipeline should reach for FIRST: the
+    body is an expression the planner INLINES at resolution time, so
+    calls cost nothing (whole-stage codegen, constant folding,
+    pushdown all see through them — no Python worker, no Arrow hop,
+    no serialization; the probe plan shows the call folded to a
+    literal). Business logic (discounted price in exact cents, a
+    deep-discount predicate) is named once and reused across queries,
+    with the same plan the hand-inlined expression produces — the
+    oracle IS the hand-inlined SQL, so the equivalence is
+    hash-verified."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sa_disc_cents(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(FLOOR(p * (1.0 - d) * 100.0 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sa_is_deep(d DOUBLE) "
+        "RETURNS INT RETURN CASE WHEN d > 0.05 THEN 1 ELSE 0 END"
+    )
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(sa_disc_cents(l_extendedprice, l_discount)) AS disc_cents,
+               CAST(SUM(sa_is_deep(l_discount)) AS BIGINT) AS n_deep
+        FROM li_sqludf
+        GROUP BY l_returnflag
+        """
+    )

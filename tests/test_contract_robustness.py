@@ -142,6 +142,7 @@ def test_round4_correctness_window_composition():
         "q_attribution_first_touch",
         "q_corpus_select",
         "q_scan_file_metadata",
+        "q_udf_sql_body",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):
@@ -276,3 +277,15 @@ def test_python_datasource_stream_writer_replay_idempotent(spark, tmp_path):
     got = sorted(r["order_id"] for r in back.collect())
     assert got == [0, 1, 2, 3, 4]  # each batch once; no 98, no 99
     assert not os.path.exists(os.path.join(out, "part-b1-failed.json"))
+
+
+def test_sql_body_udf_inlines_no_python(spark):
+    """SQL-body functions must inline: the plan contains no Python
+    eval operator of any kind — the calls are resolved into plain
+    expressions at analysis time."""
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    df = QUERIES["q_udf_sql_body"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
