@@ -371,3 +371,44 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "year_end": "1996-01-01",
         },
     )
+
+
+@query(
+    "q_sql_modern",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             // COUNT(*) AS avg_cents,
+           string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+             AS statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two modern SQL-text conveniences in one aggregate, both
+    resolving to plans identical to their verbose spellings:
+    LISTAGG … WITHIN GROUP (Spark 4 / SQL:2023 ordered string
+    aggregation — deterministic because the order clause is part of
+    the aggregate, unlike a bare collect_list) and LATERAL COLUMN
+    ALIASES (Spark 3.4+: ``SUM(...) AS cents, cents DIV n``) — the
+    named-intermediate style that kills copy-pasted aggregate
+    expressions. The oracle is DuckDB's ordered ``string_agg`` plus
+    the expanded arithmetic, so both sugars are verified to mean
+    exactly what the expanded SQL means."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents,
+               cents DIV n AS avg_cents,
+               listagg(DISTINCT o_orderstatus, '|')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )

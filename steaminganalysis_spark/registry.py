@@ -180,8 +180,9 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # dedup, the BPE encode pass, the forward as-of join, the
 # mask/pseudonym pack, YoY revenue, last- and first-touch
 # attribution, gaps-and-islands, the composed selection pipeline,
-# the _metadata file-introspection scan, the SQL-body UDF — bring
-# the registry to 232 keys / 205 oracles
+# the _metadata file-introspection scan, the SQL-body UDF, the
+# LISTAGG/lateral-alias surface — bring the registry to 233 keys /
+# 206 oracles
 # (count with collect_queries(),
 # never this comment); the full
 # post-freeze set is pinned as deferred_to_round5 in
@@ -239,8 +240,8 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_join_asof_forward, q_fn_mask, q_yoy_revenue,
 # q_attribution_last_touch, q_gaps_islands,
 # q_attribution_first_touch, q_corpus_select,
-# q_scan_file_metadata, q_udf_sql_body), then 6 oldest-green
-# re-checks (round-1 stamps, oldest families first —
+# q_scan_file_metadata, q_udf_sql_body, q_sql_modern), then 5
+# oldest-green re-checks (round-1 stamps, oldest families first —
 # the tail of the previous 29-slot plan moves to round 6):
 # q_agg_basic, q_agg_distinct, q_agg_rollup, q_agg_cube,
 # q_agg_collect, q_time_buckets, q_fn_string, q_fn_datetime,

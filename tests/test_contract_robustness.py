@@ -143,6 +143,7 @@ def test_round4_correctness_window_composition():
         "q_corpus_select",
         "q_scan_file_metadata",
         "q_udf_sql_body",
+        "q_sql_modern",
     }
     checked = set()
     for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):
