@@ -1433,7 +1433,12 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, day) — partial map-side — then everything else runs inside
     the per-user sort of a single exchange; the island key is pure
     arithmetic on already-sorted rows."""
-    ev = load(spark, sf_dir, "events")
+    return _gaps_islands(load(spark, sf_dir, "events"))
+
+
+def _gaps_islands(ev: DataFrame) -> DataFrame:
+    """Core of ``q_gaps_islands`` over an arbitrary (user_id, ts)
+    frame — driven directly by the randomized ground-truth test."""
     days = ev.select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
     ).distinct()

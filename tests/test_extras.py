@@ -162,3 +162,51 @@ def test_sessionize_dynamic_single_shuffle(spark):
     """lag → flag → running-sum → rollup must all share one user_id
     hash partitioning: exactly one exchange end-to-end."""
     assert count_exchanges(QUERIES["q_sessionize_dynamic"](spark, SF)) == 1
+
+
+def test_gaps_islands_randomized_vs_python(spark):
+    """Seeded randomized ground truth for the island trick: 40 users
+    with random day subsets of a 60-day range — the longest streak,
+    its bounds, and the earliest-on-ties rule must match a direct
+    Python computation for every user."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(20260814)
+    base = dt.date(2024, 1, 1)
+    users = {}
+    for uid in range(40):
+        n_days = rng.randint(1, 40)
+        users[uid] = sorted(
+            rng.sample([base + dt.timedelta(days=i) for i in range(60)], n_days)
+        )
+
+    def best_streak(days):
+        runs, start, prev = [], days[0], days[0]
+        for d in days[1:]:
+            if (d - prev).days == 1:
+                prev = d
+                continue
+            runs.append((start, prev))
+            start = prev = d
+        runs.append((start, prev))
+        # longest, earliest start on ties
+        return max(runs, key=lambda r: ((r[1] - r[0]).days + 1, -r[0].toordinal()))
+
+    rows = [
+        (uid, dt.datetime.combine(d, dt.time(12)))
+        for uid, days in users.items()
+        for d in days
+    ]
+    from steaminganalysis_spark.operators.extras import _gaps_islands
+
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["user_id"]: (r["streak_start"], r["streak_end"], r["streak_days"])
+        for r in _gaps_islands(df).collect()
+    }
+    assert set(got) == set(users)
+    for uid, days_list in users.items():
+        s, e = best_streak(days_list)
+        expect = (s.strftime("%Y-%m-%d"), e.strftime("%Y-%m-%d"), (e - s).days + 1)
+        assert got[uid] == expect, uid
