@@ -1324,6 +1324,39 @@ def yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _attribution(ev: DataFrame, first_touch: bool) -> DataFrame:
+    """Shared attribution core over an arbitrary events frame with
+    (user_id, ts, event_id, value, event_type, k): credit each
+    purchase to the campaign (k % 5) of the EARLIEST (first-touch) or
+    MOST RECENT (last-touch) strictly-prior click, ties on ts broken
+    by event_id — driven directly by the tie-stress randomized test."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pick = F.first if first_touch else F.last
+    filled = ev.withColumn(
+        "campaign",
+        pick(
+            F.when(F.col("event_type") == "click", F.col("k") % 5),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        filled.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("campaign").cast("string"), F.lit("organic")).alias(
+                "campaign"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(to_cents(F.col("value"))).alias("attributed_cents"),
+        )
+    )
+
+
 @query(
     "q_attribution_last_touch",
     oracle="""
@@ -1369,30 +1402,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("long").alias("k"),
         )
     )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    filled = ev.withColumn(
-        "campaign",
-        F.last(
-            F.when(F.col("event_type") == "click", F.col("k") % 5),
-            ignorenulls=True,
-        ).over(w),
-    )
-    return (
-        filled.filter(F.col("event_type") == "purchase")
-        .groupBy(
-            F.coalesce(F.col("campaign").cast("string"), F.lit("organic")).alias(
-                "campaign"
-            )
-        )
-        .agg(
-            F.count("*").alias("n_purchases"),
-            F.sum(to_cents(F.col("value"))).alias("attributed_cents"),
-        )
-    )
+    return _attribution(ev, first_touch=False)
 
 
 @query(
@@ -1508,27 +1518,4 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("long").alias("k"),
         )
     )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    filled = ev.withColumn(
-        "campaign",
-        F.first(
-            F.when(F.col("event_type") == "click", F.col("k") % 5),
-            ignorenulls=True,
-        ).over(w),
-    )
-    return (
-        filled.filter(F.col("event_type") == "purchase")
-        .groupBy(
-            F.coalesce(F.col("campaign").cast("string"), F.lit("organic")).alias(
-                "campaign"
-            )
-        )
-        .agg(
-            F.count("*").alias("n_purchases"),
-            F.sum(to_cents(F.col("value"))).alias("attributed_cents"),
-        )
-    )
+    return _attribution(ev, first_touch=True)

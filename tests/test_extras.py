@@ -210,3 +210,71 @@ def test_gaps_islands_randomized_vs_python(spark):
         s, e = best_streak(days_list)
         expect = (s.strftime("%Y-%m-%d"), e.strftime("%Y-%m-%d"), (e - s).days + 1)
         assert got[uid] == expect, uid
+
+
+def test_attribution_tie_stress_vs_python(spark):
+    """Tie-stress ground truth for both attribution models: random
+    events drawn from only FIVE distinct timestamps force constant ts
+    ties, so the (ts, event_id) tie-break — which the tie-free fixture
+    never exercises — decides most attributions. Both models must
+    match a direct Python computation of the same rule."""
+    import random
+    from collections import defaultdict
+
+    from steaminganalysis_spark.operators.extras import _attribution
+
+    rng = random.Random(20260815)
+    ts_pool = [f"2024-01-01 00:0{i}:00" for i in range(5)]
+    rows = []
+    for eid in range(400):
+        rows.append(
+            (
+                rng.randrange(12),                      # user_id
+                ts_pool[rng.randrange(5)],              # ts (heavy ties)
+                eid,                                    # unique event_id
+                round(rng.uniform(0, 50), 2),           # value
+                rng.choice(["purchase", "click", "view"]),
+                rng.randrange(20) if rng.random() < 0.9 else None,  # k
+            )
+        )
+    df = (
+        spark.createDataFrame(
+            rows, "user_id long, ts string, event_id long, value double, "
+                  "event_type string, k long"
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type").isin("purchase", "click"))
+    )
+
+    def python_model(first_touch):
+        per_user = defaultdict(list)
+        for u, ts, eid, v, et, k in rows:
+            if et in ("purchase", "click"):
+                per_user[u].append((ts, eid, v, et, k))
+        agg = defaultdict(lambda: [0, 0])
+        for u, evs in per_user.items():
+            evs.sort(key=lambda e: (e[0], e[1]))  # ts, event_id
+            for i, (ts, eid, v, et, k) in enumerate(evs):
+                if et != "purchase":
+                    continue
+                marks = [
+                    e[4] % 5
+                    for e in evs[:i]
+                    if e[3] == "click" and e[4] is not None
+                ]
+                camp = (
+                    "organic"
+                    if not marks
+                    else str(marks[0] if first_touch else marks[-1])
+                )
+                cents = int(v * 100.0 + 0.5)  # to_cents on two-decimal values
+                agg[camp][0] += 1
+                agg[camp][1] += cents
+        return {c: (n, cents) for c, (n, cents) in agg.items()}
+
+    for first in (False, True):
+        got = {
+            r["campaign"]: (r["n_purchases"], r["attributed_cents"])
+            for r in _attribution(df, first_touch=first).collect()
+        }
+        assert got == python_model(first), f"first_touch={first}"
