@@ -222,35 +222,55 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 #   — DuckDB HUGEINT promotion, fixed 5431017)
 # - round 3: ROUND3_WINDOW list at commit 4241eec (50/50 green)
 #
-# ROUND-5 WINDOW, pre-planned (swap into ROUND5_WINDOW next round):
-# canaries q_daily_rollup + q_tpch_q12, then the 29 post-freeze
-# round-4 keys (the deferred_to_round5 set in
-# tests/test_contract_robustness.py: q_chunk_documents,
-# q_shuffle_deterministic, q_index_inverted, q_agg_theta_sketch,
-# q_stream_hll_daily, q_dedup_incremental, q_skew_profile,
-# q_graph_pagerank, q_graph_triangles, q_graph_bfs, q_ngram_lm,
-# q_stream_cdc_scd2, q_stream_stream_left_join, q_fn_url,
-# q_agg_bitmap_distinct, q_fn_csv, q_fn_xml, q_dedup_semantic,
-# q_fn_collation, q_quality_lm_score, q_emb_random_projection,
-# q_stream_sink_python, q_bpe_train, q_stream_stream_full_join,
-# q_dsir_score, q_partition_overwrite_dynamic,
-# q_stream_chained_aggs, q_agg_cms_sketch, q_udtf_analyze,
-# q_sql_parameterized, q_knn_graph,
-# q_stream_dedup_within_watermark, q_bpe_encode,
-# q_join_asof_forward, q_fn_mask, q_yoy_revenue,
-# q_attribution_last_touch, q_gaps_islands,
-# q_attribution_first_touch, q_corpus_select,
-# q_scan_file_metadata, q_udf_sql_body, q_sql_modern), then 5
-# oldest-green re-checks (round-1 stamps, oldest families first —
-# the tail of the previous 29-slot plan moves to round 6):
-# q_agg_basic, q_agg_distinct, q_agg_rollup, q_agg_cube,
-# q_agg_collect, q_time_buckets, q_fn_string, q_fn_datetime,
-# q_fn_math, q_fn_array, q_json_parse, q_fn_map, q_json_malformed,
-# q_fn_array2, q_fn_datetime2, q_fn_string2, q_dedup_exact,
-# q_sim_topk, q_text_stats. (Round-6 re-check backlog: q_text_tokens,
-# q_text_langid, q_text_quality, q_text_tfidf, q_emb_centroid,
-# q_text_fingerprint, q_text_entropy, q_emb_quantize,
-# q_pack_sequences, q_dedup_containment.)
+# ROUND-5 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
+# then the 43 keys registered after the round-4 window froze (the
+# pinned deferred_to_round5 set in tests/test_contract_robustness.py
+# — VERDICT r4 order #1, in registration order), then 5 oldest-green
+# re-checks (round-1 stamps, oldest family first): q_agg_basic,
+# q_agg_distinct, q_agg_rollup, q_agg_cube, q_agg_collect.
+# Executing this rotation restores the zero-never-checked invariant:
+# after round 5 every key that existed at the round-5 freeze has at
+# least one driver CORRECTNESS row.
+#
+# Round-6 re-check backlog (oldest round-1 greens, in priority
+# order): q_time_buckets, q_fn_string, q_fn_datetime, q_fn_math,
+# q_fn_array, q_json_parse, q_fn_map, q_json_malformed, q_fn_array2,
+# q_fn_datetime2, q_fn_string2, q_dedup_exact, q_sim_topk,
+# q_text_stats, q_text_tokens, q_text_langid, q_text_quality,
+# q_text_tfidf, q_emb_centroid, q_text_fingerprint, q_text_entropy,
+# q_emb_quantize, q_pack_sequences, q_dedup_containment. Keys
+# registered during round 5 are pinned as deferred_to_round6 in
+# tests/test_contract_robustness.py and head the round-6 window.
+ROUND5_WINDOW = [
+    # Canaries (2): flagship + the HUGEINT-class sentinel.
+    "q_daily_rollup",
+    "q_tpch_q12",
+    # --- the 43 post-freeze round-4 keys, registration order ---
+    "q_join_asof_forward",
+    "q_sql_parameterized", "q_sql_modern", "q_udtf_analyze",
+    "q_udf_sql_body",
+    "q_partition_overwrite_dynamic", "q_scan_file_metadata",
+    "q_stream_hll_daily", "q_stream_cdc_scd2",
+    "q_stream_stream_left_join", "q_stream_stream_full_join",
+    "q_stream_chained_aggs", "q_stream_dedup_within_watermark",
+    "q_agg_theta_sketch", "q_agg_bitmap_distinct", "q_agg_cms_sketch",
+    "q_fn_url", "q_fn_csv", "q_fn_xml", "q_fn_collation", "q_fn_mask",
+    "q_dedup_semantic", "q_emb_random_projection", "q_knn_graph",
+    "q_stream_sink_python",
+    "q_yoy_revenue", "q_attribution_last_touch", "q_gaps_islands",
+    "q_attribution_first_touch",
+    "q_chunk_documents", "q_shuffle_deterministic", "q_index_inverted",
+    "q_dedup_incremental", "q_skew_profile", "q_ngram_lm",
+    "q_quality_lm_score", "q_bpe_train", "q_dsir_score", "q_bpe_encode",
+    "q_corpus_select",
+    "q_graph_pagerank", "q_graph_triangles", "q_graph_bfs",
+    # --- 5 oldest-green re-checks (round-1 stamps) ---
+    "q_agg_basic", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
+    "q_agg_collect",
+]
+
+# Retired round-4 window, for the record (50/50 green in
+# CORRECTNESS_r04.json — 42 hash + 8 rows-only):
 ROUND4_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
@@ -300,7 +320,7 @@ ROUND4_WINDOW = [
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every operator module (side effect: registration), then
-    reorder so ROUND4_WINDOW occupies the first 50 registration slots
+    reorder so ROUND5_WINDOW occupies the first 50 registration slots
     — the slice the driver's correctness gate checks this round."""
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import tpch  # noqa: F401  isort: skip
@@ -321,11 +341,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import corpus  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import graph  # noqa: F401  isort: skip
 
-    missing = [k for k in ROUND4_WINDOW if k not in QUERIES]
+    missing = [k for k in ROUND5_WINDOW if k not in QUERIES]
     if missing:
-        raise RuntimeError(f"ROUND4_WINDOW names unregistered queries: {missing}")
-    window = set(ROUND4_WINDOW)
-    ordered = ROUND4_WINDOW + [k for k in QUERIES if k not in window]
+        raise RuntimeError(f"ROUND5_WINDOW names unregistered queries: {missing}")
+    window = set(ROUND5_WINDOW)
+    ordered = ROUND5_WINDOW + [k for k in QUERIES if k not in window]
     reordered = {k: QUERIES[k] for k in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -69,103 +69,60 @@ def test_demo_app_accumulates_day_totals(spark):
             assert h["fee_cents"] == 0
 
 
-def test_round4_correctness_window_composition():
-    """The driver verifies the FIRST ~50 registered queries; the round-4
-    window is the explicit ROUND4_WINDOW key list — the 43 keys never
-    driver-checked in rounds 1-3 plus the two canaries and the five
-    staging-refactor re-checks. Pin it so a stray registration (or an
+# Keys registered AFTER the round-5 window froze — exempt from the
+# rotation-closure check below, pinned here so they head the round-6
+# window (the same bookkeeping rounds 2-5 used). Every new @query
+# registration this round MUST be added here.
+deferred_to_round6: set[str] = set()
+
+
+def test_round5_correctness_window_composition():
+    """The driver verifies the FIRST ~50 registered queries; the round-5
+    window is the explicit ROUND5_WINDOW key list — the 43 keys
+    registered after the round-4 freeze plus the two canaries and five
+    oldest-green re-checks. Pin it so a stray registration (or an
     import reorder) cannot silently displace queries out of the checked
     window before the driver runs. Update deliberately on each round's
     rotation."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND4_WINDOW, collect_queries
+    from steaminganalysis_spark.registry import ROUND5_WINDOW, collect_queries
 
     QUERIES, ORACLE = collect_queries()
     first50 = list(QUERIES)[:50]
-    assert len(ROUND4_WINDOW) == 50
-    assert first50 == ROUND4_WINDOW
-    # the canaries and re-checks must sit inside the window
+    assert len(ROUND5_WINDOW) == 50
+    assert first50 == ROUND5_WINDOW
+    # the canaries and key re-checks must sit inside the window
     for k in (
         "q_daily_rollup",
         "q_tpch_q12",  # HUGEINT-class sentinel (round 2's one red row)
-        "q_dedup_ngram_jaccard",
-        "q_sim_threshold_pairs",
+        "q_agg_basic",  # oldest-green re-check head
     ):
         assert k in first50, k
     # Rotation closure: after this round, every key that existed when
-    # the round-4 window froze has a driver CORRECTNESS row — the
-    # window must cover everything the union of CORRECTNESS_r01..r03
+    # the round-5 window froze has a driver CORRECTNESS row — the
+    # window must cover everything the union of CORRECTNESS_r01..r04
     # did not. Keys REGISTERED AFTER the freeze are exempt here but
-    # pinned below as the head of the round-5 window (the same
-    # "deferred to next round" bookkeeping rounds 2-4 used).
-    deferred_to_round5 = {
-        "q_chunk_documents",
-        "q_shuffle_deterministic",
-        "q_index_inverted",
-        "q_agg_theta_sketch",
-        "q_stream_hll_daily",
-        "q_dedup_incremental",
-        "q_skew_profile",
-        "q_graph_pagerank",
-        "q_graph_triangles",
-        "q_ngram_lm",
-        "q_stream_cdc_scd2",
-        "q_graph_bfs",
-        "q_stream_stream_left_join",
-        "q_fn_url",
-        "q_agg_bitmap_distinct",
-        "q_fn_csv",
-        "q_fn_xml",
-        "q_dedup_semantic",
-        "q_fn_collation",
-        "q_quality_lm_score",
-        "q_emb_random_projection",
-        "q_stream_sink_python",
-        "q_bpe_train",
-        "q_stream_stream_full_join",
-        "q_dsir_score",
-        "q_partition_overwrite_dynamic",
-        "q_stream_chained_aggs",
-        "q_agg_cms_sketch",
-        "q_udtf_analyze",
-        "q_sql_parameterized",
-        "q_knn_graph",
-        "q_stream_dedup_within_watermark",
-        "q_bpe_encode",
-        "q_join_asof_forward",
-        "q_fn_mask",
-        "q_yoy_revenue",
-        "q_attribution_last_touch",
-        "q_gaps_islands",
-        "q_attribution_first_touch",
-        "q_corpus_select",
-        "q_scan_file_metadata",
-        "q_udf_sql_body",
-        "q_sql_modern",
-    }
+    # pinned above as deferred_to_round6.
     checked = set()
-    for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")):
+    for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[1234].json")):
         checked |= set(json.loads(p.read_text()))
-    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round5]
+    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round6]
     assert set(never) <= set(first50), sorted(set(never) - set(first50))
-    assert deferred_to_round5 <= set(QUERIES)
-    assert deferred_to_round5.isdisjoint(first50)
+    assert deferred_to_round6 <= set(QUERIES)
+    assert deferred_to_round6.isdisjoint(first50)
     # every key in the window is registered with an oracle unless it is
-    # one of the documented rows-only keys (binary synthesis, file
-    # layout, LSH/PQ recall-floor ops, stateful streaming index — see
+    # one of the documented rows-only keys (file layout, sketch bytes,
+    # BPE float-order artifacts, stateful streaming HLL — see
     # test_oracle_parity's list)
     rows_only_in_window = {k for k in first50 if k not in ORACLE}
     assert rows_only_in_window == {
-        "q_dedup_near",
-        "q_zorder_layout",
-        "q_agg_approx_percentile",
-        "q_datagen",
-        "q_stream_neardup",
-        "q_multimodal_frame_sample",
-        "q_sim_ann_pq",
-        "q_sim_ann_ivfpq",
+        "q_partition_overwrite_dynamic",
+        "q_stream_hll_daily",
+        "q_agg_cms_sketch",
+        "q_bpe_train",
+        "q_bpe_encode",
     }, rows_only_in_window
 
 

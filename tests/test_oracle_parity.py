@@ -28,10 +28,10 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"day", "total", "success", "fee"}
 
 
-def test_every_query_has_oracle_or_is_documented():
-    rows_only = set(QUERIES) - set(ORACLE)
-    # every rows-only query must be one we deliberately exempted
-    documented = {
+# Every rows-only query must be one we deliberately exempted, with the
+# reason inline. Module-level so the round-rotation closure tests
+# (tests/test_oracle_types.py) can import it.
+ROWS_ONLY_DOCUMENTED = {
         "q_agg_approx_distinct",  # HLL estimate
         "q_udtf_applyinpandas",  # float variance summation order
         "q_dedup_near",  # MinHash probabilistic
@@ -59,5 +59,10 @@ def test_every_query_has_oracle_or_is_documented():
         "q_partition_overwrite_dynamic",  # write-path layout op; invariants in the result row
         "q_agg_cms_sketch",  # sketch internals; linearity + bound invariants in the result row
         "q_bpe_encode",  # applies the iterative trainer's merges; equality-tested vs Python encode
-    }
+}
+
+
+def test_every_query_has_oracle_or_is_documented():
+    rows_only = set(QUERIES) - set(ORACLE)
+    documented = ROWS_ONLY_DOCUMENTED
     assert rows_only <= documented, f"undocumented rows-only queries: {rows_only - documented}"

@@ -30,51 +30,39 @@ def test_oracle_type_classes_match(spark, duck, name):
     assert not problems, "\n".join(problems)
 
 
-def test_round4_window_oracles_all_audited():
-    """Rotation pre-audit closure (VERDICT r3 order #2): every oracle
-    key in the round-4 driver window is inside the parametrized
-    type-class audit above, so none of the 43 first-time-checked keys
-    can hit the driver with an unaudited HUGEINT/DECIMAL oracle."""
-    from steaminganalysis_spark.registry import ROUND4_WINDOW
+def test_round5_window_oracles_all_audited():
+    """Rotation pre-audit closure (VERDICT r4 order #2): every oracle
+    key in the round-5 driver window is inside the parametrized
+    type-class audit above (which covers ALL registered oracles), so
+    none of the 43 first-time-checked keys can hit the driver with an
+    unaudited HUGEINT/DECIMAL oracle."""
+    from steaminganalysis_spark.registry import ROUND5_WINDOW
 
-    window_oracles = [k for k in ROUND4_WINDOW if k in ORACLE]
-    assert len(window_oracles) == 42  # 50 minus the 8 rows-only keys
+    window_oracles = [k for k in ROUND5_WINDOW if k in ORACLE]
+    assert len(window_oracles) == 45  # 50 minus the 5 rows-only keys
     assert set(window_oracles) <= set(ORACLE)
 
 
-def test_round5_deferred_oracles_all_audited():
-    """Round-5 rotation pre-audit closure: every key registered after
-    the round-4 window froze (the pinned deferred_to_round5 set — the
+def test_round6_deferred_oracles_all_audited():
+    """Round-6 rotation pre-audit closure: every key registered after
+    the round-5 window froze (the pinned deferred_to_round6 set — the
     next round's window head) that has an oracle is inside the
     parametrized type-class audit above, so none can hit the driver
     with an unaudited HUGEINT/DECIMAL oracle either."""
-    import importlib
-
-    crt = importlib.import_module("tests.test_contract_robustness")
-    # the set is defined inline in the composition test; re-derive it
-    # the same way: keys not in the window and not in CORRECTNESS_r01-03
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND4_WINDOW
+    from steaminganalysis_spark.registry import ROUND5_WINDOW
 
-    checked = set(ROUND4_WINDOW)
+    checked = set(ROUND5_WINDOW)
     for p in sorted(
-        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[123].json")
+        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[1234].json")
     ):
         checked |= set(json.loads(p.read_text()))
     deferred = [k for k in QUERIES if k not in checked]
-    assert len(deferred) >= 12  # the round-4 post-freeze additions
-    deferred_oracles = [k for k in deferred if k in ORACLE]
-    # every deferred key carries an oracle except the documented
-    # rows-only ones (no DuckDB twin: the streaming HLL sketch, the
-    # iterative BPE merge loop, the two result-row-invariant ops)
-    rows_only = set(deferred) - set(deferred_oracles)
-    assert rows_only == {
-        "q_stream_hll_daily",
-        "q_bpe_train",
-        "q_partition_overwrite_dynamic",
-        "q_agg_cms_sketch",
-        "q_bpe_encode",
-    }, rows_only
-    assert set(deferred_oracles) <= set(ORACLE)
+    # every deferred key (new this round) must carry an oracle or be
+    # documented rows-only in tests/test_oracle_parity.py's list
+    from tests.test_oracle_parity import ROWS_ONLY_DOCUMENTED
+
+    rows_only = set(deferred) - set(ORACLE)
+    assert rows_only <= ROWS_ONLY_DOCUMENTED, rows_only
