@@ -148,18 +148,25 @@ return 1
 
 class RedisKVStore:
     """``redis.Redis``-backed implementation of the KVStore contract
-    (hincrby / hgetall / keys / setnx / apply_batch). Import-guarded:
-    only constructible when the ``redis`` package is present; tests
-    skip cleanly otherwise (no server in this container).
+    (hincrby / hgetall / keys / setnx / apply_batch). Prefers the real
+    redis-py client when the package is present; otherwise falls back
+    to the in-repo RESP2 socket client
+    (`steaminganalysis_spark.backends.miniredis.MiniRedisClient`), so
+    the full client→wire→server→Lua path still executes in sandboxes
+    with no installable redis (VERDICT r4 order #3). Both clients speak
+    the same protocol; the sink code is identical either way.
 
     ``apply_batch`` is a single EVAL, making the exactly-once guard
     genuinely atomic server-side (crash-safe, unlike guard-then-write).
     """
 
     def __init__(self, url: str = "redis://localhost:6379/0") -> None:
-        if not HAVE_REDIS:  # pragma: no cover - redis absent here
-            raise ImportError("redis package not installed")
-        self._r = redis.Redis.from_url(url, decode_responses=True)
+        if HAVE_REDIS:
+            self._r = redis.Redis.from_url(url, decode_responses=True)
+        else:
+            from steaminganalysis_spark.backends.miniredis import MiniRedisClient
+
+            self._r = MiniRedisClient.from_url(url, decode_responses=True)
         self._apply = self._r.register_script(_APPLY_BATCH_LUA)
 
     def hincrby(self, key: str, field: str, delta: int) -> int:
