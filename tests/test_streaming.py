@@ -1114,3 +1114,203 @@ def test_scd2_time_travel_reads_historical_version(spark, tmp_path):
     with _pytest.raises(FileNotFoundError):
         read_changes_at(spark, tdir, 7)
     KVStore.reset(store)
+
+
+def _write_ts_tranches(spark, ev, tmp_path, tag, n_tranches):
+    """Split the events frame into n ts-ordered parquet files (quantile
+    boundaries) under tmp_path/src_{tag}, with strictly increasing
+    mtimes so the file stream source delivers them in order. Returns
+    the source dir."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    qs = [i / n_tranches for i in range(1, n_tranches)]
+    cuts_epoch = (
+        ev.withColumn("_e", F.col("ts").cast("double")).approxQuantile("_e", qs, 0.0)
+        if qs
+        else []
+    )
+    cuts = [F.timestamp_seconds(F.lit(c)) for c in cuts_epoch]
+    bounds = []
+    lo = None
+    for c in cuts:
+        bounds.append((lo, c))
+        lo = c
+    bounds.append((lo, None))
+    src = str(tmp_path / f"src_{tag}")
+    os.makedirs(src)
+    for i, (b_lo, b_hi) in enumerate(bounds):
+        part = ev
+        if b_lo is not None:
+            part = part.filter(F.col("ts") >= b_lo)
+        if b_hi is not None:
+            part = part.filter(F.col("ts") < b_hi)
+        d = str(tmp_path / f"tr_{tag}_{i}")
+        part.coalesce(1).write.parquet(d)
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+    return src
+
+
+def _run_full_outer_join_stream(spark, src, p_delay="2 hours", c_delay="2 hours"):
+    """The q_stream_stream_full_join topology over a multi-file source
+    (maxFilesPerTrigger=1), returning the run-to-completion emitted
+    set of (p_id, c_id)."""
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", p_delay)
+    )
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", c_delay)
+    )
+    cond = (
+        (p.user_id == c.c_user)
+        & (c.c_ts < p.p_ts)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+    )
+    name = f"ssfj_bnd_{uuid.uuid4().hex[:8]}"
+    q = (
+        p.join(c, cond, "full_outer")
+        .select("p_id", "c_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return {(r["p_id"], r["c_id"]) for r in spark.table(name).collect()}
+
+
+def test_full_outer_join_invariant_to_batch_boundaries(spark, tmp_path):
+    """VERDICT r4 order #4: q_stream_stream_full_join's oracle encodes
+    a run-to-completion watermark; the emitted set must not depend on
+    HOW the replay was micro-batched. Deliver the same events in 1, 2,
+    3, and 5 ts-ordered tranches and assert the four emitted sets are
+    identical — per-side eviction boundaries (p_ts vs c_ts + 1h) and
+    the global-MIN watermark rule must all commute with batching."""
+    from steaminganalysis_spark.sources import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    results = {}
+    for n in (1, 2, 3, 5):
+        src = _write_ts_tranches(spark, ev, tmp_path, f"fj{n}", n)
+        results[n] = _run_full_outer_join_stream(spark, src)
+    assert results[1] == results[2] == results[3] == results[5]
+    # the set is the interesting one: it has matches AND both-side nulls
+    got = results[1]
+    assert any(p is not None and c is not None for p, c in got)
+    assert any(c is None for _, c in got), "no unmatched purchases emitted"
+    assert any(p is None for p, _ in got), "no unmatched clicks emitted"
+
+
+def test_full_outer_join_asymmetric_watermark_delays(spark, tmp_path):
+    """Stretch (VERDICT r4 order #8): per-side watermark-delay
+    asymmetry exercises the global-MIN rule harder than equal delays —
+    the query watermark is min over branches of (branch max event time
+    − branch delay), so the slow branch (click, 6h delay here) gates
+    BOTH sides' eviction. Expected set computed independently in SQL
+    from that rule; also must stay batch-boundary invariant."""
+    from steaminganalysis_spark.sources import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ev.createOrReplaceTempView("ev_asym")
+    expected = {
+        (r["p_id"], r["c_id"])
+        for r in spark.sql(
+            """
+        WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM ev_asym
+              WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM ev_asym
+              WHERE event_type = 'click'),
+        wm AS (SELECT LEAST((SELECT MAX(p_ts) - INTERVAL 30 MINUTES FROM p),
+                            (SELECT MAX(c_ts) - INTERVAL 6 HOURS FROM c)) AS w),
+        matched AS (
+          SELECT p.p_id, c.c_id
+          FROM p JOIN c ON c.user_id = p.user_id
+                       AND c.c_ts < p.p_ts
+                       AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        )
+        SELECT p_id, c_id FROM matched
+        UNION ALL
+        SELECT p.p_id, NULL AS c_id FROM p, wm
+        WHERE p.p_ts < wm.w
+          AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.p_id = p.p_id)
+        UNION ALL
+        SELECT NULL AS p_id, c.c_id FROM c, wm
+        WHERE c.c_ts + INTERVAL 1 HOUR < wm.w
+          AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.c_id = c.c_id)
+        """
+        ).collect()
+    }
+    for n in (1, 3):
+        src = _write_ts_tranches(spark, ev, tmp_path, f"asym{n}", n)
+        got = _run_full_outer_join_stream(
+            spark, src, p_delay="30 minutes", c_delay="6 hours"
+        )
+        assert got == expected, f"asymmetric-delay mismatch at {n} tranches"
+
+
+def test_cdc_scd2_fixture_invariant_to_batch_boundaries(spark, tmp_path):
+    """VERDICT r4 order #4 (second key): the registered
+    q_stream_cdc_scd2 replays the fixture change log in three
+    ts-ordered micro-batches; its oracle is the batch SCD2 SQL. Pin the
+    convergence claim at the fixture scale: merging the same log in 1,
+    2, and 5 ts-boundary batches yields byte-identical validity
+    intervals."""
+    import glob
+    import os
+
+    from steaminganalysis_spark.sources import load
+    from steaminganalysis_spark.streaming.scd2 import (
+        intervals_from_changes,
+        merge_cdc_batch,
+        read_changes,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+    def run(n):
+        src = _write_ts_tranches(spark, ev, tmp_path, f"scd{n}", n)
+        store = f"scd2_fixt_{uuid.uuid4().hex[:6]}"
+        tdir = str(tmp_path / f"table_scd{n}")
+        files = sorted(glob.glob(os.path.join(src, "b*.parquet")))
+        assert len(files) == n
+        for bid, f in enumerate(files):
+            merge_cdc_batch(spark.read.parquet(f), bid, tdir, store, "s")
+        out = {
+            tuple(r)
+            for r in intervals_from_changes(
+                read_changes(spark, tdir, store, "s")
+            ).collect()
+        }
+        KVStore.reset(store)
+        return out
+
+    one, two, five = run(1), run(2), run(5)
+    assert one == two == five
+    assert len(one) > 100  # fixture-scale, not a toy
