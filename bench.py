@@ -36,6 +36,9 @@ from steaminganalysis_spark.session import get_spark
 # Headline set: the flagship + the heaviest representative per operator
 # family (agg, fact-fact join, star broadcast join, window, top-k,
 # grouping sets, dedup exact/near, similarity, text).
+#
+# BASELINE.md's recorded total covers exactly these 14 — keep the list
+# and order stable so cross-round ratios stay comparable.
 HEADLINE = [
     "q_daily_rollup",
     "q_agg_basic",
@@ -51,6 +54,14 @@ HEADLINE = [
     "q_dedup_ngram_jaccard",
     "q_sim_topk",
     "q_text_tokens",
+]
+
+# Round-5 extension (VERDICT r4 order #5): heavy round-4 operators
+# tracked per-round but kept OUT of the baseline-comparable total —
+# reported under "extended_queries"/"extended_total_sec" instead.
+HEADLINE_EXTENDED = [
+    "q_knn_graph",
+    "q_graph_pagerank",
 ]
 
 
@@ -101,6 +112,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    ext_timings: dict[str, float] = {}
+    for name in HEADLINE_EXTENDED:
+        runs = sorted(force(name) for _ in range(3))
+        ext_timings[name] = round(runs[0], 3)
+    ext_total = round(sum(ext_timings.values()), 3)
+
     # Second pass with plain double sums (SPARK_GRAFT_DOUBLE_SUMS=1 is
     # read by registry.dsum at plan-build time): quantifies the
     # decimal-accumulation tax the engine pays for order-insensitive
@@ -120,6 +137,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended_queries": ext_timings,
+                "extended_total_sec": ext_total,
                 "sf": sf_val,
                 "spread_pct": spreads,
                 "loadavg_1m": loadavg_1m,
