@@ -57,9 +57,18 @@ def get_spark(
         "spark.sql.parquet.aggregatePushdown": "true",
         **(extra_conf or {}),
     }
+    import tempfile
+
     static_conf = {
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # Managed tables (table-mode staging, write_bucketed) land in
+        # tmp scratch, never a spark-warehouse/ dir inside the repo —
+        # keeps the tree clean for scans. Static: effective on fresh
+        # sessions only; a reusing caller keeps its own warehouse.
+        "spark.sql.warehouse.dir": os.path.join(
+            tempfile.gettempdir(), "sa_spark_scratch", "warehouse"
+        ),
     }
 
     builder = SparkSession.builder.appName(app_name).master(master)
