@@ -687,3 +687,44 @@ def agg_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 agg_cms_sketch.__doc__ = agg_cms_sketch.__doc__.replace(
     "{TOP}", str(_CMS_TOP)
 ).replace("{EPS}", str(_CMS_EPS))
+
+
+@query(
+    "q_agg_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.25) AS qty_p25,
+           quantile_disc(l_quantity, 0.50) AS qty_p50,
+           quantile_disc(l_quantity, 0.75) AS qty_p75,
+           quantile_disc(l_extendedprice, 0.50) AS price_p50,
+           quantile_disc(l_extendedprice, 0.99) AS price_p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles per group — PERCENTILE_DISC WITHIN
+    GROUP, the SQL-standard form (Spark 3.4+). Unlike the sketch-backed
+    ``q_agg_approx_percentile`` (rows-only, tolerance-tested), disc
+    percentiles return an actual element of the multiset, so the result
+    is hash-exact against DuckDB's quantile_disc (parity probed on odd/
+    even group sizes before registration). Exact percentiles sort each
+    group — fine at group-count grain; the approx variant remains the
+    documented 100 TB path when groups are huge, which is precisely why
+    both are registered."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_pdisc")
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS qty_p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity) AS qty_p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS qty_p75,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS price_p50,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS price_p99
+        FROM li_pdisc
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

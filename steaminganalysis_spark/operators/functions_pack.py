@@ -635,3 +635,48 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sha2(F.col("o_custkey").cast("string"), 256), 1, 8
         ).alias("cust_short"),
     )
+
+
+@query(
+    "q_fn_string_distance",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_brand, p_name FROM part)
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    ORDER BY part_a, part_b
+    """,
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching — the blocked-join entity-
+    resolution pattern: block on an equality key (brand) so the
+    quadratic comparison runs per block, then keep near-miss name
+    pairs (levenshtein 1–2; distance 0 is exact-dup territory,
+    q_dedup_exact's job). Levenshtein is evaluated JVM-side on both
+    engines with the same classic DP definition, so the distances are
+    hash-exact. At scale the blocking key bounds the pair space —
+    the same reason every record-linkage system blocks before it
+    compares; an unblocked fuzzy join is the documented anti-pattern
+    this operator exists to avoid."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .filter(F.col("dist").between(1, 2))
+        .orderBy("part_a", "part_b")
+    )

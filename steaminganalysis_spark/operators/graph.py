@@ -379,3 +379,111 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_bfs.__doc__ = graph_bfs.__doc__.replace("{K}", str(BFS_ITERATIONS))
+
+
+WCC_ROUNDS = 8
+
+
+def _wcc_oracle() -> str:
+    """Unrolled HashMin label-propagation CTE chain over the
+    co-purchase graph: l0(v)=v, l_{k+1}(v) = min(l_k(v), min over
+    neighbors of l_k(u))."""
+    ctes = [
+        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """pairs AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        )""",
+        """edges AS (SELECT pa AS src, pb AS dst FROM pairs
+                     UNION ALL SELECT pb, pa FROM pairs)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for k in range(1, WCC_ROUNDS + 1):
+        ctes.append(
+            f"""m{k} AS (SELECT e.dst AS node, MIN(l.lbl) AS nl
+                 FROM edges e JOIN l{k - 1} l ON l.node = e.src
+                 GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""l{k} AS (SELECT l.node, LEAST(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
+                 FROM l{k - 1} l LEFT JOIN m{k} m ON m.node = l.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT node AS part, CAST(lbl AS BIGINT) AS component
+        FROM l{WCC_ROUNDS}
+        ORDER BY node
+        """
+    )
+
+
+@query("q_graph_wcc", oracle=_wcc_oracle())
+def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components by HashMin label propagation
+    (l0(v)=v; each round every node takes the min label among itself
+    and its neighbors; 8 fixed rounds) over the part co-purchase graph
+    (parts sharing ≥2 orders — q_copurchase_pairs' edge set without
+    the top-k). Fixed-round semantics keep the result a pure function
+    of the input — the oracle unrolls the same 8 rounds as chained
+    CTEs, so both engines produce identical labels even where a
+    component's diameter exceeds the round budget.
+
+    Scale shape mirrors ``q_graph_pagerank``: the expensive step is
+    the fact self-join building the edge set, staged ONCE; each round
+    then joins edges to the O(V) label vector (broadcast at this
+    fixture's node count; co-partitioned on a cluster) and aggregates
+    MIN per destination — integer labels, no float drift, map-side
+    partial MIN collapses each partition to ≤V rows pre-shuffle. On a
+    real web-scale graph the same loop is the standard
+    large-star/small-star opening, with the round count set by
+    measured diameter rather than a constant."""
+    from steaminganalysis_spark.staging import stage
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    edges = stage(
+        pairs.selectExpr("pa AS src", "pb AS dst").unionAll(
+            pairs.selectExpr("pb AS src", "pa AS dst")
+        ),
+        "wcc_edges",
+        bucket_col="src",
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(WCC_ROUNDS):
+        contrib = (
+            edges.join(F.broadcast(labels), edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        labels = (
+            labels.join(F.broadcast(contrib), labels.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+        )
+    return labels.select(
+        F.col("node").alias("part"), F.col("lbl").cast("long").alias("component")
+    ).orderBy("part")

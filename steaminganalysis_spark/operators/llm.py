@@ -1369,3 +1369,106 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("src", "dst", "cosine", "rn")
     )
+
+
+@query(
+    "q_dedup_jaccard_prefix",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM toks, unnest(generate_series(1, len(t) - 2)) AS r(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common,
+           CAST(sa.n + sb.n - n_common AS BIGINT) AS n_union,
+           CAST((n_common * 1000000) // (sa.n + sb.n - n_common) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 5 * n_common >= 3 * (sa.n + sb.n - n_common)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (AllPairs/PPJoin family
+    — Bayardo et al. WWW'07, Xiao et al. WWW'08): EXACT Jaccard ≥ 0.6
+    over shingle sets, but candidates come from a PREFIX of each set
+    rather than every element. Order each document's shingles by
+    global rarity (document frequency, then hash — one total order
+    both sides of the join agree on); a pair with J ≥ t must share an
+    element within each side's first n − ⌈t·n⌉ + 1 shingles, so only
+    prefix rows enter the candidate equi-join. Against
+    ``q_dedup_ngram_jaccard`` (which joins on ALL shingles), the
+    candidate stream shrinks by ×(prefix/n) on each side — at t=0.6
+    that is ~40% of the rows and ~16% of the collision pairs, and the
+    rarity ordering concentrates prefixes on the least-collideable
+    keys, which is exactly what survives at 100 TB where the shared-
+    anything candidate set explodes. Exactness is preserved (the
+    filter only prunes pairs that provably cannot reach t): the final
+    verify joins the candidates back to the FULL shingle sets, and the
+    oracle is the brute-force all-pairs SQL. Thresholds are enforced
+    in integer arithmetic (5·∩ ≥ 3·∪) so both engines decide
+    boundaries identically; completeness vs the exact pair set is also
+    pinned as a test (tests/test_llm_ops.py).
+    """
+    sh = stage(_shingle_hashes(spark, sf_dir), "prefix_sh", bucket_col="doc_id")
+    # global rarity of each shingle (document frequency) — joined back,
+    # not broadcast: the shingle vocabulary is corpus-sized.
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfreq, "h")
+    w = W.partitionBy("doc_id").orderBy("df", "h")
+    annotated = ranked.select(
+        "doc_id",
+        "h",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("n"),
+    )
+    # prefix length for J ≥ 3/5: n − ceil(3n/5) + 1, all integer ops
+    prefix = annotated.filter(
+        F.col("pos") <= F.col("n") - F.expr("(3 * n + 4) div 5") + F.lit(1)
+    ).select("doc_id", "h", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J(A,B) ≥ 3/5 needs 3·max ≤ 5·min
+            & (F.lit(3) * F.col("b.n") <= F.lit(5) * F.col("a.n"))
+            & (F.lit(3) * F.col("a.n") <= F.lit(5) * F.col("b.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    # verify candidates against the FULL sets: candidates ⋈ shingles(a)
+    # ⋈ shingles(b) — cost is candidates × set size, not pairs × sets
+    full = sh.select("doc_id", "h")
+    inter = (
+        cand.join(full.selectExpr("doc_id AS doc_a", "h"), "doc_a")
+        .join(full.selectExpr("doc_id AS doc_b", "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    n_union = F.col("na") + F.col("nb") - F.col("n_common")
+    return (
+        inter.filter(F.lit(5) * F.col("n_common") >= F.lit(3) * n_union)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            n_union.cast("long").alias("n_union"),
+            F.expr("(n_common * 1000000) div (na + nb - n_common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

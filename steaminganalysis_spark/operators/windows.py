@@ -204,3 +204,36 @@ def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("c_nationkey", "c_custkey", "c_acctbal")
     )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 1000000.0) AS BIGINT) AS pr_ppm,
+           CAST(FLOOR(CUME_DIST() OVER w * 1000000.0) AS BIGINT) AS cd_ppm,
+           NTILE(10) OVER w AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank, cume_dist,
+    ntile(10) — ranking every customer's balance within their market
+    segment. The ordering includes the unique custkey, so rank
+    positions (and therefore all three outputs) are fully
+    deterministic; the two ratio outputs are floored to ppm integers
+    on both engines — (rank−1)/(n−1) is the same IEEE division of
+    small integers on both sides, so the floor is identical. One
+    shuffle on the partition key, all three functions share a single
+    sorted window pass."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.percent_rank().over(w) * F.lit(1000000.0)).alias("pr_ppm"),
+        F.floor(F.cume_dist().over(w) * F.lit(1000000.0)).alias("cd_ppm"),
+        F.ntile(10).over(w).alias("decile"),
+    ).orderBy("c_mktsegment", "c_custkey")

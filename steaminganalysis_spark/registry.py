@@ -181,12 +181,15 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # mask/pseudonym pack, YoY revenue, last- and first-touch
 # attribution, gaps-and-islands, the composed selection pipeline,
 # the _metadata file-introspection scan, the SQL-body UDF, the
-# LISTAGG/lateral-alias surface — bring the registry to 233 keys /
-# 206 oracles
-# (count with collect_queries(),
-# never this comment); the full
-# post-freeze set is pinned as deferred_to_round5 in
-# tests/test_contract_robustness.py and heads the round-5 window).
+# LISTAGG/lateral-alias surface — brought the registry to 233 keys /
+# 206 oracles at the round-4 close. Round-5 additions (all
+# oracle-checked, pinned as deferred_to_round6 in
+# tests/test_contract_robustness.py): q_copurchase_pairs +
+# q_rfm_segments (operators/retail.py), q_agg_percentile_disc,
+# q_window_distribution, q_fn_string_distance, q_dedup_jaccard_prefix
+# (AllPairs/PPJoin prefix filtering), q_stream_stream_right_join,
+# q_graph_wcc — 241 keys / 214 oracles (count with
+# collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the
@@ -340,6 +343,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import extras  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import corpus  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import graph  # noqa: F401  isort: skip
+    from steaminganalysis_spark.operators import retail  # noqa: F401  isort: skip
 
     missing = [k for k in ROUND5_WINDOW if k not in QUERIES]
     if missing:

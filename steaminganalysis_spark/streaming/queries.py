@@ -838,3 +838,69 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "q_stream_stream_right_join",
+    oracle="""
+    WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+          WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events
+          WHERE event_type = 'click'),
+    wm AS (SELECT LEAST((SELECT MAX(p_ts) FROM p), (SELECT MAX(c_ts) FROM c))
+                    - INTERVAL 2 HOUR AS w),
+    matched AS (
+      SELECT p.p_id, c.c_id
+      FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.c_ts < p.p_ts
+                   AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT p_id, c_id FROM matched
+    UNION ALL
+    SELECT NULL AS p_id, c.c_id
+    FROM c, wm
+    WHERE c.c_ts + INTERVAL 1 HOUR < wm.w
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.c_id = c.c_id)
+    """,
+)
+def stream_stream_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER join under watermarks — the mirror of
+    ``q_stream_stream_left_join``, completing the outer-join family
+    (inner r03, left r04-window, full r04-window): matched pairs emit
+    immediately; an unmatched CLICK null-pads only once the watermark
+    passes its eviction boundary c_ts + 1h — a purchase up to one hour
+    later could still match it, the same click-side boundary the full
+    join derives (and the asymmetric counterpart of the left join's
+    p_ts boundary, because the join condition is not symmetric in
+    time). Final watermark = MIN over branches of (max event time −
+    2h), the pinned global-MIN rule; the oracle states the rule in
+    SQL. Same bounded-state argument as the siblings: the watermark is
+    what makes click-side state finite at 100 TB."""
+    name = f"ssrj_{uuid.uuid4().hex[:8]}"
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    cond = (
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts < purchases.p_ts)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = purchases.join(clicks, cond, "right_outer").select("p_id", "c_id")
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

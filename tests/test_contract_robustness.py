@@ -73,7 +73,16 @@ def test_demo_app_accumulates_day_totals(spark):
 # rotation-closure check below, pinned here so they head the round-6
 # window (the same bookkeeping rounds 2-5 used). Every new @query
 # registration this round MUST be added here.
-deferred_to_round6: set[str] = set()
+deferred_to_round6: set[str] = {
+    "q_copurchase_pairs",
+    "q_rfm_segments",
+    "q_agg_percentile_disc",
+    "q_window_distribution",
+    "q_fn_string_distance",
+    "q_dedup_jaccard_prefix",
+    "q_stream_stream_right_join",
+    "q_graph_wcc",
+}
 
 
 def test_round5_correctness_window_composition():

@@ -386,3 +386,35 @@ def test_emb_random_projection_plan_pure_map(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prefix_filter_candidates_cover_exact_pairs(spark):
+    """The prefix-filter completeness theorem, checked empirically:
+    every pair the brute-force all-pairs Jaccard (≥0.6) finds must
+    appear in q_dedup_jaccard_prefix's output — the prefix filter may
+    only prune pairs that provably cannot reach the threshold. Run at
+    both fixture SFs (different size/frequency mixes)."""
+    from steaminganalysis_spark.registry import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["q_dedup_jaccard_prefix"](spark, sf).collect()
+        }
+        # brute force: all pairs sharing any shingle, exact jaccard
+        from steaminganalysis_spark.functions import shingle_hashes
+        from steaminganalysis_spark.sources import load
+
+        sh = shingle_hashes(load(spark, sf, "documents")).collect()
+        sets: dict[int, set] = {}
+        for r in sh:
+            sets.setdefault(r["doc_id"], set()).add(r["h"])
+        ids = sorted(sets)
+        want = set()
+        for i, da in enumerate(ids):
+            for db in ids[i + 1 :]:
+                inter = len(sets[da] & sets[db])
+                union = len(sets[da] | sets[db])
+                if union and 5 * inter >= 3 * union:
+                    want.add((da, db))
+        assert got == want and want, f"{sf}: {len(want)} expected pairs"

@@ -253,3 +253,45 @@ def test_corpus_pipeline_no_cartesian_or_bnlj(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_copurchase_pair_join_copartitioned_and_windowgrouplimit(spark):
+    """q_copurchase_pairs: the fact self-join must be an equi-join on
+    l_orderkey (never cartesian), the frequency/order-count sides must
+    broadcast onto the surviving pairs, and the top-100 must never
+    globally sort every pair — Catalyst pushes the limit past the
+    rank window (LimitPushDownThroughWindow), leaving a
+    TakeOrderedAndProject (per-partition top-k + merge)."""
+    from steaminganalysis_spark.plans import physical_plan
+
+    df = QUERIES["q_copurchase_pairs"](spark, SF)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, at_least=3)  # ok-filter, na, nb, n_orders
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wcc_edges_staged_once(spark):
+    """q_graph_wcc: after staging, the 8 label-propagation rounds must
+    reference the staged edge table (ExistingRDD / in-memory scan),
+    never re-run the lineitem self-join — no lineitem FileScan may
+    appear in the iteration plan, and every per-round join must
+    broadcast the O(V) label vector."""
+    from steaminganalysis_spark.plans import physical_plan
+
+    df = QUERIES["q_graph_wcc"](spark, SF)
+    plan = physical_plan(df)
+    assert "lineitem" not in plan  # fact join ran at staging time
+    assert_no_cartesian(df)
+
+
+def test_prefix_jaccard_verify_joins_are_equi(spark):
+    """q_dedup_jaccard_prefix: candidate generation and verification
+    are hash equi-joins end to end (no BroadcastNestedLoop/cartesian),
+    and the scan reads only (doc_id, text)."""
+    from steaminganalysis_spark.plans import physical_plan
+
+    df = QUERIES["q_dedup_jaccard_prefix"](spark, SF)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoop" not in plan
