@@ -1519,3 +1519,55 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _attribution(ev, first_touch=True)
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS src, next_type AS dst,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (SELECT src, SUM(n) AS tot FROM trans GROUP BY 1)
+    SELECT t.src, t.dst, t.n,
+           CAST((t.n * 1000000) // x.tot AS BIGINT) AS p_ppm
+    FROM trans t JOIN totals x ON x.src = t.src
+    ORDER BY t.src, t.dst
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event journeys:
+    for each user's ts-ordered event sequence (event_id tie-break),
+    count src→dst transitions and the per-source transition
+    probability as an exact ppm integer (n·10⁶ div total). The
+    user-journey transition matrix behind funnel diagnostics and
+    next-action models — one window shuffle on user_id (the
+    sessionize/attribution partitioning, shareable in a multi-metric
+    job), then an aggregate at event-type² grain whose totals side is
+    a broadcast."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = trans.groupBy("src").agg(F.sum("n").alias("tot"))
+    return (
+        trans.join(F.broadcast(totals), "src")
+        .select("src", "dst", "n", F.expr("(n * 1000000) div tot").alias("p_ppm"))
+        .orderBy("src", "dst")
+    )

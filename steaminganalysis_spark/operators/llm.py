@@ -1472,3 +1472,70 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+PCA_ITERATIONS = 8
+
+
+@query("q_emb_pca_power")  # rows-only: float summation order; cosine-equivalence vs numpy pinned
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by distributed
+    POWER ITERATION — the third iterative-algorithm family next to
+    Lloyd (operators/ann.py) and label propagation (q_graph_wcc /
+    q_dedup_clusters), and the standard preprocessing step (whitening /
+    energy compaction) before PQ codebook training. Eight fixed
+    rounds of v ← Σ_x (x−μ)·((x−μ)ᵀv), normalized on the driver:
+
+    - the mean vector μ and each iteration's unnormalized direction
+      are dim-length aggregates — per-dimension SUMs after a
+      posexplode, partial-combined map-side, so the driver transfer is
+      O(iterations × dim) exactly like Lloyd's K×dim — never the data;
+    - the per-row work is a fused dot-product + scale over the array
+      column (JVM higher-order functions, zero Python);
+    - the sign is fixed deterministically (first nonzero coordinate
+      positive) so runs are comparable.
+
+    Rows-only: double summation order differs between engines and
+    partitionings; the pinned test instead checks |cos(v, v_numpy)| ≥
+    1−1e-9 against the identical algorithm in numpy, plus Rayleigh
+    quotient ≥ second-moment mean (a true top-eigenpair property).
+    Returns one row per dimension: (dim, component, eigenvalue)."""
+    import numpy as np
+
+    base = _emb_double(spark, sf_dir).select("vec_id", "v")
+    staged = stage(base, "pca_emb")
+    dim = len(staged.select("v").first()["v"])
+    exploded = staged.select(F.posexplode("v").alias("d", "x"))
+    mu_rows = (
+        exploded.groupBy("d").agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+        .orderBy("d")
+        .collect()
+    )
+    mu = np.array([r["s"] / r["c"] for r in mu_rows])
+    v = np.zeros(dim)
+    v[0] = 1.0  # deterministic start
+    eigenvalue = 0.0
+    n_rows = mu_rows[0]["c"]
+    for _ in range(PCA_ITERATIONS):
+        mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+        v_lit = F.array(*[F.lit(float(c)) for c in v])
+        centered = F.zip_with("v", mu_lit, lambda a, b: a - b)
+        dot = F.aggregate(
+            F.zip_with(centered, v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        contrib = staged.select(
+            F.posexplode(F.transform(centered, lambda c: c * dot)).alias("d", "w")
+        )
+        w_rows = contrib.groupBy("d").agg(F.sum("w").alias("s")).orderBy("d").collect()
+        w = np.array([r["s"] for r in w_rows])
+        eigenvalue = float(np.linalg.norm(w)) / n_rows
+        v = w / np.linalg.norm(w)
+    nz = np.nonzero(v)[0]
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    rows = [(int(d), float(v[d]), float(eigenvalue)) for d in range(dim)]
+    return staged.sparkSession.createDataFrame(
+        rows, "dim int, component double, eigenvalue double"
+    )

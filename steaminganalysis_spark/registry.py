@@ -188,7 +188,9 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_rfm_segments (operators/retail.py), q_agg_percentile_disc,
 # q_window_distribution, q_fn_string_distance, q_dedup_jaccard_prefix
 # (AllPairs/PPJoin prefix filtering), q_stream_stream_right_join,
-# q_graph_wcc — 241 keys / 214 oracles (count with
+# q_graph_wcc, q_event_transitions (Markov journey matrix),
+# q_emb_pca_power (distributed power iteration, rows-only + numpy
+# equivalence) — 243 keys / 215 oracles (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

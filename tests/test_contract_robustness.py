@@ -82,6 +82,8 @@ deferred_to_round6: set[str] = {
     "q_dedup_jaccard_prefix",
     "q_stream_stream_right_join",
     "q_graph_wcc",
+    "q_event_transitions",
+    "q_emb_pca_power",
 }
 
 

@@ -418,3 +418,46 @@ def test_prefix_filter_candidates_cover_exact_pairs(spark):
                 if union and 5 * inter >= 3 * union:
                     want.add((da, db))
         assert got == want and want, f"{sf}: {len(want)} expected pairs"
+
+
+def test_pca_power_matches_numpy_reference(spark):
+    """q_emb_pca_power: the identical algorithm (center, 8 power
+    rounds from e0, sign-fix) run in numpy must agree with the
+    distributed result — |cos| ≥ 1−1e-9 on the direction, and the
+    returned eigenvalue must be a true Rayleigh-quotient-scale value
+    (≥ the mean per-dim variance: the top eigenvalue dominates the
+    average)."""
+    import numpy as np
+
+    from steaminganalysis_spark.operators.llm import PCA_ITERATIONS
+    from steaminganalysis_spark.registry import QUERIES
+    from steaminganalysis_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["q_emb_pca_power"](spark, sf).orderBy("dim").collect()
+    v_spark = np.array([r["component"] for r in got])
+    ev_spark = got[0]["eigenvalue"]
+
+    X = np.array(
+        [
+            [float(x) for x in r["embedding"]]
+            for r in load(spark, sf, "embeddings").select("embedding").collect()
+        ]
+    )
+    mu = X.mean(axis=0)
+    C = X - mu
+    v = np.zeros(X.shape[1])
+    v[0] = 1.0
+    ev = 0.0
+    for _ in range(PCA_ITERATIONS):
+        w = C.T @ (C @ v)
+        ev = np.linalg.norm(w) / X.shape[0]
+        v = w / np.linalg.norm(w)
+    nz = np.nonzero(v)[0]
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    assert abs(float(v_spark @ v)) >= 1 - 1e-9
+    assert abs(ev_spark - ev) <= 1e-6 * max(1.0, ev)
+    # top eigenvalue dominates the average per-dim variance
+    assert ev_spark >= C.var(axis=0).mean()
+    assert np.isclose(np.linalg.norm(v_spark), 1.0)

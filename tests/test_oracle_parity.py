@@ -59,6 +59,7 @@ ROWS_ONLY_DOCUMENTED = {
         "q_partition_overwrite_dynamic",  # write-path layout op; invariants in the result row
         "q_agg_cms_sketch",  # sketch internals; linearity + bound invariants in the result row
         "q_bpe_encode",  # applies the iterative trainer's merges; equality-tested vs Python encode
+        "q_emb_pca_power",  # float summation order; cosine-equivalence vs numpy pinned
 }
 
 
