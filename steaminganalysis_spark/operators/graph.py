@@ -390,25 +390,30 @@ def _wcc_oracle() -> str:
     neighbors of l_k(u))."""
     ctes = [
         """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
-        """pairs AS (
+        """pairs AS MATERIALIZED (
           SELECT a.l_partkey AS pa, b.l_partkey AS pb
           FROM li a JOIN li b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
           GROUP BY 1, 2 HAVING COUNT(*) >= 2
         )""",
-        """edges AS (SELECT pa AS src, pb AS dst FROM pairs
+        """edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
                      UNION ALL SELECT pb, pa FROM pairs)""",
         "nodes AS (SELECT DISTINCT src AS node FROM edges)",
         "l0 AS (SELECT node, node AS lbl FROM nodes)",
     ]
     for k in range(1, WCC_ROUNDS + 1):
+        # Each round references l{k-1} twice (neighbor min + carry).
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so
+        # without it the plan doubles per round (2^rounds copies of the
+        # edge build — observed filling the disk with temp spill at
+        # sf0.1 before this hint).
         ctes.append(
-            f"""m{k} AS (SELECT e.dst AS node, MIN(l.lbl) AS nl
+            f"""m{k} AS MATERIALIZED (SELECT e.dst AS node, MIN(l.lbl) AS nl
                  FROM edges e JOIN l{k - 1} l ON l.node = e.src
                  GROUP BY e.dst)"""
         )
         ctes.append(
-            f"""l{k} AS (SELECT l.node, LEAST(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
+            f"""l{k} AS MATERIALIZED (SELECT l.node, LEAST(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
                  FROM l{k - 1} l LEFT JOIN m{k} m ON m.node = l.node)"""
         )
     return (
