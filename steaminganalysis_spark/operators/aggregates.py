@@ -728,3 +728,88 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "q_agg_regression",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS y
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS HUGEINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS HUGEINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS HUGEINT) AS DOUBLE) AS syy
+      FROM obs GROUP BY event_type
+    )
+    SELECT event_type,
+           (FLOOR(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000.0 + 0.5) / 1000000.0)
+             AS slope_cents_per_day,
+           (FLOOR(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) * 1000000.0 + 0.5) / 1000000.0)
+             AS intercept_cents,
+           (FLOOR(((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                    / ((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000000.0 + 0.5) / 1000000.0)
+             AS r2
+    FROM sums
+    ORDER BY event_type
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordinary-least-squares regression per group — slope /
+    intercept / R² of event value (integer cents) against event date
+    (days since epoch), computed from EXACT integer moment sums
+    (n, Σx, Σy, Σxy, Σx², Σy² accumulated as decimal(38,0) / HUGEINT,
+    overflow-promoting) so the result is a pure function of the data:
+    the closed-form OLS expressions then run on identical doubles on
+    both engines, and the outputs round through the floor-based
+    convention. This is the moment-sketch formulation — one partial+
+    final aggregate pass, no second centering pass, mergeable across
+    partitions by construction — which is exactly how a 100 TB
+    regression has to run (the naive two-pass mean-centered form costs
+    a second scan; built-in regr_slope/corr use Welford merges whose
+    last-ulp results depend on partition order, which is why they hash
+    only after rounding, q_agg_stats). Fixture x-spread is ~30 days;
+    slopes are in cents/day."""
+    from steaminganalysis_spark.registry import to_cents
+
+    ev = load(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    y = to_cents(F.col("value"))
+    obs = ev.select(F.col("event_type"), x.alias("x"), y.alias("y"))
+    d38 = "decimal(38,0)"
+    sums = obs.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).cast("double").alias("syy"),
+    )
+    from steaminganalysis_spark.registry import round_half_up
+
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    ) / (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        "event_type",
+        round_half_up(slope, 6).alias("slope_cents_per_day"),
+        round_half_up(intercept, 6).alias("intercept_cents"),
+        round_half_up(r2, 6).alias("r2"),
+    ).orderBy("event_type")

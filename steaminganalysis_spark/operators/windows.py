@@ -237,3 +237,43 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.cume_dist().over(w) * F.lit(1000000.0)).alias("cd_ppm"),
         F.ntile(10).over(w).alias("decile"),
     ).orderBy("c_mktsegment", "c_custkey")
+
+
+@query(
+    "q_window_locf",
+    oracle="""
+    SELECT user_id, event_id,
+           LAST_VALUE(CASE WHEN event_type = 'purchase'
+                           THEN CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+                      END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_cents
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def window_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward (LOCF) gap fill — the IGNORE
+    NULLS window surface: purchases are the only events carrying an
+    observed value; every other event inherits the user's most recent
+    purchase amount (NULL until the first one). The canonical
+    sensor-reading/sparse-fact densification operator; ordering
+    includes the unique event_id so the carried value is
+    deterministic. One shuffle on user_id, running frame, no
+    self-joins — the same single window pass at any scale; values move
+    as integer cents."""
+    ev = load(spark, sf_dir, "events")
+    from steaminganalysis_spark.registry import to_cents
+
+    obs = F.when(F.col("event_type") == "purchase", to_cents(F.col("value")))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.last(obs, ignorenulls=True).over(w).alias("last_purchase_cents"),
+    ).orderBy("user_id", "event_id")

@@ -84,6 +84,8 @@ deferred_to_round6: set[str] = {
     "q_graph_wcc",
     "q_event_transitions",
     "q_emb_pca_power",
+    "q_agg_regression",
+    "q_window_locf",
 }
 
 
