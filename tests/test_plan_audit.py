@@ -295,3 +295,36 @@ def test_prefix_jaccard_verify_joins_are_equi(spark):
     assert_no_cartesian(df)
     plan = physical_plan(df)
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_regression_single_aggregate_pass(spark):
+    """q_agg_regression: the whole OLS must be ONE partial+final
+    aggregate (moment sums) — a single exchange, no second
+    mean-centering scan, no window."""
+    df = QUERIES["q_agg_regression"](spark, SF)
+    # exchange 1 = the moment aggregate; exchange 2 = the final
+    # event-type² ORDER BY (rows = number of groups, trivially small)
+    assert count_exchanges(df) == 2
+    from steaminganalysis_spark.plans import physical_plan
+
+    assert "Window" not in physical_plan(df)
+
+
+def test_locf_single_window_pass(spark):
+    """q_window_locf: one shuffle on the partition key, one Window
+    operator, no self-joins."""
+    from steaminganalysis_spark.plans import physical_plan
+
+    df = QUERIES["q_window_locf"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+
+
+def test_event_transitions_totals_broadcast(spark):
+    """q_event_transitions: the per-source totals side must broadcast
+    back onto the transition counts (event-type² grain), never shuffle
+    the counts again for the probability join."""
+    df = QUERIES["q_event_transitions"](spark, SF)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)

@@ -226,3 +226,49 @@ def test_shingle_df_cap_is_noop_at_fixture_sfs(spark, sf_dir):
         f"max shingle DF {max_df} exceeds cap {_SHINGLE_DF_CAP}: the "
         "uncapped dedup oracles are no longer exact at this SF"
     )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_filter_theorem_pure(sets):
+    """The completeness theorem q_dedup_jaccard_prefix rests on, tested
+    on random universes WITHOUT Spark (the operator's exact rule,
+    re-implemented on plain Python sets): order every set by global
+    document frequency (ties by token), take each set's first
+    n − ⌈3n/5⌉ + 1 elements as its prefix, generate candidates as pairs
+    sharing ≥1 prefix token that pass the 3/5 length filter — then
+    EVERY pair with Jaccard ≥ 3/5 must be a candidate. 300 random
+    corpora probe the boundary geometry (tiny sets, equal sets,
+    near-threshold sizes) far harder than the fixtures do."""
+    # global document frequency over the random corpus
+    df: dict[int, int] = {}
+    for s in sets:
+        for t in s:
+            df[t] = df.get(t, 0) + 1
+    order = lambda s: sorted(s, key=lambda t: (df[t], t))
+
+    def prefix(s):
+        n = len(s)
+        plen = n - -(-3 * n // 5) + 1  # n - ceil(3n/5) + 1
+        return set(order(s)[:plen])
+
+    prefixes = [prefix(s) for s in sets]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            union = len(a | b)
+            if 5 * inter >= 3 * union:  # true pair at t = 3/5
+                # length filter must admit it ...
+                assert 3 * len(b) <= 5 * len(a) and 3 * len(a) <= 5 * len(b)
+                # ... and the prefixes must collide (completeness)
+                assert prefixes[i] & prefixes[j], (
+                    f"prefix filter dropped a true pair: {sorted(a)} vs {sorted(b)} "
+                    f"(J = {inter}/{union})"
+                )
