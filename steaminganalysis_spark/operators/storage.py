@@ -582,3 +582,51 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+@query("q_scan_schema_evolution")  # rows-only: reads scratch dirs it writes; invariants in-row
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (``mergeSchema``): a table whose older
+    files lack a column added later must still read as ONE relation —
+    the union schema, with nulls where old files have no value. Writes
+    two generations derived from documents (gen 0: doc_id/source/
+    n_chars; gen 1 adds quality_score), reads the directory with
+    mergeSchema=true, and returns per-generation invariants: row
+    preservation, the evolved column's null count confined to gen-0
+    rows, and the merged field list. Footer-only schema merge — at
+    100 TB turn on ``spark.sql.parquet.mergeSchema`` selectively (it
+    reads every file's footer at planning time) or, better, keep the
+    authoritative schema in a catalog; this operator demonstrates and
+    pins the on-read behavior engines must honor either way."""
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    tmp = scratch_dir("schema_evo")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    gen0 = docs.filter(F.col("doc_id") % 2 == 0)
+    gen1 = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality_score", (F.col("n_chars") % 100).cast("long")
+    )
+    path = os.path.join(tmp, "table")
+    gen0.write.mode("overwrite").parquet(path)
+    gen1.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    n0, n1 = gen0.count(), gen1.count()
+    out = merged.agg(
+        F.count("*").alias("total_rows"),
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("gen0_rows"),
+        F.sum(F.col("quality_score").isNull().cast("long")).alias("null_quality_rows"),
+        F.sum(
+            ((F.col("doc_id") % 2 == 1) & F.col("quality_score").isNotNull()).cast("long")
+        ).alias("gen1_scored_rows"),
+    ).select(
+        "total_rows",
+        "gen0_rows",
+        "null_quality_rows",
+        "gen1_scored_rows",
+        F.lit(",".join(sorted(merged.columns))).alias("merged_schema"),
+        (F.col("total_rows") == F.lit(n0 + n1)).alias("rows_preserved"),
+        (F.col("null_quality_rows") == F.col("gen0_rows")).alias(
+            "nulls_confined_to_gen0"
+        ),
+    )
+    return out.localCheckpoint(eager=True)  # detach before scratch cleanup

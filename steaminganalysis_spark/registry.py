@@ -191,7 +191,8 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_graph_wcc, q_event_transitions (Markov journey matrix),
 # q_emb_pca_power (distributed power iteration, rows-only + numpy
 # equivalence), q_agg_regression (exact-moment OLS), q_window_locf
-# (IGNORE NULLS gap fill) — 245 keys / 217 oracles (count with
+# (IGNORE NULLS gap fill), q_scan_schema_evolution (mergeSchema
+# on-read, rows-only invariants) — 246 keys / 217 oracles (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

@@ -86,6 +86,7 @@ deferred_to_round6: set[str] = {
     "q_emb_pca_power",
     "q_agg_regression",
     "q_window_locf",
+    "q_scan_schema_evolution",
 }
 
 

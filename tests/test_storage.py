@@ -307,3 +307,16 @@ def test_file_metadata_attribution_matches_duckdb(spark, tmp_path):
         ).fetchall()
     )
     assert got == exp and len(got) == 6
+
+
+def test_registered_schema_evolution_invariants(spark):
+    """q_scan_schema_evolution (rows-only): the merged read preserves
+    every row, the evolved column's nulls are exactly the old-
+    generation rows, and the merged schema is the union of both
+    generations'."""
+    from steaminganalysis_spark.registry import QUERIES
+
+    row = QUERIES["q_scan_schema_evolution"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["rows_preserved"] and row["nulls_confined_to_gen0"]
+    assert row["total_rows"] == row["gen0_rows"] + row["gen1_scored_rows"]
+    assert row["merged_schema"] == "doc_id,n_chars,quality_score,source"
