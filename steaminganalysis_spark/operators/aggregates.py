@@ -813,3 +813,74 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(intercept, 6).alias("intercept_cents"),
         round_half_up(r2, 6).alias("r2"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_quantity,
+             CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+               AS wt
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, l_quantity, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY l_quantity, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w
+    )
+    SELECT l_returnflag,
+           MIN(l_quantity) AS weighted_median_qty,
+           CAST(MIN(tw) AS BIGINT) AS total_weight_cents
+    FROM cum
+    WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median — a surface Spark has no built-in for (and the
+    sketch percentiles cannot weight): the smallest value whose
+    cumulative weight reaches half the group total, weights in exact
+    integer cents so the halfway comparison (2·cum ≥ total) is integer
+    arithmetic on both engines. One window pass over each group's
+    sorted rows (running weight + group total share the partition
+    sort), then a MIN per group — no self-join, no driver collection.
+    The same shape generalizes to any weighted quantile (2·cum ≥ total
+    → q-scaled comparison). At 100 TB the group sort is the window
+    family's standard cost; for truly huge groups the documented
+    evolution is a weighted histogram sketch, traded for exactness."""
+    from pyspark.sql import Window as W
+
+    from steaminganalysis_spark.registry import to_cents
+
+    li = load(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        "l_quantity",
+        to_cents(F.col("l_extendedprice")).alias("wt"),
+    )
+    win = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "wt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = w.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("weighted_median_qty"),
+            F.min("tw").cast("long").alias("total_weight_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

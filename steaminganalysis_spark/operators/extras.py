@@ -1571,3 +1571,48 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "n", F.expr("(n * 1000000) div tot").alias("p_ppm"))
         .orderBy("src", "dst")
     )
+
+
+@query(
+    "q_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purchases,
+           CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS value_cents,
+           CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT) AS n_negative
+    FROM events
+    """,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe`` — Spark's in-flight metric surface: named
+    aggregate expressions piggyback on a query's OWN pass over the
+    data (no second scan), surfacing row counts, domain-violation
+    counters and checksums to the driver when the action completes —
+    the mechanism behind production data-quality circuit breakers
+    (batch here; the same API feeds StreamingQueryListener in
+    streaming). The pipeline is forced through the noop sink once and
+    the observed values are returned as a one-row frame; the oracle
+    recomputes them with plain SQL, proving observation == computation.
+    At 100 TB this is the free way to count bad rows — the expensive
+    way is the second full scan this operator exists to avoid."""
+    from pyspark.sql import Observation
+
+    from steaminganalysis_spark.registry import to_cents
+
+    ev = load(spark, sf_dir, "events")
+    obs = Observation("dq")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.sum(to_cents(F.col("value"))).cast("long").alias("value_cents"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the host action
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_purchases"]), int(m["value_cents"]), int(m["n_negative"]))],
+        "n_rows long, n_purchases long, value_cents long, n_negative long",
+    )

@@ -192,8 +192,10 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_emb_pca_power (distributed power iteration, rows-only + numpy
 # equivalence), q_agg_regression (exact-moment OLS), q_window_locf
 # (IGNORE NULLS gap fill), q_scan_schema_evolution (mergeSchema
-# on-read, rows-only invariants) — 246 keys / 217 oracles (count with
-# collect_queries(), never this comment).
+# on-read, rows-only invariants), q_agg_weighted_median (cumulative-
+# weight window), q_observe_metrics (DataFrame.observe in-flight DQ
+# metrics) — 248 keys / 219 oracles (count with collect_queries(),
+# never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

@@ -87,6 +87,8 @@ deferred_to_round6: set[str] = {
     "q_agg_regression",
     "q_window_locf",
     "q_scan_schema_evolution",
+    "q_agg_weighted_median",
+    "q_observe_metrics",
 }
 
 
