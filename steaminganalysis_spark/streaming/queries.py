@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from steaminganalysis_spark.registry import SQL_DSUM, dsum, query
@@ -904,3 +904,56 @@ def stream_stream_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "q_stream_stateful_profile",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS spend_cents,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARBITRARY stateful operator (``applyInPandasWithState`` —
+    PySpark's flatMapGroupsWithState), executed as a real streaming
+    query and oracle-checked: per-user running profile (event count,
+    exact purchase cents, last-seen timestamp) accumulates in the
+    executor state stores, emitting an update whenever the user
+    appears in a micro-batch; the registered result is each user's
+    FINAL update (row_number on the monotone event count), which must
+    equal the batch aggregate — SURVEY §2 B.8's custom-stateful row,
+    previously harness-only, now under the same oracle gate as every
+    other operator. State per key is three scalars, so the store is
+    bounded by active users, not event volume — the property that
+    keeps custom state viable at 100 TB."""
+    from steaminganalysis_spark.sources.registry import events_stream
+    from steaminganalysis_spark.streaming.stateful import running_user_totals
+
+    name = f"ssp_{uuid.uuid4().hex[:8]}"
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type", "value", "ts")
+    q = (
+        running_user_totals(ev)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    updates = spark.table(name)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "spend_cents", "last_seen")
+        .orderBy("user_id")
+    )

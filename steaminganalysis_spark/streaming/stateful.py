@@ -60,7 +60,10 @@ def _update(
         n += len(pdf)
         spend += _purchase_cents(pdf)
         if len(pdf):
-            last = max(last, str(pdf["ts"].max()))
+            # explicit 6-digit fraction: str(Timestamp) drops ".000000"
+            # when micros are exactly zero, which would diverge from the
+            # SQL twin's fixed-width strftime on that (rare) row
+            last = max(last, pdf["ts"].max().strftime("%Y-%m-%d %H:%M:%S.%f"))
     state.update((n, spend, last))
     yield pd.DataFrame(
         {

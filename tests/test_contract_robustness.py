@@ -89,6 +89,7 @@ deferred_to_round6: set[str] = {
     "q_scan_schema_evolution",
     "q_agg_weighted_median",
     "q_observe_metrics",
+    "q_stream_stateful_profile",
 }
 
 
