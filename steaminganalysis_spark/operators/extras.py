@@ -1616,3 +1616,91 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), int(m["n_purchases"]), int(m["value_cents"]), int(m["n_negative"]))],
         "n_rows long, n_purchases long, value_cents long, n_negative long",
     )
+
+
+@query(
+    "q_merge_with_deletes",
+    oracle="""
+    WITH target AS (
+      SELECT user_id, event_type AS status,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+      FROM (SELECT user_id, event_type, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-16')
+      WHERE rn = 1
+    ),
+    cdc AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM (SELECT user_id, event_type, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+      WHERE rn = 1
+    )
+    SELECT COALESCE(t.user_id, c.user_id) AS user_id,
+           COALESCE(c.event_type, t.status) AS status,
+           COALESCE(strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f'), t.last_ts)
+             AS last_ts,
+           (CASE WHEN c.user_id IS NULL THEN 'kept'
+                 WHEN t.user_id IS NULL THEN 'inserted'
+                 ELSE 'updated' END) AS action
+    FROM target t FULL OUTER JOIN cdc c ON t.user_id = c.user_id
+    WHERE c.op IS NULL OR c.op <> 'D'
+    ORDER BY user_id
+    """,
+)
+def merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with the full three-way clause set — WHEN MATCHED [AND
+    op='D'] THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED
+    [AND op<>'D'] THEN INSERT — the complete CDC-apply semantics
+    ``q_merge_upsert`` (upsert-only) leaves out. Target = each user's
+    latest profile before the cutover date; CDC batch = each user's
+    latest post-cutover change, with 'error' events meaning
+    tombstones. Expressed as ONE full-outer join on the merge key plus
+    a delete filter — exactly how Delta/Iceberg execute MERGE
+    internally (join target⋈source on the condition, then per-row
+    clause dispatch), so the plan is a single co-partitioned shuffle
+    join at any scale with both sides pre-collapsed to latest-per-key
+    (WindowGroupLimit each). A deleted user vanishes; a tombstone for
+    an unknown user inserts nothing."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ts_s = F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    target = (
+        ev.filter(F.col("ts") < cut)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            ts_s.alias("last_ts"),
+        )
+    )
+    cdc = (
+        ev.filter(F.col("ts") >= cut)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_type").alias("c_status"),
+            ts_s.alias("c_ts"),
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        )
+    )
+    merged = target.join(cdc, target.user_id == cdc.c_user, "full_outer")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
+            F.coalesce(F.col("c_status"), F.col("status")).alias("status"),
+            F.coalesce(F.col("c_ts"), F.col("last_ts")).alias("last_ts"),
+            F.when(F.col("c_user").isNull(), "kept")
+            .when(F.col("user_id").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("action"),
+        )
+        .orderBy("user_id")
+    )

@@ -195,8 +195,9 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # on-read, rows-only invariants), q_agg_weighted_median (cumulative-
 # weight window), q_observe_metrics (DataFrame.observe in-flight DQ
 # metrics), q_stream_stateful_profile (applyInPandasWithState under
-# the oracle gate) — 249 keys / 220 oracles (count with
-# collect_queries(), never this comment).
+# the oracle gate), q_merge_with_deletes (full MERGE clause set:
+# delete/update/insert over a CDC batch) — 250 keys / 221 oracles
+# (count with collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

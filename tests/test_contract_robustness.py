@@ -90,6 +90,7 @@ deferred_to_round6: set[str] = {
     "q_agg_weighted_median",
     "q_observe_metrics",
     "q_stream_stateful_profile",
+    "q_merge_with_deletes",
 }
 
 
