@@ -336,3 +336,45 @@ def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@query(
+    "q_set_union_by_name",
+    oracle="""
+    WITH unioned AS (
+      SELECT c_custkey AS key, c_acctbal AS balance, c_mktsegment AS segment,
+             NULL::BIGINT AS nationkey
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL BY NAME
+      SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey,
+             c_custkey AS key, c_acctbal AS balance
+      FROM customer WHERE c_custkey % 3 = 1
+    )
+    SELECT key, balance, segment, nationkey FROM unioned ORDER BY key
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)`` — the schema-aware
+    union: branches with different column ORDER and a column missing
+    on one side align by NAME (missing → null), where positional
+    UNION would silently mis-assign columns. The everyday hazard it
+    kills: appending a new-schema batch to an old extract. DuckDB's
+    twin is UNION ALL BY NAME. Zero-shuffle plan — two pushed scans
+    and a concat."""
+    c = load(spark, sf_dir, "customer")
+    left = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    right = c.filter(F.col("c_custkey") % 3 == 1).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    return (
+        left.unionByName(right, allowMissingColumns=True)
+        .select("key", "balance", "segment", "nationkey")
+        .orderBy("key")
+    )

@@ -412,3 +412,48 @@ def sql_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_sql_quantified",
+    oracle="""
+    WITH brand_avg AS (
+      SELECT p_brand, AVG(p_retailprice) AS av FROM part GROUP BY 1
+    )
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > ALL (SELECT av FROM brand_avg)
+       OR p_size = ANY (SELECT MIN(p_size) FROM part GROUP BY p_type)
+    ORDER BY p_partkey
+    """,
+)
+def sql_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified-comparison subquery SEMANTICS — ``> ALL (...)`` and
+    ``= ANY (...)``: parts priced above EVERY brand's average, or
+    whose size is some type's minimum. Spark's grammar has no
+    ALL/ANY quantifiers (probed: PARSE_SYNTAX_ERROR), so this operator
+    IS the standard decorrelation a Spark user must hand-write —
+    ``> ALL`` becomes a compare against the broadcast scalar MAX (the
+    subquery is non-empty and null-free here, the case where that
+    rewrite is exact), ``= ANY`` becomes a LEFT SEMI join on the value
+    set. The oracle keeps the SQL-standard quantified spelling, so
+    the key certifies the rewrite's equivalence, engine-vs-engine."""
+    p = load(spark, sf_dir, "part")
+    all_thresh = (
+        p.groupBy("p_brand")
+        .agg(F.avg("p_retailprice").alias("av"))
+        .agg(F.max("av").alias("mx"))
+    )
+    any_sizes = (
+        p.groupBy("p_type").agg(F.min("p_size").alias("p_size")).select("p_size").distinct()
+    )
+    above_all = p.crossJoin(F.broadcast(all_thresh)).filter(
+        F.col("p_retailprice") > F.col("mx")
+    )
+    is_any = p.join(F.broadcast(any_sizes), "p_size", "left_semi")
+    return (
+        above_all.select("p_partkey", "p_name", "p_retailprice")
+        .unionByName(is_any.select("p_partkey", "p_name", "p_retailprice"))
+        .distinct()
+        .orderBy("p_partkey")
+    )

@@ -196,8 +196,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # weight window), q_observe_metrics (DataFrame.observe in-flight DQ
 # metrics), q_stream_stateful_profile (applyInPandasWithState under
 # the oracle gate), q_merge_with_deletes (full MERGE clause set:
-# delete/update/insert over a CDC batch) — 250 keys / 221 oracles
-# (count with collect_queries(), never this comment).
+# delete/update/insert over a CDC batch), q_set_union_by_name
+# (schema-aware union), q_sql_quantified (ALL/ANY quantified-
+# comparison semantics via the hand decorrelation Spark requires) —
+# 252 keys / 223 oracles (count with collect_queries(), never this
+# comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

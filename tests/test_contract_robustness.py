@@ -91,6 +91,8 @@ deferred_to_round6: set[str] = {
     "q_observe_metrics",
     "q_stream_stateful_profile",
     "q_merge_with_deletes",
+    "q_set_union_by_name",
+    "q_sql_quantified",
 }
 
 
