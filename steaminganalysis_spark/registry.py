@@ -247,24 +247,26 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # least one driver CORRECTNESS row.
 #
 # ROUND-6 WINDOW, pre-planned (swap into ROUND6_WINDOW next round):
-# canaries q_daily_rollup + q_tpch_q12, then the 15 post-freeze
+# canaries q_daily_rollup + q_tpch_q12, then the 19 post-freeze
 # round-5 keys (the deferred_to_round6 set in
-# tests/test_contract_robustness.py: q_copurchase_pairs,
-# q_rfm_segments, q_agg_percentile_disc, q_window_distribution,
-# q_fn_string_distance, q_dedup_jaccard_prefix,
-# q_stream_stream_right_join, q_graph_wcc, q_event_transitions,
-# q_emb_pca_power, q_agg_regression, q_window_locf,
-# q_scan_schema_evolution, q_agg_weighted_median, q_observe_metrics),
-# then 33 re-check slots from the oldest-green backlog (round-1
-# stamps, priority order): q_time_buckets, q_fn_string,
-# q_fn_datetime, q_fn_math, q_fn_array, q_json_parse, q_fn_map,
-# q_json_malformed, q_fn_array2, q_fn_datetime2, q_fn_string2,
-# q_dedup_exact, q_sim_topk, q_text_stats, q_text_tokens,
-# q_text_langid, q_text_quality, q_text_tfidf, q_emb_centroid,
-# q_text_fingerprint, q_text_entropy, q_emb_quantize,
-# q_pack_sequences, q_dedup_containment, q_agg_grouping_flags,
-# q_agg_minmax_by, q_agg_mode_bool, q_agg_product, q_agg_salted,
-# q_agg_stats, q_agg_percentile, q_fn_explode, q_fn_explode_outer.
+# tests/test_contract_robustness.py — that pin, not this comment, is
+# authoritative: q_copurchase_pairs, q_rfm_segments,
+# q_agg_percentile_disc, q_window_distribution, q_fn_string_distance,
+# q_dedup_jaccard_prefix, q_stream_stream_right_join, q_graph_wcc,
+# q_event_transitions, q_emb_pca_power, q_agg_regression,
+# q_window_locf, q_scan_schema_evolution, q_agg_weighted_median,
+# q_observe_metrics, q_stream_stateful_profile, q_merge_with_deletes,
+# q_set_union_by_name, q_sql_quantified), then 29 re-check slots from
+# the oldest-green backlog (round-1 stamps, priority order):
+# q_time_buckets, q_fn_string, q_fn_datetime, q_fn_math, q_fn_array,
+# q_json_parse, q_fn_map, q_json_malformed, q_fn_array2,
+# q_fn_datetime2, q_fn_string2, q_dedup_exact, q_sim_topk,
+# q_text_stats, q_text_tokens, q_text_langid, q_text_quality,
+# q_text_tfidf, q_emb_centroid, q_text_fingerprint, q_text_entropy,
+# q_emb_quantize, q_pack_sequences, q_dedup_containment,
+# q_agg_grouping_flags, q_agg_minmax_by, q_agg_mode_bool,
+# q_agg_product, q_agg_salted. (Backlog tail for round 7:
+# q_agg_stats, q_agg_percentile, q_fn_explode, q_fn_explode_outer.)
 # Any round-6 additions go into deferred_to_round7 and displace
 # re-check slots from the tail.
 ROUND5_WINDOW = [
