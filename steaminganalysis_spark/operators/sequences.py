@@ -1,0 +1,185 @@
+"""Event-sequence analytics (round 5): regex pattern matching over
+per-user event journeys (a MATCH_RECOGNIZE-lite) and level-shift
+changepoint detection over hourly series.
+
+The reference's streaming job reduces each event to an independent
+(date, key) contribution (App.scala:41-67); sequence analytics is the
+complementary family every clickstream platform layers on top of the
+same events — "did the user follow view→…→purchase", "when did the
+metric regime shift". Both are expressed as one window shuffle plus
+map-side expressions, the same partitioning the sessionize /
+attribution / transition-matrix operators already share.
+
+Scale posture:
+- ``q_seq_pattern`` builds journeys at (user, day) grain, so per-group
+  state is bounded by one day of one user's events — the journey
+  string can never grow with corpus size, only with per-user daily
+  activity (the same bound ``q_sessionize`` relies on). One shuffle on
+  (user_id, day) with map-side partial collect; the regex scan is a
+  JVM codegen expression over the aggregated string, linear in journey
+  length.
+- ``q_ts_changepoint`` aggregates the fact table to (event_type, hour)
+  grain FIRST — the window pass then runs over ~10³ rows per type, not
+  the fact table. Frames are ROW-based and integer-cents exact, so the
+  flag is bit-stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.registry import query, to_cents
+from steaminganalysis_spark.sources import load
+
+# One char per event type: journeys become compact strings a regex can
+# scan. Applied identically in the oracle.
+_CODE = "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' \
+WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p' ELSE 'e' END"
+
+# A conversion run: a view followed by a purchase with no intermediate
+# purchase. Non-overlapping left-to-right matches — the same semantics
+# in Java regex and RE2, because the pattern is a plain char class.
+_FUNNEL = "v[^p]*p"
+
+
+@query(
+    "q_seq_pattern",
+    oracle=f"""
+    WITH coded AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             {_CODE} AS code, ts, event_id
+      FROM events
+    ),
+    journeys AS (
+      SELECT user_id, day,
+             string_agg(code, '' ORDER BY ts, event_id) AS journey
+      FROM coded GROUP BY 1, 2
+    )
+    SELECT user_id, day,
+           CAST(length(journey) AS BIGINT) AS journey_len,
+           CAST(len(regexp_extract_all(journey, '{_FUNNEL}')) AS BIGINT)
+             AS n_conversions,
+           len(regexp_extract_all(journey, '{_FUNNEL}')) > 0 AS converted
+    FROM journeys
+    """,
+)
+def seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: encode each user's ts-ordered daily event
+    journey as a one-char-per-event string and count non-overlapping
+    ``view …no-purchase… purchase`` conversion runs with a single regex
+    scan. Spark has no MATCH_RECOGNIZE clause; journey-string + regex
+    is the standard DataFrame re-expression for patterns without
+    quantified backtracking, and keeps the whole match JVM-side (no
+    UDF). Grouping at (user, day) bounds journey length at scale;
+    ordering inside the aggregate is made deterministic by sorting
+    (ts, event_id) structs — the unique-key tie-break convention."""
+    ev = load(spark, sf_dir, "events")
+    coded = ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.struct("ts", "event_id", F.expr(_CODE).alias("code")).alias("s"),
+    )
+    journeys = coded.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["code"]), ""
+        ).alias("journey")
+    )
+    n_conv = F.size(F.regexp_extract_all("journey", F.lit(_FUNNEL), F.lit(0)))
+    return journeys.select(
+        "user_id",
+        "day",
+        F.length("journey").cast("long").alias("journey_len"),
+        n_conv.cast("long").alias("n_conversions"),
+        (n_conv > 0).alias("converted"),
+    )
+
+
+# Changepoint frames: compare the 3 hours strictly before a bucket with
+# the bucket plus the 2 after it. Both frames must be FULL (3 rows) so
+# series edges never emit partial-window noise. The shift rule is pure
+# integer arithmetic: |delta| >= |before| / 2.
+_N_BEFORE = 3
+_N_AFTER = 3
+
+
+@query(
+    "q_ts_changepoint",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, hour, cents,
+             SUM(cents) OVER wb AS before_cents, COUNT(*) OVER wb AS n_before,
+             SUM(cents) OVER wa AS after_cents,  COUNT(*) OVER wa AS n_after
+      FROM hourly
+      WINDOW wb AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN {_N_BEFORE} PRECEDING AND 1 PRECEDING),
+             wa AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN CURRENT ROW AND {_N_AFTER - 1} FOLLOWING)
+    )
+    SELECT event_type, hour, cents,
+           CAST(before_cents AS BIGINT) AS before_cents,
+           CAST(after_cents AS BIGINT) AS after_cents,
+           CAST(after_cents - before_cents AS BIGINT) AS delta_cents,
+           abs(after_cents - before_cents) * 2 >= abs(before_cents) AS is_shift
+    FROM framed
+    WHERE n_before = {_N_BEFORE} AND n_after = {_N_AFTER}
+    """,
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift changepoint detection: per event type, compare the
+    integer-cents volume of the trailing {3h} frame against the leading
+    {3h} frame at every observed hour and flag buckets where the jump
+    is at least half the trailing level — the windowed-CUSUM shape
+    behind metric regime-change alerts. The fact table collapses to
+    (type, hour) grain before any window runs, so the window pass costs
+    O(types × hours) regardless of event volume; frames are ROW-based
+    over integer cents, bit-stable under any partitioning, and edge
+    buckets with partial frames are excluded rather than emitted with
+    understated sums."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+    ).agg(F.sum(to_cents(F.col("value"))).cast("long").alias("cents"))
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_N_BEFORE, -1)
+    )
+    wa = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, _N_AFTER - 1)
+    )
+    framed = hourly.select(
+        "event_type",
+        "hour",
+        "cents",
+        F.sum("cents").over(wb).alias("before_cents"),
+        F.count("*").over(wb).alias("n_before"),
+        F.sum("cents").over(wa).alias("after_cents"),
+        F.count("*").over(wa).alias("n_after"),
+    )
+    return (
+        framed.filter(
+            (F.col("n_before") == _N_BEFORE) & (F.col("n_after") == _N_AFTER)
+        )
+        .select(
+            "event_type",
+            "hour",
+            "cents",
+            "before_cents",
+            "after_cents",
+            (F.col("after_cents") - F.col("before_cents")).alias("delta_cents"),
+            (
+                F.abs(F.col("after_cents") - F.col("before_cents")) * 2
+                >= F.abs(F.col("before_cents"))
+            ).alias("is_shift"),
+        )
+    )

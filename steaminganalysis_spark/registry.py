@@ -198,8 +198,10 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # the oracle gate), q_merge_with_deletes (full MERGE clause set:
 # delete/update/insert over a CDC batch), q_set_union_by_name
 # (schema-aware union), q_sql_quantified (ALL/ANY quantified-
-# comparison semantics via the hand decorrelation Spark requires) —
-# 252 keys / 223 oracles (count with collect_queries(), never this
+# comparison semantics via the hand decorrelation Spark requires),
+# q_seq_pattern + q_ts_changepoint (operators/sequences.py —
+# MATCH_RECOGNIZE-lite journey regex + windowed level-shift detector)
+# — 254 keys / 225 oracles (count with collect_queries(), never this
 # comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
@@ -247,7 +249,7 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # least one driver CORRECTNESS row.
 #
 # ROUND-6 WINDOW, pre-planned (swap into ROUND6_WINDOW next round):
-# canaries q_daily_rollup + q_tpch_q12, then the 19 post-freeze
+# canaries q_daily_rollup + q_tpch_q12, then the post-freeze
 # round-5 keys (the deferred_to_round6 set in
 # tests/test_contract_robustness.py — that pin, not this comment, is
 # authoritative: q_copurchase_pairs, q_rfm_segments,
@@ -256,7 +258,8 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_event_transitions, q_emb_pca_power, q_agg_regression,
 # q_window_locf, q_scan_schema_evolution, q_agg_weighted_median,
 # q_observe_metrics, q_stream_stateful_profile, q_merge_with_deletes,
-# q_set_union_by_name, q_sql_quantified), then 29 re-check slots from
+# q_set_union_by_name, q_sql_quantified, and the continuation-session
+# additions listed in the pin), then re-check slots from
 # the oldest-green backlog (round-1 stamps, priority order):
 # q_time_buckets, q_fn_string, q_fn_datetime, q_fn_math, q_fn_array,
 # q_json_parse, q_fn_map, q_json_malformed, q_fn_array2,
@@ -369,6 +372,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import corpus  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import graph  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import retail  # noqa: F401  isort: skip
+    from steaminganalysis_spark.operators import sequences  # noqa: F401  isort: skip
 
     missing = [k for k in ROUND5_WINDOW if k not in QUERIES]
     if missing:

@@ -93,6 +93,8 @@ deferred_to_round6: set[str] = {
     "q_merge_with_deletes",
     "q_set_union_by_name",
     "q_sql_quantified",
+    "q_seq_pattern",
+    "q_ts_changepoint",
 }
 
 
