@@ -200,9 +200,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # (schema-aware union), q_sql_quantified (ALL/ANY quantified-
 # comparison semantics via the hand decorrelation Spark requires),
 # q_seq_pattern + q_ts_changepoint (operators/sequences.py —
-# MATCH_RECOGNIZE-lite journey regex + windowed level-shift detector)
-# — 254 keys / 225 oracles (count with collect_queries(), never this
-# comment).
+# MATCH_RECOGNIZE-lite journey regex + windowed level-shift detector),
+# q_geo_radius_join + q_geo_grid_density + q_geo_nearest_poi
+# (operators/geo.py — grid-bucketed spatial joins over deterministic
+# hash coordinates) — 257 keys / 228 oracles (count with
+# collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the
@@ -373,6 +375,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import graph  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import retail  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import sequences  # noqa: F401  isort: skip
+    from steaminganalysis_spark.operators import geo  # noqa: F401  isort: skip
 
     missing = [k for k in ROUND5_WINDOW if k not in QUERIES]
     if missing:

@@ -95,6 +95,9 @@ deferred_to_round6: set[str] = {
     "q_sql_quantified",
     "q_seq_pattern",
     "q_ts_changepoint",
+    "q_geo_radius_join",
+    "q_geo_grid_density",
+    "q_geo_nearest_poi",
 }
 
 

@@ -1,0 +1,89 @@
+"""Pins for operators/geo.py beyond oracle parity: the grid join's
+COMPLETENESS against a brute-force all-pairs recompute (the property
+the 3×3 neighborhood explode must guarantee), and the plan shapes that
+make the family scale — equi-join candidates, broadcast POI side."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from steaminganalysis_spark.operators.geo import BOX, CELL, RADIUS2
+from steaminganalysis_spark.plans import (
+    assert_no_cartesian,
+    count_exchanges,
+    physical_plan,
+)
+from steaminganalysis_spark.registry import collect_queries
+
+QUERIES, _ = collect_queries()
+SF = "/root/testdata/sf0.001"
+
+
+def _coords(keys: np.ndarray, mul: int, add: int = 0) -> np.ndarray:
+    return (keys.astype(np.int64) * mul + add) % BOX
+
+
+def test_radius_join_complete_vs_brute_force(spark):
+    """Every within-radius pair the O(N²) scan finds, the grid join
+    must find — including pairs that straddle cell boundaries — and
+    the nearest/tie-break must agree exactly."""
+    out = {r.id: r for r in QUERIES["q_geo_radius_join"](spark, SF).collect()}
+    keys = pd.read_parquet(f"{SF}/customer.parquet")["c_custkey"].to_numpy()
+    lat, lon = _coords(keys, 2654435761), _coords(keys, 976369)
+    d2 = (lat[:, None] - lat[None, :]) ** 2 + (lon[:, None] - lon[None, :]) ** 2
+    np.fill_diagonal(d2, RADIUS2 + 1)
+    within = d2 <= RADIUS2
+    expected_ids = set()
+    for i in range(len(keys)):
+        nbrs = np.flatnonzero(within[i])
+        if not len(nbrs):
+            continue
+        expected_ids.add(int(keys[i]))
+        row = out[int(keys[i])]
+        assert row.n_neighbors == len(nbrs)
+        best = min((int(d2[i, j]), int(keys[j])) for j in nbrs)
+        assert (row.nearest_dist2, row.nearest_id) == best
+    assert set(out) == expected_ids
+
+
+def test_radius_join_no_cartesian(spark):
+    """Candidates come from a cell equi-join — a cross join here is the
+    N² plan the operator exists to avoid."""
+    assert_no_cartesian(QUERIES["q_geo_radius_join"](spark, SF))
+
+
+def test_grid_density_smoothing_conserves_mass(spark):
+    """Each cell scatters its count to 9 targets: summing n over every
+    cell a point contributes to must equal 9 × total points minus the
+    scatter that fell on UNOCCUPIED cells — checked exactly via a
+    pandas recompute of the full scatter."""
+    rows = QUERIES["q_geo_grid_density"](spark, SF).collect()
+    keys = pd.read_parquet(f"{SF}/customer.parquet")["c_custkey"].to_numpy()
+    cx = _coords(keys, 2654435761) // CELL
+    cy = _coords(keys, 976369) // CELL
+    counts: dict[tuple[int, int], int] = {}
+    for x, y in zip(cx, cy):
+        counts[(int(x), int(y))] = counts.get((int(x), int(y)), 0) + 1
+    for r in rows:
+        assert r.n == counts[(r.cx, r.cy)]
+        expect = sum(
+            counts.get((r.cx + dx, r.cy + dy), 0)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        assert r.smoothed_n == expect
+    assert len(rows) == len(counts)
+
+
+def test_nearest_poi_broadcasts_poi_side(spark):
+    """The declared brute-force shape: POI side broadcast into a
+    nested-loop join (never a CartesianProduct — that would shuffle
+    both sides), argmin as a partial aggregate, and the only shuffle
+    is the final per-customer merge."""
+    df = QUERIES["q_geo_nearest_poi"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) == 1
+    assert df.count() == len(pd.read_parquet(f"{SF}/customer.parquet"))
