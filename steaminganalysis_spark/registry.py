@@ -203,7 +203,9 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # MATCH_RECOGNIZE-lite journey regex + windowed level-shift detector),
 # q_geo_radius_join + q_geo_grid_density + q_geo_nearest_poi
 # (operators/geo.py — grid-bucketed spatial joins over deterministic
-# hash coordinates) — 257 keys / 228 oracles (count with
+# hash coordinates), q_er_blocked_pairs + q_er_clusters
+# (operators/linkage.py — blocked fuzzy entity resolution + HashMin
+# entity clustering) — 259 keys / 230 oracles (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
@@ -376,6 +378,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import retail  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import sequences  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import geo  # noqa: F401  isort: skip
+    from steaminganalysis_spark.operators import linkage  # noqa: F401  isort: skip
 
     missing = [k for k in ROUND5_WINDOW if k not in QUERIES]
     if missing:

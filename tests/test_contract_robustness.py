@@ -98,6 +98,8 @@ deferred_to_round6: set[str] = {
     "q_geo_radius_join",
     "q_geo_grid_density",
     "q_geo_nearest_poi",
+    "q_er_blocked_pairs",
+    "q_er_clusters",
 }
 
 
