@@ -896,3 +896,57 @@ def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_select.__doc__ = corpus_select.__doc__.replace(
     "{LM}", str(_SELECT_LM_MIN)
 ).replace("{DS}", str(_SELECT_DSIR_MIN))
+
+
+@query(
+    "q_text_readability",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS words,
+           CAST(GREATEST(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT)
+             AS sentences,
+           CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+             AS syllables,
+           CAST(206835000
+                - (1015000 * len(regexp_extract_all(text, '[a-z]+')))
+                  // GREATEST(len(regexp_extract_all(text, '[.!?]')), 1)
+                - (84600000 * len(regexp_extract_all(text, '[aeiouy]+')))
+                  // GREATEST(len(regexp_extract_all(text, '[a-z]+')), 1)
+                AS BIGINT) AS flesch_ppm
+    FROM documents
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document as an EXACT ppm integer:
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    words = lowercase-letter runs, sentences = terminal-punctuation
+    count clamped ≥ 1 (the fixture corpus has none — the clamp path is
+    what gets certified), and syllables approximated by vowel-group
+    runs (the standard cheap proxy; a dictionary syllabifier is a
+    drop-in for the one regexp). Both ratios are integer ``div``s in
+    ppm space so the score is bit-identical across engines and
+    partitionings — the reason NOT to ship the float formula. Pure
+    map-side regexp_count expressions over the document scan; at
+    100 TB this is a zero-shuffle pass that pipelines with the other
+    per-doc quality scores (Gopher, LM, DSIR) in one scan."""
+    d = load(spark, sf_dir, "documents")
+    words = F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0)))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]"), F.lit(0))), F.lit(1)
+    )
+    syllables = F.size(F.regexp_extract_all("text", F.lit("[aeiouy]+"), F.lit(0)))
+    return d.select(
+        "doc_id",
+        words.cast("long").alias("words"),
+        sentences.cast("long").alias("sentences"),
+        syllables.cast("long").alias("syllables"),
+    ).select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.expr(
+            "CAST(206835000 - (1015000 * words) div sentences"
+            " - (84600000 * syllables) div greatest(words, 1) AS BIGINT)"
+        ).alias("flesch_ppm"),
+    )

@@ -689,3 +689,38 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist").between(1, 2))
         .orderBy("brand", "name_a", "name_b")
     )
+
+
+@query(
+    "q_fn_aes",
+    oracle="""
+    SELECT n_nationkey, n_name AS decrypted,
+           CAST(16 * (length(n_name) // 16 + 1) AS BIGINT) AS ct_len,
+           CAST(16 * (length(n_name) // 16 + 1) AS BIGINT) AS ct_len_expected
+    FROM nation
+    """,
+)
+def fn_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: ``aes_encrypt``/``aes_decrypt``
+    (Spark 3.3+) in deterministic ECB/PKCS mode — the
+    encrypt-join-on-ciphertext configuration (GCM's random IV is the
+    right default at rest but breaks equality semantics; ECB here is
+    the declared deterministic variant, not a security recommendation).
+    DuckDB has no AES, so the oracle certifies the two properties that
+    ARE engine-portable: decrypt∘encrypt == identity on the plaintext
+    column, and the PKCS#7 ciphertext length law 16·(⌊len/16⌋+1) —
+    the Spark side emits the MEASURED octet_length next to the
+    formula's prediction and the hash compare forces them equal.
+    Pure map-side JVM expressions, no shuffle."""
+    n = load(spark, sf_dir, "nation")
+    enc = "aes_encrypt(n_name, '0123456789abcdef', 'ECB', 'PKCS')"
+    return n.select(
+        "n_nationkey",
+        F.expr(
+            f"CAST(aes_decrypt({enc}, '0123456789abcdef', 'ECB', 'PKCS') AS STRING)"
+        ).alias("decrypted"),
+        F.expr(f"octet_length({enc})").cast("long").alias("ct_len"),
+        F.expr("16 * (length(n_name) div 16 + 1)")
+        .cast("long")
+        .alias("ct_len_expected"),
+    )

@@ -492,3 +492,65 @@ def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("part"), F.col("lbl").cast("long").alias("component")
     ).orderBy("part")
+
+
+@query(
+    "q_graph_degree",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+    deg AS (
+      SELECT n.node,
+             CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree
+      FROM nodes n LEFT JOIN (
+        SELECT node, COUNT(*) AS degree FROM (
+          SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+        ) GROUP BY 1
+      ) d ON d.node = n.node
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (q_graph_wcc's
+    edge rule: parts sharing ≥2 orders), INCLUDING isolated nodes —
+    the zero-degree bucket is the one a naive edges-only group-by
+    silently drops, and on real graphs it is usually the largest. The
+    histogram is the standard first diagnostic before any iterative
+    graph algorithm: it prices the skew that decides between broadcast
+    and co-partitioned iteration, and bounds the hub blowup guards
+    (MAX_BASKET here, DF caps in the LSH family). Cost: the one fact
+    self-join (same staged shape as WCC), a vocabulary-sized degree
+    aggregate, a broadcast anti/left join for isolates, and a tiny
+    final rollup."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    deg = (
+        pairs.selectExpr("pa AS node")
+        .unionAll(pairs.selectExpr("pb AS node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    full = nodes.join(F.broadcast(deg), "node", "left").select(
+        F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree")
+    )
+    return full.groupBy("degree").agg(F.count("*").alias("n_parts"))

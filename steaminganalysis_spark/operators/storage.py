@@ -109,6 +109,10 @@ def _ensure_nation_as(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             n.coalesce(1).write.mode("overwrite").format("xml").option(
                 "rowTag", "nation"
             ).save(path)
+        elif fmt == "text":
+            n.selectExpr(
+                "concat_ws('|', n_nationkey, n_name, n_regionkey) AS value"
+            ).coalesce(1).write.mode("overwrite").text(path)
         else:
             n.coalesce(1).write.mode("overwrite").orc(path)
     return path
@@ -153,6 +157,38 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_nation_as(spark, sf_dir, "orc")
     n = spark.read.orc(path)
     return n.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+@query(
+    "q_scan_text",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           min(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text scan (``spark.read.text`` — the raw-log /
+    delimited-dump entry path): the nation table written as
+    pipe-delimited lines once, read back as a single ``value`` column,
+    parsed with a JVM ``split`` projection, and aggregated — the same
+    oracle as the other format scans, proving reader + parse. At
+    scale this is the WORST format on purpose (no pushdown, no
+    pruning, full-line decode); the operator exists because raw text
+    is where ingest pipelines start, and the parse stays codegen'd
+    map-side so the only cost beyond the scan is the tiny rollup
+    shuffle."""
+    path = _ensure_nation_as(spark, sf_dir, "text")
+    lines = spark.read.text(path)
+    parsed = lines.select(F.split("value", "\\|").alias("p")).select(
+        F.col("p")[0].cast("int").alias("n_nationkey"),
+        F.col("p")[1].alias("n_name"),
+        F.col("p")[2].cast("int").alias("n_regionkey"),
+    )
+    return parsed.groupBy("n_regionkey").agg(
         F.count("*").alias("n_nations"), F.min("n_name").alias("first_name")
     )
 

@@ -205,8 +205,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # (operators/geo.py — grid-bucketed spatial joins over deterministic
 # hash coordinates), q_er_blocked_pairs + q_er_clusters
 # (operators/linkage.py — blocked fuzzy entity resolution + HashMin
-# entity clustering) — 259 keys / 230 oracles (count with
-# collect_queries(), never this comment).
+# entity clustering), q_fn_aes (deterministic-mode column crypto),
+# q_scan_text (line-oriented text source), q_text_readability (exact
+# ppm Flesch), q_graph_degree (degree distribution incl. isolates) —
+# 263 keys / 234 oracles (count with collect_queries(), never this
+# comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

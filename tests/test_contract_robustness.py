@@ -100,6 +100,10 @@ deferred_to_round6: set[str] = {
     "q_geo_nearest_poi",
     "q_er_blocked_pairs",
     "q_er_clusters",
+    "q_fn_aes",
+    "q_scan_text",
+    "q_text_readability",
+    "q_graph_degree",
 }
 
 
