@@ -884,3 +884,70 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Bloom geometry: m = 2^16 bits packed into 1024 longs, k = 4 hashes.
+# At the largest fixture (~10k distinct build keys) the predicted FP
+# rate is (1 - e^{-kn/m})^4 ≈ 4% — large enough to OBSERVE false
+# positives (the demo needs some) and small enough to bound.
+_BLOOM_BITS = 1 << 16
+_BLOOM_K = 4
+
+
+@query("q_agg_bloom")  # rows-only: xxhash64 bit patterns are Spark-specific
+def agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom filter as a first-class operator: build bit
+    words from the orders' customer set with a bit_or aggregate
+    (explode each key to k=4 (word, mask) pairs — map-side partial
+    bit_or collapses every partition to ≤1024 rows), pack them into ONE
+    map row, broadcast it, and probe every customer map-side. Emits
+    per-customer ``maybe_present`` (the filter's answer) next to
+    ``actually_present`` (the exact semi-join truth) so the defining
+    contract is in the output: no false negatives ever, false
+    positives at the designed ~4% — pinned in
+    tests/test_stateful_and_sketches.py. This is the manual spelling
+    of the runtime-bloom pattern Spark injects in joins
+    (test_runtime_bloom_filter_prunes_fact_side): at 100 TB you build
+    the 8 KB filter on the small side and ship it to every scan task
+    instead of shuffling the fact table to discover non-matches."""
+    m, k = _BLOOM_BITS, _BLOOM_K
+    # Build on the urgent-order customer set (a strict subset of the
+    # probe domain) so the filter's answers actually split: the full
+    # customer probe has a real absent population to false-positive on.
+    build = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    positions = build.select(
+        F.explode(
+            F.transform(seeds, lambda i: F.pmod(F.xxhash64("o_custkey", i), F.lit(m)))
+        ).alias("pos")
+    )
+    words = positions.selectExpr(
+        "pos div 64 AS word",
+        "shiftleft(1L, CAST(pos % 64 AS INT)) AS mask",
+    ).groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
+    )
+    probe = load(spark, sf_dir, "customer").select("c_custkey")
+    probed = probe.crossJoin(F.broadcast(bloom))
+    hit = None
+    for i in range(k):
+        this = F.expr(
+            f"coalesce(element_at(bm, pmod(xxhash64(c_custkey, {i}), {m}) div 64), 0L)"
+            f" & shiftleft(1L, CAST(pmod(xxhash64(c_custkey, {i}), {m}) % 64 AS INT))"
+        ) != 0
+        hit = this if hit is None else (hit & this)
+    flags = probed.select("c_custkey", hit.alias("maybe_present"))
+    truth = build.select(F.col("o_custkey").alias("c_custkey")).withColumn(
+        "actually_present", F.lit(True)
+    )
+    return flags.join(F.broadcast(truth), "c_custkey", "left").select(
+        "c_custkey",
+        "maybe_present",
+        F.coalesce("actually_present", F.lit(False)).alias("actually_present"),
+    )

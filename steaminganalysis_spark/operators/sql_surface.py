@@ -457,3 +457,51 @@ def sql_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "q_sql_pivot",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+             AS urgent,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT)
+             AS high,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT)
+             AS medium,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+                AS BIGINT) AS notspec,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT)
+             AS low
+    FROM orders GROUP BY 1
+    """,
+)
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``PIVOT`` clause (the DataFrame ``q_pivot``'s grammar
+    twin): order counts cross-tabbed status × priority with an explicit
+    IN-list — explicit because an inferred column list would need an
+    extra distinct pass over the data AND make the output schema
+    data-dependent, which breaks at 100 TB on both counts. Catalyst
+    rewrites the clause into exactly the conditional-aggregation plan
+    the oracle spells out (one shuffle, map-side partials); absent
+    cells surface as NULL from PIVOT and are coalesced to 0 to match
+    COUNT FILTER semantics."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_pv_orders")
+    piv = spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_orderstatus AS status, o_orderpriority AS prio
+          FROM _pv_orders
+        )
+        PIVOT (COUNT(*) FOR prio IN (
+          '1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium,
+          '4-NOT SPECIFIED' AS notspec, '5-LOW' AS low))
+        """
+    )
+    return piv.select(
+        "status",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("urgent", "high", "medium", "notspec", "low")
+        ],
+    )

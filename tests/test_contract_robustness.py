@@ -104,6 +104,8 @@ deferred_to_round6: set[str] = {
     "q_scan_text",
     "q_text_readability",
     "q_graph_degree",
+    "q_sql_pivot",
+    "q_agg_bloom",
 }
 
 

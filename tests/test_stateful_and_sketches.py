@@ -175,3 +175,34 @@ def test_cms_sketch_bounds_and_mergeability(spark):
         assert r.cms_est >= r.exact_n  # one-sided error
         assert r.within_bound
         assert r.merged_equals_global
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """q_agg_bloom's contract: membership can over-approximate, never
+    under-approximate. FN must be exactly 0; the FP rate on the absent
+    population must sit under ~2× the design point ((1-e^{-kn/m})^k ≈
+    9% at the sf0.1 build cardinality)."""
+    for sf_dir in ("/root/testdata/sf0.001", SF_DIR_CORRECTNESS):
+        rows = QUERIES["q_agg_bloom"](spark, sf_dir).collect()
+        fn = [r.c_custkey for r in rows if r.actually_present and not r.maybe_present]
+        assert fn == []
+        tn = sum(1 for r in rows if not r.actually_present)
+        fp = sum(1 for r in rows if r.maybe_present and not r.actually_present)
+        assert tn > 0  # the probe domain genuinely exceeds the build set
+        assert fp / tn <= 0.15, (fp, tn)
+
+
+def test_bloom_filter_is_broadcast_probe_unshuffled(spark):
+    """The packed filter reaches the probe side as a broadcast (8 KB of
+    words), and the probe table itself is never exchanged — the plan
+    property that makes the manual bloom the same shape as Spark's
+    injected runtime filters."""
+    from steaminganalysis_spark.plans import count_exchanges, physical_plan
+
+    df = QUERIES["q_agg_bloom"](spark, SF_DIR_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # shuffles are all build-side (distinct per branch, bit_or word
+    # aggregate, single-row pack) — the customer probe contributes none
+    assert count_exchanges(df) <= 4
+    assert plan.count("Exchange hashpartitioning(c_custkey") == 0
