@@ -439,3 +439,121 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", fmt).alias("purchase_ts"),
         "next_click_ts",
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ), filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER wb AS prev_us,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN strftime(ts, '%Y-%m-%d %H:%M:%S.%f') END
+                        IGNORE NULLS) OVER wb AS prev_ts,
+             first_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                         IGNORE NULLS) OVER wf AS next_us,
+             first_value(CASE WHEN event_type = 'click'
+                              THEN strftime(ts, '%Y-%m-%d %H:%M:%S.%f') END
+                         IGNORE NULLS) OVER wf AS next_ts
+      FROM ev
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           CASE
+             WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+             WHEN next_us IS NULL THEN 'backward'
+             WHEN prev_us IS NULL THEN 'forward'
+             WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts)
+               THEN 'backward' ELSE 'forward'
+           END AS direction,
+           CASE
+             WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+             WHEN next_us IS NULL THEN prev_ts
+             WHEN prev_us IS NULL THEN next_ts
+             WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts)
+               THEN prev_ts ELSE next_ts
+           END AS matched_click_ts,
+           CAST(CASE
+             WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+             WHEN next_us IS NULL THEN epoch_us(ts) - prev_us
+             WHEN prev_us IS NULL THEN next_us - epoch_us(ts)
+             ELSE LEAST(epoch_us(ts) - prev_us, next_us - epoch_us(ts))
+           END AS BIGINT) AS diff_us
+    FROM filled
+    WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — the third matching mode next to backward
+    (``q_join_asof``) and forward (``q_join_asof_forward``): each
+    purchase pairs with the temporally CLOSEST click either side, ties
+    to the backward match (pandas/polars ``direction='nearest'``
+    semantics). Still one shuffle on user_id: both directional
+    candidates come from the same window pass (IGNORE NULLS scans over
+    trailing and leading frames), and the winner is a map-side CASE on
+    exact microsecond deltas — never the naive range join whose
+    candidate explosion is unbounded at 100 TB. Timestamps emitted as
+    strings, deltas as exact BIGINT micros."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    click_us = F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    click_ts = F.when(
+        F.col("event_type") == "click", F.date_format("ts", fmt)
+    )
+    filled = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(click_us, ignorenulls=True).over(wb).alias("prev_us"),
+        F.last(click_ts, ignorenulls=True).over(wb).alias("prev_ts"),
+        F.first(click_us, ignorenulls=True).over(wf).alias("next_us"),
+        F.first(click_ts, ignorenulls=True).over(wf).alias("next_ts"),
+    )
+    us = F.unix_micros("ts")
+    back_nearer = (us - F.col("prev_us")) <= (F.col("next_us") - us)
+    return filled.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.when(F.col("prev_us").isNull() & F.col("next_us").isNull(), F.lit(None))
+        .when(F.col("next_us").isNull(), F.lit("backward"))
+        .when(F.col("prev_us").isNull(), F.lit("forward"))
+        .when(back_nearer, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        F.when(F.col("prev_us").isNull() & F.col("next_us").isNull(), F.lit(None))
+        .when(F.col("next_us").isNull(), F.col("prev_ts"))
+        .when(F.col("prev_us").isNull(), F.col("next_ts"))
+        .when(back_nearer, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+        .alias("matched_click_ts"),
+        F.when(F.col("prev_us").isNull() & F.col("next_us").isNull(), F.lit(None))
+        .when(F.col("next_us").isNull(), us - F.col("prev_us"))
+        .when(F.col("prev_us").isNull(), F.col("next_us") - us)
+        .otherwise(F.least(us - F.col("prev_us"), F.col("next_us") - us))
+        .cast("long")
+        .alias("diff_us"),
+    )

@@ -1549,3 +1549,75 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.sparkSession.createDataFrame(
         rows, "dim int, component double, eigenvalue double"
     )
+
+
+_WIN_K = 3  # words per k-gram
+_WIN_W = 4  # winnowing window (k-gram positions per window)
+
+
+@query(
+    "q_text_winnowing",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, i AS pos,
+             substr(md5(array_to_string(
+               list_slice(string_split(text, ' '), i, i + {_WIN_K} - 1), ' ')),
+               1, 8) AS h
+      FROM documents,
+           unnest(generate_series(
+             1, len(string_split(text, ' ')) - {_WIN_K} + 1)) AS g(i)
+    ),
+    mins AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+               AS mh,
+             pos
+      FROM grams
+      QUALIFY pos >= {_WIN_W}
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT mh) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(list_sort(list(DISTINCT mh)), '')) AS fp_digest
+    FROM mins GROUP BY doc_id
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/MOSS): hash every {3}-word
+    k-gram (engine-portable 8-hex-char md5 prefix — ordered as strings
+    identically everywhere), slide a {4}-position window, keep each
+    window's minimum hash, and emit the distinct selected set per doc
+    as a count + order-insensitive digest. The guarantee winnowing
+    adds over plain shingling: any shared run of ≥ w+k-1 words between
+    two documents shares at least one selected fingerprint, at ~1/w
+    the fingerprint volume — the local-similarity primitive behind
+    plagiarism/code-clone detection, complementing the global MinHash
+    family. Cost: one shuffle on doc_id feeding the window AND the
+    final per-doc aggregate (same partitioning); k-gram explode is
+    map-side and bounded by document length."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.lit(_WIN_K - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice("w", i, _WIN_K))), 1, 8
+                    ).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(_WIN_W - 1), 0)
+    mins = (
+        grams.select("doc_id", "pos", F.min("h").over(win).alias("mh"))
+        .filter(F.col("pos") >= _WIN_W)
+    )
+    return mins.groupBy("doc_id").agg(
+        F.countDistinct("mh").alias("n_fingerprints"),
+        F.md5(F.concat_ws("", F.sort_array(F.collect_set("mh")))).alias("fp_digest"),
+    )

@@ -183,3 +183,57 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_shift"),
         )
     )
+
+
+@query(
+    "q_ts_seasonal_profile",
+    oracle="""
+    WITH hod AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hod, n_events, cents,
+           CAST((cents * 1000000) // SUM(cents) OVER (PARTITION BY event_type)
+                AS BIGINT) AS share_ppm,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY cents DESC, hod) = 1 AS is_peak
+    FROM hod
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal seasonality profile — the 'seasonal' term of a
+    decomposition at hour-of-day grain: per event type, each of the 24
+    buckets' event count, integer-cents volume, exact ppm share of the
+    type's total, and a peak flag (deterministic hod tie-break). The
+    fact table collapses to ≤ 24·|types| rows before the share window
+    runs, so the profile costs one aggregate shuffle regardless of
+    event volume; dividing a day's metric by this profile is the
+    standard deseasonalization step feeding the changepoint detector
+    upstream of it."""
+    ev = load(spark, sf_dir, "events")
+    hod = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(to_cents(F.col("value"))).cast("long").alias("cents"),
+    )
+    wt = W.partitionBy("event_type")
+    wr = W.partitionBy("event_type").orderBy(F.col("cents").desc(), "hod")
+    return hod.select(
+        "event_type",
+        "hod",
+        "n_events",
+        "cents",
+        F.sum("cents").over(wt).alias("total_cents"),
+        (F.row_number().over(wr) == 1).alias("is_peak"),
+    ).select(
+        "event_type",
+        "hod",
+        "n_events",
+        "cents",
+        F.expr("(cents * 1000000) div total_cents").alias("share_ppm"),
+        "is_peak",
+    )

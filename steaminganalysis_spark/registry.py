@@ -209,8 +209,10 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_scan_text (line-oriented text source), q_text_readability (exact
 # ppm Flesch), q_graph_degree (degree distribution incl. isolates),
 # q_sql_pivot (the SQL PIVOT clause), q_agg_bloom (distributed Bloom
-# build + broadcast probe, rows-only) — 265 keys / 235 oracles (count
-# with collect_queries(), never this comment).
+# build + broadcast probe, rows-only), q_text_winnowing (MOSS-style
+# local fingerprints), q_ts_seasonal_profile (diurnal profile),
+# q_join_asof_nearest (nearest-direction as-of) — 268 keys /
+# 238 oracles (count with collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

@@ -106,6 +106,9 @@ deferred_to_round6: set[str] = {
     "q_graph_degree",
     "q_sql_pivot",
     "q_agg_bloom",
+    "q_text_winnowing",
+    "q_ts_seasonal_profile",
+    "q_join_asof_nearest",
 }
 
 

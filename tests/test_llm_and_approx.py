@@ -461,3 +461,46 @@ def test_pca_power_matches_numpy_reference(spark):
     # top eigenvalue dominates the average per-dim variance
     assert ev_spark >= C.var(axis=0).mean()
     assert np.isclose(np.linalg.norm(v_spark), 1.0)
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing's defining property: two documents sharing a
+    contiguous run of ≥ w+k-1 words share at least one selected
+    fingerprint. Built directly on a synthetic frame so the property —
+    not just value parity — is pinned."""
+    from steaminganalysis_spark.operators.llm import _WIN_K, _WIN_W
+
+    run = "alpha beta gamma delta epsilon zeta"  # w+k-1 = 6 words
+    docs = [
+        (1, f"one two three {run} four five"),
+        (2, f"{run} six seven eight nine ten"),
+        (3, "totally different words with no overlap at all here"),
+    ]
+    assert len(run.split()) == _WIN_W + _WIN_K - 1
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="winnow_")
+    spark.createDataFrame(
+        [(i, t, "en", "synth", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.doc_id: r for r in QUERIES["q_text_winnowing"](spark, d).collect()}
+    # recompute the selected sets in python to intersect them
+    import hashlib
+
+    def fps(text: str) -> set[str]:
+        words = text.split(" ")
+        hs = [
+            hashlib.md5(" ".join(words[i : i + _WIN_K]).encode()).hexdigest()[:8]
+            for i in range(len(words) - _WIN_K + 1)
+        ]
+        return {
+            min(hs[i - _WIN_W + 1 : i + 1]) for i in range(_WIN_W - 1, len(hs))
+        }
+
+    s1, s2, s3 = (fps(t) for _, t in docs)
+    assert s1 & s2, "shared 6-word run must share a fingerprint"
+    for i, s in ((1, s1), (2, s2), (3, s3)):
+        assert rows[i].n_fingerprints == len(s)
+    assert not (s1 & s3)
