@@ -237,3 +237,103 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(cents * 1000000) div total_cents").alias("share_ppm"),
         "is_peak",
     )
+
+
+_ACF_LAGS = (1, 2, 3)
+
+
+@query(
+    "q_ts_autocorr",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, cents AS y, lg AS lag,
+             LAG(cents, lg) OVER (PARTITION BY event_type, lg ORDER BY hour) AS x
+      FROM hourly, unnest([{', '.join(str(l) for l in _ACF_LAGS)}]) AS t(lg)
+    ),
+    sums AS (
+      SELECT event_type, CAST(lag AS BIGINT) AS lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS HUGEINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS HUGEINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS HUGEINT) AS DOUBLE) AS syy
+      FROM lagged WHERE x IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n,
+           (FLOOR(((nd * sxy - sx * sy)
+                   / NULLIF(sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 0.0))
+                  * 1000000.0 + 0.5) / 1000000.0) AS acf
+    FROM sums
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1..3) of each event type's hourly
+    integer-cents series — the diagnostic that separates trending from
+    mean-reverting metrics and sizes the changepoint/seasonal windows
+    upstream. Same moment-sketch discipline as ``q_agg_regression``:
+    the lagged pairs reduce to EXACT integer sums (decimal(38,0) /
+    HUGEINT, partition-order-free), the Pearson formula then runs on
+    identical doubles on both engines (IEEE sqrt is correctly rounded,
+    so it is bit-identical too), floored to ppm. One window pass per
+    lag over the tiny (type, hour) table — at 100 TB the only
+    fact-sized cost is the initial hourly rollup the whole ts family
+    shares."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+    ).agg(F.sum(to_cents(F.col("value"))).cast("long").alias("cents"))
+    w = W.partitionBy("event_type").orderBy("hour")
+    with_lags = hourly.select(
+        "event_type",
+        F.col("cents").alias("y"),
+        *[F.lag("cents", L).over(w).alias(f"x{L}") for L in _ACF_LAGS],
+    )
+    lagged = with_lags.select(
+        "event_type",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).cast("long").alias("lag"),
+                        F.col(f"x{L}").alias("x"),
+                    )
+                    for L in _ACF_LAGS
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", F.col("p.lag").alias("lag"), F.col("p.x").alias("x"), "y")
+    d38 = "decimal(38,0)"
+    sums = (
+        lagged.filter(F.col("x").isNotNull())
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast(d38)).cast("double").alias("sx"),
+            F.sum(F.col("y").cast(d38)).cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast(d38)).cast("double").alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast(d38)).cast("double").alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(d38)).cast("double").alias("syy"),
+        )
+    )
+    return sums.select(
+        "event_type",
+        "lag",
+        "n",
+        F.expr(
+            "FLOOR(((CAST(n AS DOUBLE) * sxy - sx * sy)"
+            " / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)"
+            "               * (CAST(n AS DOUBLE) * syy - sy * sy)), 0.0D))"
+            " * 1000000.0D + 0.5D) / 1000000.0D"
+        ).alias("acf"),
+    )

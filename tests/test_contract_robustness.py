@@ -109,6 +109,7 @@ deferred_to_round6: set[str] = {
     "q_text_winnowing",
     "q_ts_seasonal_profile",
     "q_join_asof_nearest",
+    "q_ts_autocorr",
 }
 
 
