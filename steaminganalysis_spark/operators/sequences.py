@@ -337,3 +337,81 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000.0D + 0.5D) / 1000000.0D"
         ).alias("acf"),
     )
+
+
+_SLOPE_FRAME = 6  # trailing hours per rolling fit (current + 5 back)
+
+
+@query(
+    "q_window_slope",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2, 3
+    ),
+    framed AS (
+      SELECT event_type, hour,
+             COUNT(*) OVER w AS n,
+             CAST(CAST(SUM(x) OVER w AS HUGEINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) OVER w AS HUGEINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) OVER w AS HUGEINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) OVER w AS HUGEINT) AS DOUBLE) AS sxx
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN {_SLOPE_FRAME - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hour,
+           (FLOOR(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx))
+                  * 1000000.0 + 0.5) / 1000000.0) AS slope_cents_per_hour
+    FROM framed
+    WHERE n = {_SLOPE_FRAME}
+    """,
+)
+def window_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope — the windowed sibling of ``q_agg_regression``
+    and the quantitative form of a trend/momentum indicator: at every
+    observed hour, the least-squares slope (cents per hour) of the
+    trailing {6}-bucket frame, from exact integer moment sums
+    accumulated INSIDE the window frame (n, Σx, Σy, Σxy, Σx² — the
+    mergeable moment sketch, so the same expression works as a window,
+    a group-by, or a streaming accumulator). Partial frames at series
+    heads are excluded, the closed form runs on identical doubles both
+    engines, floor-ppm rounding. The fact table collapses to (type,
+    hour) grain first; x is the exact epoch-hour BIGINT so frames are
+    shift-covariant and the slope unit is physical."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("long")
+        .alias("x"),
+    ).agg(F.sum(to_cents(F.col("value"))).cast("long").alias("y"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(_SLOPE_FRAME - 1), 0)
+    )
+    d38 = "decimal(38,0)"
+    framed = hourly.select(
+        "event_type",
+        "hour",
+        F.count("*").over(w).alias("n"),
+        F.sum(F.col("x").cast(d38)).over(w).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d38)).over(w).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).over(w).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).over(w).cast("double").alias("sxx"),
+    )
+    return framed.filter(F.col("n") == _SLOPE_FRAME).select(
+        "event_type",
+        "hour",
+        F.expr(
+            "FLOOR(((CAST(n AS DOUBLE) * sxy - sx * sy)"
+            " / (CAST(n AS DOUBLE) * sxx - sx * sx))"
+            " * 1000000.0D + 0.5D) / 1000000.0D"
+        ).alias("slope_cents_per_hour"),
+    )

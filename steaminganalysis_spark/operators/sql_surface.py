@@ -505,3 +505,44 @@ def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("urgent", "high", "medium", "notspec", "low")
         ],
     )
+
+
+@query(
+    "q_sql_dynamic",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                AS BIGINT)) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def sql_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's dynamic-SQL surface in one operator: a DECLAREd
+    session variable, ``SET VAR``, and ``EXECUTE IMMEDIATE`` over a
+    template whose table name binds through ``IDENTIFIER(:t)`` and
+    whose predicate binds through a named parameter — the
+    injection-safe way to parameterize BOTH identifiers and values
+    (string-concatenated SQL is the anti-pattern this exists to kill;
+    templates also keep one plan-cache entry per shape). The executed
+    text is the plain aggregate the oracle spells statically, so the
+    certificate is that the binding machinery is semantically
+    transparent."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_dyn_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE v_status STRING")
+    spark.sql("SET VAR v_status = 'F'")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  COUNT(*) AS n_orders,
+                  CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100.0D + 0.5D)
+                       AS BIGINT)) AS BIGINT) AS price_cents
+           FROM IDENTIFIER(:t)
+           WHERE o_orderstatus = :s
+           GROUP BY 1'
+        USING '_dyn_orders' AS t, v_status AS s
+        """
+    )

@@ -110,6 +110,8 @@ deferred_to_round6: set[str] = {
     "q_ts_seasonal_profile",
     "q_join_asof_nearest",
     "q_ts_autocorr",
+    "q_window_slope",
+    "q_sql_dynamic",
 }
 
 
