@@ -62,6 +62,11 @@ HEADLINE = [
 HEADLINE_EXTENDED = [
     "q_knn_graph",
     "q_graph_pagerank",
+    # round-5 continuation families (same rule: tracked, not in the
+    # baseline-comparable total)
+    "q_geo_radius_join",
+    "q_seq_pattern",
+    "q_er_clusters",
 ]
 
 

@@ -543,3 +543,95 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+_DRIFT_SPLIT = "2024-01-16"  # ref = days before, cur = days from here
+_DRIFT_BUCKET = 2000  # cents per fixed-width histogram bucket
+
+
+@query(
+    "q_dq_drift",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS DATE) < DATE '{_DRIFT_SPLIT}'
+                  THEN 'ref' ELSE 'cur' END AS cohort,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+               // {_DRIFT_BUCKET} AS bucket
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, bucket,
+             CAST(COUNT(*) FILTER (WHERE cohort = 'ref') AS BIGINT) AS n_ref,
+             CAST(COUNT(*) FILTER (WHERE cohort = 'cur') AS BIGINT) AS n_cur
+      FROM tagged GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets
+      FROM cells GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(t.t_ref AS BIGINT) AS n_ref,
+           CAST(t.t_cur AS BIGINT) AS n_cur,
+           t.n_buckets,
+           CAST(SUM(abs((c.n_ref * 1000000) // t.t_ref
+                        - (c.n_cur * 1000000) // t.t_cur)) AS BIGINT)
+             AS tvd2_ppm
+    FROM cells c JOIN tot t ON c.event_type = t.event_type
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor — the companion to the constraint
+    gate ``q_dq_checks``: per event type, the value distribution of the
+    month's second half against its first half as 2×TVD (total
+    variation distance, the Σ|p_ref − p_cur| PSI-alternative that
+    needs NO logarithm) over fixed-width integer-cents buckets, in
+    exact ppm integers end-to-end (per-bucket shares via integer div —
+    no float ever touches the hash-compared output, unlike PSI whose
+    ln() the determinism conventions ban). One fact pass collapses to
+    (type, bucket, cohort-counts) cells; totals broadcast back onto
+    the cell table. At 100 TB this is the scheduled drift job that
+    decides retraining — fixed buckets keep ref/cur comparable across
+    runs, which quantile buckets would not."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value").cast("double") * 100.0 + 0.5).cast("long")
+    tagged = ev.select(
+        "event_type",
+        F.when(F.to_date("ts") < F.lit(_DRIFT_SPLIT), "ref")
+        .otherwise("cur")
+        .alias("cohort"),
+        F.expr(f"CAST(FLOOR(CAST(value AS DOUBLE) * 100.0D + 0.5D) AS BIGINT)"
+               f" div {_DRIFT_BUCKET}").alias("bucket"),
+    )
+    cells = tagged.groupBy("event_type", "bucket").agg(
+        F.count(F.when(F.col("cohort") == "ref", 1)).alias("n_ref"),
+        F.count(F.when(F.col("cohort") == "cur", 1)).alias("n_cur"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count("*").alias("n_buckets"),
+    )
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "t_ref", "t_cur", "n_buckets")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.expr("(n_ref * 1000000) div t_ref")
+                    - F.expr("(n_cur * 1000000) div t_cur")
+                )
+            )
+            .cast("long")
+            .alias("tvd2_ppm")
+        )
+        .select(
+            "event_type",
+            F.col("t_ref").cast("long").alias("n_ref"),
+            F.col("t_cur").cast("long").alias("n_cur"),
+            "n_buckets",
+            "tvd2_ppm",
+        )
+    )

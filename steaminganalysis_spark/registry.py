@@ -213,9 +213,9 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # local fingerprints), q_ts_seasonal_profile (diurnal profile),
 # q_join_asof_nearest (nearest-direction as-of), q_ts_autocorr
 # (lag-k ACF from exact moments), q_window_slope (rolling OLS trend),
-# q_sql_dynamic (EXECUTE IMMEDIATE + IDENTIFIER + session variables)
-# — 271 keys / 241 oracles (count with collect_queries(), never this
-# comment).
+# q_sql_dynamic (EXECUTE IMMEDIATE + IDENTIFIER + session variables),
+# q_dq_drift (TVD distribution-drift monitor in exact ppm) — 272 keys
+# / 242 oracles (count with collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

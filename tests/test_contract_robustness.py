@@ -112,6 +112,7 @@ deferred_to_round6: set[str] = {
     "q_ts_autocorr",
     "q_window_slope",
     "q_sql_dynamic",
+    "q_dq_drift",
 }
 
 
