@@ -546,3 +546,76 @@ def sql_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING '_dyn_orders' AS t, v_status AS s
         """
     )
+
+
+@query(
+    "q_sql_unpivot",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS price_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'qty' AS metric, qty AS val FROM base
+    UNION ALL
+    SELECT l_returnflag, 'price_cents', price_cents FROM base
+    UNION ALL
+    SELECT l_returnflag, 'n_items', n_items FROM base
+    """,
+)
+def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``UNPIVOT`` clause (grammar twin of the DataFrame
+    ``q_unpivot``): a wide per-returnflag metric row melted to
+    (flag, metric, value) tuples — the wide→long step feeding metric
+    stores and chart layers. Catalyst expands the clause to the
+    three-way UNION ALL the oracle spells; the aggregate underneath is
+    one partial+final shuffle and the melt itself is a zero-shuffle
+    Expand node (each input row emits its |metrics| outputs map-side)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_up_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, metric, val FROM (
+          SELECT l_returnflag,
+                 SUM(CAST(l_quantity AS BIGINT)) AS qty,
+                 CAST(SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100.0D
+                      + 0.5D) AS BIGINT)) AS BIGINT) AS price_cents,
+                 COUNT(*) AS n_items
+          FROM _up_lineitem GROUP BY 1
+        )
+        UNPIVOT (val FOR metric IN (qty, price_cents, n_items))
+        """
+    )
+
+
+@query(
+    "q_sql_lateral_view",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents, unnest(string_split(text, ' ')) AS t(word)
+    GROUP BY 1
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HiveQL ``LATERAL VIEW explode()`` grammar — the third
+    spelling of row explosion next to the DataFrame generator
+    (``q_fn_explode``) and the comma-join ``unnest`` the oracle uses:
+    corpus-wide top-20 word counts with deterministic (count, word)
+    ordering. Same plan as every spelling — Generate over the scan,
+    then one count shuffle with map-side partials and a
+    TakeOrderedAndProject instead of a global sort; the grammar is
+    what's certified, the plan is shared."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("_lv_documents")
+    return spark.sql(
+        """
+        SELECT word, COUNT(*) AS n
+        FROM _lv_documents LATERAL VIEW explode(split(text, ' ')) t AS word
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 20
+        """
+    )

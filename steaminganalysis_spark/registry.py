@@ -214,8 +214,10 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_join_asof_nearest (nearest-direction as-of), q_ts_autocorr
 # (lag-k ACF from exact moments), q_window_slope (rolling OLS trend),
 # q_sql_dynamic (EXECUTE IMMEDIATE + IDENTIFIER + session variables),
-# q_dq_drift (TVD distribution-drift monitor in exact ppm) — 272 keys
-# / 242 oracles (count with collect_queries(), never this comment).
+# q_dq_drift (TVD distribution-drift monitor in exact ppm),
+# q_sql_unpivot + q_sql_lateral_view (the UNPIVOT and LATERAL VIEW
+# grammar surfaces) — 274 keys / 244 oracles (count with
+# collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

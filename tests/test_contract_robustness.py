@@ -113,6 +113,8 @@ deferred_to_round6: set[str] = {
     "q_window_slope",
     "q_sql_dynamic",
     "q_dq_drift",
+    "q_sql_unpivot",
+    "q_sql_lateral_view",
 }
 
 
