@@ -415,3 +415,167 @@ def window_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000.0D + 0.5D) / 1000000.0D"
         ).alias("slope_cents_per_hour"),
     )
+
+
+_MED_FRAME = 5  # centered rolling-median frame (2 back .. 2 ahead)
+
+
+@query(
+    "q_window_median",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, hour, cents,
+             list(cents) OVER w AS frame,
+             COUNT(*) OVER w AS n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN {_MED_FRAME // 2} PRECEDING
+                            AND {_MED_FRAME // 2} FOLLOWING)
+    )
+    SELECT event_type, hour, cents,
+           CAST(list_sort(frame)[{_MED_FRAME // 2 + 1}] AS BIGINT) AS median_cents,
+           CAST(cents - list_sort(frame)[{_MED_FRAME // 2 + 1}] AS BIGINT)
+             AS residual_cents
+    FROM framed WHERE n = {_MED_FRAME}
+    """,
+)
+def window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN filter — the robust despiker a mean-based rolling
+    window can't be (one sensor glitch drags a mean for the whole
+    frame; the median ignores it): per event type, the exact median of
+    the centered {5}-bucket frame plus the residual that feeds outlier
+    rules. No Spark built-in computes an exact windowed median, so the
+    frame is materialized with collect_list OVER the window and the
+    middle element picked from the sorted array — O(frame log frame)
+    per row with frame=5, a constant, and the array lives only inside
+    the projection (never shuffled). Partial edge frames excluded;
+    everything integer cents, so sorted-pick is bit-exact on any
+    engine. Runs on the shared (type, hour) rollup like the rest of
+    the ts family."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+    ).agg(F.sum(to_cents(F.col("value"))).cast("long").alias("cents"))
+    half = _MED_FRAME // 2
+    w = W.partitionBy("event_type").orderBy("hour").rowsBetween(-half, half)
+    framed = hourly.select(
+        "event_type",
+        "hour",
+        "cents",
+        F.collect_list("cents").over(w).alias("frame"),
+        F.count("*").over(w).alias("n"),
+    )
+    med = F.element_at(F.array_sort("frame"), half + 1)
+    return framed.filter(F.col("n") == _MED_FRAME).select(
+        "event_type",
+        "hour",
+        "cents",
+        med.cast("long").alias("median_cents"),
+        (F.col("cents") - med).cast("long").alias("residual_cents"),
+    )
+
+
+@query(
+    "q_ts_outlier_mad",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM ev
+    ),
+    med AS (
+      SELECT event_type, n, cents AS med_cents
+      FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT e.event_type, e.cents, abs(e.cents - m.med_cents) AS d,
+             m.med_cents, m.n
+      FROM ev e JOIN med m ON e.event_type = m.event_type
+    ),
+    dranked AS (
+      SELECT event_type, d, med_cents, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, med_cents, n, d AS mad_cents
+      FROM dranked WHERE rn = (n + 1) // 2
+    )
+    SELECT v.event_type,
+           CAST(a.n AS BIGINT) AS n,
+           a.med_cents, a.mad_cents,
+           CAST(COUNT(*) FILTER (WHERE abs(v.cents - a.med_cents)
+                                       > 3 * a.mad_cents) AS BIGINT) AS n_outliers
+    FROM dev v JOIN mad a ON v.event_type = a.event_type
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation — the
+    estimator a contaminated stream can't fool (mean/σ z-scores move
+    with the very outliers they hunt, ``q_anomaly_zscore``'s documented
+    limitation; the MAD has a 50% breakdown point): per event type the
+    EXACT lower-middle median of integer cents, the exact MAD, and the
+    count of points beyond the 3×MAD fence. Medians are discrete
+    row_number picks (never interpolated floats), spelled identically
+    in the oracle so even-count semantics can't diverge. Two ranking
+    passes partitioned by event_type — exact per-group sort; at a
+    cardinality where a single group outgrows one reducer the
+    documented evolution is the approx-percentile sketch
+    (``q_agg_approx_percentile``), not a plan rewrite."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", to_cents(F.col("value")).alias("cents")
+    )
+    wr = W.partitionBy("event_type").orderBy("cents")
+    wc = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", "n", F.col("cents").alias("med_cents")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "cents",
+        "med_cents",
+        "n",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
+    )
+    wd = W.partitionBy("event_type").orderBy("d")
+    mad = (
+        dev.select(
+            "event_type", "med_cents", "n", "d", F.row_number().over(wd).alias("rn")
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("d").alias("mad_cents"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med_cents", "mad_cents")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med_cents"))
+                    > 3 * F.col("mad_cents"),
+                    1,
+                )
+            ).alias("n_outliers")
+        )
+        .select("event_type", "n", "med_cents", "mad_cents", "n_outliers")
+    )

@@ -216,8 +216,9 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_sql_dynamic (EXECUTE IMMEDIATE + IDENTIFIER + session variables),
 # q_dq_drift (TVD distribution-drift monitor in exact ppm),
 # q_sql_unpivot + q_sql_lateral_view (the UNPIVOT and LATERAL VIEW
-# grammar surfaces) — 274 keys / 244 oracles (count with
-# collect_queries(), never this comment).
+# grammar surfaces), q_window_median (rolling-median despiker),
+# q_ts_outlier_mad (exact-median MAD fence) — 276 keys / 246 oracles
+# (count with collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

@@ -115,6 +115,8 @@ deferred_to_round6: set[str] = {
     "q_dq_drift",
     "q_sql_unpivot",
     "q_sql_lateral_view",
+    "q_window_median",
+    "q_ts_outlier_mad",
 }
 
 
