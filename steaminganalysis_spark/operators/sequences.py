@@ -1,27 +1,30 @@
-"""Event-sequence analytics (round 5): regex pattern matching over
-per-user event journeys (a MATCH_RECOGNIZE-lite) and level-shift
-changepoint detection over hourly series.
+"""Event-sequence and time-series analytics (round 5): journey regex
+matching (a MATCH_RECOGNIZE-lite) plus the windowed series diagnostics
+a metrics platform layers on the same events — changepoints, diurnal
+seasonality, autocorrelation, rolling OLS trend, rolling-median
+despiking, and MAD robust outliers.
 
 The reference's streaming job reduces each event to an independent
-(date, key) contribution (App.scala:41-67); sequence analytics is the
-complementary family every clickstream platform layers on top of the
-same events — "did the user follow view→…→purchase", "when did the
-metric regime shift". Both are expressed as one window shuffle plus
-map-side expressions, the same partitioning the sessionize /
-attribution / transition-matrix operators already share.
+(date, key) contribution (App.scala:41-67); this family is what the
+same platform asks NEXT: "did the user follow view→…→purchase",
+"when did the metric regime shift", "is it trending or mean-
+reverting", "which spikes are sensor glitches".
 
-Scale posture:
+Scale posture (shared by the whole family):
 - ``q_seq_pattern`` builds journeys at (user, day) grain, so per-group
   state is bounded by one day of one user's events — the journey
-  string can never grow with corpus size, only with per-user daily
-  activity (the same bound ``q_sessionize`` relies on). One shuffle on
-  (user_id, day) with map-side partial collect; the regex scan is a
-  JVM codegen expression over the aggregated string, linear in journey
-  length.
-- ``q_ts_changepoint`` aggregates the fact table to (event_type, hour)
-  grain FIRST — the window pass then runs over ~10³ rows per type, not
-  the fact table. Frames are ROW-based and integer-cents exact, so the
-  flag is bit-stable under any partitioning.
+  string can never grow with corpus size. One shuffle on (user_id,
+  day) with map-side partial collect; the regex scan is JVM codegen.
+- Every series operator collapses the fact table to the (event_type,
+  hour) rollup FIRST — windows then run over ~10³-row series, not the
+  fact table, and computing several diagnostics together shares ONE
+  fact scan + one aggregate shuffle. Frames are ROW-based over integer
+  cents (bit-stable under any partitioning); float-touching outputs
+  (ACF, slope) go through exact decimal(38,0) moment sums and the
+  floor-ppm rounding convention.
+- ``q_ts_outlier_mad`` is the one member that ranks RAW events (exact
+  per-type sort); its documented unbounded-cardinality evolution is
+  the approx-percentile sketch, not a plan rewrite.
 """
 
 from __future__ import annotations

@@ -328,3 +328,40 @@ def test_event_transitions_totals_broadcast(spark):
     df = QUERIES["q_event_transitions"](spark, SF)
     assert_broadcast_join(df, at_least=1)
     assert_no_cartesian(df)
+
+
+def test_winnowing_single_partitioning_shared(spark):
+    """q_text_winnowing: the doc_id window and the final per-doc
+    aggregate must share one partitioning — two exchanges would mean
+    the window output was reshuffled for the group-by."""
+    df = QUERIES["q_text_winnowing"](spark, SF)
+    assert count_exchanges(df) == 1
+
+
+def test_dq_drift_totals_broadcast(spark):
+    """q_dq_drift: the per-type totals join back onto the cell table
+    as a broadcast — a shuffle join on 5 types would be pure skew."""
+    from steaminganalysis_spark.plans import physical_plan
+
+    df = QUERIES["q_dq_drift"](spark, SF)
+    assert "BroadcastHashJoin" in physical_plan(df)
+
+
+def test_sql_pivot_bounded_shuffles_no_inlist_scan(spark):
+    """q_sql_pivot: Catalyst lowers PIVOT to a two-phase aggregate —
+    (status, prio) counts, then a pivot_first over the GROUPED table
+    (second exchange is priority-cell-sized, not fact-sized). The
+    explicit IN-list must add NO distinct pass: exactly the two
+    aggregation exchanges, nothing more."""
+    df = QUERIES["q_sql_pivot"](spark, SF)
+    assert count_exchanges(df) == 2
+
+
+def test_ts_family_shares_hourly_grain(spark):
+    """The ts diagnostics must aggregate to (type, hour) BEFORE their
+    windows: the window input is the tiny rollup, visible as exactly
+    two exchanges (rollup + window partitioning), never a fact-sized
+    window sort."""
+    for key in ("q_ts_changepoint", "q_window_slope", "q_window_median"):
+        df = QUERIES[key](spark, SF)
+        assert count_exchanges(df) <= 2, key
