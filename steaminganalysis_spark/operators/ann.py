@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from steaminganalysis_spark.functions import dot
 from steaminganalysis_spark.operators.llm import _emb_double
 from steaminganalysis_spark.registry import query
+from steaminganalysis_spark.sources import load
 
 IVF_K = 16  # coarse clusters
 IVF_ITERS = 3  # Lloyd iterations (fixed → deterministic)
@@ -457,4 +458,51 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rn")
+    )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+@query("q_cluster_kmeans")  # rows-only: float centroids are engine-specific
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering as a first-class operator (the curation use:
+    topic/slice discovery over an embedding corpus, the step before
+    per-cluster sampling or SemDeDup pruning) — not just the internal
+    routing step of the IVF index. Reuses the deterministic distributed
+    Lloyd trainer (``train_ivf``: K×dim driver transfer per iteration,
+    nothing else leaves the executors) and the map-side argmax
+    assignment (``_assign`` keep=1 — a broadcast cross join folded into
+    a hash aggregate, no window). Emits the per-cluster profile: size,
+    majority ground-truth label (min-label tie-break) and exact ppm
+    purity — on this deliberately structure-free fixture purity sits
+    near the 1/|labels| floor, which the invariant test asserts rather
+    than hides. Rows-only: centroid floats are summation-order
+    sensitive; the pinned test instead recomputes the assignment in
+    numpy from the SAME centroids and requires identical cluster
+    memberships (tests/test_llm_and_approx.py)."""
+    base = _emb_double(spark, sf_dir)
+    cents = train_ivf(spark, base, k=KMEANS_K, iters=KMEANS_ITERS)
+    assigned = _assign(base, _centroids_df(spark, cents), keep=1)
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    per_cluster_label = (
+        assigned.join(labels, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("nl"))
+    )
+    w = W.partitionBy("cid").orderBy(F.col("nl").desc(), "label")
+    top = per_cluster_label.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    sizes = per_cluster_label.groupBy("cid").agg(F.sum("nl").alias("n_vectors"))
+    return (
+        sizes.join(top.select("cid", "label", "nl"), "cid")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("nl").cast("long").alias("n_majority"),
+            F.expr("(nl * 1000000) div n_vectors").alias("purity_ppm"),
+        )
     )

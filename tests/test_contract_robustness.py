@@ -117,6 +117,7 @@ deferred_to_round6: set[str] = {
     "q_sql_lateral_view",
     "q_window_median",
     "q_ts_outlier_mad",
+    "q_cluster_kmeans",
 }
 
 

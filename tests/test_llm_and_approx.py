@@ -504,3 +504,41 @@ def test_winnowing_shared_run_guarantee(spark):
     for i, s in ((1, s1), (2, s2), (3, s3)):
         assert rows[i].n_fingerprints == len(s)
     assert not (s1 & s3)
+
+
+def test_kmeans_assignment_matches_numpy(spark):
+    """q_cluster_kmeans: the distributed argmax assignment must equal a
+    numpy recomputation from the SAME trained centroids (tests the
+    broadcast-cross-join-into-hash-aggregate plan, not the float
+    training), and the emitted profile must be internally exact."""
+    import numpy as np
+    import pandas as pd
+
+    from steaminganalysis_spark.operators.ann import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        train_ivf,
+    )
+    from steaminganalysis_spark.operators.llm import _emb_double
+
+    sf = "/root/testdata/sf0.001"
+    base = _emb_double(spark, sf)
+    cents = np.array(train_ivf(spark, base, k=KMEANS_K, iters=KMEANS_ITERS))
+    df = pd.read_parquet(f"{sf}/embeddings.parquet")
+    X = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    sims = X @ cents.T / np.linalg.norm(cents, axis=1)
+    want = {}  # cid -> expected member count by numpy argmax (cid tiebreak)
+    for row in sims:
+        best = min((-s, c) for c, s in enumerate(row))[1]
+        want[best] = want.get(best, 0) + 1
+    rows = QUERIES["q_cluster_kmeans"](spark, sf).collect()
+    got = {r.cid: r.n_vectors for r in rows}
+    assert got == {c: n for c, n in want.items()}
+    labels = df["label"].to_numpy()
+    n_labels = len(set(labels))
+    for r in rows:
+        assert r.n_majority <= r.n_vectors
+        assert r.purity_ppm == r.n_majority * 1_000_000 // r.n_vectors
+        # structure-free fixture: purity near the 1/|labels| floor, and
+        # never below it
+        assert r.purity_ppm >= 1_000_000 // n_labels

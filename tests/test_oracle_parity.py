@@ -62,6 +62,7 @@ ROWS_ONLY_DOCUMENTED = {
         "q_emb_pca_power",  # float summation order; cosine-equivalence vs numpy pinned
         "q_scan_schema_evolution",  # reads scratch dirs it writes; invariants in the result row
         "q_agg_bloom",  # xxhash64 bit patterns Spark-specific; FN=0 + FP bound pinned
+        "q_cluster_kmeans",  # float centroids; assignment equality vs numpy pinned
 }
 
 
