@@ -951,3 +951,111 @@ def agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maybe_present",
         F.coalesce("actually_present", F.lit(False)).alias("actually_present"),
     )
+
+
+# Measure columns screened pairwise by q_agg_corr_matrix; cents-scaled
+# BIGINTs so every moment sum is exact. Quantity scales by 100 too so
+# all three live on one integer convention.
+_CORR_COLS = ("qty", "price", "disc")
+
+
+@query(
+    "q_agg_corr_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(l_quantity * 100 AS BIGINT) AS qty,
+             CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+               AS price,
+             CAST(FLOOR(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+               AS disc
+      FROM lineitem
+    ),
+    pairs AS (
+      SELECT 'qty' AS col_a, 'price' AS col_b, qty AS x, price AS y FROM m
+      UNION ALL
+      SELECT 'qty', 'disc', qty, disc FROM m
+      UNION ALL
+      SELECT 'disc', 'price', disc, price FROM m
+    ),
+    sums AS (
+      SELECT col_a, col_b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS HUGEINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS HUGEINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS HUGEINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS HUGEINT) AS DOUBLE) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT col_a, col_b, n,
+           (FLOOR(((nd * sxy - sx * sy)
+                   / NULLIF(sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 0.0))
+                  * 1000000.0 + 0.5) / 1000000.0) AS r
+    FROM sums
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures
+    (quantity, extended price, discount — upper triangle, 3 pairs) in
+    ONE pass: each row fans out to its pairs map-side (a ×3 Expand,
+    no re-scan per pair), every pair reduces to the exact
+    decimal(38,0)/HUGEINT moment sums, and the closed form runs on
+    identical doubles with floor-ppm rounding. The feature-screening
+    matrix a modeling pipeline computes before training — at 100 TB
+    the cost is one scan + one 3-key aggregate shuffle regardless of
+    how many measure pairs are screened, vs built-in ``corr`` called
+    per pair which re-aggregates (and Welford-merges with
+    partition-order last-ulp noise, the q_agg_stats caveat)."""
+    from steaminganalysis_spark.registry import to_cents
+
+    li = load(spark, sf_dir, "lineitem")
+    m = li.select(
+        (F.col("l_quantity") * 100).cast("long").alias("qty"),
+        to_cents(F.col("l_extendedprice")).alias("price"),
+        to_cents(F.col("l_discount")).alias("disc"),
+    )
+    pairs = m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("qty").alias("col_a"),
+                    F.lit("price").alias("col_b"),
+                    F.col("qty").alias("x"),
+                    F.col("price").alias("y"),
+                ),
+                F.struct(
+                    F.lit("qty").alias("col_a"),
+                    F.lit("disc").alias("col_b"),
+                    F.col("qty").alias("x"),
+                    F.col("disc").alias("y"),
+                ),
+                F.struct(
+                    F.lit("disc").alias("col_a"),
+                    F.lit("price").alias("col_b"),
+                    F.col("disc").alias("x"),
+                    F.col("price").alias("y"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    d38 = "decimal(38,0)"
+    sums = pairs.groupBy("col_a", "col_b").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).cast("double").alias("syy"),
+    )
+    return sums.select(
+        "col_a",
+        "col_b",
+        "n",
+        F.expr(
+            "FLOOR(((CAST(n AS DOUBLE) * sxy - sx * sy)"
+            " / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)"
+            "               * (CAST(n AS DOUBLE) * syy - sy * sy)), 0.0D))"
+            " * 1000000.0D + 0.5D) / 1000000.0D"
+        ).alias("r"),
+    )

@@ -218,8 +218,9 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_sql_unpivot + q_sql_lateral_view (the UNPIVOT and LATERAL VIEW
 # grammar surfaces), q_window_median (rolling-median despiker),
 # q_ts_outlier_mad (exact-median MAD fence), q_cluster_kmeans
-# (first-class distributed Lloyd clustering, rows-only) — 277 keys /
-# 246 oracles (count with collect_queries(), never this comment).
+# (first-class distributed Lloyd clustering, rows-only),
+# q_agg_corr_matrix (one-pass pairwise Pearson matrix) — 278 keys /
+# 247 oracles (count with collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

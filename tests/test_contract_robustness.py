@@ -118,6 +118,7 @@ deferred_to_round6: set[str] = {
     "q_window_median",
     "q_ts_outlier_mad",
     "q_cluster_kmeans",
+    "q_agg_corr_matrix",
 }
 
 
