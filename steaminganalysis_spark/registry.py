@@ -276,9 +276,9 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_event_transitions, q_emb_pca_power, q_agg_regression,
 # q_window_locf, q_scan_schema_evolution, q_agg_weighted_median,
 # q_observe_metrics, q_stream_stateful_profile, q_merge_with_deletes,
-# q_set_union_by_name, q_sql_quantified, and the 27 continuation-
-# session additions listed in the pin — 46 deferred keys total, so
-# with the 2 canaries at most 2 slots remain), then re-check slots
+# q_set_union_by_name, q_sql_quantified, and the 28 continuation-
+# session additions listed in the pin — 47 deferred keys total, so
+# with the 2 canaries at most 1 slot remains), then re-check slots
 # (oldest first) from
 # the oldest-green backlog (round-1 stamps, priority order):
 # q_time_buckets, q_fn_string, q_fn_datetime, q_fn_math, q_fn_array,
