@@ -1704,3 +1704,47 @@ def merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_KANON_K = 8  # minimum group size for a quasi-identifier cell
+
+
+@query(
+    "q_anonymize_kanon",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, n,
+           n < {_KANON_K} AS suppress,
+           CAST(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END AS BIGINT)
+             AS n_suppressed_rows
+    FROM cells
+    """,
+)
+def anonymize_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the release gate for quasi-identifier
+    combinations (here nation × market segment, k={8}): every cell's
+    population, a suppress flag for cells an attacker could narrow to
+    fewer than k people, and the row count suppression would redact.
+    The COUNTING is the whole distributed cost — one partial+final
+    aggregate at QI-cell grain — and the flag is a map-side predicate,
+    so the audit is exactly as scalable as any rollup. Generalization
+    (coarsening nation → region until every cell clears k) is the
+    documented follow-up move; the audit output is precisely its input.
+    Complements ``q_fn_mask``/``q_text_pii_scrub``: those hide direct
+    identifiers, this bounds re-identification by combination."""
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n"))
+    return cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        (F.col("n") < _KANON_K).alias("suppress"),
+        F.when(F.col("n") < _KANON_K, F.col("n"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_suppressed_rows"),
+    )

@@ -219,8 +219,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # grammar surfaces), q_window_median (rolling-median despiker),
 # q_ts_outlier_mad (exact-median MAD fence), q_cluster_kmeans
 # (first-class distributed Lloyd clustering, rows-only),
-# q_agg_corr_matrix (one-pass pairwise Pearson matrix) — 278 keys /
-# 247 oracles (count with collect_queries(), never this comment).
+# q_agg_corr_matrix (one-pass pairwise Pearson matrix),
+# q_anonymize_kanon (k-anonymity release audit), q_stream_dq_drift
+# (the drift monitor run as a streaming aggregation, stream≡batch
+# under the same oracle) — 280 keys / 249 oracles (count with
+# collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

@@ -957,3 +957,114 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "spend_cents", "last_seen")
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_stream_dq_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN 'ref' ELSE 'cur' END AS cohort,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+               // 2000 AS bucket
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, bucket,
+             CAST(COUNT(*) FILTER (WHERE cohort = 'ref') AS BIGINT) AS n_ref,
+             CAST(COUNT(*) FILTER (WHERE cohort = 'cur') AS BIGINT) AS n_cur
+      FROM tagged GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets
+      FROM cells GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(t.t_ref AS BIGINT) AS n_ref,
+           CAST(t.t_cur AS BIGINT) AS n_cur,
+           t.n_buckets,
+           CAST(SUM(abs((c.n_ref * 1000000) // t.t_ref
+                        - (c.n_cur * 1000000) // t.t_cur)) AS BIGINT)
+             AS tvd2_ppm
+    FROM cells c JOIN tot t ON c.event_type = t.event_type
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def stream_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor RUN ON THE STREAM (``q_dq_drift``'s streaming
+    twin, and the natural deployment — drift is a property you watch,
+    not a report you schedule): the fact-sized work, counting (type,
+    value-bucket, cohort) cells, executes as a streaming aggregation
+    in complete mode over the replayed events; the TVD rollup then
+    reads the final state table — ~10² cells — batch-side. Same
+    integer-ppm arithmetic as the batch twin, same oracle, so the
+    certificate is stream≡batch for the whole monitor. At 100 TB/day
+    the cell state is bounded by |types|×|buckets| regardless of
+    event volume — the state-size argument that makes complete-mode
+    acceptable here."""
+    name = f"stream_drift_{uuid.uuid4().hex[:8]}"
+    stream = events_stream(spark, sf_dir)
+    cells = (
+        stream.select(
+            "event_type",
+            F.when(F.to_date("ts") < F.lit("2024-01-16"), "ref")
+            .otherwise("cur")
+            .alias("cohort"),
+            F.expr(
+                "CAST(FLOOR(CAST(value AS DOUBLE) * 100.0D + 0.5D) AS BIGINT)"
+                " div 2000"
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket", "cohort")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.table(name)
+    wide = state.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("cohort") == "ref", F.col("n")).otherwise(0)).alias(
+            "n_ref"
+        ),
+        F.sum(F.when(F.col("cohort") == "cur", F.col("n")).otherwise(0)).alias(
+            "n_cur"
+        ),
+    ).localCheckpoint(eager=True)
+    # ^ breaks the MemoryPlan attribute lineage: tot below re-aggregates
+    # the same ~10² cells, and joining two children of one memory sink
+    # view hits Spark's conflicting-reference guard otherwise.
+    tot = wide.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count("*").alias("n_buckets"),
+    )
+    return (
+        wide.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "t_ref", "t_cur", "n_buckets")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.expr("(n_ref * 1000000) div t_ref")
+                    - F.expr("(n_cur * 1000000) div t_cur")
+                )
+            )
+            .cast("long")
+            .alias("tvd2_ppm")
+        )
+        .select(
+            "event_type",
+            F.col("t_ref").cast("long").alias("n_ref"),
+            F.col("t_cur").cast("long").alias("n_cur"),
+            "n_buckets",
+            "tvd2_ppm",
+        )
+    )

@@ -119,6 +119,8 @@ deferred_to_round6: set[str] = {
     "q_ts_outlier_mad",
     "q_cluster_kmeans",
     "q_agg_corr_matrix",
+    "q_anonymize_kanon",
+    "q_stream_dq_drift",
 }
 
 
