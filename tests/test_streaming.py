@@ -1314,3 +1314,107 @@ def test_cdc_scd2_fixture_invariant_to_batch_boundaries(spark, tmp_path):
     one, two, five = run(1), run(2), run(5)
     assert one == two == five
     assert len(one) > 100  # fixture-scale, not a toy
+
+
+def test_stream_dq_drift_multibatch_equals_batch(spark, tmp_path):
+    """q_stream_dq_drift under real micro-batch boundaries: the events
+    replay as three ts-ordered tranche files with maxFilesPerTrigger=1
+    (three genuine batches, cells updated incrementally) and the final
+    drift report must equal the BATCH operator exactly — the
+    stream≡batch certificate the single-batch oracle run can't give."""
+    import glob
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from steaminganalysis_spark.sources import load as _load
+
+    sf = "/root/testdata/sf0.001"
+    ev = _load(spark, sf, "events")
+    src = str(tmp_path / "ev_stream")
+    os.makedirs(src)
+    bounds = [
+        (None, "2024-01-10 00:00:00"),
+        ("2024-01-10 00:00:00", "2024-01-16 12:00:00"),  # straddles the
+        ("2024-01-16 12:00:00", None),  # ref/cur split so cur cells
+        # accumulate across two different batches
+    ]
+    for i, (lo, hi) in enumerate(bounds):
+        part = ev
+        if lo:
+            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            part = part.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        d = str(tmp_path / f"t{i}")
+        part.coalesce(1).write.parquet(d)
+        shutil.copy(
+            glob.glob(os.path.join(d, "part-*.parquet"))[0],
+            os.path.join(src, f"b{i}.parquet"),
+        )
+    name = f"drift_mb_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cells = (
+        stream.select(
+            "event_type",
+            F.when(F.to_date("ts") < F.lit("2024-01-16"), "ref")
+            .otherwise("cur")
+            .alias("cohort"),
+            F.expr(
+                "CAST(FLOOR(CAST(value AS DOUBLE) * 100.0D + 0.5D) AS BIGINT)"
+                " div 2000"
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket", "cohort")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert len(q.recentProgress) >= 3  # genuinely multi-batch
+    finally:
+        q.stop()
+    state = spark.table(name).localCheckpoint(eager=True)
+    wide = state.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("cohort") == "ref", F.col("n")).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("cohort") == "cur", F.col("n")).otherwise(0)).alias("n_cur"),
+    )
+    tot = wide.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count("*").alias("n_buckets"),
+    )
+    got = {
+        r.event_type: (r.n_ref, r.n_cur, r.n_buckets, r.tvd2_ppm)
+        for r in wide.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "t_ref", "t_cur", "n_buckets")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.expr("(n_ref * 1000000) div t_ref")
+                    - F.expr("(n_cur * 1000000) div t_cur")
+                )
+            ).cast("long").alias("tvd2_ppm")
+        )
+        .selectExpr(
+            "event_type", "CAST(t_ref AS BIGINT) n_ref",
+            "CAST(t_cur AS BIGINT) n_cur", "n_buckets", "tvd2_ppm"
+        )
+        .collect()
+    }
+    from steaminganalysis_spark.registry import collect_queries
+
+    batch_q = collect_queries()[0]["q_dq_drift"]
+    want = {
+        r.event_type: (r.n_ref, r.n_cur, r.n_buckets, r.tvd2_ppm)
+        for r in batch_q(spark, sf).collect()
+    }
+    assert got == want
