@@ -279,10 +279,13 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_event_transitions, q_emb_pca_power, q_agg_regression,
 # q_window_locf, q_scan_schema_evolution, q_agg_weighted_median,
 # q_observe_metrics, q_stream_stateful_profile, q_merge_with_deletes,
-# q_set_union_by_name, q_sql_quantified, and the 28 continuation-
-# session additions listed in the pin — 47 deferred keys total, so
-# with the 2 canaries at most 1 slot remains), then re-check slots
-# (oldest first) from
+# q_set_union_by_name, q_sql_quantified, and the continuation-
+# session additions listed in the pin — the deferred set now EXCEEDS
+# 48, so 2 canaries + deferred overflows the 50-slot window: fill all
+# 48 non-canary slots with deferred keys in registration order and
+# roll the overflow tail (plus the whole 29-key oldest-green re-check
+# backlog) to round 7; do NOT drop the canaries), then, only if slots
+# somehow remain, re-check slots (oldest first) from
 # the oldest-green backlog (round-1 stamps, priority order):
 # q_time_buckets, q_fn_string, q_fn_datetime, q_fn_math, q_fn_array,
 # q_json_parse, q_fn_map, q_json_malformed, q_fn_array2,
