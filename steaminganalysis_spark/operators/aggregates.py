@@ -1059,3 +1059,97 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000.0D + 0.5D) / 1000000.0D"
         ).alias("r"),
     )
+
+
+@query(
+    "q_agg_skewkurt",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS x
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(CAST(SUM(x) AS HUGEINT) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(x * x) AS HUGEINT) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(x * x * x) AS HUGEINT) AS DOUBLE) AS s3,
+             -- x^4 at cents scale passes int64 (56021^4 ≈ 9.8e18):
+             -- promote BEFORE the multiply, mirroring Spark's
+             -- decimal(38,0) × decimal(38,0) product
+             CAST(CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT)
+                  AS DOUBLE) AS s4
+      FROM m GROUP BY 1
+    ),
+    cm AS (
+      SELECT event_type, n, nd,
+             s1 / nd AS mu,
+             (s2 - s1 * s1 / nd) / nd AS m2,
+             (s3 - 3.0 * (s1 / nd) * s2 + 2.0 * nd * (s1 / nd) * (s1 / nd) * (s1 / nd)) / nd AS m3,
+             (s4 - 4.0 * (s1 / nd) * s3 + 6.0 * (s1 / nd) * (s1 / nd) * s2
+                 - 3.0 * nd * (s1 / nd) * (s1 / nd) * (s1 / nd) * (s1 / nd)) / nd AS m4
+      FROM sums
+    )
+    SELECT event_type, n,
+           (FLOOR((m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))) * 1000000.0 + 0.5)
+             / 1000000.0) AS skewness,
+           (FLOOR((m4 / (m2 * m2) - 3.0) * 1000000.0 + 0.5) / 1000000.0)
+             AS excess_kurtosis
+    FROM cm
+    """,
+)
+def agg_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third and fourth standardized moments — skewness and excess
+    kurtosis per event type, completing the moment-sketch family
+    (mean/var → OLS → ACF → now shape). Raw power sums Σx..Σx⁴
+    accumulate EXACTLY (decimal(38,0)/HUGEINT — x⁴ at cents scale
+    reaches ~10²¹, past both int64 and the double-exact range, which
+    is precisely why the accumulator type matters); the central-moment
+    algebra then runs on identical doubles both engines with floor-ppm
+    rounding. One partial+final aggregate pass, mergeable across
+    partitions by construction — the same single-scan property the
+    built-in skewness/kurtosis give up by Welford-merging in
+    partition order (last-ulp nondeterminism, the q_agg_stats
+    caveat)."""
+    from steaminganalysis_spark.registry import to_cents
+
+    ev = load(spark, sf_dir, "events")
+    m = ev.select("event_type", to_cents(F.col("value")).alias("x"))
+    d38 = "decimal(38,0)"
+    sums = m.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(d38)).cast("double").alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast("double").alias("s2"),
+        F.sum((F.col("x") * F.col("x") * F.col("x")).cast(d38))
+        .cast("double")
+        .alias("s3"),
+        F.sum(
+            (F.col("x") * F.col("x")).cast(d38) * (F.col("x") * F.col("x")).cast(d38)
+        )
+        .cast("double")
+        .alias("s4"),
+    )
+    cm = sums.selectExpr(
+        "event_type",
+        "n",
+        "CAST(n AS DOUBLE) AS nd",
+        "s1 / CAST(n AS DOUBLE) AS mu",
+        "(s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS m2",
+        "(s3 - 3.0D * (s1 / CAST(n AS DOUBLE)) * s2"
+        " + 2.0D * CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))"
+        " / CAST(n AS DOUBLE) AS m3",
+        "(s4 - 4.0D * (s1 / CAST(n AS DOUBLE)) * s3"
+        " + 6.0D * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * s2"
+        " - 3.0D * CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))"
+        " / CAST(n AS DOUBLE) AS m4",
+    )
+    return cm.selectExpr(
+        "event_type",
+        "n",
+        "FLOOR((m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))) * 1000000.0D + 0.5D)"
+        " / 1000000.0D AS skewness",
+        "FLOOR((m4 / (m2 * m2) - 3.0D) * 1000000.0D + 0.5D) / 1000000.0D"
+        " AS excess_kurtosis",
+    )

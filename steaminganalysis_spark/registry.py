@@ -222,7 +222,8 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_agg_corr_matrix (one-pass pairwise Pearson matrix),
 # q_anonymize_kanon (k-anonymity release audit), q_stream_dq_drift
 # (the drift monitor run as a streaming aggregation, stream≡batch
-# under the same oracle) — 280 keys / 249 oracles (count with
+# under the same oracle), q_agg_skewkurt (3rd/4th standardized
+# moments from exact power sums) — 281 keys / 250 oracles (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

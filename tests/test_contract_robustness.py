@@ -121,6 +121,7 @@ deferred_to_round6: set[str] = {
     "q_agg_corr_matrix",
     "q_anonymize_kanon",
     "q_stream_dq_drift",
+    "q_agg_skewkurt",
 }
 
 
