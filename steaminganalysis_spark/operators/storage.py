@@ -666,3 +666,60 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.localCheckpoint(eager=True)  # detach before scratch cleanup
+
+
+@query(
+    "q_scan_csv_malformed",
+    oracle="""
+    SELECT CAST(CASE WHEN n_nationkey % 5 = 2 THEN -1
+                     ELSE n_regionkey END AS BIGINT) AS region_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation
+    GROUP BY 1
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE malformed-record ingestion — the CSV twin of
+    ``q_json_malformed`` and the contract real feeds are read under:
+    the nation table is re-written with every 5th-ish row's region key
+    corrupted to a non-integer token, read back with a declared schema
+    in PERMISSIVE mode, and rows routed by health — parse failures
+    land in ``columnNameOfCorruptRecord`` (bucket −1, raw line
+    preserved for a quarantine sink) instead of killing the job
+    (FAILFAST) or silently vanishing (DROPMALFORMED). The oracle
+    recomputes the corruption rule on the clean table, certifying that
+    permissive parsing loses and invents nothing. The post-read cache
+    is the documented Spark requirement for querying the corrupt
+    column; the corrupted file is scratch-local and deterministic."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"sa_spark_badcsv_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        n = load(spark, sf_dir, "nation")
+        n.selectExpr(
+            "concat_ws(',', n_nationkey, n_name,"
+            " CASE WHEN n_nationkey % 5 = 2 THEN 'XX'"
+            " ELSE CAST(n_regionkey AS STRING) END) AS value"
+        ).coalesce(1).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema(
+            "n_nationkey int, n_name string, n_regionkey int, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .cache()
+    )
+    return (
+        parsed.select(
+            F.when(F.col("_corrupt").isNotNull(), F.lit(-1))
+            .otherwise(F.col("n_regionkey"))
+            .cast("long")
+            .alias("region_bucket")
+        )
+        .groupBy("region_bucket")
+        .agg(F.count("*").alias("n"))
+    )

@@ -223,7 +223,8 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_anonymize_kanon (k-anonymity release audit), q_stream_dq_drift
 # (the drift monitor run as a streaming aggregation, stream≡batch
 # under the same oracle), q_agg_skewkurt (3rd/4th standardized
-# moments from exact power sums) — 281 keys / 250 oracles (count with
+# moments from exact power sums), q_scan_csv_malformed (PERMISSIVE
+# corrupt-record routing) — 282 keys / 251 oracles (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

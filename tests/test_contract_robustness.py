@@ -122,6 +122,7 @@ deferred_to_round6: set[str] = {
     "q_anonymize_kanon",
     "q_stream_dq_drift",
     "q_agg_skewkurt",
+    "q_scan_csv_malformed",
 }
 
 
