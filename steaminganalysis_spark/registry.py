@@ -271,35 +271,57 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # after round 5 every key that existed at the round-5 freeze has at
 # least one driver CORRECTNESS row.
 #
-# ROUND-6 WINDOW, pre-planned (swap into ROUND6_WINDOW next round):
-# canaries q_daily_rollup + q_tpch_q12, then the post-freeze
-# round-5 keys (the deferred_to_round6 set in
-# tests/test_contract_robustness.py — that pin, not this comment, is
-# authoritative: q_copurchase_pairs, q_rfm_segments,
-# q_agg_percentile_disc, q_window_distribution, q_fn_string_distance,
-# q_dedup_jaccard_prefix, q_stream_stream_right_join, q_graph_wcc,
-# q_event_transitions, q_emb_pca_power, q_agg_regression,
-# q_window_locf, q_scan_schema_evolution, q_agg_weighted_median,
-# q_observe_metrics, q_stream_stateful_profile, q_merge_with_deletes,
-# q_set_union_by_name, q_sql_quantified, and the continuation-
-# session additions listed in the pin — the deferred set now EXCEEDS
-# 48, so 2 canaries + deferred overflows the 50-slot window: fill all
-# 48 non-canary slots with deferred keys in registration order and
-# roll the overflow tail (plus the whole 29-key oldest-green re-check
-# backlog) to round 7; do NOT drop the canaries), then, only if slots
-# somehow remain, re-check slots (oldest first) from
-# the oldest-green backlog (round-1 stamps, priority order):
-# q_time_buckets, q_fn_string, q_fn_datetime, q_fn_math, q_fn_array,
-# q_json_parse, q_fn_map, q_json_malformed, q_fn_array2,
-# q_fn_datetime2, q_fn_string2, q_dedup_exact, q_sim_topk,
-# q_text_stats, q_text_tokens, q_text_langid, q_text_quality,
-# q_text_tfidf, q_emb_centroid, q_text_fingerprint, q_text_entropy,
-# q_emb_quantize, q_pack_sequences, q_dedup_containment,
-# q_agg_grouping_flags, q_agg_minmax_by, q_agg_mode_bool,
-# q_agg_product, q_agg_salted. (Backlog tail for round 7:
-# q_agg_stats, q_agg_percentile, q_fn_explode, q_fn_explode_outer.)
-# Any round-6 additions go into deferred_to_round7 and displace
-# re-check slots from the tail.
+# ROUND-6 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
+# then the 49-key deferred_to_round6 pin from round 5 in registration
+# order. 2 + 49 overflows the 50-slot window by one, so per the
+# pre-planned rotation rule the overflow tail — q_er_clusters, the
+# last deferred key in registration order — rolls to round 7 together
+# with the whole 29-key oldest-green re-check backlog (round-1 stamps,
+# priority order, unchanged): q_time_buckets, q_fn_string,
+# q_fn_datetime, q_fn_math, q_fn_array, q_json_parse, q_fn_map,
+# q_json_malformed, q_fn_array2, q_fn_datetime2, q_fn_string2,
+# q_dedup_exact, q_sim_topk, q_text_stats, q_text_tokens,
+# q_text_langid, q_text_quality, q_text_tfidf, q_emb_centroid,
+# q_text_fingerprint, q_text_entropy, q_emb_quantize,
+# q_pack_sequences, q_dedup_containment, q_agg_grouping_flags,
+# q_agg_minmax_by, q_agg_mode_bool, q_agg_product, q_agg_salted.
+# (Backlog tail beyond those: q_agg_stats, q_agg_percentile,
+# q_fn_explode, q_fn_explode_outer.) Any round-6 additions go into
+# deferred_to_round7 (tests/test_contract_robustness.py) ahead of the
+# re-check backlog.
+ROUND6_WINDOW = [
+    # Canaries (2): flagship + the HUGEINT-class sentinel.
+    "q_daily_rollup",
+    "q_tpch_q12",
+    # --- the first 48 deferred_to_round6 keys, registration order ---
+    "q_join_asof_nearest",
+    "q_window_distribution", "q_window_locf",
+    "q_set_union_by_name",
+    "q_sql_quantified", "q_sql_pivot", "q_sql_dynamic",
+    "q_sql_unpivot", "q_sql_lateral_view",
+    "q_scan_text", "q_scan_schema_evolution", "q_scan_csv_malformed",
+    "q_dq_drift",
+    "q_stream_stream_right_join", "q_stream_stateful_profile",
+    "q_stream_dq_drift",
+    "q_agg_percentile_disc", "q_agg_regression",
+    "q_agg_weighted_median", "q_agg_bloom", "q_agg_corr_matrix",
+    "q_agg_skewkurt",
+    "q_fn_string_distance", "q_fn_aes",
+    "q_dedup_jaccard_prefix", "q_emb_pca_power", "q_text_winnowing",
+    "q_cluster_kmeans",
+    "q_event_transitions", "q_observe_metrics",
+    "q_merge_with_deletes", "q_anonymize_kanon", "q_text_readability",
+    "q_graph_wcc", "q_graph_degree",
+    "q_copurchase_pairs", "q_rfm_segments",
+    "q_seq_pattern",
+    "q_ts_changepoint", "q_ts_seasonal_profile", "q_ts_autocorr",
+    "q_window_slope", "q_window_median", "q_ts_outlier_mad",
+    "q_geo_radius_join", "q_geo_grid_density", "q_geo_nearest_poi",
+    "q_er_blocked_pairs",
+]
+
+# Retired round-5 window, for the record (50/50 green in
+# CORRECTNESS_r05.json — 45 hash + 5 rows-only):
 ROUND5_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
@@ -379,7 +401,7 @@ ROUND4_WINDOW = [
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every operator module (side effect: registration), then
-    reorder so ROUND5_WINDOW occupies the first 50 registration slots
+    reorder so ROUND6_WINDOW occupies the first 50 registration slots
     — the slice the driver's correctness gate checks this round."""
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import tpch  # noqa: F401  isort: skip
@@ -404,11 +426,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import geo  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import linkage  # noqa: F401  isort: skip
 
-    missing = [k for k in ROUND5_WINDOW if k not in QUERIES]
+    missing = [k for k in ROUND6_WINDOW if k not in QUERIES]
     if missing:
-        raise RuntimeError(f"ROUND5_WINDOW names unregistered queries: {missing}")
-    window = set(ROUND5_WINDOW)
-    ordered = ROUND5_WINDOW + [k for k in QUERIES if k not in window]
+        raise RuntimeError(f"ROUND6_WINDOW names unregistered queries: {missing}")
+    window = set(ROUND6_WINDOW)
+    ordered = ROUND6_WINDOW + [k for k in QUERIES if k not in window]
     reordered = {k: QUERIES[k] for k in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -69,110 +69,64 @@ def test_demo_app_accumulates_day_totals(spark):
             assert h["fee_cents"] == 0
 
 
-# Keys registered AFTER the round-5 window froze — exempt from the
-# rotation-closure check below, pinned here so they head the round-6
-# window (the same bookkeeping rounds 2-5 used). Every new @query
-# registration this round MUST be added here.
-deferred_to_round6: set[str] = {
-    "q_copurchase_pairs",
-    "q_rfm_segments",
-    "q_agg_percentile_disc",
-    "q_window_distribution",
-    "q_fn_string_distance",
-    "q_dedup_jaccard_prefix",
-    "q_stream_stream_right_join",
-    "q_graph_wcc",
-    "q_event_transitions",
-    "q_emb_pca_power",
-    "q_agg_regression",
-    "q_window_locf",
-    "q_scan_schema_evolution",
-    "q_agg_weighted_median",
-    "q_observe_metrics",
-    "q_stream_stateful_profile",
-    "q_merge_with_deletes",
-    "q_set_union_by_name",
-    "q_sql_quantified",
-    "q_seq_pattern",
-    "q_ts_changepoint",
-    "q_geo_radius_join",
-    "q_geo_grid_density",
-    "q_geo_nearest_poi",
-    "q_er_blocked_pairs",
+# Keys registered AFTER the round-6 window froze — exempt from the
+# rotation-closure check below, pinned here so they head the round-7
+# window (the same bookkeeping rounds 2-6 used). Every new @query
+# registration this round MUST be added here. q_er_clusters is the
+# one round-5 deferred key the 50-slot round-6 window could not hold
+# (2 canaries + 49 deferred = 51): it rolls forward ahead of any
+# round-6 addition, followed by the 29-key oldest-green re-check
+# backlog pinned in registry.py's ROUND6_WINDOW comment.
+deferred_to_round7: set[str] = {
     "q_er_clusters",
-    "q_fn_aes",
-    "q_scan_text",
-    "q_text_readability",
-    "q_graph_degree",
-    "q_sql_pivot",
-    "q_agg_bloom",
-    "q_text_winnowing",
-    "q_ts_seasonal_profile",
-    "q_join_asof_nearest",
-    "q_ts_autocorr",
-    "q_window_slope",
-    "q_sql_dynamic",
-    "q_dq_drift",
-    "q_sql_unpivot",
-    "q_sql_lateral_view",
-    "q_window_median",
-    "q_ts_outlier_mad",
-    "q_cluster_kmeans",
-    "q_agg_corr_matrix",
-    "q_anonymize_kanon",
-    "q_stream_dq_drift",
-    "q_agg_skewkurt",
-    "q_scan_csv_malformed",
 }
 
 
-def test_round5_correctness_window_composition():
-    """The driver verifies the FIRST ~50 registered queries; the round-5
-    window is the explicit ROUND5_WINDOW key list — the 43 keys
-    registered after the round-4 freeze plus the two canaries and five
-    oldest-green re-checks. Pin it so a stray registration (or an
-    import reorder) cannot silently displace queries out of the checked
-    window before the driver runs. Update deliberately on each round's
-    rotation."""
+def test_round6_correctness_window_composition():
+    """The driver verifies the FIRST ~50 registered queries; the round-6
+    window is the explicit ROUND6_WINDOW key list — the two canaries
+    plus the first 48 of round 5's 49 deferred keys in registration
+    order (q_er_clusters overflows to round 7). Pin it so a stray
+    registration (or an import reorder) cannot silently displace
+    queries out of the checked window before the driver runs. Update
+    deliberately on each round's rotation."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND5_WINDOW, collect_queries
+    from steaminganalysis_spark.registry import ROUND6_WINDOW, collect_queries
 
     QUERIES, ORACLE = collect_queries()
     first50 = list(QUERIES)[:50]
-    assert len(ROUND5_WINDOW) == 50
-    assert first50 == ROUND5_WINDOW
-    # the canaries and key re-checks must sit inside the window
+    assert len(ROUND6_WINDOW) == 50
+    assert first50 == ROUND6_WINDOW
+    # the canaries must sit inside the window
     for k in (
         "q_daily_rollup",
         "q_tpch_q12",  # HUGEINT-class sentinel (round 2's one red row)
-        "q_agg_basic",  # oldest-green re-check head
     ):
         assert k in first50, k
     # Rotation closure: after this round, every key that existed when
-    # the round-5 window froze has a driver CORRECTNESS row — the
-    # window must cover everything the union of CORRECTNESS_r01..r04
-    # did not. Keys REGISTERED AFTER the freeze are exempt here but
-    # pinned above as deferred_to_round6.
+    # the round-6 window froze has a driver CORRECTNESS row — the
+    # window must cover everything the union of CORRECTNESS_r01..r05
+    # did not, except the pinned overflow/new keys in
+    # deferred_to_round7.
     checked = set()
-    for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[1234].json")):
+    for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[12345].json")):
         checked |= set(json.loads(p.read_text()))
-    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round6]
+    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round7]
     assert set(never) <= set(first50), sorted(set(never) - set(first50))
-    assert deferred_to_round6 <= set(QUERIES)
-    assert deferred_to_round6.isdisjoint(first50)
+    assert deferred_to_round7 <= set(QUERIES)
+    assert deferred_to_round7.isdisjoint(first50)
     # every key in the window is registered with an oracle unless it is
-    # one of the documented rows-only keys (file layout, sketch bytes,
-    # BPE float-order artifacts, stateful streaming HLL — see
+    # one of the documented rows-only keys (physical file layout,
+    # sketch-byte payloads, float-order artifacts — see
     # test_oracle_parity's list)
     rows_only_in_window = {k for k in first50 if k not in ORACLE}
     assert rows_only_in_window == {
-        "q_partition_overwrite_dynamic",
-        "q_stream_hll_daily",
-        "q_agg_cms_sketch",
-        "q_bpe_train",
-        "q_bpe_encode",
+        "q_scan_schema_evolution",
+        "q_agg_bloom",
+        "q_emb_pca_power",
+        "q_cluster_kmeans",
     }, rows_only_in_window
 
 

@@ -30,33 +30,33 @@ def test_oracle_type_classes_match(spark, duck, name):
     assert not problems, "\n".join(problems)
 
 
-def test_round5_window_oracles_all_audited():
-    """Rotation pre-audit closure (VERDICT r4 order #2): every oracle
-    key in the round-5 driver window is inside the parametrized
-    type-class audit above (which covers ALL registered oracles), so
-    none of the 43 first-time-checked keys can hit the driver with an
-    unaudited HUGEINT/DECIMAL oracle."""
-    from steaminganalysis_spark.registry import ROUND5_WINDOW
+def test_round6_window_oracles_all_audited():
+    """Rotation pre-audit closure (VERDICT r4 order #2's standing
+    pattern): every oracle key in the round-6 driver window is inside
+    the parametrized type-class audit above (which covers ALL
+    registered oracles), so none of the 48 first-time-checked keys can
+    hit the driver with an unaudited HUGEINT/DECIMAL oracle."""
+    from steaminganalysis_spark.registry import ROUND6_WINDOW
 
-    window_oracles = [k for k in ROUND5_WINDOW if k in ORACLE]
-    assert len(window_oracles) == 45  # 50 minus the 5 rows-only keys
+    window_oracles = [k for k in ROUND6_WINDOW if k in ORACLE]
+    assert len(window_oracles) == 46  # 50 minus the 4 rows-only keys
     assert set(window_oracles) <= set(ORACLE)
 
 
-def test_round6_deferred_oracles_all_audited():
-    """Round-6 rotation pre-audit closure: every key registered after
-    the round-5 window froze (the pinned deferred_to_round6 set — the
+def test_round7_deferred_oracles_all_audited():
+    """Round-7 rotation pre-audit closure: every key registered after
+    the round-6 window froze (the pinned deferred_to_round7 set — the
     next round's window head) that has an oracle is inside the
     parametrized type-class audit above, so none can hit the driver
     with an unaudited HUGEINT/DECIMAL oracle either."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND5_WINDOW
+    from steaminganalysis_spark.registry import ROUND6_WINDOW
 
-    checked = set(ROUND5_WINDOW)
+    checked = set(ROUND6_WINDOW)
     for p in sorted(
-        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[1234].json")
+        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[12345].json")
     ):
         checked |= set(json.loads(p.read_text()))
     deferred = [k for k in QUERIES if k not in checked]
