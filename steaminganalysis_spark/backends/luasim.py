@@ -239,7 +239,11 @@ class LuaScriptRunner:
                 self._exec(ast, env)
             except _Return as r:
                 v = r.value
-                return int(v) if isinstance(v, float) and v.is_integer() else v
+                # Redis truncates ANY Lua number to an integer in the
+                # EVAL reply (fractional parts are dropped, not an
+                # error) — match that so this in-process path cannot
+                # diverge from the miniredis wire path.
+                return int(v) if isinstance(v, float) else v
             return None
 
     @staticmethod

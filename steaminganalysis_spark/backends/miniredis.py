@@ -301,9 +301,12 @@ class MiniRedisServer:
         raise ResponseError(f"ERR unknown command '{cmd}'")
 
     def _scan(self, args: list[str]):
-        # Cursor over a snapshot ordering: strings then hashes. A real
-        # Redis cursor is a reverse-bit iterator; for a test server a
-        # stable index cursor gives the same at-least-once contract.
+        # Positional cursor over the key pool re-derived per page
+        # (strings then hashes). A real Redis cursor is a reverse-bit
+        # iterator with an at-least-once guarantee under concurrent
+        # mutation; this index cursor only guarantees full coverage
+        # when the keyspace is not mutated between pages — fine for
+        # the single-threaded drain-after-batch callers here.
         cursor = int(args[0])
         match, type_filter, count = "*", None, 10
         i = 1

@@ -127,3 +127,24 @@ def test_lua_runner_rejects_unsupported_constructs():
 
     with pytest.raises(NotImplementedError):
         LuaScriptRunner().eval("redis.call('DEL', KEYS[1])", ["k"], [])
+
+
+def test_lua_eval_truncates_fractional_number_replies():
+    """Redis truncates ANY Lua number to an integer in the EVAL reply.
+    Both execution paths — the in-process runner and the miniredis
+    RESP wire — must agree, or a script returning a fractional value
+    would diverge between LuaKVStore and RedisKVStore deployments."""
+    from tests.lua_redis_sim import LuaScriptRunner
+
+    assert LuaScriptRunner().eval("return tonumber(ARGV[1])", [], ["7.9"]) == 7
+    from steaminganalysis_spark.backends.miniredis import MiniRedisServer
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    with MiniRedisServer() as srv:
+        store = KVStore.instance(srv.url)
+        try:
+            assert store._r.execute_command(
+                "EVAL", "return tonumber(ARGV[1])", "0", "7.9"
+            ) == 7
+        finally:
+            KVStore.reset(srv.url)
