@@ -1,0 +1,225 @@
+"""Corpus-curation operators (round 6): deterministic weighted
+sampling, cross-validation fold assignment, and document-frequency
+vocabulary pruning — the selection/splitting layer a training-data
+pipeline runs between cleaning and packing.
+
+Everything here is a PURE FUNCTION of the input keys: randomness comes
+from md5 over a seeded key string, evaluated with identical SQL
+expressions in Spark and the DuckDB oracle (the same discipline as
+``q_sample_hash`` / ``q_shuffle_deterministic``), so every operator is
+reproducible across runs, engines, and repartitions — the property
+sampling and fold assignment need for resumable pipelines.
+
+Scale posture (the 100 TB story):
+
+- ``q_sample_weighted`` is Efraimidis–Spirakis A-ES weighted sampling
+  without replacement: priority ``ln(u)/w`` per document (u a
+  hash-derived uniform, w the document weight), global top-K by
+  priority. In Spark the top-K compiles to ``TakeOrderedAndProject``
+  — each task keeps a K-row heap and the driver merges P·K rows —
+  so there is NO global sort and NO shuffle of the corpus, at any
+  scale. The hash-derived u means no RNG state: re-running selects the
+  same sample, and adding documents never perturbs the priorities of
+  existing ones (only the top-K cut line).
+- ``q_crossval_folds`` maps each document to one of K folds by an
+  integer-arithmetic hash digest — a zero-exchange map; fold
+  membership is stable under corpus growth, so incremental runs never
+  reshuffle old assignments.
+- ``q_vocab_prune`` is the gensim-style ``filter_extremes``: drop
+  tokens whose document frequency is out of [MIN_DF, MAX_DF_FRAC·N],
+  then rebuild each document preserving token order. The DF table is
+  tiny relative to the corpus (vocab-sized) and is broadcast back, so
+  the corpus shuffles ONCE (on doc_id, to reassemble) — the DF
+  aggregate's shuffle moves vocab-sized partial counts, not tokens.
+
+Determinism: uniforms are 32-bit dyadic rationals (exact doubles on
+both engines); ``ln`` ordering ties would need two 32-bit hashes
+within ~1 ulp after division — not a realistic event, and the
+selection emits value columns only (no ranks), so a boundary swap
+inside the top-K is the only exposure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.registry import query
+from steaminganalysis_spark.sources import load
+
+SAMPLE_K = 200  # documents kept by the weighted sample
+FOLDS = 5
+MIN_DF = 3  # q_vocab_prune: min documents a token must appear in
+MAX_DF_FRAC = 0.3  # ... and max fraction of the corpus it may appear in
+
+_HEXD = "0123456789abcdef"
+
+
+def _hex_digit(h: str, i: int) -> str:
+    """Dialect-common SQL for the value of hex digit ``i`` (1-based) of
+    expression ``h`` — POSITION/substr evaluate identically in Spark
+    and DuckDB."""
+    # BIGINT cast: Spark's POSITION is INT and d·16^7 overflows int32
+    # under ANSI arithmetic
+    return f"(CAST(POSITION(substr({h}, {i}, 1) IN '{_HEXD}') AS BIGINT) - 1)"
+
+
+def _uniform_sql(key_expr: str, seed: str) -> str:
+    """A dyadic uniform in (0,1]: the first 8 hex digits of
+    ``md5(seed:key)`` as u = (n+1)/2^32 — 32 significant bits, exactly
+    representable, bit-identical on both engines."""
+    h = f"md5('{seed}:' || CAST({key_expr} AS STRING))"
+    n = " + ".join(
+        f"{_hex_digit(h, i)} * {16 ** (8 - i)}" for i in range(1, 9)
+    )
+    return f"(CAST(({n}) + 1 AS DOUBLE) / 4294967296.0)"
+
+
+def _fold_sql(key_expr: str, seed: str, k: int) -> str:
+    """Fold id in [0, k): first 3 hex digits of md5(seed:key) as an
+    integer mod k — pure BIGINT arithmetic, identical on both engines
+    (4096 % k leaves a ≤k/4096 imbalance, documented not hidden)."""
+    h = f"md5('{seed}:' || CAST({key_expr} AS STRING))"
+    n = f"({_hex_digit(h, 1)} * 256 + {_hex_digit(h, 2)} * 16 + {_hex_digit(h, 3)})"
+    return f"CAST({n} % {k} AS BIGINT)"
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    SELECT doc_id, n_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             ln({_uniform_sql('doc_id', 'wsamp')}) / CAST(n_chars AS DOUBLE)
+               AS priority
+      FROM documents
+    )
+    ORDER BY priority DESC, doc_id
+    LIMIT {SAMPLE_K}
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES), weight = n_chars: documents are ranked by ``ln(u)/w`` with
+    u a hash-derived uniform — equivalent to ranking by ``u^(1/w)`` —
+    and the top-{SAMPLE_K} kept, so selection probability is
+    proportional to document length without replacement. The uniform
+    is a pure function of (seed, doc_id): no RNG state, reproducible
+    on any engine or partitioning. Plan: map-side priority + top-K via
+    TakeOrderedAndProject (per-task K-row heap, driver merges P·K
+    rows) — the corpus is never sorted or shuffled."""
+    pri = f"ln({_uniform_sql('doc_id', 'wsamp')}) / CAST(n_chars AS DOUBLE)"
+    return (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "n_chars", f"{pri} AS priority")
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(SAMPLE_K)
+        .select("doc_id", "n_chars")
+    )
+
+
+@query(
+    "q_crossval_folds",
+    oracle=f"""
+    SELECT doc_id, {_fold_sql('doc_id', 'fold', FOLDS)} AS fold
+    FROM documents
+    """,
+)
+def crossval_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{FOLDS}-fold cross-validation assignment: fold = the first three
+    hex digits of md5(seed:doc_id) as an integer mod {FOLDS} — integer
+    arithmetic end to end, so the assignment is exact on any engine
+    and STABLE under corpus growth (a new document never moves an old
+    one between folds, unlike ntile/row_number schemes). Zero
+    exchanges: the fold id is computed in the scan projection."""
+    return load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_fold_sql('doc_id', 'fold', FOLDS)} AS fold"
+    )
+
+
+@query(
+    "q_vocab_prune",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    df AS (
+      SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY w
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    kept AS (
+      SELECT t.doc_id, t.w, t.pos
+      FROM toks t JOIN df ON df.w = t.w, n
+      WHERE df.df >= {MIN_DF}
+        AND df.df <= CAST(FLOOR({MAX_DF_FRAC} * n.n_docs) AS BIGINT)
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(w, ' ' ORDER BY pos) AS pruned_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.pruned_text, '') AS pruned_text,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT)
+             - COALESCE(r.n_kept, 0) AS n_dropped
+    FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """,
+)
+def vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency vocabulary pruning (gensim
+    ``filter_extremes``): drop tokens appearing in fewer than
+    {MIN_DF} documents (typo-class noise) or more than
+    {MAX_DF_FRAC:.0%} of the corpus (boilerplate/stopwords), then
+    rebuild every document with surviving tokens in original order.
+    Plan: the DF aggregate shuffles vocab-sized partial counts (never
+    token instances — map-side combine on the token key); the kept
+    vocabulary joins back BROADCAST (vocab ≪ corpus); reassembly is
+    the single corpus shuffle, on doc_id. Documents losing every token
+    survive with empty text — corpus cardinality is preserved."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    df = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    # corpus size enters the plan as a broadcast 1-row join, not a
+    # driver-side action — the whole query stays one declarative plan
+    n = docs.agg(F.count("*").alias("n_docs"))
+    kept_vocab = (
+        df.crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("df") >= MIN_DF)
+            & (F.col("df") <= F.floor(F.lit(MAX_DF_FRAC) * F.col("n_docs")))
+        )
+        .select("w")
+    )
+    rebuilt = (
+        toks.join(F.broadcast(kept_vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("pruned_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pruned_text", F.lit("")).alias("pruned_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_toks") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

@@ -224,8 +224,15 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # (the drift monitor run as a streaming aggregation, stream≡batch
 # under the same oracle), q_agg_skewkurt (3rd/4th standardized
 # moments from exact power sums), q_scan_csv_malformed (PERMISSIVE
-# corrupt-record routing) — 282 keys / 251 oracles (count with
-# collect_queries(), never this comment).
+# corrupt-record routing) — 282 keys / 251 oracles at the round-5
+# close (count with collect_queries(), never this comment).
+#
+# Round-6 additions (operators/curation.py — the corpus
+# selection/splitting layer): q_sample_weighted (Efraimidis–Spirakis
+# A-ES weighted sampling, hash-derived uniforms, TakeOrderedAndProject
+# top-K), q_crossval_folds (stable hash fold assignment, zero
+# exchanges), q_vocab_prune (document-frequency filter_extremes with
+# order-preserving rebuild).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the
@@ -425,6 +432,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import sequences  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import geo  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import linkage  # noqa: F401  isort: skip
+    from steaminganalysis_spark.operators import curation  # noqa: F401  isort: skip
 
     missing = [k for k in ROUND6_WINDOW if k not in QUERIES]
     if missing:

@@ -79,6 +79,10 @@ def test_demo_app_accumulates_day_totals(spark):
 # backlog pinned in registry.py's ROUND6_WINDOW comment.
 deferred_to_round7: set[str] = {
     "q_er_clusters",
+    # round-6 additions (operators/curation.py)
+    "q_sample_weighted",
+    "q_crossval_folds",
+    "q_vocab_prune",
 }
 
 

@@ -1,0 +1,96 @@
+"""Pins for operators/curation.py beyond oracle parity: the weighted
+sample's top-K plan shape and length bias, fold-assignment stability
+across corpus growth, and vocab-prune's order/bound invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.operators.curation import (
+    FOLDS,
+    MAX_DF_FRAC,
+    MIN_DF,
+    SAMPLE_K,
+)
+from steaminganalysis_spark.registry import collect_queries
+from tests.conftest import SF_DIR
+
+QUERIES, ORACLE = collect_queries()
+
+
+def test_sample_weighted_topk_plan_no_global_sort(spark):
+    """The selection must compile to TakeOrderedAndProject (per-task
+    K-row heap, driver merges P·K rows) — a global Sort node would be
+    the 100 TB scale-killer this operator exists to avoid."""
+    from steaminganalysis_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["q_sample_weighted"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_sample_weighted_is_length_biased_and_deterministic(spark):
+    """Weight = n_chars must show up as length bias (sampled mean above
+    corpus mean), and two runs must select the identical set (the
+    hash-derived uniform has no RNG state)."""
+    from steaminganalysis_spark.sources import load
+
+    got = QUERIES["q_sample_weighted"](spark, SF_DIR).collect()
+    assert len(got) == min(SAMPLE_K, 500)
+    sample_mean = sum(r.n_chars for r in got) / len(got)
+    corpus_mean = (
+        load(spark, SF_DIR, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
+    again = QUERIES["q_sample_weighted"](spark, SF_DIR).collect()
+    assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in again)
+
+
+def test_crossval_folds_balanced_and_stable_under_growth(spark):
+    """Every fold lands within a loose balance band, and a document's
+    fold is identical at sf0.001 and sf0.01 — assignment is a pure
+    function of doc_id, so corpus growth never reassigns (the property
+    row_number/ntile schemes lack)."""
+    small = {r.doc_id: r.fold for r in QUERIES["q_crossval_folds"](spark, SF_DIR).collect()}
+    assert set(small.values()) <= set(range(FOLDS))
+    counts = [list(small.values()).count(f) for f in range(FOLDS)]
+    n = len(small)
+    assert all(0.5 * n / FOLDS < c < 1.5 * n / FOLDS for c in counts), counts
+    bigger = {
+        r.doc_id: r.fold
+        for r in QUERIES["q_crossval_folds"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    overlap = set(small) & set(bigger)
+    assert overlap and all(small[d] == bigger[d] for d in overlap)
+
+
+def test_vocab_prune_bounds_and_order_preserved(spark):
+    """No surviving token violates the DF bounds, kept tokens appear in
+    original document order (a subsequence of the source text), and
+    corpus cardinality is preserved even for fully-pruned documents."""
+    from steaminganalysis_spark.sources import load
+
+    docs = {r.doc_id: r.text for r in load(spark, SF_DIR, "documents").collect()}
+    out = QUERIES["q_vocab_prune"](spark, SF_DIR).collect()
+    assert len(out) == len(docs)
+
+    # recompute exact document frequencies in Python
+    from collections import Counter
+
+    df = Counter()
+    for text in docs.values():
+        df.update(set(text.split(" ")))
+    max_df = int(MAX_DF_FRAC * len(docs))
+
+    for r in out:
+        orig = docs[r.doc_id].split(" ")
+        kept = r.pruned_text.split(" ") if r.pruned_text else []
+        assert r.n_kept == len(kept)
+        assert r.n_dropped == len(orig) - len(kept)
+        for w in set(kept):
+            assert MIN_DF <= df[w] <= max_df, (w, df[w])
+        # kept must be the exact in-order subsequence of survivors
+        expect = [w for w in orig if MIN_DF <= df[w] <= max_df]
+        assert kept == expect
