@@ -582,3 +582,173 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "med_cents", "mad_cents", "n_outliers")
     )
+
+
+_DECAY_FRAME = 16  # events per decayed frame (current + 15 back)
+_DECAY_TOP = 1 << (_DECAY_FRAME - 1)  # weight of the current event: 2^15
+
+
+@query(
+    "q_ts_decayed_sum",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id, a.cents,
+           CAST(SUM(b.cents *
+                    CAST(POWER(2, {_DECAY_FRAME - 1} - (a.rn - b.rn)) AS BIGINT))
+                AS BIGINT) AS decayed_scaled
+    FROM e a JOIN e b
+      ON b.user_id = a.user_id AND a.rn - b.rn BETWEEN 0 AND {_DECAY_FRAME - 1}
+    GROUP BY a.user_id, a.event_id, a.cents
+    """,
+)
+def ts_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed running sum (half-life = one event) over
+    each user's ts-ordered event stream, truncated to the trailing
+    {16}-event frame: the recency-weighted activity score behind
+    fraud/engagement features, as EWMA-style state without
+    ``applyInPandas``. The emitted value is scaled by 2^15 so every
+    weight 2^(15-d) is an INTEGER — the whole computation is exact
+    BIGINT arithmetic, bit-identical on any engine or partitioning
+    (a float EWMA would be summation-order-sensitive). Truncation is
+    what makes it a WINDOW: untruncated EWMA is a sequential
+    recurrence; the 16-event frame loses at most one part in 2^16 of
+    the mass and turns it into one row-frame window pass.
+
+    Plan: one shuffle on user_id; collect_list over the row frame
+    (≤16 longs per row, frame order = (ts, event_id) order) folded by
+    a JVM higher-order ``aggregate`` with integer halving — no UDF,
+    no second exchange. The oracle computes the same integers via a
+    banded rn self-join — two different algorithms, one exact answer.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", to_cents(F.col("value")).alias("cents")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_DECAY_FRAME - 1), 0)
+    )
+    frame = F.collect_list("cents").over(w)
+    fold = (
+        f"aggregate(reverse(frame), "
+        f"named_struct('s', CAST(0 AS BIGINT), 'w', CAST({_DECAY_TOP} AS BIGINT)), "
+        f"(acc, x) -> named_struct('s', acc.s + x * acc.w, 'w', acc.w div 2), "
+        f"acc -> acc.s)"
+    )
+    return (
+        ev.select("user_id", "event_id", "cents", frame.alias("frame"))
+        .selectExpr("user_id", "event_id", "cents", f"{fold} AS decayed_scaled")
+    )
+
+
+@query(
+    "q_ts_gapfill_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts) / 3600.0) AS BIGINT) AS h,
+             CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(min(h), max(h))) AS h
+      FROM hourly GROUP BY event_type
+    ),
+    joined AS (
+      SELECT g.event_type, g.h, hr.cents
+      FROM grid g LEFT JOIN hourly hr
+        ON hr.event_type = g.event_type AND hr.h = g.h
+    ),
+    bounded AS (
+      SELECT event_type, h, cents,
+             last_value(cents IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wp AS ph,
+             first_value(cents IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wn AS nh
+      FROM joined
+      WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h,
+           CAST(CASE WHEN cents IS NOT NULL THEN cents
+                ELSE pv + CAST(FLOOR(
+                       CAST((nv - pv) * (h - ph) AS DOUBLE)
+                       / CAST(nh - ph AS DOUBLE) + 0.5) AS BIGINT)
+                END AS BIGINT) AS cents,
+           cents IS NULL AS interpolated
+    FROM bounded
+    """,
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap fill with LINEAR interpolation (the companion to
+    ``q_window_locf``'s step fill): the hourly cents series per event
+    type is completed to a dense hour grid, and every missing bucket
+    gets the straight line between its neighboring observed buckets —
+    ``pv + round((nv-pv)·(h-ph)/(nh-ph))`` with the engine's
+    floor(x+0.5) convention on an exact small-integer ratio, so both
+    engines land the identical BIGINT. Grid endpoints are the observed
+    min/max hour per type, so every gap is interior (both neighbors
+    exist by construction).
+
+    Plan: fact table collapses to (type, hour) FIRST; the grid is a
+    per-type ``sequence`` explode over the tiny bounds row; gap fill
+    is two IGNORE-NULLS window passes sharing one event_type
+    partitioning — O(types × hours) everywhere, fact volume touched
+    exactly once."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(3600.0)).cast("long").alias("h"),
+    ).agg(F.sum(to_cents(F.col("value"))).cast("long").alias("cents"))
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
+        )
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left")
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    known_h = F.when(F.col("cents").isNotNull(), F.col("h"))
+    bounded = joined.select(
+        "event_type",
+        "h",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("cents", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    interp = F.col("pv") + F.floor(
+        ((F.col("nv") - F.col("pv")) * (F.col("h") - F.col("ph"))).cast("double")
+        / (F.col("nh") - F.col("ph")).cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    return bounded.select(
+        "event_type",
+        "h",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(interp)
+        .cast("long")
+        .alias("cents"),
+        F.col("cents").isNull().alias("interpolated"),
+    )

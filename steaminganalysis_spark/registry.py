@@ -232,7 +232,10 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # A-ES weighted sampling, hash-derived uniforms, TakeOrderedAndProject
 # top-K), q_crossval_folds (stable hash fold assignment, zero
 # exchanges), q_vocab_prune (document-frequency filter_extremes with
-# order-preserving rebuild).
+# order-preserving rebuild). Sequences additions: q_ts_decayed_sum
+# (integer-exact truncated-EWMA recency score, one window pass),
+# q_ts_gapfill_interpolate (dense-grid linear interpolation, the
+# companion to q_window_locf's step fill).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

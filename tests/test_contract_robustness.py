@@ -83,6 +83,9 @@ deferred_to_round7: set[str] = {
     "q_sample_weighted",
     "q_crossval_folds",
     "q_vocab_prune",
+    # round-6 additions (operators/sequences.py)
+    "q_ts_decayed_sum",
+    "q_ts_gapfill_interpolate",
 }
 
 

@@ -65,3 +65,66 @@ def test_ts_changepoint_internal_consistency(spark):
         spine = sorted(ev.loc[ev["event_type"] == etype, "hour"].unique())
         assert set(hours).isdisjoint(spine[:_N_BEFORE])
         assert min(hours) == spine[_N_BEFORE]
+
+
+def test_ts_decayed_sum_matches_python_recompute(spark):
+    """The window-fold decayed sum must equal a row-at-a-time Python
+    recompute of Σ cents[t-d]·2^(15-d) over each user's (ts, event_id)
+    ordered stream — and stay within one shuffle (user_id)."""
+    from steaminganalysis_spark.operators.sequences import _DECAY_FRAME
+
+    df = QUERIES["q_ts_decayed_sum"](spark, SF)
+    assert count_exchanges(df) == 1
+    got = {r.event_id: r.decayed_scaled for r in df.collect()}
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["cents"] = (ev["value"].astype(float) * 100.0 + 0.5).apply(
+        lambda x: int(x // 1)
+    )
+    expect = {}
+    for _, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        hist = []
+        for _, row in g.iterrows():
+            hist.append(int(row["cents"]))
+            frame = hist[-_DECAY_FRAME:]
+            expect[row["event_id"]] = sum(
+                c * (1 << (_DECAY_FRAME - 1 - d))
+                for d, c in enumerate(reversed(frame))
+            )
+    assert got == expect
+
+
+def test_ts_gapfill_grid_complete_and_interpolation_bounded(spark):
+    """Every type's grid is dense from min to max observed hour; known
+    buckets pass through unchanged (flag False); interpolated buckets
+    lie between their neighboring observed values (linearity implies
+    betweenness) and are flagged."""
+    rows = QUERIES["q_ts_gapfill_interpolate"](spark, SF).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    # unit-proof epoch hour: parquet NANOS may land as datetime64[us]
+    ev["h"] = ev["ts"].map(lambda t: int(t.timestamp()) // 3600)
+    ev["cents"] = (ev["value"].astype(float) * 100.0 + 0.5).apply(
+        lambda x: int(x // 1)
+    )
+    known = ev.groupby(["event_type", "h"])["cents"].sum()
+    for t, rs in by_type.items():
+        hs = sorted(r.h for r in rs)
+        assert hs == list(range(hs[0], hs[-1] + 1)), t  # dense grid
+        series = {r.h: r for r in rs}
+        obs = sorted(h for (tt, h) in known.index if tt == t)
+        assert hs[0] == obs[0] and hs[-1] == obs[-1]
+        for r in rs:
+            if (t, r.h) in known.index:
+                assert not r.interpolated
+                assert r.cents == known[(t, r.h)]
+            else:
+                assert r.interpolated
+                prev_h = max(h for h in obs if h < r.h)
+                next_h = min(h for h in obs if h > r.h)
+                lo = min(known[(t, prev_h)], known[(t, next_h)])
+                hi = max(known[(t, prev_h)], known[(t, next_h)])
+                assert lo <= r.cents <= hi, (t, r.h, r.cents, lo, hi)
+        assert any(r.interpolated for r in rs) or len(obs) == len(hs)
