@@ -554,3 +554,222 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree")
     )
     return full.groupBy("degree").agg(F.count("*").alias("n_parts"))
+
+
+# Buyer-set similarity: customers with > MAX_BUYER_BASKET distinct
+# parts are dropped before the pair join — the per-key quadratic guard
+# (a retail "everything buyer" with 10⁴ parts is 10⁸ pair rows from
+# one key). Applied identically in the oracle.
+MAX_BUYER_BASKET = 64
+JACCARD_TOPK = 100
+
+
+@query(
+    "q_graph_jaccard_neighbors",
+    oracle=f"""
+    WITH bought AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ok AS (SELECT cust FROM bought GROUP BY 1
+           HAVING COUNT(*) <= {MAX_BUYER_BASKET}),
+    bk AS (SELECT b.* FROM bought b JOIN ok USING (cust)),
+    deg AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS d FROM bk GROUP BY 1),
+    common AS (
+      SELECT a.part AS part_a, b.part AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS common_buyers
+      FROM bk a JOIN bk b
+        ON a.cust = b.cust AND a.part < b.part
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, common_buyers,
+           CAST(da.d + db.d - common_buyers AS BIGINT) AS union_buyers,
+           CAST((common_buyers * 1000000)
+                // (da.d + db.d - common_buyers) AS BIGINT) AS jac_ppm
+    FROM common
+    JOIN deg da ON da.part = part_a
+    JOIN deg db ON db.part = part_b
+    ORDER BY jac_ppm DESC, common_buyers DESC, part_a, part_b
+    LIMIT {JACCARD_TOPK}
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: the top-{100}
+    part pairs by Jaccard overlap of their BUYER sets (customers who
+    bought both / customers who bought either), the link-prediction /
+    "customers also bought" kernel. Jaccard is emitted as an exact
+    integer ppm (BIGINT multiply + truncating div, identical on both
+    engines), and the ranking is integer-only — (jac_ppm,
+    common_buyers, part_a, part_b) — so no float ever orders the
+    output.
+
+    Scale shape: candidates come from the cust EQUI-join (parts
+    sharing at least one buyer — never an all-pairs product), with the
+    MAX_BUYER_BASKET cap bounding any one customer's contribution to
+    ≤cap² pair rows; the pair aggregate is partial+final on the pair
+    key; per-part buyer degrees are a vocabulary-sized aggregate
+    broadcast onto the surviving pairs; top-{100} is
+    TakeOrderedAndProject, never a global sort."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bought = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    ok = (
+        bought.groupBy("cust")
+        .agg(F.count("*").alias("_k"))
+        .filter(F.col("_k") <= MAX_BUYER_BASKET)
+        .select("cust")
+    )
+    bk = bought.join(F.broadcast(ok), "cust")
+    deg = bk.groupBy("part").agg(F.count("*").alias("d"))
+    a, b = bk.alias("a"), bk.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
+        .agg(F.count("*").alias("common_buyers"))
+    )
+    da = deg.selectExpr("part AS part_a", "d AS da")
+    db = deg.selectExpr("part AS part_b", "d AS db")
+    union = F.col("da") + F.col("db") - F.col("common_buyers")
+    return (
+        common.join(F.broadcast(da), "part_a")
+        .join(F.broadcast(db), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("common_buyers").cast("long").alias("common_buyers"),
+            union.cast("long").alias("union_buyers"),
+            ((F.col("common_buyers") * 1000000) / union)
+            .cast("long")
+            .alias("jac_ppm"),
+        )
+        .orderBy(
+            F.col("jac_ppm").desc(),
+            F.col("common_buyers").desc(),
+            "part_a",
+            "part_b",
+        )
+        .limit(JACCARD_TOPK)
+    )
+
+
+LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous weighted label propagation over the part
+    co-purchase graph: l0(v)=v; each round v adopts the label with the
+    max incident co-purchase weight among its neighbors (min label on
+    weight ties). Every CTE is MATERIALIZED — DuckDB inlines plain
+    CTEs and each round references its predecessor per direction,
+    which compounds to a 2^k plan blowup without the hint (the
+    q_graph_wcc lesson)."""
+    ctes = [
+        "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """pairs AS MATERIALIZED (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        )""",
+        """edges AS MATERIALIZED (SELECT pa AS src, pb AS dst, w FROM pairs
+                     UNION ALL SELECT pb, pa, w FROM pairs)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for k in range(1, LPA_ROUNDS + 1):
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+                 SELECT e.dst AS node, l.lbl, SUM(e.w) AS tw
+                 FROM edges e JOIN l{k - 1} l ON l.node = e.src
+                 GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+                 SELECT node, lbl FROM (
+                   SELECT node, lbl,
+                          ROW_NUMBER() OVER (PARTITION BY node
+                                             ORDER BY tw DESC, lbl) AS rn
+                   FROM w{k}
+                 ) WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT node AS part, CAST(lbl AS BIGINT) AS community
+        FROM l{LPA_ROUNDS}
+        ORDER BY node
+        """
+    )
+
+
+@query("q_graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous WEIGHTED label propagation
+    (4 fixed rounds) over the part co-purchase graph (q_graph_wcc's
+    edge rule, keeping the co-purchase count as the edge weight):
+    every round, each node adopts the label carrying the maximum
+    incident weight among its neighbors, min label on ties — the
+    deterministic variant of Raghavan et al.'s LPA (random tie-breaks
+    and asynchronous sweeps are the textbook algorithm's two
+    nondeterminisms; fixed rounds + min-label ties make the result a
+    pure function of the input, hence oracle-checkable). Differs from
+    WCC exactly where it should: WCC floods the min node id through
+    any connectivity, LPA lets dense co-purchase clusters hold local
+    labels against weak bridges.
+
+    Scale shape: the staged fact self-join builds weighted edges ONCE;
+    each round is edges ⋈ broadcast(O(V) label vector) → a (dst,
+    lbl)-keyed weight aggregate (map-side partial SUM) → a struct-max
+    argmax per node. On a web-scale graph the broadcast becomes the
+    co-partitioned join and per-round delta nodes shrink the frontier
+    — the same documented evolution as PageRank/WCC/BFS."""
+    from steaminganalysis_spark.staging import stage
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").cast("long").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    edges = stage(
+        pairs.selectExpr("pa AS src", "pb AS dst", "w").unionAll(
+            pairs.selectExpr("pb AS src", "pa AS dst", "w")
+        ),
+        "lpa_edges",
+        bucket_col="src",
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    )
+    for _ in range(LPA_ROUNDS):
+        weights = (
+            edges.join(F.broadcast(labels), edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.sum("w").alias("tw"))
+        )
+        # struct-max argmax: max total weight, then MIN label (labels
+        # are non-negative part keys, so -lbl inverts the order)
+        labels = (
+            weights.groupBy("node")
+            .agg(F.max(F.struct(F.col("tw"), (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("lbl"))
+        )
+    return labels.select(
+        F.col("node").alias("part"), F.col("lbl").cast("long").alias("community")
+    ).orderBy("part")

@@ -235,7 +235,10 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # order-preserving rebuild). Sequences additions: q_ts_decayed_sum
 # (integer-exact truncated-EWMA recency score, one window pass),
 # q_ts_gapfill_interpolate (dense-grid linear interpolation, the
-# companion to q_window_locf's step fill).
+# companion to q_window_locf's step fill). Graph additions:
+# q_graph_jaccard_neighbors (item-item CF top-k by buyer-set
+# Jaccard), q_graph_label_propagation (deterministic weighted LPA
+# communities).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

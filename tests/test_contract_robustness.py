@@ -86,6 +86,9 @@ deferred_to_round7: set[str] = {
     # round-6 additions (operators/sequences.py)
     "q_ts_decayed_sum",
     "q_ts_gapfill_interpolate",
+    # round-6 additions (operators/graph.py)
+    "q_graph_jaccard_neighbors",
+    "q_graph_label_propagation",
 }
 
 

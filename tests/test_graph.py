@@ -174,3 +174,102 @@ def test_bfs_plan_staged_and_broadcast_iterations(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_jaccard_neighbors_matches_python_brute_force(spark):
+    """The top-k buyer-set Jaccard ranking must equal a Python
+    brute-force recompute (sets from pandas, exact integer ppm, same
+    integer-only tie-breaks) — pinning the candidate equi-join's
+    completeness and the cap's replication."""
+    import pandas as pd
+
+    from steaminganalysis_spark.operators.graph import (
+        JACCARD_TOPK,
+        MAX_BUYER_BASKET,
+    )
+
+    got = [
+        (r.part_a, r.part_b, r.common_buyers, r.union_buyers, r.jac_ppm)
+        for r in QUERIES["q_graph_jaccard_neighbors"](spark, SF).collect()
+    ]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    orders = pd.read_parquet(f"{SF}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    bought = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    buyers: dict[int, set] = {}
+    parts_by_cust: dict[int, set] = {}
+    for c, p in set(zip(bought["o_custkey"], bought["l_partkey"])):
+        parts_by_cust.setdefault(c, set()).add(p)
+    for c, ps in parts_by_cust.items():
+        if len(ps) <= MAX_BUYER_BASKET:
+            for p in ps:
+                buyers.setdefault(p, set()).add(c)
+    rows = []
+    parts = sorted(buyers)
+    seen_pairs = {}
+    for c, ps in parts_by_cust.items():
+        if len(ps) > MAX_BUYER_BASKET:
+            continue
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                seen_pairs[(ps[i], ps[j])] = None
+    for pa, pb in seen_pairs:
+        common = len(buyers[pa] & buyers[pb])
+        union = len(buyers[pa] | buyers[pb])
+        rows.append((pa, pb, common, union, common * 1000000 // union))
+    rows.sort(key=lambda r: (-r[4], -r[2], r[0], r[1]))
+    assert got == rows[:JACCARD_TOPK]
+
+
+def test_label_propagation_matches_python_sync_lpa(spark):
+    """The fixed-round weighted LPA must equal a Python synchronous
+    recompute with the identical (max weight, min label) rule, and
+    every final label must be a node inside the same connected
+    component (labels only travel along edges)."""
+    import pandas as pd
+
+    from steaminganalysis_spark.operators.graph import LPA_ROUNDS
+
+    got = {
+        r.part: r.community
+        for r in QUERIES["q_graph_label_propagation"](spark, SF).collect()
+    }
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    li = li.drop_duplicates()
+    from collections import Counter, defaultdict
+
+    pair_w = Counter()
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(set(g["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_w[(ps[i], ps[j])] += 1
+    adj = defaultdict(dict)
+    for (pa, pb), w in pair_w.items():
+        if w >= 2:
+            adj[pa][pb] = w
+            adj[pb][pa] = w
+    lbl = {v: v for v in adj}
+    for _ in range(LPA_ROUNDS):
+        new = {}
+        for v, nbrs in adj.items():
+            tw = defaultdict(int)
+            for u, w in nbrs.items():
+                tw[lbl[u]] += w
+            best = max(tw.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lbl = new
+    assert got == lbl
+
+    # labels stay inside the connected component
+    comp = {v: v for v in adj}
+    changed = True
+    while changed:
+        changed = False
+        for v, nbrs in adj.items():
+            m = min([comp[v]] + [comp[u] for u in nbrs])
+            if m < comp[v]:
+                comp[v] = m
+                changed = True
+    for v, c in got.items():
+        assert comp[c] == comp[v], (v, c)
