@@ -773,3 +773,238 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("part"), F.col("lbl").cast("long").alias("community")
     ).orderBy("part")
+
+
+K_CORE_K = 2
+K_CORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Unrolled fixed-round k-core peel: s0 = all nodes; each round
+    keeps nodes with >= K surviving neighbors. Every d{k} references
+    s{k-1} twice (both endpoints must survive), so MATERIALIZED is
+    load-bearing — DuckDB inlines plain CTEs and the plan doubles per
+    round without it (the q_graph_wcc lesson)."""
+    ctes = [
+        "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """pairs AS MATERIALIZED (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        )""",
+        """edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+                     UNION ALL SELECT pb, pa FROM pairs)""",
+        "s0 AS (SELECT DISTINCT src AS node FROM edges)",
+    ]
+    for k in range(1, K_CORE_ROUNDS + 1):
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+                 SELECT e.src AS node FROM edges e
+                 JOIN s{k - 1} a ON a.node = e.src
+                 JOIN s{k - 1} b ON b.node = e.dst
+                 GROUP BY 1 HAVING COUNT(*) >= {K_CORE_K})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT e.src AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM edges e
+        JOIN s{K_CORE_ROUNDS} a ON a.node = e.src
+        JOIN s{K_CORE_ROUNDS} b ON b.node = e.dst
+        GROUP BY 1
+        ORDER BY part
+        """
+    )
+
+
+@query("q_graph_k_core", oracle=_kcore_oracle())
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k={K}) of the part co-purchase graph
+    (q_graph_wcc's edge rule) by fixed-round peeling: {R} synchronous
+    rounds of "drop every node with fewer than {K} surviving
+    neighbors", then emit the surviving nodes with their within-core
+    degree. Fixed rounds keep the result a pure function of the input
+    (the oracle unrolls the same {R} rounds); at every shipped SF the
+    peel reaches its fixpoint well inside the budget — pinned by
+    tests/test_graph.py's round-{R}-equals-round-{R1} assertion, so
+    the fixed-round semantics and the true k-core coincide on the
+    fixtures.
+
+    Scale shape: the staged fact self-join builds edges ONCE; each
+    peel round joins edges to the O(V) survivor vector on BOTH
+    endpoints (broadcast here; co-partitioned on a cluster) and
+    aggregates COUNT per source with map-side partials. Peeling only
+    shrinks the survivor set, so per-round cost is monotonically
+    non-increasing — the standard distributed k-core shape (Montresor
+    et al.); on a web-scale graph the same loop runs delta rounds
+    until no node falls below k."""
+    from steaminganalysis_spark.staging import stage
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    edges = stage(
+        pairs.selectExpr("pa AS src", "pb AS dst").unionAll(
+            pairs.selectExpr("pb AS src", "pa AS dst")
+        ),
+        "kcore_edges",
+        bucket_col="src",
+    )
+    survivors = edges.select(F.col("src").alias("node")).distinct()
+    for _ in range(K_CORE_ROUNDS):
+        survivors = (
+            edges.join(
+                F.broadcast(survivors.selectExpr("node AS _sa")),
+                F.col("src") == F.col("_sa"),
+            )
+            .join(
+                F.broadcast(survivors.selectExpr("node AS _sb")),
+                F.col("dst") == F.col("_sb"),
+            )
+            .groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= K_CORE_K)
+            .select(F.col("src").alias("node"))
+        )
+    return (
+        edges.join(
+            F.broadcast(survivors.selectExpr("node AS _sa")),
+            F.col("src") == F.col("_sa"),
+        )
+        .join(
+            F.broadcast(survivors.selectExpr("node AS _sb")),
+            F.col("dst") == F.col("_sb"),
+        )
+        .groupBy(F.col("src").alias("part"))
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .orderBy("part")
+    )
+
+
+graph_k_core.__doc__ = (
+    graph_k_core.__doc__.replace("{K}", str(K_CORE_K))
+    .replace("{R1}", str(K_CORE_ROUNDS + 1))
+    .replace("{R}", str(K_CORE_ROUNDS))
+)
+
+
+# Link prediction: a hub middle node of degree d contributes d^2
+# candidate pairs; drop middles above the cap (applied identically in
+# the oracle) — the same per-key quadratic guard as MAX_BUYER_BASKET.
+MAX_MIDDLE_DEGREE = 64
+LINK_PREDICT_TOPK = 100
+
+
+@query(
+    "q_graph_link_predict",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs
+                 UNION ALL SELECT pb, pa FROM pairs),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    mid AS (SELECT node, d FROM deg WHERE d <= {MAX_MIDDLE_DEGREE}),
+    cand AS (
+      SELECT e1.dst AS part_a, e2.dst AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM(1000000 // m.d) AS BIGINT) AS ra_ppm
+      FROM edges e1
+      JOIN mid m ON m.node = e1.src
+      JOIN edges e2 ON e2.src = e1.src AND e1.dst < e2.dst
+      GROUP BY 1, 2
+    )
+    SELECT c.part_a, c.part_b, c.common_neighbors, c.ra_ppm
+    FROM cand c
+    ANTI JOIN pairs p ON p.pa = c.part_a AND p.pb = c.part_b
+    ORDER BY c.ra_ppm DESC, c.common_neighbors DESC, c.part_a, c.part_b
+    LIMIT {LINK_PREDICT_TOPK}
+    """,
+)
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by the resource-allocation index (Zhou, Lü &
+    Zhang 2009): for part pairs NOT currently co-purchase edges, score
+    RA(a,b) = Σ over common neighbors z of 1/deg(z), carried as the
+    exact integer Σ(1e6 DIV deg(z)) so the ranking is float-free, and
+    emit the top-{K} predicted edges (ties: common-neighbor count,
+    then pair ids). RA is the degree-penalized cousin of
+    common-neighbor counting — a shared rare neighbor is stronger
+    evidence than a shared hub.
+
+    Scale shape: candidates come from the two-hop EQUI-join through
+    the middle node (never an all-pairs product), with
+    MAX_MIDDLE_DEGREE bounding any middle's contribution to ≤cap²
+    pairs; the per-pair aggregate is partial+final on the pair key;
+    existing edges are removed by a broadcast-able ANTI join on the
+    oriented pair table; top-{K} is TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    from steaminganalysis_spark.staging import stage
+
+    pairs = stage(pairs, "linkpred_pairs")
+    edges = pairs.selectExpr("pa AS src", "pb AS dst").unionAll(
+        pairs.selectExpr("pb AS src", "pa AS dst")
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    mid = deg.filter(F.col("d") <= MAX_MIDDLE_DEGREE)
+    e1 = edges.selectExpr("src AS mid_node", "dst AS part_a")
+    e2 = edges.selectExpr("src AS mid_node", "dst AS part_b")
+    cand = (
+        e1.join(F.broadcast(mid.selectExpr("node AS mid_node", "d")), "mid_node")
+        .join(e2, "mid_node")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum(F.expr("1000000 DIV d")).cast("long").alias("ra_ppm"),
+        )
+    )
+    return (
+        cand.join(
+            pairs,
+            (cand.part_a == pairs.pa) & (cand.part_b == pairs.pb),
+            "left_anti",
+        )
+        .orderBy(
+            F.col("ra_ppm").desc(),
+            F.col("common_neighbors").desc(),
+            "part_a",
+            "part_b",
+        )
+        .limit(LINK_PREDICT_TOPK)
+    )
+
+
+graph_link_predict.__doc__ = graph_link_predict.__doc__.replace(
+    "{K}", str(LINK_PREDICT_TOPK)
+)

@@ -1,0 +1,142 @@
+"""Full-text retrieval scoring (round 6): BM25 ranking over the
+``documents`` corpus — the retrieval kernel a training-data pipeline
+uses for decontamination lookups, quality-by-query probes, and
+RAG-corpus selection.
+
+Exactness discipline: classic BM25 multiplies a log-idf by a
+tf-saturation ratio — both floats. Here every factor is carried as an
+exact BIGINT rational instead, so the emitted score is bit-identical
+on any engine, partitioning, or summation order:
+
+- idf is the Robertson odds ratio ``(N - df + 0.5) / (df + 0.5)`` in
+  ppm WITHOUT the log — a strictly monotone transform of the classic
+  value, carried as ``((2N - 2df + 1) * 1e6) // (2df + 1)`` (the
+  log-free "odds idf" variant; rankings per-term are identical, and
+  the variant choice is pinned in the column name ``score_ppm``).
+- the tf-saturation term ``tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``
+  with k1 = 6/5 and b = 3/4 clears denominators exactly:
+  avgdl = L/N (L = corpus token count) gives
+  ``tf·(11/5) · 20L / (20·tf·L + 6·L + 18·dl·N)``
+  = ``(tf · 44 · L) // (20·tf·L + 6·L + 18·dl·N)`` after folding the
+  idf ppm factor in — pure BIGINT multiply + truncating division,
+  which Spark ``DIV`` and DuckDB ``//`` evaluate identically.
+
+Scale shape (the 100 TB story): the corpus-sized work is ONE
+projection pass (token explode filtered to the query terms before any
+exchange, so only matching postings ever shuffle — the tf aggregate
+is O(matching docs), not O(corpus)); document frequencies and the
+(N, L) constants are vocabulary-sized aggregates broadcast back; the
+final top-K compiles to TakeOrderedAndProject (per-task K-row heap),
+never a global sort. Reference behaviour being generalized: the
+reference's substring-classify + reduceByKey counting loop
+(src/main/scala/com/kowhoy/App/StreamingAnalysisApp.scala:31-44) is a
+fixed-term match-and-count; BM25 is the same match-and-count extended
+with the standard relevance weighting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from steaminganalysis_spark.registry import query
+from steaminganalysis_spark.sources import load
+
+BM25_TERMS = ("spark", "hash", "window")  # the fixed probe query
+BM25_TOPK = 50
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+# idf_ppm * tf * 44 * L // (20·tf·L + 6·L + 18·dl·N); idf_ppm is the
+# odds ratio (2N-2df+1)*1e6 // (2df+1). Fully parenthesized so both
+# engines associate identically; all factors BIGINT.
+_CONTRIB = (
+    "((((2 * n_docs - 2 * df + 1) * 1000000) DIV (2 * df + 1))"
+    " * tf * 44 * total_len)"
+    " DIV (20 * tf * total_len + 6 * total_len + 18 * dl * n_docs)"
+)
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    consts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len
+      FROM dl
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE w IN ({_TERMS_SQL}) GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks WHERE w IN ({_TERMS_SQL}) GROUP BY 1
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(SUM({_CONTRIB.replace("DIV", "//")}) AS BIGINT) AS score_ppm
+      FROM tf t
+      JOIN dfreq d USING (w)
+      JOIN dl ON dl.doc_id = t.doc_id,
+      consts
+      GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, dl.dl AS doc_len, s.score_ppm
+    FROM scored s JOIN dl ON dl.doc_id = s.doc_id
+    ORDER BY s.score_ppm DESC, s.doc_id
+    LIMIT {BM25_TOPK}
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring for the fixed probe query
+    {terms}: top-{k} documents by the exact-integer BM25 variant
+    described in the module docstring (odds-ratio idf in ppm, k1=1.2,
+    b=0.75 cleared to BIGINT rationals). Ties break on doc_id, so the
+    emitted set is a pure function of the corpus.
+
+    Plan: token explode is filtered to the probe terms BEFORE any
+    exchange (only matching postings shuffle — O(hits), not
+    O(corpus)); df and the (N, L) constants are broadcast; top-K is
+    TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    consts = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w").isin(*BM25_TERMS))
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = toks.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .withColumn("contrib", F.expr(_CONTRIB))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").cast("long").alias("score_ppm"))
+    )
+    return (
+        scored.join(dl, "doc_id")
+        .select("doc_id", F.col("dl").alias("doc_len"), "score_ppm")
+        .orderBy(F.col("score_ppm").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+text_bm25.__doc__ = text_bm25.__doc__.replace(
+    "{terms}", repr(BM25_TERMS)
+).replace("{k}", str(BM25_TOPK))

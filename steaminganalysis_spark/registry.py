@@ -238,7 +238,12 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # companion to q_window_locf's step fill). Graph additions:
 # q_graph_jaccard_neighbors (item-item CF top-k by buyer-set
 # Jaccard), q_graph_label_propagation (deterministic weighted LPA
-# communities).
+# communities), q_graph_k_core (fixed-round peel decomposition),
+# q_graph_link_predict (resource-allocation index over two-hop
+# candidates, existing edges anti-joined away). Retrieval additions
+# (operators/retrieval.py): q_text_bm25 (exact BIGINT-rational BM25 —
+# odds-ratio idf in ppm, k1/b cleared to integer arithmetic, postings
+# filtered to the probe terms before any exchange).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the
@@ -439,6 +444,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import geo  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import linkage  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import curation  # noqa: F401  isort: skip
+    from steaminganalysis_spark.operators import retrieval  # noqa: F401  isort: skip
 
     missing = [k for k in ROUND6_WINDOW if k not in QUERIES]
     if missing:

@@ -89,6 +89,10 @@ deferred_to_round7: set[str] = {
     # round-6 additions (operators/graph.py)
     "q_graph_jaccard_neighbors",
     "q_graph_label_propagation",
+    "q_graph_k_core",
+    "q_graph_link_predict",
+    # round-6 additions (operators/retrieval.py)
+    "q_text_bm25",
 }
 
 

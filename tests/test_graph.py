@@ -273,3 +273,99 @@ def test_label_propagation_matches_python_sync_lpa(spark):
                 changed = True
     for v, c in got.items():
         assert comp[c] == comp[v], (v, c)
+
+
+def test_k_core_matches_python_fixpoint_peel(spark):
+    """The fixed-round k-core must equal the Python FIXPOINT peel on
+    the fixture graph — pinning both correctness and the claim that
+    K_CORE_ROUNDS covers the fixpoint at this SF (the round budget is
+    semantics, so budget-too-small is a value bug, not a perf bug)."""
+    import pandas as pd
+
+    from steaminganalysis_spark.operators.graph import K_CORE_K
+
+    got = {
+        (r.part, r.core_degree)
+        for r in QUERIES["q_graph_k_core"](spark, SF).collect()
+    }
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    by_order: dict[int, set] = {}
+    for o, p in set(zip(li["l_orderkey"], li["l_partkey"])):
+        by_order.setdefault(o, set()).add(p)
+    from collections import Counter
+
+    pair_orders: Counter = Counter()
+    for ps in by_order.values():
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_orders[(ps[i], ps[j])] += 1
+    adj: dict[int, set] = {}
+    for (a, b), c in pair_orders.items():
+        if c >= 2:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < K_CORE_K}
+        if not drop:
+            break
+        alive -= drop
+    expect = {(v, len(adj[v] & alive)) for v in alive}
+    assert got == expect
+
+
+def test_link_predict_non_edges_and_brute_force(spark):
+    """Predicted pairs must (a) never be existing co-purchase edges and
+    (b) equal the Python brute-force resource-allocation ranking with
+    the same integer arithmetic and tie-breaks — pinning the two-hop
+    candidate join's completeness and the anti-join."""
+    import pandas as pd
+
+    from steaminganalysis_spark.operators.graph import (
+        LINK_PREDICT_TOPK,
+        MAX_MIDDLE_DEGREE,
+    )
+
+    got = [
+        (r.part_a, r.part_b, r.common_neighbors, r.ra_ppm)
+        for r in QUERIES["q_graph_link_predict"](spark, SF).collect()
+    ]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    by_order: dict[int, set] = {}
+    for o, p in set(zip(li["l_orderkey"], li["l_partkey"])):
+        by_order.setdefault(o, set()).add(p)
+    from collections import Counter
+
+    pair_orders: Counter = Counter()
+    for ps in by_order.values():
+        ps = sorted(ps)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_orders[(ps[i], ps[j])] += 1
+    edges = {p for p, c in pair_orders.items() if c >= 2}
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores: dict[tuple, list] = {}
+    for z, nbrs in adj.items():
+        d = len(nbrs)
+        if d > MAX_MIDDLE_DEGREE:
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                key = (ns[i], ns[j])
+                s = scores.setdefault(key, [0, 0])
+                s[0] += 1
+                s[1] += 1000000 // d
+    rows = [
+        (a, b, cn, ra)
+        for (a, b), (cn, ra) in scores.items()
+        if (a, b) not in edges
+    ]
+    rows.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
+    assert got == rows[:LINK_PREDICT_TOPK]
+    for a, b, _, _ in got:
+        assert (a, b) not in edges

@@ -1,0 +1,68 @@
+"""Retrieval scoring (operators/retrieval.py): Python-reference
+equivalence and plan shape — value equality vs SQL is covered by the
+oracle-parity sweep."""
+
+from __future__ import annotations
+
+from steaminganalysis_spark.registry import collect_queries
+
+QUERIES, ORACLE = collect_queries()
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_matches_python_reference(spark):
+    """The exact-integer BM25 must equal a pure-Python recompute of
+    the same rational formula (odds idf in ppm, k1=6/5, b=3/4 cleared
+    to BIGINT arithmetic) — pinning the algebra independently of both
+    engines' SQL."""
+    import pandas as pd
+
+    from steaminganalysis_spark.operators.retrieval import (
+        BM25_TERMS,
+        BM25_TOPK,
+    )
+
+    got = [
+        (r.doc_id, r.doc_len, r.score_ppm)
+        for r in QUERIES["q_text_bm25"](spark, SF).collect()
+    ]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    toks = {d: t.split(" ") for d, t in zip(docs["doc_id"], docs["text"])}
+    n = len(toks)
+    total = sum(len(ws) for ws in toks.values())
+    df = {
+        term: sum(1 for ws in toks.values() if term in ws)
+        for term in BM25_TERMS
+    }
+    rows = []
+    for d, ws in toks.items():
+        dl = len(ws)
+        score = 0
+        hit = False
+        for term in BM25_TERMS:
+            tf = ws.count(term)
+            if tf == 0:
+                continue
+            hit = True
+            idf_ppm = ((2 * n - 2 * df[term] + 1) * 1000000) // (
+                2 * df[term] + 1
+            )
+            score += (idf_ppm * tf * 44 * total) // (
+                20 * tf * total + 6 * total + 18 * dl * n
+            )
+        if hit:
+            rows.append((d, dl, score))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    assert got == rows[:BM25_TOPK]
+
+
+def test_bm25_topk_is_heap_not_global_sort(spark):
+    """The top-K must compile to TakeOrderedAndProject (per-task K-row
+    heap) — a global Sort over the scored set would be the wrong plan
+    at corpus scale."""
+    plan = _plan(QUERIES["q_text_bm25"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
