@@ -635,3 +635,146 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tvd2_ppm",
         )
     )
+
+
+@query(
+    "q_dq_profile",
+    oracle="""
+    WITH a AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS k_nulls,
+        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k_dist,
+        CAST(MIN(o_orderkey) AS VARCHAR) AS k_min,
+        CAST(MAX(o_orderkey) AS VARCHAR) AS k_max,
+        CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS c_nulls,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS c_dist,
+        CAST(MIN(o_custkey) AS VARCHAR) AS c_min,
+        CAST(MAX(o_custkey) AS VARCHAR) AS c_max,
+        CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS s_nulls,
+        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS s_dist,
+        MIN(o_orderstatus) AS s_min,
+        MAX(o_orderstatus) AS s_max,
+        CAST((SUM(len(o_orderstatus)) * 1000000) // COUNT(o_orderstatus)
+             AS BIGINT) AS s_len,
+        CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS t_nulls,
+        CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS t_dist,
+        CAST(CAST(floor(MIN(o_totalprice) * 100 + 0.5) AS BIGINT)
+             AS VARCHAR) AS t_min,
+        CAST(CAST(floor(MAX(o_totalprice) * 100 + 0.5) AS BIGINT)
+             AS VARCHAR) AS t_max,
+        CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS d_nulls,
+        CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d_dist,
+        strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS d_min,
+        strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS d_max,
+        CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) AS p_nulls,
+        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS p_dist,
+        MIN(o_orderpriority) AS p_min,
+        MAX(o_orderpriority) AS p_max,
+        CAST((SUM(len(o_orderpriority)) * 1000000)
+             // COUNT(o_orderpriority) AS BIGINT) AS p_len
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, n_rows, k_nulls AS n_nulls,
+           k_dist AS n_distinct, k_min AS min_repr, k_max AS max_repr,
+           CAST(NULL AS BIGINT) AS avg_len_ppm FROM a
+    UNION ALL
+    SELECT 'o_custkey', n_rows, c_nulls, c_dist, c_min, c_max,
+           CAST(NULL AS BIGINT) FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, s_nulls, s_dist, s_min, s_max,
+           s_len FROM a
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, t_nulls, t_dist, t_min, t_max,
+           CAST(NULL AS BIGINT) FROM a
+    UNION ALL
+    SELECT 'o_orderdate', n_rows, d_nulls, d_dist, d_min, d_max,
+           CAST(NULL AS BIGINT) FROM a
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows, p_nulls, p_dist, p_min, p_max,
+           p_len FROM a
+    """,
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profiler (the `summarize`/dbt-profiler
+    shape): ONE aggregation pass over `orders` emits, per column, the
+    row count, null count, exact distinct count, min/max, and (for
+    string columns) mean length in ppm — the first report a data-
+    quality pipeline materializes for drift baselining and contract
+    checks. Values cross engine boundaries only as canonical strings:
+    doubles as exact cents (the to_cents floor(x·100+0.5) convention),
+    timestamps via an explicit micro-second format — never raw float
+    or timestamp repr, which engines print differently.
+
+    Scale shape: a single scan with map-side partial aggregation; the
+    six exact COUNT(DISTINCT)s share one Expand (rows × 7 map-side,
+    but one pass and one shuffle of partial states). At petabyte scale
+    the documented swap is HLL sketches per column
+    (q_agg_hll_sketch's family) — the plan shape stays identical. The
+    1-row aggregate unpivots to the 6-row report with a zero-cost
+    driver-side stack."""
+    o = load(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.count("*") - F.count("o_orderkey")).cast("long").alias("k_nulls"),
+        F.countDistinct("o_orderkey").cast("long").alias("k_dist"),
+        F.min("o_orderkey").cast("string").alias("k_min"),
+        F.max("o_orderkey").cast("string").alias("k_max"),
+        (F.count("*") - F.count("o_custkey")).cast("long").alias("c_nulls"),
+        F.countDistinct("o_custkey").cast("long").alias("c_dist"),
+        F.min("o_custkey").cast("string").alias("c_min"),
+        F.max("o_custkey").cast("string").alias("c_max"),
+        (F.count("*") - F.count("o_orderstatus")).cast("long").alias("s_nulls"),
+        F.countDistinct("o_orderstatus").cast("long").alias("s_dist"),
+        F.min("o_orderstatus").alias("s_min"),
+        F.max("o_orderstatus").alias("s_max"),
+        F.expr(
+            "CAST((SUM(length(o_orderstatus)) * 1000000)"
+            " DIV COUNT(o_orderstatus) AS BIGINT)"
+        ).alias("s_len"),
+        (F.count("*") - F.count("o_totalprice")).cast("long").alias("t_nulls"),
+        F.countDistinct("o_totalprice").cast("long").alias("t_dist"),
+        F.expr(
+            "CAST(CAST(floor(MIN(o_totalprice) * 100 + 0.5D) AS BIGINT)"
+            " AS STRING)"
+        ).alias("t_min"),
+        F.expr(
+            "CAST(CAST(floor(MAX(o_totalprice) * 100 + 0.5D) AS BIGINT)"
+            " AS STRING)"
+        ).alias("t_max"),
+        (F.count("*") - F.count("o_orderdate")).cast("long").alias("d_nulls"),
+        F.countDistinct("o_orderdate").cast("long").alias("d_dist"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "d_min"
+        ),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "d_max"
+        ),
+        (F.count("*") - F.count("o_orderpriority")).cast("long").alias("p_nulls"),
+        F.countDistinct("o_orderpriority").cast("long").alias("p_dist"),
+        F.min("o_orderpriority").alias("p_min"),
+        F.max("o_orderpriority").alias("p_max"),
+        F.expr(
+            "CAST((SUM(length(o_orderpriority)) * 1000000)"
+            " DIV COUNT(o_orderpriority) AS BIGINT)"
+        ).alias("p_len"),
+    )
+    return a.selectExpr(
+        """stack(6,
+          'o_orderkey', k_nulls, k_dist, k_min, k_max, CAST(NULL AS BIGINT),
+          'o_custkey', c_nulls, c_dist, c_min, c_max, CAST(NULL AS BIGINT),
+          'o_orderstatus', s_nulls, s_dist, s_min, s_max, s_len,
+          'o_totalprice', t_nulls, t_dist, t_min, t_max, CAST(NULL AS BIGINT),
+          'o_orderdate', d_nulls, d_dist, d_min, d_max, CAST(NULL AS BIGINT),
+          'o_orderpriority', p_nulls, p_dist, p_min, p_max, p_len
+        ) AS (col_name, n_nulls, n_distinct, min_repr, max_repr, avg_len_ppm)""",
+        "n_rows",
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_repr",
+        "max_repr",
+        "avg_len_ppm",
+    )

@@ -619,3 +619,43 @@ def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@query(
+    "q_sql_window_clause",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                AS BIGINT) AS running_cents,
+           LAG(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named-WINDOW grammar surface: one WINDOW clause shared by
+    ROW_NUMBER, a running SUM, and LAG — the spelling analysts reach
+    for when several window functions share a partitioning. The order
+    key (ts, event_id) is unique per partition, so the default RANGE
+    frame coincides with ROWS and the running sum is deterministic;
+    money accumulates as exact cents (floor(x·100+0.5)), never raw
+    doubles.
+
+    Plan note: because all three functions name the SAME window, the
+    optimizer computes them in one Window operator over one user_id
+    exchange + sort — the clause is not just sugar, it prevents the
+    accidental triple-shuffle of three inline OVER specs with
+    divergent orderings."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(SUM(CAST(floor(value * 100 + 0.5D) AS BIGINT)) OVER w
+                    AS BIGINT) AS running_cents,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+    )

@@ -243,7 +243,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # candidates, existing edges anti-joined away). Retrieval additions
 # (operators/retrieval.py): q_text_bm25 (exact BIGINT-rational BM25 —
 # odds-ratio idf in ppm, k1/b cleared to integer arithmetic, postings
-# filtered to the probe terms before any exchange).
+# filtered to the probe terms before any exchange). DQ/SQL additions:
+# q_dq_profile (one-pass whole-table column profiler — null/distinct/
+# min/max/length per column, cross-engine values as canonical strings),
+# q_sql_window_clause (named WINDOW grammar — one shared partitioning,
+# single-exchange plan pinned).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

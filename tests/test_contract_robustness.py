@@ -93,6 +93,9 @@ deferred_to_round7: set[str] = {
     "q_graph_link_predict",
     # round-6 additions (operators/retrieval.py)
     "q_text_bm25",
+    # round-6 additions (pipeline.py / sql_surface.py)
+    "q_dq_profile",
+    "q_sql_window_clause",
 }
 
 

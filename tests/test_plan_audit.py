@@ -365,3 +365,24 @@ def test_ts_family_shares_hourly_grain(spark):
     for key in ("q_ts_changepoint", "q_window_slope", "q_window_median"):
         df = QUERIES[key](spark, SF)
         assert count_exchanges(df) <= 2, key
+
+
+def test_sql_window_clause_single_window_exchange(spark):
+    """All three functions name the same WINDOW, so the plan must
+    carry exactly ONE exchange (the user_id hash partitioning) and
+    one Window operator chain over it — three divergent inline OVER
+    specs would shuffle repeatedly."""
+    df = QUERIES["q_sql_window_clause"](spark, SF)
+    assert count_exchanges(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 1
+
+
+def test_dq_profile_single_pass_profile(spark):
+    """The whole-table profiler is ONE aggregation pass: a single
+    shuffle of partial aggregate states (the Expand for the six exact
+    distinct counts happens map-side, before the exchange)."""
+    df = QUERIES["q_dq_profile"](spark, SF)
+    assert count_exchanges(df) <= 2  # partial->final agg (+distinct expand)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan  # the multi-distinct rewrite is in play
