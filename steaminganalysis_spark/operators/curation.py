@@ -223,3 +223,114 @@ def vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped"),
         )
     )
+
+
+# --- URL canonicalization dedup -------------------------------------
+# Crawl pipelines dedup by CANONICAL url before any content hashing:
+# scheme/host case, a www. prefix, the scheme's default port, tracking
+# params (utm_*), parameter order, and fragments all vary freely for
+# the same resource. The fixture synthesizes those variations
+# deterministically from order keys; the canonicalizer itself is
+# general string/array algebra evaluated identically on both engines.
+
+# Raw URL synthesis, shared by both engines (pure string concat over
+# integer-derived variation): mixed-case scheme+host, optional www.,
+# optional explicit :443, utm tracking param first, two real params in
+# varying positions, optional fragment.
+_URL_RAW = (
+    "CASE WHEN o_orderkey % 3 = 0 THEN 'HTTPS://WWW.Shop' ELSE 'https://shop' END"
+    " || CAST(o_custkey % 5 AS STRING) || '.Example.COM'"
+    " || CASE WHEN o_orderkey % 4 = 0 THEN ':443' ELSE '' END"
+    " || '/cat/' || CAST(o_orderkey % 7 AS STRING)"
+    " || CASE WHEN o_orderkey % 2 = 0 THEN '/' ELSE '' END"
+    " || '?utm_campaign=mail&id=' || CAST(o_orderkey % 100 AS STRING)"
+    " || '&b=' || CAST(o_custkey % 3 AS STRING)"
+    " || CASE WHEN o_orderkey % 5 = 0 THEN '#frag' ELSE '' END"
+)
+
+_HOST_RE = "^[a-zA-Z]+://([^/?#]+)"
+_PATH_RE = "^[a-zA-Z]+://[^/?#]+([^?#]*)"
+
+
+def _canon_sql(dialect: str) -> str:
+    """The canonical-url expression over a column ``url`` — identical
+    semantics, dialect-local array spellings. Spark SQL string
+    literals consume one level of backslash escaping; DuckDB's do not
+    — so the regex metacharacter escape is dialect-local too."""
+    bs = "\\\\" if dialect == "spark" else "\\"
+    host = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract(url, '{_HOST_RE}', 1)),"
+        f" '^www{bs}.', ''), ':443$', '')"
+    )
+    # NOT rtrim(expr, '/'): Spark's two-arg rtrim takes (trimStr, src)
+    # — the reverse of DuckDB's (src, chars). regexp_replace reads the
+    # same on both engines.
+    path = f"regexp_replace(regexp_extract(url, '{_PATH_RE}', 1), '/+$', '')"
+    qraw = f"regexp_extract(url, '{bs}?([^#]*)', 1)"
+    if dialect == "spark":
+        # Anchored patterns, JVM higher-order builtins for the param
+        # list surgery.
+        q = (
+            f"array_join(array_sort(filter(split({qraw}, '&'),"
+            " x -> NOT startswith(x, 'utm_'))), '&')"
+        )
+    else:
+        q = (
+            f"array_to_string(list_sort(list_filter(string_split({qraw}, '&'),"
+            " x -> NOT starts_with(x, 'utm_'))), '&')"
+        )
+    return (
+        f"'https://' || {host} || {path}"
+        f" || CASE WHEN {q} <> '' THEN '?' || {q} ELSE '' END"
+    )
+
+
+@query(
+    "q_dedup_url",
+    oracle=f"""
+    WITH raw AS (
+      SELECT o_orderkey, {_URL_RAW} AS url FROM orders
+    ),
+    canon AS (
+      SELECT o_orderkey, url, {_canon_sql('duckdb')} AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+           CAST(MIN(o_orderkey) AS BIGINT) AS keep_key
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (the crawl-frontier normalizer):
+    lowercase scheme+host, strip a `www.` prefix and the scheme
+    default port, drop `utm_*` tracking params and the fragment, sort
+    the surviving query params, strip the trailing slash — then group
+    by the canonical form, keeping the smallest key as the survivor
+    and reporting how many raw rows and DISTINCT raw spellings each
+    canonical URL absorbed. The canonicalizer is implemented twice
+    (Spark regexp/HOF builtins vs DuckDB list functions) from the same
+    spec, so oracle parity certifies the semantics, not a shared
+    implementation.
+
+    Scale shape: canonicalization is a zero-exchange scan-stage map
+    (regexp + array ops, all JVM whole-stage codegen — no UDF); the
+    dedup aggregate shuffles on the canonical key (two-phase because
+    of the exact DISTINCT-variant count — drop n_variants or sketch it
+    and it collapses to one exchange). The canonical key is computed
+    map-side, so near-duplicate URL spellings combine in the partial
+    aggregate before touching the wire."""
+    raw = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", f"{_URL_RAW} AS url"
+    )
+    return (
+        raw.selectExpr("o_orderkey", "url", f"{_canon_sql('spark')} AS canonical_url")
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.countDistinct("url").cast("long").alias("n_variants"),
+            F.min("o_orderkey").cast("long").alias("keep_key"),
+        )
+    )

@@ -140,3 +140,121 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_bm25.__doc__ = text_bm25.__doc__.replace(
     "{terms}", repr(BM25_TERMS)
 ).replace("{k}", str(BM25_TOPK))
+
+
+# --- kNN majority-vote classification --------------------------------
+# The label-transfer step of weak supervision: classify held-out
+# vectors by the majority label of their k nearest labeled neighbors.
+# Distances are computed over MILLI-QUANTIZED integer coordinates
+# (floor(x·1000 + 0.5) after an explicit cast to double), so every
+# distance, ranking, and vote is exact BIGINT arithmetic — the same
+# discipline as q_emb_quantize.
+KNN_K = 5
+KNN_TEST_MOD = 10  # vec_id % 10 == 0 → the held-out "unlabeled" slice
+
+
+@query(
+    "q_emb_knn_classify",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    test AS (SELECT * FROM q WHERE vec_id % {KNN_TEST_MOD} = 0),
+    train AS (SELECT * FROM q WHERE vec_id % {KNN_TEST_MOD} <> 0),
+    tel AS (SELECT vec_id, unnest(qv) AS v,
+                   generate_subscripts(qv, 1) AS i FROM test),
+    trl AS (SELECT vec_id, unnest(qv) AS v,
+                   generate_subscripts(qv, 1) AS i FROM train),
+    dist AS (
+      SELECT te.vec_id AS tid, tr.vec_id AS rid,
+             CAST(SUM((te.v - tr.v) * (te.v - tr.v)) AS BIGINT) AS d2
+      FROM tel te JOIN trl tr ON te.i = tr.i
+      GROUP BY 1, 2
+    ),
+    knn AS (
+      SELECT tid, rid, d2,
+             ROW_NUMBER() OVER (PARTITION BY tid ORDER BY d2, rid) AS rn
+      FROM dist
+    ),
+    votes AS (
+      SELECT k.tid, t.label, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM knn k JOIN train t ON t.vec_id = k.rid
+      WHERE k.rn <= {KNN_K}
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT tid, label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY tid
+                                ORDER BY n_votes DESC, label) AS rn
+      FROM votes
+    )
+    SELECT p.tid AS vec_id,
+           CAST(te.label AS BIGINT) AS true_label,
+           CAST(p.label AS BIGINT) AS pred_label,
+           p.n_votes
+    FROM pred p JOIN test te ON te.vec_id = p.tid
+    WHERE p.rn = 1
+    """,
+)
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification (k={K}): every held-out
+    vector (vec_id % {M} == 0) is labeled by the majority label of its
+    {K} nearest labeled neighbors under squared L2 over
+    milli-quantized integer coordinates. Neighbor ranking ties break
+    on train vec_id and vote ties on the smaller label, so the
+    prediction is a pure function of the table.
+
+    Scale shape: the held-out slice is the SMALL side and is broadcast
+    — the labeled corpus never shuffles for the distance pass (the
+    q_sim_topk discipline); per-query top-{K} compiles to
+    WindowGroupLimit (rank pushed into the shuffle); votes are a tiny
+    aggregate over {K}·|test| rows. Brute force is the declared
+    baseline here; the ANN family (q_sim_ann_ivf/_pq) is the
+    documented route when the labeled corpus is web-scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000.0 + 0.5).cast("long"),
+        ).alias("qv"),
+    )
+    test = q.filter(F.col("vec_id") % KNN_TEST_MOD == 0).select(
+        F.col("vec_id").alias("tid"),
+        F.col("label").alias("true_label"),
+        F.col("qv").alias("tqv"),
+    )
+    train = q.filter(F.col("vec_id") % KNN_TEST_MOD != 0)
+    d2 = F.aggregate(
+        F.zip_with("tqv", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = train.crossJoin(F.broadcast(test)).select(
+        "tid", "true_label", F.col("vec_id").alias("rid"), "label", d2.alias("d2")
+    )
+    from pyspark.sql import Window as W
+
+    knn = dist.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("tid").orderBy("d2", "rid")),
+    ).filter(F.col("rn") <= KNN_K)
+    votes = knn.groupBy("tid", "true_label", "label").agg(
+        F.count("*").cast("long").alias("n_votes")
+    )
+    pred = votes.withColumn(
+        "prn",
+        F.row_number().over(
+            W.partitionBy("tid").orderBy(F.col("n_votes").desc(), "label")
+        ),
+    ).filter(F.col("prn") == 1)
+    return pred.select(
+        F.col("tid").alias("vec_id"),
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("label").cast("long").alias("pred_label"),
+        "n_votes",
+    )

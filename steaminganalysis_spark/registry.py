@@ -247,7 +247,12 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_dq_profile (one-pass whole-table column profiler — null/distinct/
 # min/max/length per column, cross-engine values as canonical strings),
 # q_sql_window_clause (named WINDOW grammar — one shared partitioning,
-# single-exchange plan pinned).
+# single-exchange plan pinned). Second wave: q_dedup_url (crawl-style
+# URL canonicalization dedup — case/www/port/utm/fragment/param-order
+# normalization implemented independently per engine, urllib as the
+# third referee), q_emb_knn_classify (kNN majority-vote label transfer
+# over milli-quantized integer distances, test slice broadcast,
+# WindowGroupLimit top-k).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

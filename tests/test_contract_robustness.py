@@ -96,6 +96,9 @@ deferred_to_round7: set[str] = {
     # round-6 additions (pipeline.py / sql_surface.py)
     "q_dq_profile",
     "q_sql_window_clause",
+    # round-6 additions (curation.py / retrieval.py, second wave)
+    "q_dedup_url",
+    "q_emb_knn_classify",
 }
 
 

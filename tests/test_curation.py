@@ -94,3 +94,70 @@ def test_vocab_prune_bounds_and_order_preserved(spark):
         # kept must be the exact in-order subsequence of survivors
         expect = [w for w in orig if MIN_DF <= df[w] <= max_df]
         assert kept == expect
+
+
+def test_dedup_url_matches_urllib_canonicalizer(spark):
+    """A third, independent canonicalizer — Python urllib — must agree
+    with the SQL twins: parse the raw URL, lowercase host, strip www./
+    default port/fragment/utm_* params, sort params, trim trailing
+    slashes. Pins that the two SQL spellings implement the SPEC, not
+    merely each other."""
+    from urllib.parse import urlsplit
+
+    # rebuild the raw urls exactly as the operator does
+    import duckdb
+
+    from steaminganalysis_spark.operators.curation import _URL_RAW
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
+    )
+    rows = con.execute(
+        f"SELECT o_orderkey, {_URL_RAW} AS url FROM orders"
+    ).fetchall()
+
+    def canon(url: str) -> str:
+        parts = urlsplit(url)
+        host = parts.netloc.lower()
+        if host.startswith("www."):
+            host = host[4:]
+        if host.endswith(":443"):
+            host = host[:-4]
+        path = parts.path.rstrip("/")
+        params = [
+            p for p in parts.query.split("&") if p and not p.startswith("utm_")
+        ]
+        q = "&".join(sorted(params))
+        return f"https://{host}{path}" + (f"?{q}" if q else "")
+
+    from collections import defaultdict
+
+    groups: dict[str, list] = defaultdict(list)
+    variants: dict[str, set] = defaultdict(set)
+    for k, u in rows:
+        c = canon(u)
+        groups[c].append(k)
+        variants[c].add(u)
+    expect = {
+        (c, len(ks), len(variants[c]), min(ks)) for c, ks in groups.items()
+    }
+    got = {
+        (r.canonical_url, r.n_dups, r.n_variants, r.keep_key)
+        for r in QUERIES["q_dedup_url"](spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_dedup_url_canonical_computed_before_single_shuffle(spark):
+    """Canonicalization must be a scan-stage map (regexp/HOF builtins,
+    no Python UDF) feeding the dedup aggregation's exchanges: one for
+    the (canonical, url)-distinct partial, one for the final canonical
+    key — the standard two-phase exact-distinct shape, both on
+    canonical-prefixed keys so spellings combine map-side."""
+    from steaminganalysis_spark.plans import count_exchanges
+
+    df = QUERIES["q_dedup_url"](spark, SF_DIR)
+    assert count_exchanges(df) <= 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

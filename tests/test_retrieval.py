@@ -66,3 +66,57 @@ def test_bm25_topk_is_heap_not_global_sort(spark):
     at corpus scale."""
     plan = _plan(QUERIES["q_text_bm25"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_classify_matches_numpy_reference(spark):
+    """The kNN majority vote must equal a NumPy recompute of the same
+    integer pipeline (milli-quantize, squared L2, rank ties on train
+    id, vote ties on smaller label)."""
+    import numpy as np
+    import pandas as pd
+
+    from steaminganalysis_spark.operators.retrieval import (
+        KNN_K,
+        KNN_TEST_MOD,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): (
+            np.floor(np.asarray(r.embedding, dtype=np.float64) * 1000.0 + 0.5)
+            .astype(np.int64)
+        )
+        for r in emb.itertuples()
+    }
+    labels = dict(zip(emb["vec_id"].astype(int), emb["label"].astype(int)))
+    test_ids = sorted(v for v in vecs if v % KNN_TEST_MOD == 0)
+    train_ids = sorted(v for v in vecs if v % KNN_TEST_MOD != 0)
+    expect = {}
+    for t in test_ids:
+        dists = sorted(
+            (int(((vecs[t] - vecs[r]) ** 2).sum()), r) for r in train_ids
+        )
+        votes: dict[int, int] = {}
+        for _, r in dists[:KNN_K]:
+            votes[labels[r]] = votes.get(labels[r], 0) + 1
+        pred, n = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect[t] = (labels[t], pred, n)
+    got = {
+        r.vec_id: (r.true_label, r.pred_label, r.n_votes)
+        for r in QUERIES["q_emb_knn_classify"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_knn_classify_broadcasts_test_side(spark):
+    """The held-out slice is the broadcast side; the labeled corpus
+    must never shuffle for the distance pass, and the per-query top-k
+    must be a WindowGroupLimit, not a global sort."""
+    plan = (
+        QUERIES["q_emb_knn_classify"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
