@@ -252,7 +252,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # normalization implemented independently per engine, urllib as the
 # third referee), q_emb_knn_classify (kNN majority-vote label transfer
 # over milli-quantized integer distances, test slice broadcast,
-# WindowGroupLimit top-k).
+# WindowGroupLimit top-k). Multimodal addition: q_multimodal_phash
+# (perceptual-hash image near-dup — aHash over a fixed sample grid,
+# 8x8-bit banded candidate join with a pigeonhole recall guarantee at
+# the threshold, planted re-encode companions; rows-only with
+# brute-force completeness pinned).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

@@ -99,6 +99,8 @@ deferred_to_round7: set[str] = {
     # round-6 additions (curation.py / retrieval.py, second wave)
     "q_dedup_url",
     "q_emb_knn_classify",
+    # round-6 additions (multimodal.py)
+    "q_multimodal_phash",
 }
 
 

@@ -164,3 +164,62 @@ def test_registered_audio_features_invariants(spark):
         assert r.rms > 0
         assert len(r.window_rms_s.split(",")) == 4
         assert 0 <= r.zero_crossings < r.n_samples
+
+
+def test_phash_pairs_complete_and_planted_found(spark):
+    """q_multimodal_phash must emit EXACTLY the brute-force pair set at
+    the threshold (banding recall is guaranteed for hamming <= 7 by
+    pigeonhole — completeness is a theorem here, so we assert it), and
+    every planted companion pair must appear with hamming <= 2 (the
+    two-sample swap keeps the grid mean, so at most the two swapped
+    bits differ)."""
+    from steaminganalysis_spark.operators.multimodal import (
+        PHASH_COMPANION_OFFSET,
+        PHASH_PLANT_MOD,
+        PHASH_THRESHOLD,
+        images_with_companions,
+        phash_images,
+    )
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+
+    got = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in QUERIES["q_multimodal_phash"](spark, SF).collect()
+    }
+    hashes = {
+        r.media_id: r.phash
+        for r in phash_images(images_with_companions(spark, SF)).collect()
+    }
+    ids = sorted(hashes)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= PHASH_THRESHOLD:
+                expect[(a, b)] = d
+    assert got == expect
+    planted = [
+        i
+        for i in ids
+        if i < PHASH_COMPANION_OFFSET
+        and i % PHASH_PLANT_MOD == 0
+        and i + PHASH_COMPANION_OFFSET in hashes
+    ]
+    assert planted, "fixture produced no planted companions"
+    for i in planted:
+        pair = (i, i + PHASH_COMPANION_OFFSET)
+        assert pair in got and got[pair] <= 2, pair
+
+
+def test_phash_candidates_from_band_join_not_cartesian(spark):
+    """Candidates must come from the (band, value) equi-join — no
+    cartesian / broadcast-nested-loop product of the image table."""
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    df = QUERIES["q_multimodal_phash"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -63,6 +63,7 @@ ROWS_ONLY_DOCUMENTED = {
         "q_scan_schema_evolution",  # reads scratch dirs it writes; invariants in the result row
         "q_agg_bloom",  # xxhash64 bit patterns Spark-specific; FN=0 + FP bound pinned
         "q_cluster_kmeans",  # float centroids; assignment equality vs numpy pinned
+        "q_multimodal_phash",  # binary synthesis not SQL-expressible; brute-force completeness pinned
 }
 
 
