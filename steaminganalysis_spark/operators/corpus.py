@@ -950,3 +950,109 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (84600000 * syllables) div greatest(words, 1) AS BIGINT)"
         ).alias("flesch_ppm"),
     )
+
+
+# --- PMI collocations -------------------------------------------------
+COLLOC_MIN_SUPPORT = 5
+COLLOC_TOPK = 100
+
+# lift(a,b) = P(ab) / (P(a)·P(b)) in ppm, computed as a fixed
+# BIGINT-division pipeline (identical association both engines; one
+# mid-pipeline truncation at relative error ~1e-7):
+#   ((c_ab·1e6·N_uni) DIV (c_a·c_b)) · N_uni DIV N_bi
+_COLLOC_SCORE = (
+    "(((c_ab * 1000000 * n_uni) DIV (c_a * c_b)) * n_uni) DIV n_bi"
+)
+
+
+@query(
+    "q_text_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    n_uni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM toks),
+    bi AS (
+      SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ),
+    n_bi AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM bi),
+    joined AS (
+      SELECT bi.w1, bi.w2, bi.c_ab, ua.c AS c_a, ub.c AS c_b,
+             n_uni.n_uni, n_bi.n_bi
+      FROM bi
+      JOIN uni ua ON ua.w = bi.w1
+      JOIN uni ub ON ub.w = bi.w2,
+      n_uni, n_bi
+      WHERE bi.c_ab >= {COLLOC_MIN_SUPPORT}
+    ),
+    scored AS (
+      SELECT w1, w2, c_ab,
+             CAST({_COLLOC_SCORE.replace("DIV", "//")} AS BIGINT) AS lift_ppm
+      FROM joined
+    )
+    SELECT w1, w2, c_ab, lift_ppm
+    FROM scored
+    ORDER BY lift_ppm DESC, w1, w2
+    LIMIT {COLLOC_TOPK}
+    """,
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-style collocation mining: the top-{K} adjacent token pairs
+    by lift = P(bigram) / (P(w1)·P(w2)) — the log-free monotone core
+    of pointwise mutual information, carried in exact BIGINT ppm (the
+    q_text_bm25 discipline: same division pipeline on both engines, so
+    the one truncation is shared). Min support {S} filters the
+    hapax-pair noise PMI is notorious for.
+
+    Scale shape: bigrams come from LEAD over (doc_id, pos) — ONE
+    corpus shuffle on doc_id (documents are the natural parallel unit;
+    no token self-join); unigram and bigram counts aggregate with
+    map-side partials; the unigram table is vocabulary-sized and
+    broadcast onto the scored bigrams; corpus totals enter as 1-row
+    broadcast joins; top-{K} is TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    nxt = F.lead("w").over(W.partitionBy("doc_id").orderBy("pos"))
+    bigrams = (
+        toks.withColumn("w2", nxt)
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= COLLOC_MIN_SUPPORT)
+    )
+    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    n_uni = toks.agg(F.count("*").cast("long").alias("n_uni"))
+    # total bigram count BEFORE the support filter (the probability
+    # denominator must not depend on the reporting threshold)
+    all_bi = (
+        toks.withColumn("w2", nxt)
+        .filter(F.col("w2").isNotNull())
+        .agg(F.count("*").cast("long").alias("n_bi"))
+    )
+    scored = (
+        bigrams.join(
+            F.broadcast(uni.selectExpr("w AS w1", "c AS c_a")), "w1"
+        )
+        .join(F.broadcast(uni.selectExpr("w AS w2", "c AS c_b")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(all_bi))
+        .withColumn("lift_ppm", F.expr(_COLLOC_SCORE).cast("long"))
+    )
+    return (
+        scored.select("w1", "w2", "c_ab", "lift_ppm")
+        .orderBy(F.col("lift_ppm").desc(), "w1", "w2")
+        .limit(COLLOC_TOPK)
+    )
+
+
+text_collocations.__doc__ = text_collocations.__doc__.replace(
+    "{K}", str(COLLOC_TOPK)
+).replace("{S}", str(COLLOC_MIN_SUPPORT))

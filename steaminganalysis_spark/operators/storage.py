@@ -723,3 +723,88 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("region_bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+# Incremental materialized-view maintenance: the cutoff splitting the
+# "already materialized" history from the incoming delta batch.
+MV_CUTOFF = "2024-01-25"
+
+
+@query(
+    "q_mv_incremental",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily rollup MV
+    is materialized ONCE over history (events before {CUT}, staged to
+    parquet — the stored view stand-in), and the new delta batch
+    (events from {CUT} on) is aggregated separately and MERGED in by
+    algebraic combination (counts add; cent sums add — every measure
+    here is a commutative monoid, the property that makes a rollup
+    incrementally maintainable at all). The oracle is the FULL
+    recompute over all events, so driver parity certifies the
+    maintenance algebra: merge(agg(history), agg(delta)) ≡
+    agg(history ∪ delta), exactly — cents are integers, so no float
+    reassociation can split the two sides.
+
+    Scale shape (the whole point at 100 TB): per refresh, only the
+    DELTA is scanned and shuffled (micro-batch-sized); the stored MV
+    joins in at aggregate cardinality (days × types) via a full-outer
+    equi-join on the group key. History is never re-read — the same
+    contract as Structured Streaming's complete-mode state store, but
+    expressed as a batch table operation."""
+    from steaminganalysis_spark.staging import stage
+
+    cut = F.to_timestamp(F.lit(MV_CUTOFF))
+    raw = load(spark, sf_dir, "events")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                "event_type",
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+            )
+            .groupBy("day", "event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+        )
+
+    # cutoff filters hit the RAW ts column so they push into the
+    # parquet scan (day is derived; filtering on it would not prune)
+    base_mv = stage(rollup(raw.filter(F.col("ts") < cut)), "mv_daily_base")
+    delta = rollup(raw.filter(F.col("ts") >= cut))
+    b = base_mv.selectExpr(
+        "day", "event_type", "n_events AS bn", "total_cents AS bc"
+    )
+    d = delta.selectExpr(
+        "day", "event_type", "n_events AS dn", "total_cents AS dc"
+    )
+    return (
+        b.join(d, ["day", "event_type"], "full_outer")
+        .select(
+            "day",
+            "event_type",
+            (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long")
+            .alias("n_events"),
+            (F.coalesce("bc", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+
+
+mv_incremental.__doc__ = mv_incremental.__doc__.replace("{CUT}", MV_CUTOFF)

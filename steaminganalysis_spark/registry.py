@@ -256,7 +256,13 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # (perceptual-hash image near-dup — aHash over a fixed sample grid,
 # 8x8-bit banded candidate join with a pigeonhole recall guarantee at
 # the threshold, planted re-encode companions; rows-only with
-# brute-force completeness pinned).
+# brute-force completeness pinned). Third wave: q_mv_incremental
+# (incremental materialized-view maintenance — merge(agg(history),
+# agg(delta)) ≡ agg(all), cutoff pushed into the scan),
+# q_text_collocations (PMI-lift bigram collocations in exact BIGINT
+# ppm, LEAD-based bigrams — one corpus shuffle), q_stream_topk
+# (streaming leaderboard: counts in stream state, rank at read time,
+# stream≡batch oracle).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

@@ -1068,3 +1068,63 @@ def stream_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tvd2_ppm",
         )
     )
+
+
+@query(
+    "q_stream_topk",
+    oracle="""
+    WITH c AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, n, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT day, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    WHERE rk <= 3
+    """,
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard (top-3 event types per day): the HEAVY
+    part — per-(day, type) counts — is maintained incrementally in
+    streaming state (complete-mode windowed aggregation, the
+    q_stream_tumbling_daily harness); the top-k finalization is a
+    window rank over the COMPACT aggregate emitted by the sink, which
+    is days × types rows regardless of stream volume. That split is
+    the standard way to get a "top-k over all time" from a stream
+    without a lambda architecture: rank is not incrementally
+    maintainable, counts are — so keep the state in the monoid and
+    rank at read time. Oracle = the batch count + rank over the same
+    events, so driver parity pins stream≡batch for the composition."""
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    stream = events_stream(spark, sf_dir)
+    agg = stream.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counts = spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("day").orderBy(F.col("n").desc(), "event_type")
+    )
+    return (
+        counts.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("day", "event_type", "n", "rk")
+    )

@@ -101,6 +101,10 @@ deferred_to_round7: set[str] = {
     "q_emb_knn_classify",
     # round-6 additions (multimodal.py)
     "q_multimodal_phash",
+    # round-6 additions (storage.py / corpus.py / streaming)
+    "q_mv_incremental",
+    "q_text_collocations",
+    "q_stream_topk",
 }
 
 

@@ -497,3 +497,45 @@ def test_corpus_select_gates_and_plan(spark):
     # (AQE may print the shape once or twice depending on stage reuse);
     # a data×data nested-loop would dwarf this count
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_collocations_match_python_reference(spark):
+    """The lift ranking must equal a pure-Python recompute of the same
+    BIGINT division pipeline (third referee beside the two SQL
+    twins)."""
+    import pandas as pd
+
+    from steaminganalysis_spark.operators.corpus import (
+        COLLOC_MIN_SUPPORT,
+        COLLOC_TOPK,
+    )
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r.w1, r.w2, r.c_ab, r.lift_ppm)
+        for r in QUERIES["q_text_collocations"](spark, sf).collect()
+    ]
+    docs = pd.read_parquet(f"{sf}/documents.parquet")["text"]
+    from collections import Counter
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    n_uni = 0
+    n_bi = 0
+    for t in docs:
+        ws = t.split(" ")
+        uni.update(ws)
+        n_uni += len(ws)
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+            n_bi += 1
+    rows = []
+    for (a, b), c_ab in bi.items():
+        if c_ab < COLLOC_MIN_SUPPORT:
+            continue
+        lift = (((c_ab * 1000000 * n_uni) // (uni[a] * uni[b])) * n_uni) // n_bi
+        rows.append((a, b, c_ab, lift))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == rows[:COLLOC_TOPK]

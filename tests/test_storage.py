@@ -320,3 +320,19 @@ def test_registered_schema_evolution_invariants(spark):
     assert row["rows_preserved"] and row["nulls_confined_to_gen0"]
     assert row["total_rows"] == row["gen0_rows"] + row["gen1_scored_rows"]
     assert row["merged_schema"] == "doc_id,n_chars,quality_score,source"
+
+
+def test_mv_incremental_delta_filter_pushed_and_merge_cardinality(spark):
+    """The refresh must push the ts cutoff into the parquet scan (at
+    scale that is the partition prune keeping refresh cost
+    delta-sized) and merge at aggregate cardinality — every (day,
+    type) key appears exactly once after the full-outer combine."""
+    from steaminganalysis_spark.plans import assert_filter_pushed
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    df = QUERIES["q_mv_incremental"](spark, "/root/testdata/sf0.001")
+    assert_filter_pushed(df, "ts")
+    rows = df.collect()
+    keys = [(r.day, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys))
