@@ -1008,3 +1008,126 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_link_predict.__doc__ = graph_link_predict.__doc__.replace(
     "{K}", str(LINK_PREDICT_TOPK)
 )
+
+
+SSSP_ROUNDS = 6
+
+_SQL_WEIGHTED_EDGES = """
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(1 + (1000000 // COUNT(*)) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      GROUP BY 1, 2
+"""
+
+
+def _sssp_oracle() -> str:
+    """Unrolled weighted min-plus (Bellman-Ford) relaxation with
+    integer edge costs: d0(source)=0, d_{k+1}(v) = min(d_k(v),
+    min over edges u→v of d_k(u) + w). MATERIALIZED per round — each
+    relax references its predecessor twice (the q_graph_wcc lesson)."""
+    ctes = [
+        f"we AS MATERIALIZED ({_SQL_WEIGHTED_EDGES})",
+        """nodes AS (SELECT DISTINCT src AS node FROM we
+                     UNION SELECT DISTINCT dst FROM we)""",
+        "srcn AS (SELECT MIN(node) AS s FROM nodes)",
+        """d0 AS MATERIALIZED (SELECT n.node,
+                  CASE WHEN n.node = srcn.s THEN CAST(0 AS BIGINT) END AS dist
+                FROM nodes n, srcn)""",
+    ]
+    for k in range(1, SSSP_ROUNDS + 1):
+        ctes.append(
+            f"""relax{k} AS MATERIALIZED (
+                 SELECT e.dst AS node, MIN(d.dist + e.w) AS cand
+                 FROM we e JOIN d{k - 1} d ON d.node = e.src
+                 WHERE d.dist IS NOT NULL GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (SELECT n.node,
+                   CASE WHEN LEAST(COALESCE(d.dist, 4611686018427387904),
+                                   COALESCE(r.cand, 4611686018427387904))
+                             < 4611686018427387904
+                        THEN LEAST(COALESCE(d.dist, 4611686018427387904),
+                                   COALESCE(r.cand, 4611686018427387904)) END AS dist
+                 FROM nodes n
+                 LEFT JOIN d{k - 1} d ON d.node = n.node
+                 LEFT JOIN relax{k} r ON r.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT nat.n_name AS nation, CAST(d.dist AS BIGINT) AS cost
+        FROM d{SSSP_ROUNDS} d
+        JOIN nation nat ON nat.n_nationkey = d.node
+        WHERE d.dist IS NOT NULL
+        """
+    )
+
+
+@query("q_graph_sssp", oracle=_sssp_oracle())
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest paths (Bellman-Ford, {R} fixed
+    min-plus relaxation rounds) over the directed trade graph, edge
+    cost = 1 + 1e6 DIV traffic — rare trade links cost more, so the
+    cheapest route is the busiest one (the q_graph_bfs hop metric made
+    cost-aware). Integer costs end to end: relaxation is min-plus over
+    BIGINTs, no rounding convention needed. Fixed rounds keep the
+    result a pure function of the input; the fixpoint lands inside the
+    budget at every shipped SF (pinned in tests/test_graph.py).
+
+    Plan shape: the weighted edge build is the fact⋈fact count
+    aggregate, staged ONCE; each round is edges ⋈ broadcast(O(V)
+    distance vector) + per-destination MIN — identical loop economics
+    to BFS/PageRank, and at billion-node scale the same delta-frontier
+    evolution applies."""
+    from steaminganalysis_spark.staging import stage
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    we = stage(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg((F.lit(1) + F.expr("1000000 DIV COUNT(*)")).cast("long").alias("w")),
+        "sssp_edges",
+    )
+    nodes = we.select(F.col("src").alias("node")).union(
+        we.select(F.col("dst").alias("node"))
+    ).distinct()
+    src = nodes.agg(F.min("node").alias("s"))
+    dist = nodes.join(F.broadcast(src)).select(
+        "node",
+        F.when(F.col("node") == F.col("s"), F.lit(0).cast("long")).alias("dist"),
+    )
+    for _ in range(SSSP_ROUNDS):
+        relax = (
+            we.join(
+                F.broadcast(dist.filter(F.col("dist").isNotNull())),
+                we.src == F.col("node"),
+            )
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        dist = dist.join(F.broadcast(relax), dist.node == relax.dst, "left").select(
+            "node", F.least(F.col("dist"), F.col("cand")).alias("dist")
+        )
+    nat = load(spark, sf_dir, "nation")
+    return (
+        dist.filter(F.col("dist").isNotNull())
+        .join(F.broadcast(nat), dist.node == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("dist").cast("long").alias("cost"),
+        )
+    )
+
+
+graph_sssp.__doc__ = graph_sssp.__doc__.replace("{R}", str(SSSP_ROUNDS))
