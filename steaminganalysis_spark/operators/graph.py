@@ -646,9 +646,13 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_b",
             F.col("common_buyers").cast("long").alias("common_buyers"),
             union.cast("long").alias("union_buyers"),
-            ((F.col("common_buyers") * 1000000) / union)
-            .cast("long")
-            .alias("jac_ppm"),
+        )
+        # Integer DIV, matching the oracle's truncating `//` exactly —
+        # float division + cast rounds differently once the quotient's
+        # mantissa exceeds 2^53 or lands on a .9999 repr (ADVICE r6).
+        .withColumn(
+            "jac_ppm",
+            F.expr("(common_buyers * CAST(1000000 AS BIGINT)) DIV union_buyers"),
         )
         .orderBy(
             F.col("jac_ppm").desc(),
@@ -1067,6 +1071,28 @@ def _sssp_oracle() -> str:
     )
 
 
+def min_plus_round(we: DataFrame, dist: DataFrame) -> DataFrame:
+    """One synchronous min-plus (Bellman-Ford) relaxation round:
+    d'(v) = min(d(v), min over edges u→v of d(u) + w). The distance
+    vector is O(V) and broadcast both ways, so a round costs one
+    map-side join over the staged edges plus a per-destination MIN —
+    the edge table itself never re-shuffles. Shared by ``q_graph_sssp``
+    and the delta-frontier behavior pin in tests/test_graph.py (which
+    drives it on a synthetic chain graph and asserts rounds past the
+    fixpoint improve zero rows)."""
+    relax = (
+        we.join(
+            F.broadcast(dist.filter(F.col("dist").isNotNull())),
+            we.src == F.col("node"),
+        )
+        .groupBy("dst")
+        .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+    )
+    return dist.join(F.broadcast(relax), dist.node == relax.dst, "left").select(
+        "node", F.least(F.col("dist"), F.col("cand")).alias("dist")
+    )
+
+
 @query("q_graph_sssp", oracle=_sssp_oracle())
 def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED single-source shortest paths (Bellman-Ford, {R} fixed
@@ -1108,17 +1134,7 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("node") == F.col("s"), F.lit(0).cast("long")).alias("dist"),
     )
     for _ in range(SSSP_ROUNDS):
-        relax = (
-            we.join(
-                F.broadcast(dist.filter(F.col("dist").isNotNull())),
-                we.src == F.col("node"),
-            )
-            .groupBy("dst")
-            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
-        )
-        dist = dist.join(F.broadcast(relax), dist.node == relax.dst, "left").select(
-            "node", F.least(F.col("dist"), F.col("cand")).alias("dist")
-        )
+        dist = min_plus_round(we, dist)
     nat = load(spark, sf_dir, "nation")
     return (
         dist.filter(F.col("dist").isNotNull())

@@ -633,7 +633,12 @@ def ts_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-(_DECAY_FRAME - 1), 0)
     )
-    frame = F.collect_list("cents").over(w)
+    # coalesce BEFORE collect_list: collect_list silently drops NULLs,
+    # which would shift every later element's weight by one halving; the
+    # oracle's banded self-join keeps the NULL row's rn slot and SUM
+    # ignores the NULL product — i.e. the slot contributes 0 but still
+    # occupies a frame position (ADVICE r6).
+    frame = F.collect_list(F.coalesce(F.col("cents"), F.lit(0))).over(w)
     fold = (
         f"aggregate(reverse(frame), "
         f"named_struct('s', CAST(0 AS BIGINT), 'w', CAST({_DECAY_TOP} AS BIGINT)), "

@@ -326,6 +326,57 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_fn_explode, q_fn_explode_outer.) Any round-6 additions go into
 # deferred_to_round7 (tests/test_contract_robustness.py) ahead of the
 # re-check backlog.
+#
+# ROUND-8 WINDOW (this round; round 7 shipped no rotation — the driver
+# re-ran the round-6 window and got 50/50 green again): canaries
+# q_daily_rollup + q_tpch_q12, then ALL 20 keys that have never had a
+# driver CORRECTNESS row (q_graph_sssp + the 19-key deferred_to_round7
+# pin), then 28 of the 29-key oldest-green re-check backlog above —
+# q_dedup_containment is the one backlog key dropped: its green was
+# already refreshed inside the round-4 window (staging-refactor
+# re-check), so it is the only backlog entry whose stamp is NOT
+# round-1. Executing this rotation restores the zero-never-checked
+# invariant and retires the whole round-1-stamp backlog in one pass.
+# Backlog tail rolling to round 9: q_agg_stats, q_agg_percentile,
+# q_fn_explode, q_fn_explode_outer, plus a q_dedup_containment /
+# round-2 family refresh if slots allow. Any round-8 additions go into
+# deferred_to_round9 (tests/test_contract_robustness.py) ahead of all
+# of those.
+ROUND8_WINDOW = [
+    # Canaries (2): flagship + the HUGEINT-class sentinel.
+    "q_daily_rollup",
+    "q_tpch_q12",
+    # --- the 20 never-driver-checked keys (registration order within
+    # each source round: the round-5 overflow key, the 18 round-6
+    # additions, then the round-6 snapshot's q_graph_sssp) ---
+    "q_er_clusters",
+    "q_sample_weighted", "q_crossval_folds", "q_vocab_prune",
+    "q_ts_decayed_sum", "q_ts_gapfill_interpolate",
+    "q_graph_jaccard_neighbors", "q_graph_label_propagation",
+    "q_graph_k_core", "q_graph_link_predict",
+    "q_text_bm25",
+    "q_dq_profile", "q_sql_window_clause",
+    "q_dedup_url", "q_emb_knn_classify",
+    "q_multimodal_phash",
+    "q_mv_incremental", "q_text_collocations", "q_stream_topk",
+    "q_graph_sssp",
+    # --- 28 oldest-green re-checks (round-1 stamps, priority order
+    # from the pinned backlog above) ---
+    "q_time_buckets", "q_fn_string", "q_fn_datetime", "q_fn_math",
+    "q_fn_array", "q_json_parse", "q_fn_map", "q_json_malformed",
+    "q_fn_array2", "q_fn_datetime2", "q_fn_string2",
+    "q_dedup_exact", "q_sim_topk", "q_text_stats", "q_text_tokens",
+    "q_text_langid", "q_text_quality", "q_text_tfidf",
+    "q_emb_centroid", "q_text_fingerprint", "q_text_entropy",
+    "q_emb_quantize", "q_pack_sequences",
+    "q_agg_grouping_flags", "q_agg_minmax_by", "q_agg_mode_bool",
+    "q_agg_product", "q_agg_salted",
+]
+
+# Retired round-6/7 window, for the record (50/50 green in BOTH
+# CORRECTNESS_r06.json and CORRECTNESS_r07.json — 46 hash + 4
+# rows-only each round; round 7 landed no rotation so the driver
+# re-ran it verbatim):
 ROUND6_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
@@ -438,7 +489,7 @@ ROUND4_WINDOW = [
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every operator module (side effect: registration), then
-    reorder so ROUND6_WINDOW occupies the first 50 registration slots
+    reorder so ROUND8_WINDOW occupies the first 50 registration slots
     — the slice the driver's correctness gate checks this round."""
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import tpch  # noqa: F401  isort: skip
@@ -465,11 +516,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import curation  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import retrieval  # noqa: F401  isort: skip
 
-    missing = [k for k in ROUND6_WINDOW if k not in QUERIES]
+    missing = [k for k in ROUND8_WINDOW if k not in QUERIES]
     if missing:
-        raise RuntimeError(f"ROUND6_WINDOW names unregistered queries: {missing}")
-    window = set(ROUND6_WINDOW)
-    ordered = ROUND6_WINDOW + [k for k in QUERIES if k not in window]
+        raise RuntimeError(f"ROUND8_WINDOW names unregistered queries: {missing}")
+    window = set(ROUND8_WINDOW)
+    ordered = ROUND8_WINDOW + [k for k in QUERIES if k not in window]
     reordered = {k: QUERIES[k] for k in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -221,7 +221,17 @@ def test_kvstore_instance_resolves_redis_urls_or_raises_cleanly():
     # Only genuine connection-error types count: a broad Exception
     # would let e.g. an AttributeError from a silently-substituted
     # fallback store pass, defeating the guarantee this test pins.
-    with pytest.raises((ConnectionError, OSError)):
+    # redis-py's ConnectionError subclasses RedisError, NOT the builtin
+    # ConnectionError — include it when the real client is installed so
+    # this test still pins the guarantee outside the sandbox (ADVICE r6).
+    conn_errors: tuple[type[BaseException], ...] = (ConnectionError, OSError)
+    try:
+        import redis  # type: ignore[import-not-found]
+
+        conn_errors = conn_errors + (redis.exceptions.ConnectionError,)
+    except ImportError:
+        pass
+    with pytest.raises(conn_errors):
         store = KVStore.instance(url)
         store._r.ping()
     KVStore.reset(url)

@@ -69,62 +69,36 @@ def test_demo_app_accumulates_day_totals(spark):
             assert h["fee_cents"] == 0
 
 
-# Keys registered AFTER the round-6 window froze — exempt from the
-# rotation-closure check below, pinned here so they head the round-7
-# window (the same bookkeeping rounds 2-6 used). Every new @query
-# registration this round MUST be added here. q_er_clusters is the
-# one round-5 deferred key the 50-slot round-6 window could not hold
-# (2 canaries + 49 deferred = 51): it rolls forward ahead of any
-# round-6 addition, followed by the 29-key oldest-green re-check
-# backlog pinned in registry.py's ROUND6_WINDOW comment.
-deferred_to_round7: set[str] = {
-    "q_er_clusters",
-    # round-6 additions (operators/curation.py)
-    "q_sample_weighted",
-    "q_crossval_folds",
-    "q_vocab_prune",
-    # round-6 additions (operators/sequences.py)
-    "q_ts_decayed_sum",
-    "q_ts_gapfill_interpolate",
-    # round-6 additions (operators/graph.py)
-    "q_graph_jaccard_neighbors",
-    "q_graph_label_propagation",
-    "q_graph_k_core",
-    "q_graph_link_predict",
-    # round-6 additions (operators/retrieval.py)
-    "q_text_bm25",
-    # round-6 additions (pipeline.py / sql_surface.py)
-    "q_dq_profile",
-    "q_sql_window_clause",
-    # round-6 additions (curation.py / retrieval.py, second wave)
-    "q_dedup_url",
-    "q_emb_knn_classify",
-    # round-6 additions (multimodal.py)
-    "q_multimodal_phash",
-    # round-6 additions (storage.py / corpus.py / streaming)
-    "q_mv_incremental",
-    "q_text_collocations",
-    "q_stream_topk",
-}
+# Keys registered AFTER the round-8 window froze — exempt from the
+# rotation-closure check below, pinned here so they head the round-9
+# window (the same bookkeeping rounds 2-8 used). Every new @query
+# registration this round MUST be added here. The round-8 window
+# itself absorbed the ENTIRE former deferred_to_round7 set plus
+# q_graph_sssp (the round-6 snapshot key whose missing entry here was
+# the suite's one red test through rounds 6-7), so this set restarts
+# from the round-8 additions only.
+deferred_to_round9: set[str] = set()
 
 
-def test_round6_correctness_window_composition():
-    """The driver verifies the FIRST ~50 registered queries; the round-6
-    window is the explicit ROUND6_WINDOW key list — the two canaries
-    plus the first 48 of round 5's 49 deferred keys in registration
-    order (q_er_clusters overflows to round 7). Pin it so a stray
-    registration (or an import reorder) cannot silently displace
-    queries out of the checked window before the driver runs. Update
-    deliberately on each round's rotation."""
+def test_round8_correctness_window_composition():
+    """The driver verifies the FIRST ~50 registered queries; the round-8
+    window is the explicit ROUND8_WINDOW key list — the two canaries,
+    ALL 20 keys that had never received a driver CORRECTNESS row
+    through round 7 (q_graph_sssp + the 19-key former
+    deferred_to_round7 pin), and 28 round-1-stamp re-checks from the
+    oldest-green backlog. Pin it so a stray registration (or an import
+    reorder) cannot silently displace queries out of the checked window
+    before the driver runs. Update deliberately on each round's
+    rotation."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND6_WINDOW, collect_queries
+    from steaminganalysis_spark.registry import ROUND8_WINDOW, collect_queries
 
     QUERIES, ORACLE = collect_queries()
     first50 = list(QUERIES)[:50]
-    assert len(ROUND6_WINDOW) == 50
-    assert first50 == ROUND6_WINDOW
+    assert len(ROUND8_WINDOW) == 50
+    assert first50 == ROUND8_WINDOW
     # the canaries must sit inside the window
     for k in (
         "q_daily_rollup",
@@ -132,28 +106,24 @@ def test_round6_correctness_window_composition():
     ):
         assert k in first50, k
     # Rotation closure: after this round, every key that existed when
-    # the round-6 window froze has a driver CORRECTNESS row — the
-    # window must cover everything the union of CORRECTNESS_r01..r05
-    # did not, except the pinned overflow/new keys in
-    # deferred_to_round7.
+    # the round-8 window froze has a driver CORRECTNESS row — the
+    # window must cover everything the union of CORRECTNESS_r01..r07
+    # did not, except the pinned new keys in deferred_to_round9.
     checked = set()
-    for p in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[12345].json")):
+    for p in sorted(
+        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[1234567].json")
+    ):
         checked |= set(json.loads(p.read_text()))
-    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round7]
+    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round9]
     assert set(never) <= set(first50), sorted(set(never) - set(first50))
-    assert deferred_to_round7 <= set(QUERIES)
-    assert deferred_to_round7.isdisjoint(first50)
+    assert deferred_to_round9 <= set(QUERIES)
+    assert deferred_to_round9.isdisjoint(first50)
     # every key in the window is registered with an oracle unless it is
     # one of the documented rows-only keys (physical file layout,
     # sketch-byte payloads, float-order artifacts — see
     # test_oracle_parity's list)
     rows_only_in_window = {k for k in first50 if k not in ORACLE}
-    assert rows_only_in_window == {
-        "q_scan_schema_evolution",
-        "q_agg_bloom",
-        "q_emb_pca_power",
-        "q_cluster_kmeans",
-    }, rows_only_in_window
+    assert rows_only_in_window == {"q_multimodal_phash"}, rows_only_in_window
 
 
 def test_python_source_filter_pushdown(spark):

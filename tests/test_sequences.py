@@ -94,6 +94,70 @@ def test_ts_decayed_sum_matches_python_recompute(spark):
     assert got == expect
 
 
+def test_ts_decayed_sum_null_values_keep_frame_slots(spark, tmp_path):
+    """NULL `value` rows must contribute 0 but still OCCUPY a frame
+    position (ADVICE r6): collect_list silently drops NULLs, which
+    would shift every later element's weight by one halving, while the
+    oracle's banded rn self-join keeps the slot (SUM ignores the NULL
+    product). Pin full engine parity on a synthesized NULL-bearing
+    events fixture — the shipped fixtures have no NULL values, so this
+    is the only place the coalesce-before-collect_list fix is load-
+    bearing."""
+    import os
+
+    import duckdb
+
+    fixture = tmp_path / "sfnull"
+    fixture.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        os.symlink(f"{SF}/{t}.parquet", fixture / f"{t}.parquet")
+    # 2 users × 8 events, NULLs interleaved mid-stream so dropped slots
+    # would visibly reshuffle the weights of later events
+    rows = []
+    for uid in (1, 2):
+        for i in range(8):
+            val = None if (i + uid) % 3 == 0 else float(10 * uid + i) + 0.25
+            rows.append(
+                {
+                    "event_id": uid * 100 + i,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                    "user_id": uid,
+                    "event_type": "view",
+                    "value": val,
+                    "props": "{}",
+                }
+            )
+    pd.DataFrame(rows).to_parquet(fixture / "events.parquet")
+    from tests.oracle_harness import compare_query
+
+    _, ORACLE = collect_queries()
+    problems = compare_query(
+        spark, "q_ts_decayed_sum", str(fixture), QUERIES, ORACLE
+    )
+    assert not problems, problems
+    # and the Python recompute with NULL→0 slot-keeping agrees
+    from steaminganalysis_spark.operators.sequences import _DECAY_FRAME
+
+    got = {
+        r.event_id: r.decayed_scaled
+        for r in QUERIES["q_ts_decayed_sum"](spark, str(fixture)).collect()
+    }
+    for uid in (1, 2):
+        hist = []
+        for i in range(8):
+            val = None if (i + uid) % 3 == 0 else float(10 * uid + i) + 0.25
+            hist.append(0 if val is None else int(val * 100.0 + 0.5))
+            frame = hist[-_DECAY_FRAME:]
+            expect = sum(
+                c * (1 << (_DECAY_FRAME - 1 - d))
+                for d, c in enumerate(reversed(frame))
+            )
+            assert got[uid * 100 + i] == expect, (uid, i)
+
+
 def test_ts_gapfill_grid_complete_and_interpolation_bounded(spark):
     """Every type's grid is dense from min to max observed hour; known
     buckets pass through unchanged (flag False); interpolated buckets
