@@ -67,7 +67,41 @@ HEADLINE_EXTENDED = [
     "q_geo_radius_join",
     "q_seq_pattern",
     "q_er_clusters",
+    # round-8: the selective (τ=0.7, 12-bit × 64-table) kNN-graph
+    # operating point, tracked alongside the τ=0.4 key it answers —
+    # the pair exists so the candidate-volume gap stays measured.
+    "q_knn_graph_selective",
 ]
+
+
+def _previous_extended(sf_val: float | str) -> dict[str, float]:
+    """Latest recorded extended-query timings (BENCH_r*.json, highest
+    round) AT THE SAME SCALE FACTOR, so this run can flag
+    round-over-round blowups in the extended set — the headline 14 get
+    that visibility from BASELINE.md; the extended set previously had
+    none. Cross-SF comparisons would be meaningless, so a bench at a
+    different SF simply reports no regressions."""
+    import glob
+    import re
+
+    best: tuple[int, dict[str, float]] = (-1, {})
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            data = json.loads(open(p).read())
+        except (OSError, json.JSONDecodeError):
+            continue
+        rnd = int(m.group(1))
+        if (
+            rnd > best[0]
+            and data.get("sf") == sf_val
+            and isinstance(data.get("extended_queries"), dict)
+        ):
+            best = (rnd, data["extended_queries"])
+    return best[1]
 
 
 def main() -> None:
@@ -123,6 +157,19 @@ def main() -> None:
         ext_timings[name] = round(runs[0], 3)
     ext_total = round(sum(ext_timings.values()), 3)
 
+    # Round-over-round blowup flag for the extended set: a best-of-3
+    # minimum that DOUBLES vs the last recorded round is beyond this
+    # box's measured noise floor (±40% on single runs, far less on
+    # minima) and almost certainly a plan regression.
+    prev_ext = _previous_extended(sf_val)
+    ext_regressions = {
+        name: {"prev_sec": prev_ext[name], "now_sec": ext_timings[name]}
+        for name in ext_timings
+        if name in prev_ext
+        and prev_ext[name] > 0
+        and ext_timings[name] > 2.0 * prev_ext[name]
+    }
+
     # Second pass with plain double sums (SPARK_GRAFT_DOUBLE_SUMS=1 is
     # read by registry.dsum at plan-build time): quantifies the
     # decimal-accumulation tax the engine pays for order-insensitive
@@ -144,6 +191,7 @@ def main() -> None:
                 "queries": timings,
                 "extended_queries": ext_timings,
                 "extended_total_sec": ext_total,
+                "extended_regressions": ext_regressions,
                 "sf": sf_val,
                 "spread_pct": spreads,
                 "loadavg_1m": loadavg_1m,

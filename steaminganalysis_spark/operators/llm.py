@@ -1381,6 +1381,198 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Selective kNN-graph configuration (the production operating point):
+# τ=0.7 with 12 bits × 64 tables. Per-bucket random-pair collision is
+# 0.5^12, so expected candidate volume is ~64/4096 ≈ 1.6% of n²/2 —
+# provably sub-quadratic-constant vs the τ=0.4 key's effectively
+# all-pairs candidates (2 bits × 24 tables exists for RECALL at the
+# weak-similarity regime; this key exists for SELECTIVITY at the
+# near-duplicate regime, which is where 100 TB dedup actually runs).
+# Recall at the planted-pair floor (cosine ≈ 0.88, p_bit ≈ 0.845):
+# per-pair miss = (1 − 0.845¹²)^64 ≈ 1e-4; exact equality with the
+# all-pairs oracle on the fixtures is the gate, pinned every round.
+SELECTIVE_LSH_BITS = 12
+SELECTIVE_LSH_TABLES = 64
+SELECTIVE_TAU = 0.7
+_AUG_C1_OFFSET = 1_000_000
+_AUG_C2_OFFSET = 2_000_000
+
+_HYPERPLANES: np.ndarray | None = None
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    """Deterministic ±1 hyperplane family, (tables × bits) × dim: row
+    p's signs are the bits of blake2b(p) — reproducible forever across
+    sessions, partitionings, and library versions (no RNG state; the
+    same construction idea as the xxhash64 planes in
+    ``_lsh_candidate_pairs``, but materialized once as a numpy matrix
+    so bucketing is ONE sign(V @ Hᵀ) matmul per Arrow batch instead of
+    tables×bits interpreted HOF lambda passes per row)."""
+    global _HYPERPLANES
+    n_planes = SELECTIVE_LSH_TABLES * SELECTIVE_LSH_BITS
+    if _HYPERPLANES is None or _HYPERPLANES.shape != (n_planes, dim):
+        import hashlib
+
+        n_bytes = (dim + 7) // 8
+        rows = []
+        for p in range(n_planes):
+            dgst = hashlib.blake2b(
+                p.to_bytes(4, "big"), digest_size=n_bytes
+            ).digest()
+            bits = np.unpackbits(np.frombuffer(dgst, dtype=np.uint8))[:dim]
+            rows.append(bits.astype(np.float64) * 2.0 - 1.0)
+        _HYPERPLANES = np.stack(rows)
+    return _HYPERPLANES
+
+
+def _selective_buckets():
+    """All 64 table buckets for each vector in one vectorized step:
+    sign bits of V @ Hᵀ, packed 12 per table. Arrow-batched — the
+    per-batch cost is a single (batch × dim) @ (dim × 768) BLAS call,
+    the 10-100× Pandas-UDF-over-row-lambda rule from the module
+    docstring applied to hashing instead of scoring. Built lazily:
+    ``pandas_udf`` parses its DDL return type against the ACTIVE
+    session, so decorating at module import would break session-free
+    imports of this module."""
+
+    def impl(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        S = (V @ _hyperplanes(V.shape[1]).T) > 0
+        S = S.reshape(len(V), SELECTIVE_LSH_TABLES, SELECTIVE_LSH_BITS)
+        powers = 1 << np.arange(SELECTIVE_LSH_BITS, dtype=np.int64)
+        B = (S * powers).sum(axis=2)
+        return pd.Series(list(B))
+
+    return F.pandas_udf(impl, "array<bigint>")
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding table augmented with planted near-duplicates —
+    the synthesize-then-verify pattern (operators/multimodal.py): the
+    natural fixture has NO pairs above cosine 0.65, so a τ=0.7 key
+    over it alone would be vacuously green on an empty result. Every
+    10th vector gets two companions: c1 zeroes the last two
+    coordinates (id + 1e6), c2 the first two (id + 2e6). Each family
+    {v, c1, c2} is a triangle of true near-duplicates (pairwise cosine
+    ≥ 0.88 on all shipped fixtures, pinned), and the construction is
+    pure coordinate surgery — expressible identically in Spark and
+    DuckDB with zero floating-point arithmetic, so both engines score
+    the exact same augmented corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    v = to_double_array("embedding")
+    raw = e.select("vec_id", v.alias("v"))
+    fam = raw.filter(F.col("vec_id") % 10 == 0)
+    zeros2 = F.array(F.lit(0.0), F.lit(0.0))
+    c1 = fam.select(
+        (F.col("vec_id") + _AUG_C1_OFFSET).alias("vec_id"),
+        F.concat(F.slice("v", 1, 62), zeros2).alias("v"),
+    )
+    c2 = fam.select(
+        (F.col("vec_id") + _AUG_C2_OFFSET).alias("vec_id"),
+        F.concat(zeros2, F.expr("slice(v, 3, 62)")).alias("v"),
+    )
+    aug = raw.unionAll(c1).unionAll(c2)
+    return aug.select("vec_id", "v", norm(F.col("v")).alias("norm"))
+
+
+def _selective_candidate_pairs(base: DataFrame) -> DataFrame:
+    """Candidate (vec_a < vec_b) pairs sharing any (table, bucket)
+    under the selective 12-bit × 64-table family. Same equi-join shape
+    as ``_lsh_candidate_pairs`` — the difference is bucket width: at
+    12 bits a random pair collides in a given table with p = 2⁻¹² ≈
+    0.02%, so the join output is a ~1.6% sample of the pair space
+    instead of effectively all of it."""
+    buckets = base.select(
+        "vec_id", F.posexplode(_selective_buckets()("v")).alias("tbl", "bkt")
+    )
+    buckets = stage(buckets, "selective_lsh_buckets", bucket_col="bkt")
+    return (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+_SELECTIVE_ORACLE = f"""
+    WITH raw AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), aug AS (
+      SELECT vec_id, v FROM raw
+      UNION ALL
+      SELECT vec_id + {_AUG_C1_OFFSET},
+             list_slice(v, 1, 62) || [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]
+      FROM raw WHERE vec_id % 10 = 0
+      UNION ALL
+      SELECT vec_id + {_AUG_C2_OFFSET},
+             [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)] || list_slice(v, 3, 64)
+      FROM raw WHERE vec_id % 10 = 0
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(generate_series(1, len(v)),
+                                          i -> v[i] * v[i]))) AS nrm
+      FROM aug
+    ), sym AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                           i -> a.v[i] * b.v[i]))
+                   / (a.nrm * b.nrm), 6) AS cosine
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rn
+      FROM sym WHERE cosine >= {SELECTIVE_TAU}
+    )
+    SELECT src, dst, cosine, rn FROM ranked WHERE rn <= 3
+"""
+
+
+@query("q_knn_graph_selective", oracle=_SELECTIVE_ORACLE)
+def knn_graph_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor graph at the SELECTIVE production operating
+    point — the answer to ``q_knn_graph``'s one standing scale flag:
+    that key's registered τ=0.4 / 2-bit config is correct but its LSH
+    candidates are effectively all-pairs at fixture scale (candidate
+    generation dominates its 7.1 s bench entry). Near-duplicate
+    detection at 100 TB runs at high similarity, where LSH is actually
+    selective: τ={0.7} with {12} bits × {64} tables makes a random
+    pair collide somewhere with probability ~1.6% — candidate volume
+    drops ×60 while every true pair (all ≥ 0.88 cosine on the
+    augmented fixtures, pinned) still collides with probability
+    ≥ 1 − 1e-4 per pair. The oracle stays the EXACT all-pairs SQL over
+    the same augmented corpus, so the green hash certifies recall = 1
+    on the fixture, not a sampled estimate of it.
+
+    Plan: one Arrow-batched matmul per batch for bucketing (no
+    per-row lambda), staged bucket table, equi-join candidates, exact
+    cosine re-score on the surviving ~1.6%, per-source top-3 via
+    ROW_NUMBER (WindowGroupLimit). Candidate count ≪ n²/2 at sf0.1 is
+    pinned in tests/test_llm_ops.py."""
+    base = _aug_embeddings(spark, sf_dir)
+    cand = _selective_candidate_pairs(base)
+    scored = _score_pairs_exact(base, cand, SELECTIVE_TAU)
+    sym = scored.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cosine"
+    ).unionAll(
+        scored.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cosine"
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst", "cosine", "rn")
+    )
+
+
 @query(
     "q_dedup_jaccard_prefix",
     oracle="""

@@ -262,7 +262,21 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_text_collocations (PMI-lift bigram collocations in exact BIGINT
 # ppm, LEAD-based bigrams — one corpus shuffle), q_stream_topk
 # (streaming leaderboard: counts in stream state, rank at read time,
-# stream≡batch oracle).
+# stream≡batch oracle), q_graph_sssp (weighted Bellman-Ford min-plus
+# SSSP over the trade graph — registered at the round-6 snapshot;
+# this census line was the missing bookkeeping that kept one suite
+# test red through rounds 6-7) — 301 keys / 269 oracles at the
+# round-6 close (count with collect_queries(), never this comment).
+#
+# Round-8 additions (pinned as deferred_to_round9 in
+# tests/test_contract_robustness.py): q_knn_graph_selective (the kNN
+# graph at the SELECTIVE τ=0.7 / 12-bit × 64-table operating point
+# over an augmented corpus with planted near-duplicate companions —
+# candidate volume ~2% of n²/2 where the τ=0.4 key is effectively
+# all-pairs; exact all-pairs oracle, Arrow-matmul bucketing),
+# q_text_extract_html (crawl-to-corpus HTML text extraction),
+# q_emb_pca_topk (top-k principal components via power iteration with
+# deflation, rows-only + numpy equivalence).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

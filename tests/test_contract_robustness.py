@@ -77,7 +77,10 @@ def test_demo_app_accumulates_day_totals(spark):
 # q_graph_sssp (the round-6 snapshot key whose missing entry here was
 # the suite's one red test through rounds 6-7), so this set restarts
 # from the round-8 additions only.
-deferred_to_round9: set[str] = set()
+deferred_to_round9: set[str] = {
+    # round-8 additions (operators/llm.py)
+    "q_knn_graph_selective",
+}
 
 
 def test_round8_correctness_window_composition():
