@@ -334,3 +334,159 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderkey").cast("long").alias("keep_key"),
         )
     )
+
+
+# ------------------------------------------------ crawl text extraction
+#
+# The crawl-to-corpus entry stage (the trafilatura/jusText step): every
+# operator downstream of here consumes clean `documents.text`, but a
+# real pipeline starts from crawled HTML. The fixture has no HTML
+# column, so the operator uses the synthesize-then-verify pattern
+# (operators/multimodal.py): wrap each document's text in a
+# deterministic full-page template — head script with `<` and `>` in
+# its body, stylesheet, nav with entities, an ad block and a SECOND
+# inline script inside the article between the paragraphs — then
+# extract. Because the planted truth is the original text, the
+# extraction-loses-and-invents-nothing guarantee is the oracle hash
+# itself, plus a byte-equality pin in tests/test_curation.py.
+
+# Template fragments, shared verbatim by the Spark expression and the
+# DuckDB oracle so both engines extract from the SAME page bytes.
+_HTML_HEAD = (
+    '<html><head><title>Doc #ID#</title>'
+    '<style>body{margin:0} .ad{color:red}</style>'
+    '<script type="text/javascript">var p=#ID#;if(p<9||p>0){track(p)}'
+    "</script></head><body>"
+    '<nav class="top"><a href="/">Home</a> &middot; '
+    '<a href="/#LANG#">#LANG#</a></nav>'
+    '<div class="ad">SUBSCRIBE &amp; SAVE <b>50%</b> &gt; now</div>'
+    "<article><h1>Entry #ID#</h1><p>"
+)
+_HTML_MID = (
+    '</p><div class="ad">RELATED &raquo;</div>'
+    "<script>mid(p&&1)</script><p>"
+)
+_HTML_TAIL = (
+    "</p></article><footer>&copy; 2024 Example Corp &lt;legal&gt;"
+    "</footer></body></html>"
+)
+
+# Extraction pipeline, one regex per boilerplate class — identical
+# pattern strings in both engines (Java regex and RE2 agree on
+# non-greedy `.*?`, character classes, and alternation; nothing
+# engine-specific like lookbehind is used):
+_RE_SCRIPT = "<script[^>]*>.*?</script>"
+_RE_ARTICLE = "<article>(.*?)</article>"
+_RE_HEADING = "<h1>.*?</h1>"
+_RE_AD = '<div class="ad">.*?</div>'
+_RE_TAG = "<[^>]*>"
+
+
+def _synth_sql(dialect: str) -> str:
+    """SQL expression producing the synthesized page for one document
+    row (columns doc_id, text, lang in scope). The body is the text
+    split at the midpoint word into two <p> blocks — slice/join string
+    surgery only, zero information added or lost — with the inline
+    ad + script planted between them."""
+    if dialect == "spark":
+        words, join_ = "split(text, ' ')", "array_join"
+        first = f"{join_}(slice({words}, 1, size({words}) div 2), ' ')"
+        second = (
+            f"{join_}(slice({words}, size({words}) div 2 + 1, "
+            f"size({words}) - size({words}) div 2), ' ')"
+        )
+    else:
+        words = "string_split(text, ' ')"
+        first = f"array_to_string(list_slice({words}, 1, len({words}) // 2), ' ')"
+        second = (
+            f"array_to_string(list_slice({words}, len({words}) // 2 + 1, "
+            f"len({words})), ' ')"
+        )
+    head = _HTML_HEAD.replace("'", "''")
+    mid = _HTML_MID.replace("'", "''")
+    tail = _HTML_TAIL.replace("'", "''")
+    tmpl = (
+        f"'{head}' || {first} || '{mid}' || {second} || '{tail}'"
+    )
+    id_str = (
+        "CAST(doc_id AS STRING)" if dialect == "spark" else "CAST(doc_id AS VARCHAR)"
+    )
+    return tmpl.replace("#ID#", f"' || {id_str} || '").replace(
+        "#LANG#", "' || lang || '"
+    )
+
+
+@query(
+    "q_text_extract_html",
+    oracle=f"""
+    WITH page AS (
+      SELECT doc_id, {_synth_sql('duckdb')} AS html FROM documents
+    ), art AS (
+      SELECT doc_id, CAST(LENGTH(html) AS BIGINT) AS html_chars,
+             regexp_extract(regexp_replace(html, '{_RE_SCRIPT}', '', 'g'),
+                            '{_RE_ARTICLE}', 1) AS a
+      FROM page
+    )
+    SELECT doc_id, html_chars,
+           TRIM(regexp_replace(
+                  replace(
+                    regexp_replace(
+                      regexp_replace(a, '{_RE_HEADING}', '', 'g'),
+                      '{_RE_AD}', '', 'g'),
+                    '</p><p>', ' '),
+                  '{_RE_TAG}', '', 'g')) AS text_extracted
+    FROM art
+    """,
+)
+def text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup main-text extraction — strip tags, scripts, styles,
+    navigation, ads and footer boilerplate from a crawled page and
+    recover the article text, the stage that runs BEFORE everything
+    else in a crawl-to-corpus pipeline (reference scope: the engine's
+    text operators assume extraction already happened; this closes
+    that gap Spark-first). Extraction order is the part that carries
+    semantics: script blocks go FIRST (their bodies legally contain
+    `<` and `>`, so naive tag-stripping corrupts the page), then the
+    <article> region is selected (dropping head/nav/footer wholesale —
+    the main-content selection step), then heading and inline-ad
+    blocks are removed, paragraph boundaries become single spaces, and
+    remaining tags are stripped.
+
+    The planted article text round-trips byte-exactly (pinned in
+    tests/test_curation.py), so the whole downstream corpus stack —
+    ``q_corpus_select``'s dedup→LM-gate→DSIR-gate chain included —
+    is certified to consume crawl HTML through this operator
+    unchanged. Real-world deltas (entity decoding inside the article,
+    nested articles, malformed tags) are data-dependent policy, not
+    plan shape; the regexes are the contract surface to extend.
+
+    Scale shape: pure map — zero exchanges, zero UDFs (JVM regex
+    inside whole-stage codegen); at 100 TB this is exactly as
+    parallel as the scan, and column pruning reaches the parquet
+    reader (only doc_id/text/lang are read)."""
+    d = load(spark, sf_dir, "documents")
+    page = d.selectExpr("doc_id", f"{_synth_sql('spark')} AS html")
+    art = page.select(
+        "doc_id",
+        F.length("html").cast("long").alias("html_chars"),
+        F.regexp_extract(
+            F.regexp_replace("html", _RE_SCRIPT, ""), _RE_ARTICLE, 1
+        ).alias("a"),
+    )
+    return art.select(
+        "doc_id",
+        "html_chars",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace("a", _RE_HEADING, ""), _RE_AD, ""
+                    ),
+                    "</p><p>",
+                    " ",
+                ),
+                _RE_TAG,
+                "",
+            )
+        ).alias("text_extracted"),
+    )

@@ -1677,6 +1677,31 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PCA_ITERATIONS = 8
+PCA_TOPK = 3
+
+
+def _pca_matvec(staged: DataFrame, mu, v):
+    """One distributed covariance matvec w = Σ_x (x−μ)·((x−μ)ᵀv):
+    the per-row work is a fused JVM dot-product + scale, the reduce is
+    a dim-length per-dimension SUM (partial-combined map-side), so the
+    driver transfer is O(dim) — never the data. Shared by the top-1
+    power iteration (``q_emb_pca_power``) and the deflated top-k
+    variant (``q_emb_pca_topk``)."""
+    import numpy as np
+
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    v_lit = F.array(*[F.lit(float(c)) for c in v])
+    centered = F.zip_with("v", mu_lit, lambda a, b: a - b)
+    dot_ = F.aggregate(
+        F.zip_with(centered, v_lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    contrib = staged.select(
+        F.posexplode(F.transform(centered, lambda c: c * dot_)).alias("d", "w")
+    )
+    w_rows = contrib.groupBy("d").agg(F.sum("w").alias("s")).orderBy("d").collect()
+    return np.array([r["s"] for r in w_rows])
 
 
 @query("q_emb_pca_power")  # rows-only: float summation order; cosine-equivalence vs numpy pinned
@@ -1719,19 +1744,7 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigenvalue = 0.0
     n_rows = mu_rows[0]["c"]
     for _ in range(PCA_ITERATIONS):
-        mu_lit = F.array(*[F.lit(float(m)) for m in mu])
-        v_lit = F.array(*[F.lit(float(c)) for c in v])
-        centered = F.zip_with("v", mu_lit, lambda a, b: a - b)
-        dot = F.aggregate(
-            F.zip_with(centered, v_lit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        contrib = staged.select(
-            F.posexplode(F.transform(centered, lambda c: c * dot)).alias("d", "w")
-        )
-        w_rows = contrib.groupBy("d").agg(F.sum("w").alias("s")).orderBy("d").collect()
-        w = np.array([r["s"] for r in w_rows])
+        w = _pca_matvec(staged, mu, v)
         eigenvalue = float(np.linalg.norm(w)) / n_rows
         v = w / np.linalg.norm(w)
     nz = np.nonzero(v)[0]
@@ -1741,6 +1754,78 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.sparkSession.createDataFrame(
         rows, "dim int, component double, eigenvalue double"
     )
+
+
+@query("q_emb_pca_topk")  # rows-only: float summation order; per-component cosine-equivalence vs numpy pinned
+def emb_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} principal components by power iteration WITH DEFLATION —
+    the dimensionality-reduction step real embedding pipelines run
+    (energy compaction before PQ codebooks, whitening before k-means,
+    2-3-component projections for corpus visualization), extending
+    ``q_emb_pca_power``'s single direction to an orthonormal basis.
+    Component j runs the same eight distributed matvec rounds, but
+    each iterate is projected off the previously-found components
+    (Gram-Schmidt against U — classic deflation) before normalizing,
+    so the iteration converges to the j-th eigenpair instead of
+    re-finding the first.
+
+    Scale shape: identical to the top-1 key per round — the corpus is
+    staged ONCE and scanned k × iterations times; every reduce is a
+    dim-length per-dimension SUM and the deflation arithmetic is
+    O(k·dim) on the driver. Nothing data-sized ever reaches the
+    driver, so at 100 TB this is k×iters scans of a cached column —
+    the same loop economics as Lloyd and PageRank.
+
+    Rows-only: double summation order differs between engines and
+    partitionings; the pinned test (tests/test_llm_and_approx.py)
+    checks per-component |cos| ≥ 1−1e-9 against the identical
+    deflated algorithm in numpy, pairwise orthogonality of the
+    returned basis, and non-increasing eigenvalues. Returns one row
+    per (component, dimension): (comp, dim, component, eigenvalue)."""
+    import numpy as np
+
+    base = _emb_double(spark, sf_dir).select("vec_id", "v")
+    staged = stage(base, "pca_topk_emb")
+    dim = len(staged.select("v").first()["v"])
+    exploded = staged.select(F.posexplode("v").alias("d", "x"))
+    mu_rows = (
+        exploded.groupBy("d").agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+        .orderBy("d")
+        .collect()
+    )
+    mu = np.array([r["s"] / r["c"] for r in mu_rows])
+    n_rows = mu_rows[0]["c"]
+    found: list[np.ndarray] = []
+    eigenvalues: list[float] = []
+    for j in range(PCA_TOPK):
+        v = np.zeros(dim)
+        v[j] = 1.0  # deterministic start, distinct per component
+        for u in found:  # start orthogonal to the found subspace
+            v -= (u @ v) * u
+        v /= np.linalg.norm(v)
+        ev = 0.0
+        for _ in range(PCA_ITERATIONS):
+            w = _pca_matvec(staged, mu, v)
+            for u in found:  # deflation: project off found components
+                w -= (u @ w) * u
+            ev = float(np.linalg.norm(w)) / n_rows
+            v = w / np.linalg.norm(w)
+        nz = np.nonzero(v)[0]
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+        found.append(v)
+        eigenvalues.append(ev)
+    rows = [
+        (j, int(d), float(found[j][d]), float(eigenvalues[j]))
+        for j in range(PCA_TOPK)
+        for d in range(dim)
+    ]
+    return staged.sparkSession.createDataFrame(
+        rows, "comp int, dim int, component double, eigenvalue double"
+    )
+
+
+emb_pca_topk.__doc__ = emb_pca_topk.__doc__.replace("{K}", str(PCA_TOPK))
 
 
 _WIN_K = 3  # words per k-gram

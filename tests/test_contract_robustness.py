@@ -80,6 +80,9 @@ def test_demo_app_accumulates_day_totals(spark):
 deferred_to_round9: set[str] = {
     # round-8 additions (operators/llm.py)
     "q_knn_graph_selective",
+    "q_emb_pca_topk",
+    # round-8 additions (operators/curation.py)
+    "q_text_extract_html",
 }
 
 

@@ -161,3 +161,40 @@ def test_dedup_url_canonical_computed_before_single_shuffle(spark):
     assert count_exchanges(df) <= 2
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_extract_html_loses_and_invents_nothing(spark):
+    """The extraction round-trip guarantee behind chaining any corpus
+    operator after ``q_text_extract_html``: the extracted text is
+    BYTE-IDENTICAL to the planted article text for every document —
+    no boilerplate leaks in (ads, nav, script bodies with `<`/`>`,
+    entities, headings, footer), no article content is lost at the
+    paragraph split — at the edge SF and the 10× sweep SF."""
+    from steaminganalysis_spark.sources import load
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        out = QUERIES["q_text_extract_html"](spark, sf_dir)
+        d = load(spark, sf_dir, "documents").select("doc_id", "text")
+        joined = out.join(d, "doc_id")
+        assert joined.filter(F.col("text_extracted") != F.col("text")).count() == 0
+        n = out.count()
+        assert n == d.count() and n > 0
+        # and the page really carried boilerplate to strip: the raw
+        # HTML is materially larger than what survives
+        shrink = joined.select(
+            F.sum("html_chars").alias("raw"),
+            F.sum(F.length("text")).alias("clean"),
+        ).first()
+        assert shrink.raw > shrink.clean + 300 * n  # ≥300 boilerplate chars/page
+
+
+def test_text_extract_html_pure_map_plan(spark):
+    """Extraction is a zero-exchange map pipeline (regex inside
+    whole-stage codegen, no UDF): at 100 TB it parallelizes exactly as
+    the scan does."""
+    from steaminganalysis_spark.plans import count_exchanges
+
+    df = QUERIES["q_text_extract_html"](spark, SF_DIR)
+    assert count_exchanges(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -598,3 +598,62 @@ def test_knn_graph_selective_spectrum_gap(spark):
             sf,
             cs[(cs > 0.65) & (cs < 0.87)],
         )
+
+
+def test_pca_topk_matches_numpy_deflation(spark):
+    """q_emb_pca_topk: the identical deflated algorithm (center, per
+    component 8 power rounds from e_j orthogonalized against the found
+    basis, Gram-Schmidt deflation each round, sign-fix) in numpy must
+    agree per component — |cos| ≥ 1−1e-9 — and the returned basis must
+    be orthonormal with non-increasing eigenvalues, the top one equal
+    to q_emb_pca_power's."""
+    import numpy as np
+
+    from steaminganalysis_spark.operators.llm import PCA_ITERATIONS, PCA_TOPK
+    from steaminganalysis_spark.registry import QUERIES
+    from steaminganalysis_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["q_emb_pca_topk"](spark, sf).orderBy("comp", "dim").collect()
+    dim = max(r["dim"] for r in got) + 1
+    V_spark = np.array([r["component"] for r in got]).reshape(PCA_TOPK, dim)
+    evs = [got[j * dim]["eigenvalue"] for j in range(PCA_TOPK)]
+
+    X = np.array(
+        [
+            [float(x) for x in r["embedding"]]
+            for r in load(spark, sf, "embeddings").select("embedding").collect()
+        ]
+    )
+    mu = X.mean(axis=0)
+    C = X - mu
+    found = []
+    ref_evs = []
+    for j in range(PCA_TOPK):
+        v = np.zeros(dim)
+        v[j] = 1.0
+        for u in found:
+            v -= (u @ v) * u
+        v /= np.linalg.norm(v)
+        ev = 0.0
+        for _ in range(PCA_ITERATIONS):
+            w = C.T @ (C @ v)
+            for u in found:
+                w -= (u @ w) * u
+            ev = np.linalg.norm(w) / X.shape[0]
+            v = w / np.linalg.norm(w)
+        nz = np.nonzero(v)[0]
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+        found.append(v)
+        ref_evs.append(ev)
+    for j in range(PCA_TOPK):
+        assert abs(float(V_spark[j] @ found[j])) >= 1 - 1e-9, j
+        assert abs(evs[j] - ref_evs[j]) <= 1e-6 * max(1.0, ref_evs[j]), j
+    # orthonormal basis, non-increasing spectrum, top matches top-1 key
+    G = V_spark @ V_spark.T
+    assert np.allclose(G, np.eye(PCA_TOPK), atol=1e-8)
+    assert all(evs[j] >= evs[j + 1] - 1e-12 for j in range(PCA_TOPK - 1))
+    top1 = QUERIES["q_emb_pca_power"](spark, sf).orderBy("dim").collect()
+    v1 = np.array([r["component"] for r in top1])
+    assert abs(float(V_spark[0] @ v1)) >= 1 - 1e-9

@@ -64,6 +64,7 @@ ROWS_ONLY_DOCUMENTED = {
         "q_agg_bloom",  # xxhash64 bit patterns Spark-specific; FN=0 + FP bound pinned
         "q_cluster_kmeans",  # float centroids; assignment equality vs numpy pinned
         "q_multimodal_phash",  # binary synthesis not SQL-expressible; brute-force completeness pinned
+        "q_emb_pca_topk",  # float summation order; per-component cosine vs numpy pinned
 }
 
 
