@@ -57,10 +57,10 @@ _CONTRIB = (
 )
 
 
-@query(
-    "q_text_bm25",
-    oracle=f"""
-    WITH dl AS (
+# The BM25 scoring chain as shareable CTE text: q_text_bm25 emits it
+# directly; q_retrieval_hybrid_rrf fuses it with the embedding ranker.
+_BM25_CTES = f"""
+    dl AS (
       SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
       FROM documents
     ),
@@ -89,6 +89,13 @@ _CONTRIB = (
       consts
       GROUP BY t.doc_id
     )
+"""
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT s.doc_id, dl.dl AS doc_len, s.score_ppm
     FROM scored s JOIN dl ON dl.doc_id = s.doc_id
     ORDER BY s.score_ppm DESC, s.doc_id
@@ -106,6 +113,19 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange (only matching postings shuffle — O(hits), not
     O(corpus)); df and the (N, L) constants are broadcast; top-K is
     TakeOrderedAndProject."""
+    scored, dl = _bm25_scored(spark, sf_dir)
+    return (
+        scored.join(dl, "doc_id")
+        .select("doc_id", F.col("dl").alias("doc_len"), "score_ppm")
+        .orderBy(F.col("score_ppm").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str):
+    """(scored, dl) for the fixed probe: per-matching-document exact
+    BM25 ppm score and the document-length table — the shared chain
+    behind ``q_text_bm25`` and the RRF hybrid ranker."""
     docs = load(spark, sf_dir, "documents")
     dl = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
@@ -129,12 +149,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("contrib").cast("long").alias("score_ppm"))
     )
-    return (
-        scored.join(dl, "doc_id")
-        .select("doc_id", F.col("dl").alias("doc_len"), "score_ppm")
-        .orderBy(F.col("score_ppm").desc(), "doc_id")
-        .limit(BM25_TOPK)
-    )
+    return scored, dl
 
 
 text_bm25.__doc__ = text_bm25.__doc__.replace(
@@ -258,3 +273,133 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("pred_label"),
         "n_votes",
     )
+
+
+# --- hybrid retrieval: reciprocal rank fusion -------------------------
+# The RAG retrieval stack's standard fusion step (Cormack et al.,
+# SIGIR'09): combine a LEXICAL ranker (BM25 over the probe terms) with
+# a SEMANTIC ranker (embedding distance to a query vector) by summing
+# 1/(K + rank) over the systems each document appears in. Rank-based
+# fusion needs no score calibration between systems — which is exactly
+# why production RAG uses it — and in integer ppm form it is
+# bit-identical on any engine: contribution = 1e6 DIV (K + rank).
+RRF_K = 60  # the standard RRF damping constant
+RRF_POOL = 100  # per-system candidate list depth
+RRF_TOPK = 20
+RRF_QUERY_VEC = 0  # vec_id of the fixture's pseudo query embedding
+
+_MILLI = (
+    "list_transform(embedding,"
+    " x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+)
+
+
+@query(
+    "q_retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS r
+      FROM scored QUALIFY r <= {RRF_POOL}
+    ),
+    q AS (SELECT {_MILLI} AS qv FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}),
+    ev AS (SELECT vec_id, {_MILLI} AS v FROM embeddings
+           WHERE vec_id <> {RRF_QUERY_VEC}),
+    dist AS (
+      SELECT ev.vec_id,
+             CAST(list_sum(list_transform(generate_series(1, len(ev.v)),
+                    i -> (ev.v[i] - q.qv[i]) * (ev.v[i] - q.qv[i])))
+                  AS BIGINT) AS d2
+      FROM ev, q
+    ),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY d2, vec_id) AS r
+      FROM dist QUALIFY r <= {RRF_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             CAST(l.r AS BIGINT) AS lex_rank,
+             CAST(s.r AS BIGINT) AS sem_rank,
+             CAST(COALESCE(1000000 // ({RRF_K} + l.r), 0)
+                  + COALESCE(1000000 // ({RRF_K} + s.r), 0) AS BIGINT)
+               AS rrf_ppm
+      FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_ppm
+    FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT {RRF_TOPK}
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by RECIPROCAL RANK
+    FUSION: BM25 over the fixed probe terms (the exact-integer chain
+    shared with ``q_text_bm25``) and squared-L2 embedding distance to
+    the fixture's pseudo query vector (vec_id {Q}, milli-quantized
+    integer coordinates — the ``q_emb_knn_classify`` discipline) each
+    produce a top-{P} list; a document's fused score is
+    Σ 1e6 DIV ({K} + rank) over the lists it appears in (NULL rank
+    contributes 0 — the standard partial-overlap rule). Rank ties
+    break on doc_id in both systems, so the fused top-{T} is a pure
+    function of the corpus. The doc_id ↔ vec_id correspondence is the
+    fixture's (documents and embeddings are parallel tables at SF
+    parity; at sf0.1 the embedding side is shorter — the fusion
+    handles the asymmetric coverage exactly as RAG handles a partial
+    vector index).
+
+    Scale shape: each system ends in a TakeOrderedAndProject top-{P}
+    (per-task heap, no global sort — the rank window then runs over
+    {P} rows, not the corpus); the semantic side broadcasts ONE query
+    vector so the embedding table never shuffles; fusion is a
+    {P}-vs-{P} row join. At 100 TB the corpus-sized work is one
+    filtered posting pass + one map-side distance pass."""
+    scored, _ = _bm25_scored(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    lex_pool = scored.orderBy(F.col("score_ppm").desc(), "doc_id").limit(RRF_POOL)
+    lex = lex_pool.withColumn(
+        "lex_rank",
+        F.row_number()
+        .over(W.orderBy(F.col("score_ppm").desc(), "doc_id"))
+        .cast("long"),
+    ).select("doc_id", "lex_rank")
+
+    emb = load(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000.0 + 0.5).cast("long"),
+    )
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(milli.alias("qv"))
+    ev = emb.filter(F.col("vec_id") != RRF_QUERY_VEC).select(
+        "vec_id", milli.alias("v")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = ev.crossJoin(F.broadcast(q)).select("vec_id", d2.alias("d2"))
+    sem_pool = dist.orderBy("d2", "vec_id").limit(RRF_POOL)
+    sem = sem_pool.withColumn(
+        "sem_rank",
+        F.row_number().over(W.orderBy("d2", "vec_id")).cast("long"),
+    ).select(F.col("vec_id").alias("doc_id"), "sem_rank")
+
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.expr(
+            f"CAST(COALESCE(1000000 DIV ({RRF_K} + lex_rank), 0)"
+            f" + COALESCE(1000000 DIV ({RRF_K} + sem_rank), 0) AS BIGINT)"
+        ).alias("rrf_ppm"),
+    )
+    return fused.orderBy(F.col("rrf_ppm").desc(), "doc_id").limit(RRF_TOPK)
+
+
+retrieval_hybrid_rrf.__doc__ = (
+    retrieval_hybrid_rrf.__doc__.replace("{Q}", str(RRF_QUERY_VEC))
+    .replace("{P}", str(RRF_POOL))
+    .replace("{K}", str(RRF_K))
+    .replace("{T}", str(RRF_TOPK))
+)

@@ -276,7 +276,9 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # all-pairs; exact all-pairs oracle, Arrow-matmul bucketing),
 # q_text_extract_html (crawl-to-corpus HTML text extraction),
 # q_emb_pca_topk (top-k principal components via power iteration with
-# deflation, rows-only + numpy equivalence).
+# deflation, rows-only + numpy equivalence), q_retrieval_hybrid_rrf
+# (reciprocal-rank fusion of the BM25 probe ranking with an embedding
+# distance ranking — the RAG hybrid-retrieval step, integer ppm).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

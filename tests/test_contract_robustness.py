@@ -83,6 +83,8 @@ deferred_to_round9: set[str] = {
     "q_emb_pca_topk",
     # round-8 additions (operators/curation.py)
     "q_text_extract_html",
+    # round-8 additions (operators/retrieval.py)
+    "q_retrieval_hybrid_rrf",
 }
 
 

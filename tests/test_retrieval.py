@@ -120,3 +120,27 @@ def test_knn_classify_broadcasts_test_side(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_hybrid_rrf_plan_topk_heaps_and_fusion_math(spark):
+    """q_retrieval_hybrid_rrf: both candidate lists end in
+    TakeOrderedAndProject (per-task heaps — no global sort of the
+    corpus ever happens), and the fused score is exactly the
+    RRF formula recomputed from the emitted ranks."""
+    df = QUERIES["q_retrieval_hybrid_rrf"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 2
+    from steaminganalysis_spark.operators.retrieval import RRF_K
+
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        expect = 0
+        if r.lex_rank is not None:
+            expect += 1000000 // (RRF_K + r.lex_rank)
+        if r.sem_rank is not None:
+            expect += 1000000 // (RRF_K + r.sem_rank)
+        assert r.rrf_ppm == expect, r
+    # fused order is (rrf desc, doc_id)
+    key = [(-r.rrf_ppm, r.doc_id) for r in rows]
+    assert key == sorted(key)
