@@ -278,7 +278,10 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_emb_pca_topk (top-k principal components via power iteration with
 # deflation, rows-only + numpy equivalence), q_retrieval_hybrid_rrf
 # (reciprocal-rank fusion of the BM25 probe ranking with an embedding
-# distance ranking — the RAG hybrid-retrieval step, integer ppm).
+# distance ranking — the RAG hybrid-retrieval step, integer ppm),
+# q_stream_mv_maintenance (foreachBatch monoid MERGE of streamed
+# deltas into the stored daily-rollup MV, versioned commits behind the
+# atomic batch watermark — the streaming twin of q_mv_incremental).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

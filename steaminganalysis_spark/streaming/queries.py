@@ -1128,3 +1128,95 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("day", "event_type", "n", "rk")
     )
+
+
+@query(
+    "q_stream_mv_maintenance",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance — the streaming twin of
+    ``q_mv_incremental``: the daily rollup MV is materialized ONCE over
+    history (events before the shared MV_CUTOFF), then the delta
+    arrives as a stream in two time-ordered micro-batches and each
+    batch MERGEs into the stored view by monoid addition
+    (streaming/mv.py) — per-batch work is O(batch) + an aggregate-
+    cardinality join, never O(history). Each merge writes a version
+    dir then commits the batch watermark through the same atomic
+    KVStore step as the KV sink, so crash-replays rewrite an identical
+    version and replayed batch ids are no-ops (idempotence pinned in
+    tests/test_streaming.py). The returned frame is the FINAL
+    committed view and the oracle is the full batch recompute over all
+    events: streamed maintenance must converge to the batch answer
+    regardless of batch boundaries — the same stream≡batch contract as
+    q_stream_cdc_scd2."""
+    import glob
+    import os
+    import shutil
+
+    from steaminganalysis_spark.operators.storage import MV_CUTOFF
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.mv import (
+        daily_rollup_mv,
+        mv_sink,
+        read_mv,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("stream_mv")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cut = F.to_timestamp(F.lit(MV_CUTOFF))
+    table_dir = os.path.join(tmp, "table")
+    daily_rollup_mv(ev.filter(F.col("ts") < cut)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(table_dir, "base"))
+    # the delta replayed as two time-ordered micro-batch files
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    delta = ev.filter(F.col("ts") >= cut)
+    mid = "2024-01-28"
+    for i, part in enumerate(
+        (
+            delta.filter(F.col("ts") < F.lit(mid).cast("timestamp")),
+            delta.filter(F.col("ts") >= F.lit(mid).cast("timestamp")),
+        )
+    ):
+        d = os.path.join(tmp, f"b{i}")
+        part.coalesce(1).write.parquet(d)
+        shutil.copy(
+            glob.glob(os.path.join(d, "part-*.parquet"))[0],
+            os.path.join(src, f"b{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store_name = f"stream_mv_{run}"
+    writer, scope = mv_sink(
+        stream, table_dir, os.path.join(tmp, f"ckpt_{run}"), store_name
+    )
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = read_mv(spark, table_dir, store_name, scope).localCheckpoint(
+        eager=True
+    )  # detach from the scratch dirs before cleanup
+    KVStore.reset(store_name)
+    return out

@@ -85,6 +85,8 @@ deferred_to_round9: set[str] = {
     "q_text_extract_html",
     # round-8 additions (operators/retrieval.py)
     "q_retrieval_hybrid_rrf",
+    # round-8 additions (streaming/mv.py via streaming/queries.py)
+    "q_stream_mv_maintenance",
 }
 
 

@@ -1418,3 +1418,61 @@ def test_stream_dq_drift_multibatch_equals_batch(spark, tmp_path):
         for r in batch_q(spark, sf).collect()
     }
     assert got == want
+
+
+def test_mv_merge_replay_and_crash_idempotence(spark, tmp_path):
+    """The streaming MV merge (streaming/mv.py): (a) a replayed
+    committed batch id is a NO-OP — the view never double-counts a
+    delta under at-least-once delivery; (b) the crash story — a
+    version dir written without the watermark commit (here corrupted,
+    so only a genuine recompute can fix it) is rebuilt identically by
+    the replay from the committed predecessor; (c) the final view
+    equals the batch rollup over base ∪ all deltas."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.streaming.mv import (
+        MV_SCHEMA,
+        daily_rollup_mv,
+        merge_mv_batch,
+        read_mv,
+    )
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    base_rows = [(1, "2024-01-01 10:00:00", 1, "view", 1.00)]
+    b0 = [(2, "2024-01-02 10:00:00", 1, "view", 2.25),
+          (3, "2024-01-02 11:00:00", 2, "click", 0.75)]
+    b1 = [(4, "2024-01-03 10:00:00", 1, "view", 4.00)]
+
+    store = f"mv_crash_{os.getpid()}"
+    tdir = str(tmp_path / "t")
+    daily_rollup_mv(df(base_rows)).write.parquet(os.path.join(tdir, "base"))
+
+    merge_mv_batch(df(b0), 0, tdir, store, "s")
+    committed = sorted(map(tuple, read_mv(spark, tdir, store, "s").collect()))
+
+    # (a) replay of committed batch 0 — including with DIFFERENT rows,
+    # the adversarial double-delivery — is a no-op
+    merge_mv_batch(df(b1), 0, tdir, store, "s")
+    assert sorted(map(tuple, read_mv(spark, tdir, store, "s").collect())) == committed
+
+    # (b) crash: orphan v1 written (corrupt) without the marker commit
+    orphan = os.path.join(tdir, "v1")
+    spark.createDataFrame([], MV_SCHEMA).write.mode("overwrite").parquet(orphan)
+    assert KVStore.instance(store).last_applied(f"{KEY_PREFIX}mv-last-applied:s") == 0
+    merge_mv_batch(df(b1), 1, tdir, store, "s")
+
+    # (c) final view == batch rollup over everything
+    expect = sorted(
+        map(tuple, daily_rollup_mv(df(base_rows + b0 + b1)).collect())
+    )
+    assert sorted(map(tuple, read_mv(spark, tdir, store, "s").collect())) == expect
+    KVStore.reset(store)
