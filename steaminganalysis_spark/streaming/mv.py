@@ -96,6 +96,20 @@ def read_mv(
     return spark.read.schema(MV_SCHEMA).parquet(d)
 
 
+def read_mv_at(spark: SparkSession, table_dir: str, batch_id: int) -> DataFrame:
+    """TIME TRAVEL: the view as of an earlier committed batch — every
+    merge writes a full self-contained version before advancing the
+    watermark, so any version at or below it is a consistent snapshot
+    (same contract as ``scd2.read_changes_at``; a retention sweep
+    would prune old versions on a real deployment). Versions above the
+    committed watermark may be torn writes from a crashed batch, so an
+    absent directory is an error, not an empty frame."""
+    d = _version_dir(table_dir, batch_id)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"no committed version {batch_id} at {table_dir}")
+    return spark.read.schema(MV_SCHEMA).parquet(d)
+
+
 def merge_mv_batch(
     batch_df: DataFrame,
     batch_id: int,

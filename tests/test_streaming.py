@@ -1476,3 +1476,44 @@ def test_mv_merge_replay_and_crash_idempotence(spark, tmp_path):
     )
     assert sorted(map(tuple, read_mv(spark, tdir, store, "s").collect())) == expect
     KVStore.reset(store)
+
+
+def test_mv_time_travel_reads_historical_version(spark, tmp_path):
+    """MV version dirs are consistent historical snapshots: after two
+    committed merges, version 0 still reads as the post-batch-0 view
+    (base + delta0 only), and an uncommitted version id raises."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.streaming.mv import (
+        daily_rollup_mv,
+        merge_mv_batch,
+        read_mv_at,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    base = [(1, "2024-01-01 10:00:00", 1, "view", 1.00)]
+    b0 = [(2, "2024-01-02 10:00:00", 1, "view", 2.25)]
+    b1 = [(3, "2024-01-03 10:00:00", 2, "click", 4.00)]
+    store = f"mv_tt_{os.getpid()}"
+    tdir = str(tmp_path / "t")
+    daily_rollup_mv(df(base)).write.parquet(os.path.join(tdir, "base"))
+    merge_mv_batch(df(b0), 0, tdir, store, "s")
+    merge_mv_batch(df(b1), 1, tdir, store, "s")
+
+    v0 = sorted(map(tuple, read_mv_at(spark, tdir, 0).collect()))
+    assert v0 == sorted(map(tuple, daily_rollup_mv(df(base + b0)).collect()))
+    v1 = sorted(map(tuple, read_mv_at(spark, tdir, 1).collect()))
+    assert v1 == sorted(map(tuple, daily_rollup_mv(df(base + b0 + b1)).collect()))
+    with pytest.raises(FileNotFoundError):
+        read_mv_at(spark, tdir, 7)
+    KVStore.reset(store)
