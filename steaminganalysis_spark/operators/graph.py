@@ -384,10 +384,14 @@ graph_bfs.__doc__ = graph_bfs.__doc__.replace("{K}", str(BFS_ITERATIONS))
 WCC_ROUNDS = 8
 
 
-def _wcc_oracle() -> str:
+def _wcc_oracle(rounds: int = WCC_ROUNDS) -> str:
     """Unrolled HashMin label-propagation CTE chain over the
     co-purchase graph: l0(v)=v, l_{k+1}(v) = min(l_k(v), min over
-    neighbors of l_k(u))."""
+    neighbors of l_k(u)). With ``rounds`` = the 8-round budget this is
+    ``q_graph_wcc``'s budget-exact twin; with ``rounds`` past the
+    fixture's measured fixpoint (11 at sf0.01 — the max across shipped
+    SFs) the chain emits TRUE component minima, which is what
+    ``q_graph_cc_stars`` is checked against."""
     ctes = [
         """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
         """pairs AS MATERIALIZED (
@@ -401,7 +405,7 @@ def _wcc_oracle() -> str:
         "nodes AS (SELECT DISTINCT src AS node FROM edges)",
         "l0 AS (SELECT node, node AS lbl FROM nodes)",
     ]
-    for k in range(1, WCC_ROUNDS + 1):
+    for k in range(1, rounds + 1):
         # Each round references l{k-1} twice (neighbor min + carry).
         # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so
         # without it the plan doubles per round (2^rounds copies of the
@@ -421,7 +425,7 @@ def _wcc_oracle() -> str:
         + ",\n".join(ctes)
         + f"""
         SELECT node AS part, CAST(lbl AS BIGINT) AS component
-        FROM l{WCC_ROUNDS}
+        FROM l{rounds}
         ORDER BY node
         """
     )
@@ -1147,3 +1151,119 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_sssp.__doc__ = graph_sssp.__doc__.replace("{R}", str(SSSP_ROUNDS))
+
+
+# Alternating large-star/small-star connected components: the
+# round-budget-free, broadcast-free CC algorithm (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14) that
+# q_graph_wcc's docstring names as the web-scale upgrade path.
+STAR_ROUNDS = 6  # measured fixpoint ≤ 5 alternating rounds at all SFs
+_CC_ORACLE_ROUNDS = 14  # HashMin fixpoint oracle: > measured max (11)
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One star operation over a SYMMETRIC edge set. Per node u with
+    m = min(N(u) ∪ {u}): large-star rewires every neighbor v > u to m;
+    small-star rewires every neighbor v ≤ u (and u itself) to m. The
+    per-node min is ONE groupBy over the edges — the label state lives
+    in the edge relation itself, so there is no O(V) label vector to
+    broadcast and no driver-side state: the property that makes this
+    the billion-node algorithm where HashMin's broadcast loop is not."""
+    mins = edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    joined = edges.join(mins, "src")
+    if large:
+        rewired = joined.filter(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("a"), F.col("m").alias("b")
+        )
+    else:
+        rewired = joined.filter(
+            (F.col("dst") <= F.col("src")) & (F.col("dst") != F.col("m"))
+        ).select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        rewired = rewired.unionAll(
+            mins.filter(F.col("src") != F.col("m")).select(
+                F.col("src").alias("a"), F.col("m").alias("b")
+            )
+        )
+    live = rewired.filter(F.col("a") != F.col("b"))
+    return (
+        live.selectExpr("a AS src", "b AS dst")
+        .unionAll(live.selectExpr("b AS src", "a AS dst"))
+        .distinct()
+    )
+
+
+@query("q_graph_cc_stars", oracle=_wcc_oracle(_CC_ORACLE_ROUNDS))
+def graph_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT connected components of the co-purchase graph by
+    alternating large-star/small-star contraction — the answer to "is
+    8 rounds of HashMin enough at 1000×?": HashMin needs diameter
+    rounds and broadcasts an O(V) label vector each round
+    (q_graph_wcc, correct-by-budget), while star contraction halves
+    component height every alternation (O(log n) rounds regardless of
+    diameter — this fixture: fixpoint in ≤5; a billion-node web graph:
+    ~20) and keeps ALL state in the edge relation, shuffled on the
+    node key — no broadcast, no driver state, nothing O(V) anywhere.
+    The final edge set is a union of stars; each node's component is
+    min(N(u) ∪ {u}), the true component minimum.
+
+    Scale shape: the expensive step is the fact self-join building the
+    edge set, staged ONCE; each star op is one groupBy-min over the
+    edges + one equi-join back (AQE picks broadcast at fixture scale,
+    hash co-partitioning at cluster scale — no broadcast HINT exists
+    in this plan, unlike the WCC loop). The edge set only ever
+    shrinks (rewiring replaces paths with star spokes), and per-round
+    lineage is cut with an eager localCheckpoint exactly as
+    q_er_clusters does. Oracle: HashMin unrolled PAST the measured
+    fixpoint ({OR} rounds > the max 11 at shipped SFs), i.e. true
+    component minima — if a future fixture's diameter exceeded the
+    oracle budget, parity would fail loudly rather than silently
+    agree. Union-find equivalence is additionally pinned in
+    tests/test_graph.py, plus a fixpoint pin (round {SR}+1 changes
+    nothing)."""
+    from steaminganalysis_spark.staging import stage
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    edges = stage(
+        pairs.selectExpr("pa AS src", "pb AS dst").unionAll(
+            pairs.selectExpr("pb AS src", "pa AS dst")
+        ),
+        "cc_stars_edges",
+        bucket_col="src",
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    cur = edges
+    for _ in range(STAR_ROUNDS):
+        cur = _star_round(cur, large=True)
+        cur = _star_round(cur, large=False).localCheckpoint(eager=True)
+    lbl = cur.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("component")
+    )
+    return (
+        nodes.join(lbl, nodes.node == lbl.src, "left")
+        .select(
+            F.col("node").alias("part"),
+            F.coalesce(F.col("component"), F.col("node"))
+            .cast("long")
+            .alias("component"),
+        )
+        .orderBy("part")
+    )
+
+
+graph_cc_stars.__doc__ = graph_cc_stars.__doc__.replace(
+    "{OR}", str(_CC_ORACLE_ROUNDS)
+).replace("{SR}", str(STAR_ROUNDS))

@@ -281,7 +281,10 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # distance ranking — the RAG hybrid-retrieval step, integer ppm),
 # q_stream_mv_maintenance (foreachBatch monoid MERGE of streamed
 # deltas into the stored daily-rollup MV, versioned commits behind the
-# atomic batch watermark — the streaming twin of q_mv_incremental).
+# atomic batch watermark — the streaming twin of q_mv_incremental),
+# q_graph_cc_stars (EXACT connected components by alternating
+# large-star/small-star contraction — O(log n) rounds, state lives in
+# the edge relation, no O(V) broadcast; fixpoint HashMin oracle).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

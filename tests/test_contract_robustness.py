@@ -87,6 +87,8 @@ deferred_to_round9: set[str] = {
     "q_retrieval_hybrid_rrf",
     # round-8 additions (streaming/mv.py via streaming/queries.py)
     "q_stream_mv_maintenance",
+    # round-8 additions (operators/graph.py)
+    "q_graph_cc_stars",
 }
 
 

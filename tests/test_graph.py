@@ -454,3 +454,78 @@ def test_sssp_fixpoint_inside_round_budget(spark):
         .collect()
     }
     assert extra == got
+
+
+def test_cc_stars_matches_union_find_and_reaches_fixpoint(spark):
+    """q_graph_cc_stars: (a) labels equal an independent Python
+    union-find over the same co-purchase edge set (TRUE components,
+    not budget-truncated ones); (b) one extra alternating star round
+    changes nothing — the STAR_ROUNDS budget covers the fixpoint with
+    margin; (c) every label is the component MINIMUM (a canonical
+    property HashMin-at-budget does not guarantee)."""
+    import duckdb
+
+    from steaminganalysis_spark.operators.graph import (
+        STAR_ROUNDS,
+        _star_round,
+    )
+    from steaminganalysis_spark.staging import stage
+
+    got = {
+        r.part: r.component
+        for r in QUERIES["q_graph_cc_stars"](spark, SF).collect()
+    }
+
+    edges = duckdb.sql(f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                FROM '{SF}/lineitem.parquet'),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT pa, pb FROM pairs""").fetchall()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {}
+    for a, b in edges:
+        truth[a] = find(a)
+        truth[b] = find(b)
+    assert got == truth
+    # every emitted label is its component's minimum member
+    comp_min: dict = {}
+    for node, c in truth.items():
+        comp_min[c] = min(comp_min.get(c, node), node)
+    assert all(c == comp_min[c] for c in got.values())
+
+    # fixpoint: run STAR_ROUNDS + 1 over the same staged edges — the
+    # label read-out must be identical
+    sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    cur = stage(
+        spark.createDataFrame(sym, "src long, dst long"),
+        "cc_stars_fixpoint_test",
+        bucket_col="src",
+    )
+    from pyspark.sql import functions as F2
+
+    for _ in range(STAR_ROUNDS + 1):
+        cur = _star_round(cur, large=True)
+        cur = _star_round(cur, large=False).localCheckpoint(eager=True)
+    lbl = {
+        r.src: r.component
+        for r in cur.groupBy("src")
+        .agg(F2.least(F2.min("dst"), F2.first("src")).alias("component"))
+        .collect()
+    }
+    for node, c in truth.items():
+        assert lbl.get(node, node) == c, node
