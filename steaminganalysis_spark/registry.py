@@ -364,6 +364,53 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # round-2 family refresh if slots allow. Any round-8 additions go into
 # deferred_to_round9 (tests/test_contract_robustness.py) ahead of all
 # of those.
+# ROUND-9 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
+# then the 6 round-8 additions from the deferred_to_round9 pin (now
+# retired — tests/test_contract_robustness.py pins deferred_to_round10
+# for round-9 additions), then the 5-key backlog tail the round-8
+# comment scheduled (q_agg_stats r1-stamp, q_agg_percentile,
+# q_fn_explode, q_fn_explode_outer r1-stamp, q_dedup_containment
+# refresh), then 37 oldest-green re-checks — the round-2-stamp family
+# (joins 12, TPC-H 20, windows 5) in registration order, the oldest
+# stamps left after round 8 retired the round-1 backlog. The 12
+# remaining round-2 keys (q_window_percent_rank, q_topk_with_ties,
+# q_scan_parquet, q_scan_json, q_project_cast, q_filter_basic,
+# q_filter_in_between_like, q_case_when, q_sort_multi, q_topk_global,
+# q_set_union, q_set_intersect) roll to round 10 behind any round-9
+# additions in deferred_to_round10.
+ROUND9_WINDOW = [
+    # Canaries (2): flagship + the HUGEINT-class sentinel.
+    "q_daily_rollup",
+    "q_tpch_q12",
+    # --- the 6 round-8 additions (former deferred_to_round9 pin),
+    # registration order ---
+    "q_knn_graph_selective",
+    "q_emb_pca_topk",
+    "q_text_extract_html",
+    "q_retrieval_hybrid_rrf",
+    "q_stream_mv_maintenance",
+    "q_graph_cc_stars",
+    # --- the scheduled 5-key backlog tail ---
+    "q_agg_stats", "q_agg_percentile",
+    "q_fn_explode", "q_fn_explode_outer",
+    "q_dedup_containment",
+    # --- 37 oldest-green re-checks (round-2 stamps, registration
+    # order) ---
+    "q_join_inner", "q_join_broadcast", "q_join_outer",
+    "q_join_full_outer", "q_join_semi", "q_join_anti", "q_join_theta",
+    "q_join_asof", "q_join_range", "q_join_cross",
+    "q_join_asof_tolerance", "q_join_nullsafe",
+    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10",
+    "q_tpch_q13", "q_tpch_q14", "q_tpch_q16", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q22", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_tpch_q11", "q_tpch_q15", "q_tpch_q17", "q_tpch_q2",
+    "q_tpch_q20", "q_tpch_q21",
+    "q_window_rank", "q_window_lag_lead", "q_window_running",
+    "q_window_range", "q_topk_per_group",
+]
+
+# Retired round-8 window, for the record (50/50 green in
+# CORRECTNESS_r08.json — 49 hash + 1 rows-only):
 ROUND8_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
@@ -511,7 +558,7 @@ ROUND4_WINDOW = [
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every operator module (side effect: registration), then
-    reorder so ROUND8_WINDOW occupies the first 50 registration slots
+    reorder so ROUND9_WINDOW occupies the first 50 registration slots
     — the slice the driver's correctness gate checks this round."""
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import tpch  # noqa: F401  isort: skip
@@ -538,11 +585,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import curation  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import retrieval  # noqa: F401  isort: skip
 
-    missing = [k for k in ROUND8_WINDOW if k not in QUERIES]
+    missing = [k for k in ROUND9_WINDOW if k not in QUERIES]
     if missing:
-        raise RuntimeError(f"ROUND8_WINDOW names unregistered queries: {missing}")
-    window = set(ROUND8_WINDOW)
-    ordered = ROUND8_WINDOW + [k for k in QUERIES if k not in window]
+        raise RuntimeError(f"ROUND9_WINDOW names unregistered queries: {missing}")
+    window = set(ROUND9_WINDOW)
+    ordered = ROUND9_WINDOW + [k for k in QUERIES if k not in window]
     reordered = {k: QUERIES[k] for k in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -69,48 +69,33 @@ def test_demo_app_accumulates_day_totals(spark):
             assert h["fee_cents"] == 0
 
 
-# Keys registered AFTER the round-8 window froze — exempt from the
-# rotation-closure check below, pinned here so they head the round-9
-# window (the same bookkeeping rounds 2-8 used). Every new @query
-# registration this round MUST be added here. The round-8 window
-# itself absorbed the ENTIRE former deferred_to_round7 set plus
-# q_graph_sssp (the round-6 snapshot key whose missing entry here was
-# the suite's one red test through rounds 6-7), so this set restarts
-# from the round-8 additions only.
-deferred_to_round9: set[str] = {
-    # round-8 additions (operators/llm.py)
-    "q_knn_graph_selective",
-    "q_emb_pca_topk",
-    # round-8 additions (operators/curation.py)
-    "q_text_extract_html",
-    # round-8 additions (operators/retrieval.py)
-    "q_retrieval_hybrid_rrf",
-    # round-8 additions (streaming/mv.py via streaming/queries.py)
-    "q_stream_mv_maintenance",
-    # round-8 additions (operators/graph.py)
-    "q_graph_cc_stars",
-}
+# Keys registered AFTER the round-9 window froze — exempt from the
+# rotation-closure check below, pinned here so they head the round-10
+# window (the same bookkeeping rounds 2-9 used). Every new @query
+# registration this round MUST be added here. The round-9 window
+# absorbed the ENTIRE former deferred_to_round9 set (the six round-8
+# additions), so this set restarts from the round-9 additions only.
+deferred_to_round10: set[str] = set()
 
 
-def test_round8_correctness_window_composition():
-    """The driver verifies the FIRST ~50 registered queries; the round-8
-    window is the explicit ROUND8_WINDOW key list — the two canaries,
-    ALL 20 keys that had never received a driver CORRECTNESS row
-    through round 7 (q_graph_sssp + the 19-key former
-    deferred_to_round7 pin), and 28 round-1-stamp re-checks from the
-    oldest-green backlog. Pin it so a stray registration (or an import
-    reorder) cannot silently displace queries out of the checked window
-    before the driver runs. Update deliberately on each round's
+def test_round9_correctness_window_composition():
+    """The driver verifies the FIRST ~50 registered queries; the round-9
+    window is the explicit ROUND9_WINDOW key list — the two canaries,
+    the 6 round-8 additions (former deferred_to_round9 pin, never
+    driver-checked), the 5-key oldest-stamp backlog tail, and 37
+    round-2-stamp re-checks. Pin it so a stray registration (or an
+    import reorder) cannot silently displace queries out of the checked
+    window before the driver runs. Update deliberately on each round's
     rotation."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND8_WINDOW, collect_queries
+    from steaminganalysis_spark.registry import ROUND9_WINDOW, collect_queries
 
     QUERIES, ORACLE = collect_queries()
     first50 = list(QUERIES)[:50]
-    assert len(ROUND8_WINDOW) == 50
-    assert first50 == ROUND8_WINDOW
+    assert len(ROUND9_WINDOW) == 50
+    assert first50 == ROUND9_WINDOW
     # the canaries must sit inside the window
     for k in (
         "q_daily_rollup",
@@ -118,24 +103,25 @@ def test_round8_correctness_window_composition():
     ):
         assert k in first50, k
     # Rotation closure: after this round, every key that existed when
-    # the round-8 window froze has a driver CORRECTNESS row — the
-    # window must cover everything the union of CORRECTNESS_r01..r07
-    # did not, except the pinned new keys in deferred_to_round9.
+    # the round-9 window froze has a driver CORRECTNESS row — the
+    # window must cover everything the union of CORRECTNESS_r01..r08
+    # did not, except the pinned new keys in deferred_to_round10.
     checked = set()
     for p in sorted(
-        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[1234567].json")
+        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[12345678].json")
     ):
         checked |= set(json.loads(p.read_text()))
-    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round9]
+    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round10]
     assert set(never) <= set(first50), sorted(set(never) - set(first50))
-    assert deferred_to_round9 <= set(QUERIES)
-    assert deferred_to_round9.isdisjoint(first50)
+    assert deferred_to_round10 <= set(QUERIES)
+    assert deferred_to_round10.isdisjoint(first50)
     # every key in the window is registered with an oracle unless it is
     # one of the documented rows-only keys (physical file layout,
     # sketch-byte payloads, float-order artifacts — see
-    # test_oracle_parity's list)
+    # test_oracle_parity's list). q_emb_pca_topk is rows-only by design
+    # (sign/rotation freedom of principal components; numpy |cos| pin).
     rows_only_in_window = {k for k in first50 if k not in ORACLE}
-    assert rows_only_in_window == {"q_multimodal_phash"}, rows_only_in_window
+    assert rows_only_in_window == {"q_emb_pca_topk"}, rows_only_in_window
 
 
 def test_python_source_filter_pushdown(spark):

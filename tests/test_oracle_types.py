@@ -30,33 +30,33 @@ def test_oracle_type_classes_match(spark, duck, name):
     assert not problems, "\n".join(problems)
 
 
-def test_round8_window_oracles_all_audited():
+def test_round9_window_oracles_all_audited():
     """Rotation pre-audit closure (VERDICT r4 order #2's standing
-    pattern): every oracle key in the round-8 driver window is inside
+    pattern): every oracle key in the round-9 driver window is inside
     the parametrized type-class audit above (which covers ALL
-    registered oracles), so none of the 20 first-time-checked keys can
+    registered oracles), so none of the 6 first-time-checked keys can
     hit the driver with an unaudited HUGEINT/DECIMAL oracle."""
-    from steaminganalysis_spark.registry import ROUND8_WINDOW
+    from steaminganalysis_spark.registry import ROUND9_WINDOW
 
-    window_oracles = [k for k in ROUND8_WINDOW if k in ORACLE]
+    window_oracles = [k for k in ROUND9_WINDOW if k in ORACLE]
     assert len(window_oracles) == 49  # 50 minus the 1 rows-only key
     assert set(window_oracles) <= set(ORACLE)
 
 
-def test_round9_deferred_oracles_all_audited():
-    """Round-9 rotation pre-audit closure: every key registered after
-    the round-8 window froze (the pinned deferred_to_round9 set — the
+def test_round10_deferred_oracles_all_audited():
+    """Round-10 rotation pre-audit closure: every key registered after
+    the round-9 window froze (the pinned deferred_to_round10 set — the
     next round's window head) that has an oracle is inside the
     parametrized type-class audit above, so none can hit the driver
     with an unaudited HUGEINT/DECIMAL oracle either."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND8_WINDOW
+    from steaminganalysis_spark.registry import ROUND9_WINDOW
 
-    checked = set(ROUND8_WINDOW)
+    checked = set(ROUND9_WINDOW)
     for p in sorted(
-        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[1234567].json")
+        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[12345678].json")
     ):
         checked |= set(json.loads(p.read_text()))
     deferred = [k for k in QUERIES if k not in checked]
