@@ -1554,7 +1554,7 @@ def knn_graph_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row lambda), staged bucket table, equi-join candidates, exact
     cosine re-score on the surviving ~1.6%, per-source top-3 via
     ROW_NUMBER (WindowGroupLimit). Candidate count ≪ n²/2 at sf0.1 is
-    pinned in tests/test_llm_ops.py."""
+    pinned in tests/test_llm_and_approx.py."""
     base = _aug_embeddings(spark, sf_dir)
     cand = _selective_candidate_pairs(base)
     scored = _score_pairs_exact(base, cand, SELECTIVE_TAU)
@@ -1615,7 +1615,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the brute-force all-pairs SQL. Thresholds are enforced
     in integer arithmetic (5·∩ ≥ 3·∪) so both engines decide
     boundaries identically; completeness vs the exact pair set is also
-    pinned as a test (tests/test_llm_ops.py).
+    pinned as a test (tests/test_llm_and_approx.py).
     """
     sh = stage(_shingle_hashes(spark, sf_dir), "prefix_sh", bucket_col="doc_id")
     # global rarity of each shingle (document frequency) — joined back,
