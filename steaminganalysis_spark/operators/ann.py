@@ -506,3 +506,166 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(nl * 1000000) div n_vectors").alias("purity_ppm"),
         )
     )
+
+
+# ------------------------------- streaming IVF maintenance (round 9)
+#
+# A production 100 TB similarity system never rebuilds its index from
+# scratch — the corpus grows continuously and new vectors must become
+# searchable within a micro-batch. The standard shape (FAISS / Milvus
+# style, re-expressed on Spark): FREEZE the coarse quantizer (the K×dim
+# centroid model, retrained offline on a cadence), assign each arriving
+# batch to its inverted lists with the same broadcast-argmin used at
+# build time, and append the batch as an immutable LSM-style delta run
+# partitioned by list_id. Readers union the base index with the
+# committed runs; q_compact_small_files is the compaction story when
+# runs accumulate. Exactly-once across crash-replays comes from the
+# same KVStore watermark discipline as the KV sink and the streaming MV
+# (streaming/mv.py): the delta run for batch b is (re)written BEFORE
+# the watermark advances, and a replayed committed id returns without
+# touching the index.
+
+IVF_STREAM_MARKER = "ann-last-applied"
+
+
+def append_ivf_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    store_name: str,
+    scope: str,
+) -> None:
+    """foreachBatch body: assign the micro-batch against the FROZEN
+    centroid model (broadcast-sized read; the corpus never shuffles),
+    write delta run ``delta-v{batch_id}/`` partitioned by inverted
+    list, then advance the watermark. Idempotent: a replayed committed
+    batch id is a no-op, and a crash between write and commit replays
+    into an identical overwrite (the run is a pure function of
+    (model, batch))."""
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    spark = batch_df.sparkSession
+    store = KVStore.instance(store_name)
+    marker = f"{KEY_PREFIX}{IVF_STREAM_MARKER}:{scope}"
+    if batch_id <= store.last_applied(marker):
+        return
+    cdf = spark.read.parquet(f"{index_dir}/centroids")
+    assigned = _assign(batch_df, cdf, keep=1).select(
+        "vec_id", "v", "norm", F.col("cid").alias("list_id")
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{index_dir}/delta-v{batch_id}"
+    )
+    store.apply_batch(batch_id, [], marker)
+
+
+def committed_ivf_corpus(
+    spark: SparkSession, index_dir: str, store_name: str, scope: str
+) -> DataFrame:
+    """The searchable corpus: base index ∪ every delta run at or below
+    the committed watermark. Runs above it (torn writes from a crashed
+    batch) are invisible until their batch replays and commits —
+    readers only ever see index states that some prefix of the stream
+    fully produced."""
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    store = KVStore.instance(store_name)
+    cur = store.last_applied(f"{KEY_PREFIX}{IVF_STREAM_MARKER}:{scope}")
+    out = spark.read.parquet(f"{index_dir}/corpus")
+    for b in range(cur + 1):
+        out = out.unionByName(spark.read.parquet(f"{index_dir}/delta-v{b}"))
+    return out
+
+
+def ivf_index_sink(
+    vec_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    store_name: str,
+):
+    """Attach streaming IVF maintenance to a vector stream."""
+    from steaminganalysis_spark.streaming.sinks import checkpoint_scope
+
+    scope = checkpoint_scope(checkpoint_dir)
+    return (
+        vec_stream.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: append_ivf_batch(
+                df, bid, index_dir, store_name, scope
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    ), scope
+
+
+@query("q_stream_ann_index")  # rows-only: assignments depend on k-means floats
+def stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance: build the persisted IVF index
+    over the initial corpus half (vec_id % 4 < 2 — trains the frozen
+    quantizer AND writes the base inverted lists), then stream the
+    other half in two time-ordered micro-batches (% 4 == 2, % 4 == 3)
+    through ``append_ivf_batch``. Returns the final committed index
+    assignment (vec_id, list_id) for the ENTIRE corpus.
+
+    Contract (pinned in tests/test_streaming.py): the streamed index
+    is EXACTLY the batch-built one under the same frozen quantizer —
+    assignments equal ``_assign(full corpus, model)`` row for row
+    (stream ≡ batch), and replayed batch ids leave the index
+    byte-identical (idempotence). Rows-only for the driver: the
+    assignment depends on Lloyd-iterated float centroids, which no
+    portable SQL restates; the equivalence pin is the certificate.
+    Reference parity: the reference's only stateful maintenance is the
+    Redis rollup (KafkaApp:63-79); continuous index maintenance is the
+    engine-extension analogue for the similarity surface."""
+    import glob
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("stream_ann")
+    base = _emb_double(spark, sf_dir)
+    initial = base.filter(F.col("vec_id") % 4 < 2)
+    index_dir = os.path.join(tmp, "index")
+    build_ivf_index(spark, initial, index_dir)
+    # the two arriving batches, replayed as mtime-ordered files
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    now = time.time()
+    for i, part in enumerate(
+        (
+            base.filter(F.col("vec_id") % 4 == 2),
+            base.filter(F.col("vec_id") % 4 == 3),
+        )
+    ):
+        d = os.path.join(tmp, f"b{i}")
+        part.coalesce(1).write.parquet(d)
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+    stream = (
+        spark.readStream.schema("vec_id long, v array<double>, norm double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store_name = f"stream_ann_{run}"
+    writer, scope = ivf_index_sink(
+        stream, index_dir, os.path.join(tmp, f"ckpt_{run}"), store_name
+    )
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    out = (
+        committed_ivf_corpus(spark, index_dir, store_name, scope)
+        .select("vec_id", F.col("list_id").cast("int").alias("list_id"))
+        .localCheckpoint(eager=True)  # detach from scratch before cleanup
+    )
+    KVStore.reset(store_name)
+    return out

@@ -286,6 +286,18 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # large-star/small-star contraction — O(log n) rounds, state lives in
 # the edge relation, no O(V) broadcast; fixpoint HashMin oracle).
 #
+# Round-9 additions (pinned as deferred_to_round10 in
+# tests/test_contract_robustness.py): q_stream_mv_time_travel (the MV
+# store's as-of-version read as its own oracle-checked key — version 0
+# must equal the batch rollup over the stream prefix it saw, i.e.
+# events with ts < MV_MID; harness pins micro-batch order via file
+# mtimes), q_stream_ann_index (streaming IVF index maintenance:
+# frozen-quantizer assignment of arriving vector batches appended as
+# LSM-style delta runs behind the shared KVStore watermark; rows-only
+# with a stream≡batch assignment-equality pin) — 309 keys / 275
+# oracles at the round-9 additions (count with collect_queries(),
+# never this comment).
+#
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the
 # keys deferred below, plus re-checks of any module edited since its

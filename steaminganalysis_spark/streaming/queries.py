@@ -1158,18 +1158,40 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     events: streamed maintenance must converge to the batch answer
     regardless of batch boundaries — the same stream≡batch contract as
     q_stream_cdc_scd2."""
+    from steaminganalysis_spark.streaming.mv import read_mv
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    table_dir, store_name, scope = _run_mv_maintenance_stream(spark, sf_dir)
+    out = read_mv(spark, table_dir, store_name, scope).localCheckpoint(
+        eager=True
+    )  # detach from the scratch dirs before cleanup
+    KVStore.reset(store_name)
+    return out
+
+
+# The micro-batch boundary the MV maintenance harness splits the
+# post-MV_CUTOFF delta on: batch 0 = [MV_CUTOFF, MV_MID), batch 1 =
+# [MV_MID, inf). q_stream_mv_time_travel's oracle states the version-0
+# snapshot in terms of this constant.
+MV_MID = "2024-01-28"
+
+
+def _run_mv_maintenance_stream(spark, sf_dir):
+    """Shared harness for the MV maintenance keys: materialize the
+    daily-rollup base over pre-MV_CUTOFF history, replay the delta as
+    two time-ordered micro-batch files (mtimes forced monotone so the
+    file source's modified-time ordering is deterministic: batch 0 is
+    ALWAYS the [MV_CUTOFF, MV_MID) slice), and run the foreachBatch
+    monoid merge to completion. Returns (table_dir, store_name, scope)
+    for the caller to read committed or historical versions from."""
     import glob
     import os
     import shutil
+    import time
 
     from steaminganalysis_spark.operators.storage import MV_CUTOFF
     from steaminganalysis_spark.scratch import scratch_dir
-    from steaminganalysis_spark.streaming.mv import (
-        daily_rollup_mv,
-        mv_sink,
-        read_mv,
-    )
-    from steaminganalysis_spark.streaming.sinks import KVStore
+    from steaminganalysis_spark.streaming.mv import daily_rollup_mv, mv_sink
 
     run = uuid.uuid4().hex[:8]
     tmp = scratch_dir("stream_mv")
@@ -1185,19 +1207,18 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(tmp, "src")
     os.makedirs(src)
     delta = ev.filter(F.col("ts") >= cut)
-    mid = "2024-01-28"
+    now = time.time()
     for i, part in enumerate(
         (
-            delta.filter(F.col("ts") < F.lit(mid).cast("timestamp")),
-            delta.filter(F.col("ts") >= F.lit(mid).cast("timestamp")),
+            delta.filter(F.col("ts") < F.lit(MV_MID).cast("timestamp")),
+            delta.filter(F.col("ts") >= F.lit(MV_MID).cast("timestamp")),
         )
     ):
         d = os.path.join(tmp, f"b{i}")
         part.coalesce(1).write.parquet(d)
-        shutil.copy(
-            glob.glob(os.path.join(d, "part-*.parquet"))[0],
-            os.path.join(src, f"b{i}.parquet"),
-        )
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
     stream = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, event_type string,"
@@ -1215,8 +1236,41 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    out = read_mv(spark, table_dir, store_name, scope).localCheckpoint(
-        eager=True
-    )  # detach from the scratch dirs before cleanup
+    return table_dir, store_name, scope
+
+
+@query(
+    "q_stream_mv_time_travel",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-28'
+    GROUP BY 1, 2
+    """,
+)
+def stream_mv_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the streaming MV store (streaming/mv.py:99):
+    run the same two-batch maintenance stream as
+    q_stream_mv_maintenance, then read the view AS OF version 0 — the
+    snapshot committed after the first micro-batch, i.e. base history
+    (ts < MV_CUTOFF) plus only the [MV_CUTOFF, MV_MID) delta slice.
+    Every merge writes a full self-contained version dir before
+    advancing the watermark, so any committed version is a consistent
+    snapshot; the harness pins micro-batch order via file mtimes, which
+    makes the v0 contents a pure function of the data. The oracle is
+    the batch rollup over exactly the events with ts < MV_MID
+    ('2024-01-28') — a historical version must equal the batch answer
+    over the prefix of the stream it saw, the time-travel analogue of
+    the stream≡batch contract. Uncommitted versions raise (pinned in
+    tests/test_streaming.py::test_mv_time_travel_reads_historical_version)."""
+    from steaminganalysis_spark.streaming.mv import read_mv_at
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    table_dir, store_name, _scope = _run_mv_maintenance_stream(spark, sf_dir)
+    out = read_mv_at(spark, table_dir, 0).localCheckpoint(eager=True)
     KVStore.reset(store_name)
     return out

@@ -75,7 +75,12 @@ def test_demo_app_accumulates_day_totals(spark):
 # registration this round MUST be added here. The round-9 window
 # absorbed the ENTIRE former deferred_to_round9 set (the six round-8
 # additions), so this set restarts from the round-9 additions only.
-deferred_to_round10: set[str] = set()
+deferred_to_round10: set[str] = {
+    # round-9 additions (streaming/queries.py — MV store time travel)
+    "q_stream_mv_time_travel",
+    # round-9 additions (operators/ann.py — streaming IVF maintenance)
+    "q_stream_ann_index",
+}
 
 
 def test_round9_correctness_window_composition():

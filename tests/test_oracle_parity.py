@@ -65,6 +65,7 @@ ROWS_ONLY_DOCUMENTED = {
         "q_cluster_kmeans",  # float centroids; assignment equality vs numpy pinned
         "q_multimodal_phash",  # binary synthesis not SQL-expressible; brute-force completeness pinned
         "q_emb_pca_topk",  # float summation order; per-component cosine vs numpy pinned
+        "q_stream_ann_index",  # k-means floats; stream≡batch assignment equality pinned
 }
 
 

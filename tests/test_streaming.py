@@ -1517,3 +1517,89 @@ def test_mv_time_travel_reads_historical_version(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_mv_at(spark, tdir, 7)
     KVStore.reset(store)
+
+
+def test_stream_ann_index_stream_equals_batch(spark):
+    """q_stream_ann_index's certificate (rows-only key): the index
+    maintained incrementally — base build over the initial corpus half,
+    two streamed micro-batches appended as delta runs under the FROZEN
+    quantizer — assigns every vector to exactly the list the one-shot
+    batch assignment against the same centroid model would. Stream ≡
+    batch, the contract that makes continuous maintenance trustworthy."""
+    from steaminganalysis_spark.operators.ann import (
+        _assign,
+        _centroids_df,
+        _emb_double,
+        train_ivf,
+    )
+    from steaminganalysis_spark.registry import collect_queries
+    from tests.conftest import SF_DIR
+
+    QUERIES, _ = collect_queries()
+    got = {
+        (r.vec_id, r.list_id)
+        for r in QUERIES["q_stream_ann_index"](spark, SF_DIR).collect()
+    }
+    base = _emb_double(spark, SF_DIR)
+    cents = train_ivf(spark, base.filter(F.col("vec_id") % 4 < 2))
+    twin = {
+        (r.vec_id, r.cid)
+        for r in _assign(base, _centroids_df(spark, cents), keep=1)
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert len(got) == base.count()
+    assert got == twin
+
+
+def test_ivf_append_replay_idempotent(spark, tmp_path):
+    """Crash-replay discipline of the streaming IVF sink: a replayed
+    committed batch id is a no-op (delta run and watermark untouched),
+    and committed_ivf_corpus exposes exactly base + committed runs —
+    an uncommitted run directory (torn write) stays invisible."""
+    import os
+
+    from steaminganalysis_spark.operators.ann import (
+        append_ivf_batch,
+        build_ivf_index,
+        committed_ivf_corpus,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id long, v array<double>").withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, vecs.filter(F.col("vec_id") < 20), idx, k=4, iters=2)
+    store = f"ann_replay_{os.getpid()}"
+    batch = vecs.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 30))
+    append_ivf_batch(batch, 0, idx, store, "s")
+    before = sorted(
+        (r.vec_id, r.list_id)
+        for r in committed_ivf_corpus(spark, idx, store, "s").collect()
+    )
+    mtimes = {
+        p: os.path.getmtime(os.path.join(idx, "delta-v0", p))
+        for p in os.listdir(os.path.join(idx, "delta-v0"))
+    }
+    # replay the committed id with DIFFERENT data: must be a no-op
+    append_ivf_batch(vecs.filter(F.col("vec_id") >= 30), 0, idx, store, "s")
+    after = sorted(
+        (r.vec_id, r.list_id)
+        for r in committed_ivf_corpus(spark, idx, store, "s").collect()
+    )
+    assert after == before
+    assert mtimes == {
+        p: os.path.getmtime(os.path.join(idx, "delta-v0", p))
+        for p in os.listdir(os.path.join(idx, "delta-v0"))
+    }
+    # a torn (never-committed) run directory is invisible to readers
+    os.makedirs(os.path.join(idx, "delta-v7"))
+    assert (
+        sorted(
+            (r.vec_id, r.list_id)
+            for r in committed_ivf_corpus(spark, idx, store, "s").collect()
+        )
+        == before
+    )
+    KVStore.reset(store)
