@@ -382,7 +382,9 @@ LSH_BITS = 4  # hyperplanes per table
 LSH_TABLES = 8  # independent tables (multi-probe recall)
 
 
-def _lsh_candidate_pairs(base: DataFrame, tables: int, bits: int) -> DataFrame:
+def _lsh_candidate_pairs(
+    base: DataFrame, tables: int, bits: int, tag: str = "lsh_buckets"
+) -> DataFrame:
     """Random-hyperplane LSH candidate pairs over ``base``
     (vec_id, v, norm): each vector hashes to one bucket per table
     (sign pattern of ``bits`` deterministic ±1 projections); candidates
@@ -390,40 +392,26 @@ def _lsh_candidate_pairs(base: DataFrame, tables: int, bits: int) -> DataFrame:
 
     The candidate join is a shuffled equi-join on (table, bucket) —
     the big side never cross-joins, which is what makes this the
-    100 TB path. Hyperplane p is the ±1 vector xxhash64(p, i)&1, so
-    buckets are reproducible across sessions/partitionings."""
-
-    def proj(p: int):
-        prods = F.transform(
-            F.col("v"),
-            lambda x, i: x
-            * (F.when(F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)),
-        )
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-    def bucket(t: int):
-        return sum(
-            [
-                F.when(proj(t * bits + b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-                for b in range(bits)
-            ],
-            F.lit(0),
-        )
-
+    100 TB path. Bucketing is the vectorized blake2b hyperplane
+    construction shared with the selective kNN key (``_hyperplanes`` /
+    ``_matmul_buckets``): plane p's ±1 signs are the bits of
+    blake2b(p) — session-free and reproducible forever — and all
+    tables×bits signs per vector come from ONE sign(V @ Hᵀ) BLAS
+    matmul per Arrow batch. This replaced the original per-plane
+    xxhash64 HOF-lambda projections (round 9): Spark interprets
+    transform/aggregate lambdas per element, so the old path cost
+    tables×bits×dim interpreted ops per vector; the matmul family
+    measured 5.63 s → 4.70 s on the 24-table × 2-bit candidate
+    generation at sf0.1 (best-of-3, local[32], ~2M candidates either
+    way — at this volume the distinct's exchange dominates and the
+    hashing stage itself is what shrank) with identical candidate-set
+    semantics (iid ±1 planes, same collision math)."""
     buckets = base.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bkt"))
-                    for t in range(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "tb.tbl", "tb.bkt")
+        "vec_id", F.posexplode(_matmul_buckets(tables, bits)("v")).alias("tbl", "bkt")
+    )
     # staged: the self-join's aliased branches would otherwise each
-    # recompute tables×bits×dim projection sums per vector
-    buckets = stage(buckets, "lsh_buckets", bucket_col="bkt")
+    # re-run the bucketing UDF per vector
+    buckets = stage(buckets, tag, bucket_col="bkt")
     # DISTINCT over the collision rows, measured against the standard
     # first-collision alternative (keep only the row whose table index
     # is the pair's first agreeing signature slot — a map-side filter
@@ -1397,20 +1385,20 @@ SELECTIVE_TAU = 0.7
 _AUG_C1_OFFSET = 1_000_000
 _AUG_C2_OFFSET = 2_000_000
 
-_HYPERPLANES: np.ndarray | None = None
+_HYPERPLANES: dict[tuple[int, int], np.ndarray] = {}
 
 
-def _hyperplanes(dim: int) -> np.ndarray:
-    """Deterministic ±1 hyperplane family, (tables × bits) × dim: row
-    p's signs are the bits of blake2b(p) — reproducible forever across
-    sessions, partitionings, and library versions (no RNG state; the
-    same construction idea as the xxhash64 planes in
-    ``_lsh_candidate_pairs``, but materialized once as a numpy matrix
-    so bucketing is ONE sign(V @ Hᵀ) matmul per Arrow batch instead of
-    tables×bits interpreted HOF lambda passes per row)."""
-    global _HYPERPLANES
-    n_planes = SELECTIVE_LSH_TABLES * SELECTIVE_LSH_BITS
-    if _HYPERPLANES is None or _HYPERPLANES.shape != (n_planes, dim):
+def _hyperplanes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 hyperplane family, n_planes × dim: row p's
+    signs are the bits of blake2b(p) — reproducible forever across
+    sessions, partitionings, and library versions (no RNG state).
+    Plane p is the same matrix row in EVERY family, so families of
+    different widths share a common prefix; the cache keys by shape.
+    Materialized as a numpy matrix so bucketing is ONE sign(V @ Hᵀ)
+    matmul per Arrow batch instead of per-plane interpreted HOF lambda
+    passes per row."""
+    key = (n_planes, dim)
+    if key not in _HYPERPLANES:
         import hashlib
 
         n_bytes = (dim + 7) // 8
@@ -1421,25 +1409,28 @@ def _hyperplanes(dim: int) -> np.ndarray:
             ).digest()
             bits = np.unpackbits(np.frombuffer(dgst, dtype=np.uint8))[:dim]
             rows.append(bits.astype(np.float64) * 2.0 - 1.0)
-        _HYPERPLANES = np.stack(rows)
-    return _HYPERPLANES
+        _HYPERPLANES[key] = np.stack(rows)
+    return _HYPERPLANES[key]
 
 
-def _selective_buckets():
-    """All 64 table buckets for each vector in one vectorized step:
-    sign bits of V @ Hᵀ, packed 12 per table. Arrow-batched — the
-    per-batch cost is a single (batch × dim) @ (dim × 768) BLAS call,
-    the 10-100× Pandas-UDF-over-row-lambda rule from the module
-    docstring applied to hashing instead of scoring. Built lazily:
-    ``pandas_udf`` parses its DDL return type against the ACTIVE
-    session, so decorating at module import would break session-free
-    imports of this module."""
+def _matmul_buckets(tables: int, bits: int):
+    """All ``tables`` bucket ids for each vector in one vectorized
+    step: sign bits of V @ Hᵀ, packed ``bits`` per table.
+    Arrow-batched — the per-batch cost is a single (batch × dim) @
+    (dim × tables·bits) BLAS call, the 10-100× Pandas-UDF-over-
+    row-lambda rule from the module docstring applied to hashing
+    instead of scoring. Shared by every LSH family in this module
+    (threshold/ANN via ``_lsh_candidate_pairs``, selective kNN via
+    ``_selective_candidate_pairs``). Built lazily: ``pandas_udf``
+    parses its DDL return type against the ACTIVE session, so
+    decorating at module import would break session-free imports of
+    this module."""
 
     def impl(v: pd.Series) -> pd.Series:
         V = np.stack(v.to_numpy()).astype(np.float64)
-        S = (V @ _hyperplanes(V.shape[1]).T) > 0
-        S = S.reshape(len(V), SELECTIVE_LSH_TABLES, SELECTIVE_LSH_BITS)
-        powers = 1 << np.arange(SELECTIVE_LSH_BITS, dtype=np.int64)
+        S = (V @ _hyperplanes(tables * bits, V.shape[1]).T) > 0
+        S = S.reshape(len(V), tables, bits)
+        powers = 1 << np.arange(bits, dtype=np.int64)
         B = (S * powers).sum(axis=2)
         return pd.Series(list(B))
 
@@ -1477,25 +1468,16 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _selective_candidate_pairs(base: DataFrame) -> DataFrame:
     """Candidate (vec_a < vec_b) pairs sharing any (table, bucket)
-    under the selective 12-bit × 64-table family. Same equi-join shape
-    as ``_lsh_candidate_pairs`` — the difference is bucket width: at
+    under the selective 12-bit × 64-table family — the shared
+    ``_lsh_candidate_pairs`` machinery at a different bucket width: at
     12 bits a random pair collides in a given table with p = 2⁻¹² ≈
     0.02%, so the join output is a ~1.6% sample of the pair space
     instead of effectively all of it."""
-    buckets = base.select(
-        "vec_id", F.posexplode(_selective_buckets()("v")).alias("tbl", "bkt")
-    )
-    buckets = stage(buckets, "selective_lsh_buckets", bucket_col="bkt")
-    return (
-        buckets.alias("x")
-        .join(
-            buckets.alias("y"),
-            (F.col("x.tbl") == F.col("y.tbl"))
-            & (F.col("x.bkt") == F.col("y.bkt"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
-        .distinct()
+    return _lsh_candidate_pairs(
+        base,
+        SELECTIVE_LSH_TABLES,
+        SELECTIVE_LSH_BITS,
+        tag="selective_lsh_buckets",
     )
 
 
