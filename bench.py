@@ -60,17 +60,22 @@ HEADLINE = [
 # tracked per-round but kept OUT of the baseline-comparable total —
 # reported under "extended_queries"/"extended_total_sec" instead.
 HEADLINE_EXTENDED = [
-    "q_knn_graph",
+    # round-9 (VERDICT r8 order #5): the τ=0.4 q_knn_graph is RETIRED
+    # from this set — it burned ~8 s per bench run re-measuring a
+    # documented recall-regime configuration (effectively all-pairs at
+    # candidate generation; the key and its exact oracle remain
+    # registered and driver-checkable). The selective production
+    # operating point (τ=0.7, 12-bit × 64-table) is the tracked
+    # kNN-graph representative; the candidate-volume gap between the
+    # two stays pinned by test_knn_graph_selective_candidates_
+    # sub_quadratic rather than re-timed every round.
+    "q_knn_graph_selective",
     "q_graph_pagerank",
     # round-5 continuation families (same rule: tracked, not in the
     # baseline-comparable total)
     "q_geo_radius_join",
     "q_seq_pattern",
     "q_er_clusters",
-    # round-8: the selective (τ=0.7, 12-bit × 64-table) kNN-graph
-    # operating point, tracked alongside the τ=0.4 key it answers —
-    # the pair exists so the candidate-volume gap stays measured.
-    "q_knn_graph_selective",
 ]
 
 

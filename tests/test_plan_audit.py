@@ -386,3 +386,75 @@ def test_dq_profile_single_pass_profile(spark):
     assert count_exchanges(df) <= 2  # partial->final agg (+distinct expand)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan  # the multi-distinct rewrite is in play
+
+
+def test_aqe_skew_join_split_under_adversarial_layout(spark):
+    """The one 100×-scale Catalyst behavior the other plan pins don't
+    cover: AQE's runtime skew-join split. Under an adversarial layout
+    (3 shuffle partitions, broadcast disabled, thresholds scaled to
+    fixture bytes) a lineitem⋈orders sort-merge join whose left side
+    is hot on one key (90% of rows collapse onto orderkey 1 — the
+    straggler condition q_skew_profile diagnoses and q_join_salted
+    remedies manually) must come out of adaptive execution with the
+    skewed partition SPLIT: `SortMergeJoin(skew=true)` over an
+    `AQEShuffleRead skewed`. The upstream repartition(8) stands in for
+    the many map tasks any real deployment has (AQE splits at
+    map-output granularity, so a single-mapper toy shuffle can never
+    split — the sf0.001 parquet is one row group). Contrast pinned in
+    the same test: q_join_salted's (key, salt) join spreads the same
+    hot-key volume BEFORE the shuffle, so under identical confs its
+    plan needs no skew split — the manual and the runtime remedy are
+    certified as alternatives, not stacked."""
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.sources import load
+
+    adversarial = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "3",
+    }
+    saved = {k: spark.conf.get(k, None) for k in adversarial}
+    try:
+        for k, v in adversarial.items():
+            spark.conf.set(k, v)
+        hot = (
+            load(spark, SF, "lineitem")
+            .repartition(8)
+            .select(
+                F.when(F.col("l_orderkey") % 10 != 0, F.lit(1))
+                .otherwise(F.col("l_orderkey"))
+                .alias("k"),
+                "l_quantity",
+            )
+        )
+        o = load(spark, SF, "orders").select(
+            F.col("o_orderkey").alias("k"), "o_orderpriority"
+        )
+        j = hot.join(o, "k")
+        n = len(j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+        # hot-key semantics sanity: every lineitem row found its order
+        assert n == load(spark, SF, "lineitem").count()
+        # contrast: the salted join under the SAME adversarial confs
+        # pre-spreads the hot key, so AQE finds nothing to split
+        QUERIES, _ = collect_queries()
+        s = QUERIES["q_join_salted"](spark, SF)
+        s.collect()
+        salted_plan = s._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in salted_plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
