@@ -526,6 +526,7 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # touching the index.
 
 IVF_STREAM_MARKER = "ann-last-applied"
+IVF_COMPACT_MARKER = "ann-compacted-through"
 
 
 def append_ivf_batch(
@@ -571,8 +572,10 @@ def committed_ivf_corpus(
 
     store = KVStore.instance(store_name)
     cur = store.last_applied(f"{KEY_PREFIX}{IVF_STREAM_MARKER}:{scope}")
-    out = spark.read.parquet(f"{index_dir}/corpus")
-    for b in range(cur + 1):
+    compacted = store.last_applied(f"{KEY_PREFIX}{IVF_COMPACT_MARKER}:{scope}")
+    base = "corpus" if compacted < 0 else f"corpus-v{compacted}"
+    out = spark.read.parquet(f"{index_dir}/{base}")
+    for b in range(compacted + 1, cur + 1):
         out = out.unionByName(spark.read.parquet(f"{index_dir}/delta-v{b}"))
     return out
 
@@ -669,3 +672,45 @@ def stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     KVStore.reset(store_name)
     return out
+
+
+def compact_ivf_index(
+    spark: SparkSession, index_dir: str, store_name: str, scope: str
+) -> None:
+    """LSM compaction for the streamed IVF index: fold every committed
+    delta run into the base inverted lists and drop the runs — the
+    maintenance a real deployment schedules when run count grows (each
+    run adds one file-listing + scan branch per query; compaction
+    restores the single-dir layout, same motivation as
+    ``q_compact_small_files``). Readers are never wrong meanwhile:
+    ``committed_ivf_corpus`` over (base + runs) and over the compacted
+    base is the same multiset — compaction moves bytes, not truth
+    (pinned in tests/test_streaming.py). Crash discipline mirrors the
+    MV version store: the folded corpus is written to a NEW versioned
+    dir ``corpus-v{cur}``, then the compacted-through watermark
+    advances atomically — before the flip readers resolve old base +
+    runs, after it the new base + later runs; both reconstruct the
+    identical corpus at every crash point (no rename-then-mark window
+    where runs would double-count). Superseded run/base dirs are
+    garbage, removed last, re-collected by the next compaction if a
+    crash strands them."""
+    import os
+    import shutil
+
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    store = KVStore.instance(store_name)
+    cur = store.last_applied(f"{KEY_PREFIX}{IVF_STREAM_MARKER}:{scope}")
+    compacted = store.last_applied(f"{KEY_PREFIX}{IVF_COMPACT_MARKER}:{scope}")
+    if cur <= compacted:
+        return  # nothing to fold
+    merged = committed_ivf_corpus(spark, index_dir, store_name, scope)
+    merged.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{index_dir}/corpus-v{cur}"
+    )
+    store.apply_batch(cur, [], f"{KEY_PREFIX}{IVF_COMPACT_MARKER}:{scope}")
+    # GC of superseded dirs (pure garbage once the marker moved)
+    old_base = "corpus" if compacted < 0 else f"corpus-v{compacted}"
+    shutil.rmtree(os.path.join(index_dir, old_base), ignore_errors=True)
+    for b in range(compacted + 1, cur + 1):
+        shutil.rmtree(os.path.join(index_dir, f"delta-v{b}"), ignore_errors=True)

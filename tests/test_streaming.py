@@ -1603,3 +1603,55 @@ def test_ivf_append_replay_idempotent(spark, tmp_path):
         == before
     )
     KVStore.reset(store)
+
+
+def test_ivf_compaction_preserves_corpus_and_drops_runs(spark, tmp_path):
+    """LSM compaction for the streamed IVF index: folding committed
+    delta runs into a new versioned base changes bytes, not truth —
+    the committed corpus is the identical multiset before and after,
+    superseded run dirs are gone, and maintenance continues (a batch
+    appended AFTER compaction lands as a new run unioned with the
+    compacted base). Re-compaction with nothing new to fold is a
+    no-op."""
+    import os
+
+    from steaminganalysis_spark.operators.ann import (
+        append_ivf_batch,
+        build_ivf_index,
+        committed_ivf_corpus,
+        compact_ivf_index,
+    )
+
+    rows = [(i, [float((i * 5 + j) % 11) for j in range(8)]) for i in range(60)]
+    vecs = spark.createDataFrame(rows, "vec_id long, v array<double>").withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, vecs.filter(F.col("vec_id") < 20), idx, k=4, iters=2)
+    store = f"ann_compact_{os.getpid()}"
+    append_ivf_batch(vecs.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40)), 0, idx, store, "s")
+    append_ivf_batch(vecs.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 50)), 1, idx, store, "s")
+
+    def corpus():
+        return sorted(
+            (r.vec_id, r.list_id)
+            for r in committed_ivf_corpus(spark, idx, store, "s").collect()
+        )
+
+    before = corpus()
+    compact_ivf_index(spark, idx, store, "s")
+    assert corpus() == before
+    assert os.path.isdir(os.path.join(idx, "corpus-v1"))
+    assert not os.path.isdir(os.path.join(idx, "corpus"))
+    assert not os.path.isdir(os.path.join(idx, "delta-v0"))
+    assert not os.path.isdir(os.path.join(idx, "delta-v1"))
+    # maintenance continues over the compacted base
+    append_ivf_batch(vecs.filter(F.col("vec_id") >= 50), 2, idx, store, "s")
+    assert len(corpus()) == 60
+    # idempotent no-op when nothing new since... compact folds run 2
+    compact_ivf_index(spark, idx, store, "s")
+    after2 = corpus()
+    assert len(after2) == 60
+    compact_ivf_index(spark, idx, store, "s")  # nothing to fold — no-op
+    assert corpus() == after2
+    KVStore.reset(store)
