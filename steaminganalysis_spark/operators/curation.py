@@ -490,3 +490,103 @@ def text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("text_extracted"),
     )
+
+
+# ----------------------------------- quality-aware dedup (round 9)
+
+# Source-priority classes for q_dedup_keep_best's planted copies. The
+# natural fixture has ZERO exact-duplicate groups at sf0.001/sf0.01
+# (8 at sf0.1), so the key uses the synthesize-then-verify pattern
+# (operators/multimodal.py, llm._aug_embeddings): plant copies in BOTH
+# engines with pure projection arithmetic so the keep decision is
+# non-vacuous at every SF and every selection is oracle-certified.
+_KEEP_BEST_MIRROR_OFFSET = 1_000_000
+_KEEP_BEST_CURATED_OFFSET = 2_000_000
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + {_KEEP_BEST_MIRROR_OFFSET}, text, 'mirror'
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + {_KEEP_BEST_CURATED_OFFSET}, text, 'curated'
+      FROM documents WHERE doc_id % 11 = 0
+    ), g AS (
+      SELECT md5(text) AS h, doc_id, source,
+             CASE source WHEN 'curated' THEN 2
+                         WHEN 'mirror' THEN 0
+                         ELSE 1 END AS prio
+      FROM aug
+    ), r AS (
+      SELECT h, doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY prio DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS n
+      FROM g
+    )
+    SELECT h AS text_hash, doc_id AS keep_doc_id,
+           source AS keep_source, CAST(n AS BIGINT) AS n_copies
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup — the keep DECISION real curation
+    pipelines make (Dolma/CCNet source preference): within each
+    duplicate group keep the copy from the highest-priority source
+    (curated > original corpus > mirror), tie-broken on the smallest
+    doc_id — NOT blindly the smallest id (``q_dedup_exact``'s rule;
+    the planted curated copies carry the LARGEST ids precisely so the
+    two rules disagree and the oracle certifies the priority logic).
+
+    Corpus augmentation (both engines, pure projection): every 7th
+    document gains a 'mirror' copy (priority below everything — the
+    re-crawl/mirror-site case) and every 11th a 'curated' copy
+    (priority above — the hand-cleaned re-release case).
+
+    Scale shape: the augmented corpus is a union of three projections
+    of one scan (no extra shuffle); the group key is the 16-byte md5,
+    never the text; the argmax folds into ONE aggregate pass as
+    ``min(struct(-prio, doc_id, source))`` — Spark plans struct-min as
+    SortAggregate (not hash-buffer-able) but keeps the map-side
+    partial_min combine, so exactly one exchange moves (md5, struct,
+    count) rows and the text never shuffles (plan-pinned in
+    tests/test_plan_audit.py). Reference parity: the reference has no
+    dedup at all (SURVEY §2 B.9 extension surface)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirror = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _KEEP_BEST_MIRROR_OFFSET).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    curated = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + _KEEP_BEST_CURATED_OFFSET).alias("doc_id"),
+        "text",
+        F.lit("curated").alias("source"),
+    )
+    aug = d.unionAll(mirror).unionAll(curated)
+    prio = (
+        F.when(F.col("source") == "curated", 2)
+        .when(F.col("source") == "mirror", 0)
+        .otherwise(1)
+    )
+    best = F.min(
+        F.struct(
+            (-prio).alias("np"),
+            F.col("doc_id").alias("d"),
+            F.col("source").alias("s"),
+        )
+    )
+    return (
+        aug.groupBy(F.md5("text").alias("text_hash"))
+        .agg(best.alias("b"), F.count("*").alias("n_copies"))
+        .select(
+            "text_hash",
+            F.col("b.d").alias("keep_doc_id"),
+            F.col("b.s").alias("keep_source"),
+            "n_copies",
+        )
+    )

@@ -294,8 +294,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # mtimes), q_stream_ann_index (streaming IVF index maintenance:
 # frozen-quantizer assignment of arriving vector batches appended as
 # LSM-style delta runs behind the shared KVStore watermark; rows-only
-# with a stream≡batch assignment-equality pin) — 309 keys / 275
-# oracles at the round-9 additions (count with collect_queries(),
+# with a stream≡batch assignment-equality pin), q_dedup_keep_best
+# (quality-aware exact dedup: keep the highest-source-priority copy
+# per duplicate group, planted mirror/curated copies making the
+# decision non-vacuous and oracle-certified at every SF) — 310 keys /
+# 276 oracles at the round-9 additions (count with collect_queries(),
 # never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

@@ -80,6 +80,8 @@ deferred_to_round10: set[str] = {
     "q_stream_mv_time_travel",
     # round-9 additions (operators/ann.py — streaming IVF maintenance)
     "q_stream_ann_index",
+    # round-9 additions (operators/curation.py — source-priority dedup)
+    "q_dedup_keep_best",
 }
 
 

@@ -458,3 +458,19 @@ def test_aqe_skew_join_split_under_adversarial_layout(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dedup_keep_best_single_aggregate_pass(spark):
+    """q_dedup_keep_best's argmax must fold into ONE md5-keyed
+    aggregate pass (min over a (-prio, doc_id, source) struct — Spark
+    plans struct-min as SortAggregate, but the partial/final split is
+    preserved): a partial_min runs map-side BEFORE the single
+    exchange, no Window, and the exchange key is the md5 grouping
+    expression — document text is consumed by md5 pre-shuffle and
+    never crosses an exchange."""
+    df = QUERIES["q_dedup_keep_best"](spark, SF)
+    assert count_exchanges(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan.split("Exchange")[1], plan  # map-side combine
+    assert "Exchange hashpartitioning(_groupingexpression" in plan, plan
