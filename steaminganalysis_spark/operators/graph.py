@@ -1267,3 +1267,162 @@ def graph_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_cc_stars.__doc__ = graph_cc_stars.__doc__.replace(
     "{OR}", str(_CC_ORACLE_ROUNDS)
 ).replace("{SR}", str(STAR_ROUNDS))
+
+
+# ----------------------------------------------- k-truss (round 9)
+
+K_TRUSS_K = 3  # edge survives iff in >= K-2 = 1 triangle (cohesion floor)
+K_TRUSS_ROUNDS = 4  # measured fixpoint: 1 cascade round at all SFs
+
+
+def _truss_support_sql(e: str, t: str, s: str) -> str:
+    """One peel round's triangle + support CTEs over edge set ``e``
+    (oriented a < b): enumerate each triangle once via the compact
+    wedge join, then count per edge over its three roles."""
+    return f"""{t} AS MATERIALIZED (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM {e} e1
+      JOIN {e} e2 ON e2.a = e1.b
+      JOIN {e} e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    {s} AS MATERIALIZED (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS supp FROM (
+        SELECT a, b FROM {t}
+        UNION ALL SELECT b AS a, c AS b FROM {t}
+        UNION ALL SELECT a, c AS b FROM {t}
+      ) GROUP BY 1, 2
+    )"""
+
+
+def _ktruss_oracle() -> str:
+    """Unrolled fixed-round truss peel (MATERIALIZED throughout — the
+    q_graph_wcc inlining lesson): e0 = co-purchase edges, each round
+    recomputes per-edge triangle support within the surviving set and
+    drops edges below K-2; the final SELECT reports support within the
+    final edge set (LEFT JOIN + COALESCE so the statement is total
+    even if a budget ever stopped short of fixpoint)."""
+    ctes = [
+        "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS a, b.l_partkey AS b
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        )""",
+    ]
+    for k in range(1, K_TRUSS_ROUNDS + 1):
+        ctes.append(_truss_support_sql(f"e{k - 1}", f"t{k}", f"s{k}"))
+        ctes.append(
+            f"""e{k} AS MATERIALIZED (
+              SELECT e.a, e.b FROM e{k - 1} e
+              JOIN s{k} s ON s.a = e.a AND s.b = e.b
+              WHERE s.supp >= {K_TRUSS_K - 2})"""
+        )
+    final = K_TRUSS_ROUNDS
+    ctes.append(_truss_support_sql(f"e{final}", "tf", "sf"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT e.a AS src, e.b AS dst,
+               CAST(COALESCE(s.supp, 0) AS BIGINT) AS support
+        FROM e{final} e
+        LEFT JOIN sf s ON s.a = e.a AND s.b = e.b
+        ORDER BY src, dst
+        """
+    )
+
+
+def _truss_round(edges: DataFrame):
+    """(surviving edges, per-edge support) for one peel round. Edges
+    are oriented a < b so each triangle is enumerated exactly once by
+    the compact wedge join; support counts an edge's three possible
+    roles in those triangles."""
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    roles = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+    )
+    supp = roles.groupBy("a", "b").agg(F.count("*").cast("long").alias("supp"))
+    kept = (
+        edges.join(supp, ["a", "b"])
+        .filter(F.col("supp") >= K_TRUSS_K - 2)
+        .select("a", "b")
+    )
+    return kept, supp
+
+
+@query("q_graph_k_truss", oracle=_ktruss_oracle())
+def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-truss decomposition (k={K}) of the part co-purchase graph —
+    the EDGE-cohesion refinement of q_graph_k_core's node rule: an
+    edge survives only while it closes at least k-2 triangles among
+    surviving edges, so bridges and stray spokes peel away and what
+    remains is the triangle-reinforced community backbone (Cohen's
+    truss, the standard community-core primitive between k-core and
+    clique). {R} synchronous peel rounds (fixed → pure function; the
+    measured cascade fixpoint is 1 round at every shipped SF, pinned
+    with a round-{R}≡round-{R1} test), then each surviving edge is
+    reported with its support inside the final truss.
+
+    Scale shape: ALL state lives in the oriented (a < b) edge
+    relation — no O(V) vectors, no driver state (the q_graph_cc_stars
+    discipline). Per round: one compact wedge join (each triangle
+    enumerated exactly once; intermediate bounded by Σ out-deg² under
+    the orientation — at web scale the orientation key would be degree
+    order, bounding it by O(m^1.5)), a three-role union that is a pure
+    projection, and one support aggregate with map-side partials. The
+    edge set only shrinks, so per-round cost is monotonically
+    non-increasing; each round's survivor set is re-staged to keep
+    lineage flat. Reference parity: no graph surface in the reference
+    (SURVEY §2 B.11 extension)."""
+    from steaminganalysis_spark.staging import stage
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = stage(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("a", "b"),
+        "ktruss_edges",
+        bucket_col="a",
+    )
+    for _ in range(K_TRUSS_ROUNDS):
+        kept, _supp = _truss_round(edges)
+        edges = stage(kept, "ktruss_edges", bucket_col="a")
+    _kept, supp = _truss_round(edges)
+    return (
+        edges.join(supp, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            F.coalesce("supp", F.lit(0)).cast("long").alias("support"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+graph_k_truss.__doc__ = (
+    graph_k_truss.__doc__.replace("{K}", str(K_TRUSS_K))
+    .replace("{R1}", str(K_TRUSS_ROUNDS + 1))
+    .replace("{R}", str(K_TRUSS_ROUNDS))
+)

@@ -297,9 +297,12 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # with a stream≡batch assignment-equality pin), q_dedup_keep_best
 # (quality-aware exact dedup: keep the highest-source-priority copy
 # per duplicate group, planted mirror/curated copies making the
-# decision non-vacuous and oracle-certified at every SF) — 310 keys /
-# 276 oracles at the round-9 additions (count with collect_queries(),
-# never this comment).
+# decision non-vacuous and oracle-certified at every SF),
+# q_graph_k_truss (k-truss edge-cohesion decomposition of the
+# co-purchase graph: fixed-round triangle-support peel, all state in
+# the oriented edge relation; unrolled MATERIALIZED-CTE oracle) —
+# 311 keys / 277 oracles at the round-9 additions (count with
+# collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

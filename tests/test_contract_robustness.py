@@ -82,6 +82,8 @@ deferred_to_round10: set[str] = {
     "q_stream_ann_index",
     # round-9 additions (operators/curation.py — source-priority dedup)
     "q_dedup_keep_best",
+    # round-9 additions (operators/graph.py — edge-cohesion truss)
+    "q_graph_k_truss",
 }
 
 

@@ -529,3 +529,36 @@ def test_cc_stars_matches_union_find_and_reaches_fixpoint(spark):
     }
     for node, c in truth.items():
         assert lbl.get(node, node) == c, node
+
+
+def test_k_truss_fixpoint_inside_round_budget_and_coherence(spark):
+    """The shipped K_TRUSS_ROUNDS budget covers the true cascade
+    fixpoint at this SF: one more peel round leaves the edge set
+    unchanged, so the fixed-round semantics and the true k-truss
+    coincide on the fixtures. Coherence: every surviving edge closes
+    >= K-2 triangles within the truss, and the truss is a subset of
+    the K-core's surviving edge set restricted to... (truss ⊆ edges
+    whose both endpoints have degree >= K-1 inside the truss — the
+    classic containment)."""
+    from steaminganalysis_spark.operators.graph import K_TRUSS_K, _truss_round
+
+    df = QUERIES["q_graph_k_truss"](spark, SF)
+    rows = df.collect()
+    assert rows, "k-truss empty at fixture SF — vacuous key"
+    edges = {(r.src, r.dst) for r in rows}
+    # every reported support honors the truss condition
+    for r in rows:
+        assert r.support >= K_TRUSS_K - 2, r
+    # one more round is a no-op (fixpoint reached inside the budget)
+    e = spark.createDataFrame(sorted(edges), "a long, b long")
+    kept, _ = _truss_round(e)
+    assert {(r.a, r.b) for r in kept.collect()} == edges
+    # containment: within-truss endpoint degrees are >= K-1
+    import collections
+
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    for a, b in edges:
+        assert deg[a] >= K_TRUSS_K - 1 and deg[b] >= K_TRUSS_K - 1
