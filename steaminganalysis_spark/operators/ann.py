@@ -169,11 +169,19 @@ def query_ivf_index(
     queries: DataFrame,
     topk: int = 5,
     probes: int = IVF_PROBES,
+    store_name: str | None = None,
+    scope: str = "",
 ) -> DataFrame:
     """Query a persisted IVF index: assign each query vector to its
     `probes` nearest centroids (centroid model is a broadcast-sized
     read), then scan ONLY those corpus partitions (partition filter on
-    list_id) and rank exact cosine within them."""
+    list_id) and rank exact cosine within them.
+
+    For a STREAM-MAINTAINED index pass (store_name, scope): the corpus
+    is then resolved through ``committed_ivf_corpus`` — the committed
+    base version plus later delta runs — instead of the static
+    ``corpus/`` dir, which compaction supersedes. The list_id
+    partition filter prunes inside every run the same way."""
     cdf = spark.read.parquet(f"{index_dir}/centroids")
     q = _assign(queries, cdf, keep=probes).select(
         F.col("vec_id").alias("query_id"),
@@ -181,7 +189,12 @@ def query_ivf_index(
         F.col("norm").alias("qnorm"),
         F.col("cid").alias("list_id"),
     )
-    corpus = spark.read.parquet(f"{index_dir}/corpus").select(
+    raw = (
+        committed_ivf_corpus(spark, index_dir, store_name, scope)
+        if store_name is not None
+        else spark.read.parquet(f"{index_dir}/corpus")
+    )
+    corpus = raw.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("nv"),
         F.col("norm").alias("nnorm"),

@@ -1655,3 +1655,47 @@ def test_ivf_compaction_preserves_corpus_and_drops_runs(spark, tmp_path):
     compact_ivf_index(spark, idx, store, "s")  # nothing to fold — no-op
     assert corpus() == after2
     KVStore.reset(store)
+
+
+def test_query_ivf_index_resolves_stream_maintained_corpus(spark, tmp_path):
+    """Probing a STREAM-MAINTAINED index through query_ivf_index with
+    (store_name, scope) resolves the committed corpus — base + delta
+    runs before compaction, the versioned base after — and the answers
+    are identical across that representation change (compaction moves
+    bytes, not truth, all the way up to the query API)."""
+    import os
+
+    from steaminganalysis_spark.operators.ann import (
+        append_ivf_batch,
+        build_ivf_index,
+        compact_ivf_index,
+        query_ivf_index,
+    )
+
+    rows = [(i, [float((i * 3 + j) % 7) for j in range(8)]) for i in range(50)]
+    vecs = spark.createDataFrame(rows, "vec_id long, v array<double>").withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, vecs.filter(F.col("vec_id") < 25), idx, k=4, iters=2)
+    store = f"ann_probe_{os.getpid()}"
+    append_ivf_batch(vecs.filter(F.col("vec_id") >= 25), 0, idx, store, "s")
+    qs = vecs.filter(F.col("vec_id") < 5)
+
+    def probe():
+        return sorted(
+            map(
+                tuple,
+                query_ivf_index(
+                    spark, idx, qs, topk=3, probes=2, store_name=store, scope="s"
+                ).collect(),
+            )
+        )
+
+    before = probe()
+    assert before  # streamed vectors are searchable pre-compaction
+    streamed_hit = any(t[1] >= 25 for t in before)
+    compact_ivf_index(spark, idx, store, "s")
+    assert probe() == before
+    assert streamed_hit  # the maintained half actually participates
+    KVStore.reset(store)
