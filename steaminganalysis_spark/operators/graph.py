@@ -1338,6 +1338,8 @@ def _truss_round(edges: DataFrame):
     are oriented a < b so each triangle is enumerated exactly once by
     the compact wedge join; support counts an edge's three possible
     roles in those triangles."""
+    from steaminganalysis_spark.staging import stage
+
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.a") == F.col("e1.b"))
@@ -1351,6 +1353,12 @@ def _truss_round(edges: DataFrame):
             F.col("e2.b").alias("z"),
         )
     )
+    # staged: the three-role union references the triangle list three
+    # times and Spark re-executes a derived frame per branch — without
+    # this the wedge join (the round's expensive step) runs 3× per
+    # round (the MATERIALIZED t{k} in the oracle is the same fix on
+    # the DuckDB side)
+    tri = stage(tri, "ktruss_tri")
     roles = (
         tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
         .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
