@@ -1434,3 +1434,96 @@ graph_k_truss.__doc__ = (
     .replace("{R1}", str(K_TRUSS_ROUNDS + 1))
     .replace("{R}", str(K_TRUSS_ROUNDS))
 )
+
+
+# ------------------------------------------- bipartite butterflies
+
+_BUTTERFLY_ORACLE = """
+    WITH inc AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    w AS MATERIALIZED (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS cnt
+      FROM inc a JOIN inc b ON a.c = b.c AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    bf AS (SELECT p1, p2, (cnt * (cnt - 1)) // 2 AS b FROM w)
+    SELECT part, CAST(SUM(b) AS BIGINT) AS butterflies
+    FROM (SELECT p1 AS part, b FROM bf
+          UNION ALL SELECT p2 AS part, b FROM bf)
+    GROUP BY part
+    ORDER BY part
+"""
+
+
+@query("q_graph_butterfly", oracle=_BUTTERFLY_ORACLE)
+def graph_butterfly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part butterfly (2×2 biclique) count over the customer–part
+    BIPARTITE purchase graph — the bipartite analogue of the triangle:
+    two customers who both bought the same two parts form one
+    butterfly, the basic cohesion motif of recommendation / co-visit
+    graphs where triangles cannot exist (bipartite graphs have no odd
+    cycles). q_graph_triangle_count and q_graph_k_truss refine the
+    projected unipartite graph; this key measures cohesion directly on
+    the incidence relation without ever materializing the projection's
+    quadratic edge set.
+
+    Algorithm (wedge counting, the standard exact method — Wang et
+    al., "Butterfly Counting in Bipartite Networks"): enumerate wedges
+    centered on customers (a customer + an ordered pair of parts they
+    both bought), count wedges per part pair, and each pair shared by
+    ``cnt`` customers contributes C(cnt, 2) butterflies, attributed to
+    both endpoint parts. Pure integer arithmetic end-to-end — counts
+    and ``(cnt·(cnt−1)) DIV 2`` (the product is always even, so
+    truncating integer division is exact and identical to DuckDB's
+    ``//``).
+
+    Scale shape: one distinct over the incidence relation (16-byte
+    rows, map-side combine), one self-join on the center key whose
+    intermediate is Σ_c C(deg(c), 2) wedge rows, one wedge aggregate
+    with map-side partial counts, and one per-part sum over a pure
+    projection — no O(V) driver state, no floats. The center side is
+    CHOSEN: wedges can pivot on customers (pairs of parts) or parts
+    (pairs of customers), and the wedge volume is Σ deg² of the center
+    side, so at 100 TB you center on whichever side has the smaller
+    sum of squared degrees (here customers; one cheap pre-aggregate
+    decides) and peel the few hub centers above a degree cap into a
+    separate degree-ordered pass — the same skew discipline as the
+    document-frequency cap in q_dedup_ngram_jaccard. Reference parity:
+    no graph surface in the reference (SURVEY §2 B.11 extension).
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # repartition on the CENTER key only, then dedupe: hashpartitioning(c)
+    # satisfies the (c, p) dedup clustering AND the wedge self-join's
+    # requirement, so the incidence relation shuffles exactly ONCE — a
+    # plain .distinct() costs an exchange on (c, p) followed by a second
+    # exchange on c for the join (verified against the executed plan)
+    inc = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .repartition(F.col("c"))
+        .dropDuplicates()
+    )
+    a, b = inc.alias("a"), inc.alias("b")
+    wedges = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    bf = wedges.select(
+        "p1", "p2", F.expr("(cnt * (cnt - 1)) DIV 2").alias("b")
+    )
+    # explode, not union: a two-branch union re-executes the wedge join
+    # per branch (the k-truss three-role lesson); the generator emits
+    # both endpoint attributions in the SAME single pass
+    return (
+        bf.select(
+            F.explode(F.array("p1", "p2")).alias("part"), "b"
+        )
+        .groupBy("part")
+        .agg(F.sum("b").cast("long").alias("butterflies"))
+        .orderBy("part")
+    )

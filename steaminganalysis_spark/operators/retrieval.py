@@ -403,3 +403,181 @@ retrieval_hybrid_rrf.__doc__ = (
     .replace("{K}", str(RRF_K))
     .replace("{T}", str(RRF_TOPK))
 )
+
+
+# ---------------------------------------- MMR diversified retrieval
+
+MMR_QUERY_VEC = 1  # a different probe than RRF's vec 0 so pools differ
+MMR_POOL = 50  # relevance candidate pool depth
+MMR_TOPK = 10  # diversified result size
+MMR_REL_W = 7  # λ = 0.7 carried as integer tenths: 7·rel − 3·diversity
+MMR_DIV_W = 3
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as chained MATERIALIZED CTEs (the
+    q_graph_wcc inlining lesson): pool = top-POOL by squared-L2 to the
+    query over milli-quantized integer vectors, pairwise integer d²
+    materialized once, then TOPK−1 unrolled selection steps each
+    picking argmax(DIV_W·min d² to selected − REL_W·d² to query) with
+    a vec_id tiebreak — pure BIGINT arithmetic end to end."""
+    ctes = [
+        f"e AS (SELECT vec_id, {_MILLI} AS v FROM embeddings)",
+        f"q AS (SELECT v AS qv FROM e WHERE vec_id = {MMR_QUERY_VEC})",
+        f"""dq AS MATERIALIZED (
+          SELECT e.vec_id,
+                 CAST(list_sum(list_transform(generate_series(1, len(e.v)),
+                        i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])))
+                      AS BIGINT) AS d2q
+          FROM e, q WHERE e.vec_id <> {MMR_QUERY_VEC})""",
+        f"""pool AS MATERIALIZED (
+          SELECT vec_id, d2q FROM dq ORDER BY d2q, vec_id LIMIT {MMR_POOL})""",
+        """pv AS MATERIALIZED (
+          SELECT p.vec_id, p.d2q, e.v FROM pool p JOIN e ON e.vec_id = p.vec_id)""",
+        """pd AS MATERIALIZED (
+          SELECT a.vec_id AS da, b.vec_id AS db,
+                 CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+                        i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))
+                      AS BIGINT) AS d2
+          FROM pv a JOIN pv b ON a.vec_id <> b.vec_id)""",
+        """s1 AS MATERIALIZED (
+          SELECT vec_id, d2q, 1 AS rank FROM pool ORDER BY d2q, vec_id LIMIT 1)""",
+    ]
+    for k in range(2, MMR_TOPK + 1):
+        prev = f"s{k - 1}"
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+              SELECT p.vec_id, p.d2q, MIN(pd.d2) AS mind2
+              FROM pool p
+              JOIN pd ON pd.da = p.vec_id
+              JOIN {prev} s ON s.vec_id = pd.db
+              WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+              GROUP BY p.vec_id, p.d2q)"""
+        )
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+              SELECT vec_id, d2q, {k} AS rank FROM c{k}
+              ORDER BY ({MMR_DIV_W} * mind2 - {MMR_REL_W} * d2q) DESC, vec_id
+              LIMIT 1)"""
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM p{k})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT CAST(rank AS INT) AS rank, vec_id AS doc_id, d2q
+        FROM s{MMR_TOPK} ORDER BY rank
+        """
+    )
+
+
+def _mmr_greedy(pdf):
+    """Exact integer MMR greedy over the pooled pairwise matrix —
+    Python ints only, so the selection is engine-independent."""
+    import pandas as pd
+
+    d2q = {
+        int(r.da): int(r.d2q_a) for r in pdf[["da", "d2q_a"]].itertuples()
+    }
+    d2 = {
+        (int(r.da), int(r.db)): int(r.d2)
+        for r in pdf[["da", "db", "d2"]].itertuples()
+    }
+    remaining = set(d2q)
+    first = min(remaining, key=lambda i: (d2q[i], i))
+    selected = [first]
+    remaining.discard(first)
+    while remaining and len(selected) < MMR_TOPK:
+        best = max(
+            remaining,
+            key=lambda i: (
+                MMR_DIV_W * min(d2[(i, s)] for s in selected)
+                - MMR_REL_W * d2q[i],
+                -i,
+            ),
+        )
+        selected.append(best)
+        remaining.discard(best)
+    return pd.DataFrame(
+        {
+            "rank": range(1, len(selected) + 1),
+            "doc_id": selected,
+            "d2q": [d2q[i] for i in selected],
+        }
+    )
+
+
+@query("q_retrieval_mmr", oracle=_mmr_oracle())
+def retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE diversified retrieval (Carbonell &
+    Goldstein '98) — the re-rank RAG pipelines apply so a top-k isn't
+    {K} near-copies of the same passage: greedily pick
+    argmax[λ·Rel(d) − (1−λ)·max_{s∈S} Sim(d, s)] until {K} documents
+    are selected. Both measures are squared-L2 over the
+    milli-quantized INTEGER vectors (the q_emb_knn_classify /
+    q_retrieval_hybrid_rrf discipline) and λ = 0.7 is carried as
+    integer tenths, so every score is a BIGINT, ties break on vec_id,
+    and the whole selection is a pure function of the corpus — the
+    DuckDB oracle unrolls the same {K1} greedy steps over the same
+    integers.
+
+    Scale shape: the corpus-sized work is ONE map-side distance pass
+    against the broadcast query vector ending in TakeOrderedAndProject
+    top-{P} (per-task heap, corpus never shuffles — the q_sim_topk
+    plan); everything after operates on the {P}-row pool: a {P}×{P}
+    pairwise join and a single-group applyInPandas greedy whose input
+    is bounded at {P}² tiny integer rows regardless of corpus size.
+    The greedy is inherently sequential (each pick conditions the
+    next), so the right distributed shape IS pool-then-small-kernel —
+    at 100 TB only the pool pass touches the data. Reference parity:
+    no retrieval surface in the reference (SURVEY §2 B.9 extension)."""
+    emb = load(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000.0 + 0.5).cast("long"),
+    )
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_VEC).select(milli.alias("qv"))
+    ev = emb.filter(F.col("vec_id") != MMR_QUERY_VEC).select(
+        "vec_id", milli.alias("v")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pool = (
+        ev.crossJoin(F.broadcast(q))
+        .select("vec_id", "v", d2.alias("d2q"))
+        .orderBy("d2q", "vec_id")
+        .limit(MMR_POOL)
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    pair_d2 = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("da"),
+        F.col("a.d2q").alias("d2q_a"),
+        F.col("b.vec_id").alias("db"),
+        pair_d2.alias("d2"),
+    )
+    return (
+        pairs.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            lambda _key, pdf: _mmr_greedy(pdf),
+            "rank int, doc_id long, d2q long",
+        )
+        .orderBy("rank")
+    )
+
+
+retrieval_mmr.__doc__ = (
+    retrieval_mmr.__doc__.replace("{K1}", str(MMR_TOPK - 1))
+    .replace("{K}", str(MMR_TOPK))
+    .replace("{P}", str(MMR_POOL))
+)

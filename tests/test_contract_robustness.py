@@ -84,6 +84,10 @@ deferred_to_round10: set[str] = {
     "q_dedup_keep_best",
     # round-9 additions (operators/graph.py — edge-cohesion truss)
     "q_graph_k_truss",
+    # round-9 additions (operators/graph.py — bipartite butterfly motif)
+    "q_graph_butterfly",
+    # round-9 additions (operators/retrieval.py — MMR diversified re-rank)
+    "q_retrieval_mmr",
 }
 
 

@@ -562,3 +562,44 @@ def test_k_truss_fixpoint_inside_round_budget_and_coherence(spark):
         deg[b] += 1
     for a, b in edges:
         assert deg[a] >= K_TRUSS_K - 1 and deg[b] >= K_TRUSS_K - 1
+
+
+def test_butterfly_matches_customer_side_brute_force(spark):
+    """q_graph_butterfly counts wedges centered on CUSTOMERS (pairs of
+    parts per shared buyer); this brute force counts from the OPPOSITE
+    orientation — for every customer pair with m common parts, each of
+    those parts gains (m-1) butterflies from that pair — so agreement
+    certifies the motif count independently of the wedge side chosen,
+    plus the plan stays an equi-join (no cartesian fallback)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    df = QUERIES["q_graph_butterfly"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    inc = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    parts_of = defaultdict(set)
+    for r in inc:
+        parts_of[r.o_custkey].add(r.l_partkey)
+    expected: dict[int, int] = defaultdict(int)
+    for c1, c2 in combinations(sorted(parts_of), 2):
+        common = parts_of[c1] & parts_of[c2]
+        m = len(common)
+        if m >= 2:
+            for p in common:
+                expected[p] += m - 1
+    got = {r.part: r.butterflies for r in df.collect()}
+    assert got == {p: n for p, n in expected.items() if n > 0}

@@ -144,3 +144,67 @@ def test_hybrid_rrf_plan_topk_heaps_and_fusion_math(spark):
     # fused order is (rrf desc, doc_id)
     key = [(-r.rrf_ppm, r.doc_id) for r in rows]
     assert key == sorted(key)
+
+
+def test_mmr_matches_python_greedy_and_diversifies(spark):
+    """Independent reconstruction of q_retrieval_mmr: quantize the
+    embeddings in numpy (same floor(x·1000+0.5)), run the same integer
+    greedy in plain Python, and require the identical (rank, doc_id)
+    sequence; then certify the key is non-vacuous — the diversified
+    set must differ from the plain relevance top-K — and that the pool
+    pass compiles to TakeOrderedAndProject (per-task heap; the corpus
+    is never globally sorted)."""
+    import math
+
+    import numpy as np
+
+    from steaminganalysis_spark.operators.retrieval import (
+        MMR_DIV_W,
+        MMR_POOL,
+        MMR_QUERY_VEC,
+        MMR_REL_W,
+        MMR_TOPK,
+    )
+
+    df = QUERIES["q_retrieval_mmr"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {
+        r.vec_id: np.floor(
+            np.asarray(r.embedding, dtype=np.float64) * 1000.0 + 0.5
+        ).astype(np.int64)
+        for r in emb
+    }
+    qv = vecs[MMR_QUERY_VEC]
+    d2q = {
+        i: int(((v - qv) ** 2).sum())
+        for i, v in vecs.items()
+        if i != MMR_QUERY_VEC
+    }
+    pool = sorted(d2q, key=lambda i: (d2q[i], i))[:MMR_POOL]
+    remaining = set(pool)
+    first = min(remaining, key=lambda i: (d2q[i], i))
+    selected = [first]
+    remaining.discard(first)
+    while remaining and len(selected) < MMR_TOPK:
+        best = max(
+            remaining,
+            key=lambda i: (
+                MMR_DIV_W
+                * min(int(((vecs[i] - vecs[s]) ** 2).sum()) for s in selected)
+                - MMR_REL_W * d2q[i],
+                -i,
+            ),
+        )
+        selected.append(best)
+        remaining.discard(best)
+
+    rows = df.collect()
+    assert [(r.rank, r.doc_id) for r in rows] == [
+        (k + 1, doc) for k, doc in enumerate(selected)
+    ]
+    assert [r.d2q for r in rows] == [d2q[i] for i in selected]
+    # non-vacuous: diversification actually changed the answer
+    assert selected != pool[:MMR_TOPK]
