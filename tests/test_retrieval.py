@@ -154,8 +154,6 @@ def test_mmr_matches_python_greedy_and_diversifies(spark):
     set must differ from the plain relevance top-K — and that the pool
     pass compiles to TakeOrderedAndProject (per-task heap; the corpus
     is never globally sorted)."""
-    import math
-
     import numpy as np
 
     from steaminganalysis_spark.operators.retrieval import (
