@@ -88,6 +88,8 @@ deferred_to_round10: set[str] = {
     "q_graph_butterfly",
     # round-9 additions (operators/retrieval.py — MMR diversified re-rank)
     "q_retrieval_mmr",
+    # round-9 additions (operators/extras.py — threshold containment decon)
+    "q_decontaminate_fuzzy",
 }
 
 

@@ -278,3 +278,47 @@ def test_attribution_tie_stress_vs_python(spark):
             for r in _attribution(df, first_touch=first).collect()
         }
         assert got == python_model(first), f"first_touch={first}"
+
+
+def test_decontaminate_fuzzy_matches_string_level_brute_force(spark):
+    """String-level reconstruction of q_decontaminate_fuzzy in plain
+    Python (no xxhash64 anywhere — certifies the 8-byte-hash join
+    counts exactly like the shingle strings, i.e. collision-free on
+    the fixture), same md5-prefix split, same integer containment;
+    plus the separation property the 50% bar relies on: every emitted
+    pair is ≥ 50% and the flagged set is non-empty."""
+    import hashlib
+
+    from steaminganalysis_spark.operators.extras import (
+        DECON_FUZZY_PPM,
+        _EVAL_PREFIX,
+    )
+
+    df = QUERIES["q_decontaminate_fuzzy"](spark, SF)
+    assert_no_cartesian(df)
+    rows = df.collect()
+    assert rows, "the 50% bar must flag the planted near-dups"
+    for r in rows:
+        assert r.containment_ppm >= DECON_FUZZY_PPM
+        assert r.containment_ppm == r.shared * 1_000_000 // r.eval_ngrams
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    def shingles(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 5]) for i in range(len(t) - 4)}
+    is_eval = lambda d: hashlib.md5(str(d).encode()).hexdigest()[:2] < _EVAL_PREFIX
+    ev = {r.doc_id: shingles(r.text) for r in docs if is_eval(r.doc_id)}
+    tr = {r.doc_id: shingles(r.text) for r in docs if not is_eval(r.doc_id)}
+    expected = set()
+    for td, ts in tr.items():
+        for ed, es in ev.items():
+            if not es:
+                continue
+            shared = len(ts & es)
+            if shared * 1_000_000 // len(es) >= DECON_FUZZY_PPM:
+                expected.add((td, ed, shared, len(es)))
+    assert {
+        (r.train_doc, r.eval_doc, r.shared, r.eval_ngrams) for r in rows
+    } == expected
