@@ -1755,9 +1755,10 @@ def anonymize_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_FUZZY_PPM = 500_000  # flag a pair when ≥ 50% of the eval doc leaks
 
 
-@query(
-    "q_decontaminate_fuzzy",
-    oracle=f"""
+# Shared with q_stream_decon_guard (streaming/queries.py): the
+# streaming guard's stream≡batch contract is "union of per-batch flags
+# == this batch pass", so the two keys certify against the SAME SQL.
+DECON_FUZZY_ORACLE = f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id,
                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
@@ -1774,8 +1775,10 @@ DECON_FUZZY_PPM = 500_000  # flag a pair when ≥ 50% of the eval doc leaks
            (p.shared * 1000000) // s.eval_ngrams AS containment_ppm
     FROM pairs p JOIN evsz s ON s.eval_doc = p.eval_doc
     WHERE (p.shared * 1000000) // s.eval_ngrams >= {DECON_FUZZY_PPM}
-    """,
-)
+    """
+
+
+@query("q_decontaminate_fuzzy", oracle=DECON_FUZZY_ORACLE)
 def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY train/eval decontamination — the per-pair threshold rule
     production pipelines actually apply (GPT-3 App. C / Llama-style

@@ -301,7 +301,7 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_graph_k_truss (k-truss edge-cohesion decomposition of the
 # co-purchase graph: fixed-round triangle-support peel, all state in
 # the oriented edge relation; unrolled MATERIALIZED-CTE oracle) —
-# 314 keys / 280 oracles at the round-9 additions (count with
+# 315 keys / 281 oracles at the round-9 additions (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

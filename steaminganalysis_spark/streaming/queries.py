@@ -19,6 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from steaminganalysis_spark.operators.extras import DECON_FUZZY_ORACLE
 from steaminganalysis_spark.registry import SQL_DSUM, dsum, query
 from steaminganalysis_spark.sources import load
 from steaminganalysis_spark.sources.registry import events_stream
@@ -1272,5 +1273,75 @@ def stream_mv_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table_dir, store_name, _scope = _run_mv_maintenance_stream(spark, sf_dir)
     out = read_mv_at(spark, table_dir, 0).localCheckpoint(eager=True)
+    KVStore.reset(store_name)
+    return out
+
+
+@query("q_stream_decon_guard", oracle=DECON_FUZZY_ORACLE)
+def stream_decon_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination guard — the incremental twin of
+    ``q_decontaminate_fuzzy``: the TRAINING split arrives in two
+    micro-batches (doc_id parity, maxFilesPerTrigger=1, mtimes forced
+    monotone) and each batch is shingled and probed against the static
+    benchmark-sized eval shingle set before it could reach a training
+    mix; flagged (train, eval) pairs at ≥ 50% eval-containment append
+    transactionally (streaming/decon.py — per-batch dir + KVStore
+    watermark, the shared exactly-once discipline; replay idempotence
+    pinned in tests/test_streaming.py). Containment is per
+    (document, eval set) and documents never span batches, so the
+    union of per-batch flags EQUALS the batch pass over the whole
+    corpus — the registered oracle IS the batch key's oracle, making
+    the stream≡batch contract itself the driver-checked fact."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from steaminganalysis_spark.functions.text import shingle_hashes
+    from steaminganalysis_spark.operators.extras import _is_eval
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.decon import decon_sink, read_flags
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("stream_decon")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # static side: the eval shingle set + per-eval-doc sizes, staged
+    # once (benchmark-sized by construction — broadcast in every batch)
+    ev = (
+        shingle_hashes(docs.filter(_is_eval("doc_id")), n=5)
+        .select(F.col("doc_id").alias("eval_doc"), "h")
+        .localCheckpoint(eager=True)
+    )
+    evsz = ev.groupBy("eval_doc").agg(F.count("*").alias("eval_ngrams"))
+    # the training split replayed as two parity micro-batches
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    train = docs.filter(~_is_eval("doc_id"))
+    now = time.time()
+    for i in (0, 1):
+        d = os.path.join(tmp, f"b{i}")
+        train.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(d)
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store_name = f"stream_decon_{run}"
+    out_dir = os.path.join(tmp, "flags")
+    writer, scope = decon_sink(
+        stream, ev, evsz, out_dir, os.path.join(tmp, f"ckpt_{run}"), store_name
+    )
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = read_flags(spark, out_dir, store_name, scope).localCheckpoint(
+        eager=True
+    )
     KVStore.reset(store_name)
     return out

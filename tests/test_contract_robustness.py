@@ -90,6 +90,8 @@ deferred_to_round10: set[str] = {
     "q_retrieval_mmr",
     # round-9 additions (operators/extras.py — threshold containment decon)
     "q_decontaminate_fuzzy",
+    # round-9 additions (streaming/decon.py — incremental decon guard)
+    "q_stream_decon_guard",
 }
 
 

@@ -1699,3 +1699,63 @@ def test_query_ivf_index_resolves_stream_maintained_corpus(spark, tmp_path):
     assert probe() == before
     assert streamed_hit  # the maintained half actually participates
     KVStore.reset(store)
+
+
+def test_decon_guard_replay_idempotent_and_torn_write_invisible(spark, tmp_path):
+    """The streaming decon guard (streaming/decon.py): (a) a replayed
+    committed batch id is a NO-OP — even with adversarially different
+    rows, so at-least-once delivery never re-flags or un-flags a pair;
+    (b) a flags dir written WITHOUT the watermark commit (a torn write
+    from a crashed batch) is invisible to readers; (c) per-batch flags
+    accumulate — committed batches union."""
+    import os
+
+    from steaminganalysis_spark.streaming.decon import (
+        flag_batch,
+        read_flags,
+        _batch_dir,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from steaminganalysis_spark.functions.text import shingle_hashes
+    from steaminganalysis_spark.operators.extras import _is_eval
+    from pyspark.sql import functions as F
+
+    ev = (
+        shingle_hashes(docs.filter(_is_eval("doc_id")), n=5)
+        .select(F.col("doc_id").alias("eval_doc"), "h")
+        .localCheckpoint(eager=True)
+    )
+    evsz = ev.groupBy("eval_doc").agg(F.count("*").alias("eval_ngrams"))
+    train = docs.filter(~_is_eval("doc_id")).select("doc_id", "text")
+    b0 = train.filter(F.col("doc_id") % 2 == 0)
+    b1 = train.filter(F.col("doc_id") % 2 == 1)
+
+    store = f"decon_crash_{os.getpid()}"
+    out = str(tmp_path / "flags")
+    try:
+        flag_batch(b0, 0, ev, evsz, out, store, "s")
+        after_b0 = sorted(
+            map(tuple, read_flags(spark, out, store, "s").collect())
+        )
+        # (a) replay with DIFFERENT rows is a no-op
+        flag_batch(b1, 0, ev, evsz, out, store, "s")
+        assert (
+            sorted(map(tuple, read_flags(spark, out, store, "s").collect()))
+            == after_b0
+        )
+        # (b) a torn dir above the watermark is invisible
+        b1.limit(0).write.mode("overwrite").parquet(_batch_dir(out, 7))
+        assert (
+            sorted(map(tuple, read_flags(spark, out, store, "s").collect()))
+            == after_b0
+        )
+        # (c) committing batch 1 unions its flags in
+        flag_batch(b1, 1, ev, evsz, out, store, "s")
+        final = sorted(
+            map(tuple, read_flags(spark, out, store, "s").collect())
+        )
+        assert set(after_b0) <= set(final) and len(final) >= len(after_b0)
+    finally:
+        KVStore.reset(store)
