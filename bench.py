@@ -76,6 +76,10 @@ HEADLINE_EXTENDED = [
     "q_geo_radius_join",
     "q_seq_pattern",
     "q_er_clusters",
+    # round-9: the heaviest new operator — the bipartite wedge join
+    # (~12M wedge rows at sf0.1) is the kind of self-join volume that
+    # regresses silently, so it joins the tracked set (~4.7 s drained)
+    "q_graph_butterfly",
 ]
 
 

@@ -10,6 +10,7 @@ from steaminganalysis_spark.plans import (
     assert_no_cartesian,
     assert_read_schema_pruned,
     count_exchanges,
+    physical_plan,
 )
 from steaminganalysis_spark.registry import collect_queries
 
@@ -474,3 +475,52 @@ def test_dedup_keep_best_single_aggregate_pass(spark):
     assert "Window" not in plan
     assert "partial_min" in plan.split("Exchange")[1], plan  # map-side combine
     assert "Exchange hashpartitioning(_groupingexpression" in plan, plan
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """Catalyst's runtime bloom-filter join pruning — with AQE skew
+    split, the second 100×-scale runtime behavior worth pinning: when
+    the build side of a shuffled join is selective (orders filtered to
+    the price tail) and the probe side is scan-heavy, the optimizer
+    plants a `might_contain(bloom_filter_agg(...))` semi-filter on the
+    PROBE side's scan so most lineitem rows drop before the exchange —
+    at 100 TB this is the difference between shuffling the fact table
+    and shuffling the ~matching slice. The feature is size-gated
+    (applicationSideScanSizeThreshold defaults to 10 GB, creation side
+    10 MB), so the pin scales the thresholds to fixture bytes exactly
+    like the skew test scales AQE's; on a real deployment the defaults
+    already pass at fact-table sizes. Broadcast is disabled because a
+    broadcast hash join subsumes the bloom filter (the build side
+    rides along whole); the pin certifies the SHUFFLED-join path."""
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.sources import load
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1MB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        sf01 = "/root/testdata/sf0.1"  # big enough to clear the 1MB gate
+        li = load(spark, sf01, "lineitem")
+        o = load(spark, sf01, "orders").filter(F.col("o_totalprice") > 500000)
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = physical_plan(j)
+        assert "might_contain" in plan.lower(), plan[:2000]
+        # the filter must sit on the probe (lineitem) side, i.e. the
+        # bloom test references the probe join key
+        assert "bloomfilter" in plan.lower() or "bloom_filter" in plan.lower()
+        # and the join itself stays a shuffled equi-join
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
