@@ -396,6 +396,13 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_filter_in_between_like, q_case_when, q_sort_multi, q_topk_global,
 # q_set_union, q_set_intersect) roll to round 10 behind any round-9
 # additions in deferred_to_round10.
+# ROUND-10 WINDOW (planned): canaries q_daily_rollup + q_tpch_q12,
+# then the 8 round-9 additions from deferred_to_round10
+# (q_stream_mv_time_travel, q_stream_ann_index rows-only,
+# q_dedup_keep_best, q_graph_k_truss, q_graph_butterfly,
+# q_retrieval_mmr, q_decontaminate_fuzzy, q_stream_decon_guard), then
+# the 12 rolled round-2 keys above, then 28 oldest-green round-3
+# family re-checks in registration order to fill 50.
 ROUND9_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
