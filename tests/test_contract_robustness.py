@@ -92,6 +92,8 @@ deferred_to_round10: set[str] = {
     "q_decontaminate_fuzzy",
     # round-9 additions (streaming/decon.py — incremental decon guard)
     "q_stream_decon_guard",
+    # round-9 additions (operators/graph.py — directed SCC by coloring)
+    "q_graph_scc",
 }
 
 

@@ -603,3 +603,116 @@ def test_butterfly_matches_customer_side_brute_force(spark):
                 expected[p] += m - 1
     got = {r.part: r.butterflies for r in df.collect()}
     assert got == {p: n for p, n in expected.items() if n > 0}
+
+
+def test_scc_matches_kosaraju_and_budgets_cover_fixpoint(spark):
+    """q_graph_scc: (a) labels equal an independent Python Kosaraju
+    over the same thresholded directed edge set (TRUE strongly
+    connected components, canonical min-id labels); (b) the shipped
+    budgets cover the measured coloring fixpoint WITH margin — a
+    Python replay of the exact same coloring schedule counts the hops
+    and rounds actually needed and asserts both land strictly inside
+    SCC_INNER_ROUNDS / SCC_OUTER_ROUNDS."""
+    import duckdb
+
+    from steaminganalysis_spark.operators.graph import (
+        SCC_INNER_ROUNDS,
+        SCC_OUTER_ROUNDS,
+    )
+
+    got = {
+        r.nation: r.scc for r in QUERIES["q_graph_scc"](spark, SF).collect()
+    }
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    edges = con.execute("""
+    WITH pairs AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS c
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2)
+    SELECT src, dst FROM pairs
+    WHERE c >= (SELECT AVG(c) FROM pairs)""").fetchall()
+    names = dict(con.execute("SELECT n_nationkey, n_name FROM nation").fetchall())
+
+    # (a) Kosaraju: order by forward-DFS finish time, then assign
+    # components along reverse edges in reverse finish order.
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    fwd: dict = {u: [] for u in nodes}
+    rev: dict = {u: [] for u in nodes}
+    for u, v in edges:
+        fwd[u].append(v)
+        rev[v].append(u)
+    seen: set = set()
+    order: list = []
+    for start in nodes:
+        if start in seen:
+            continue
+        stack = [(start, iter(fwd[start]))]
+        seen.add(start)
+        while stack:
+            node, it = stack[-1]
+            nxt = next((w for w in it if w not in seen), None)
+            if nxt is None:
+                order.append(node)
+                stack.pop()
+            else:
+                seen.add(nxt)
+                stack.append((nxt, iter(fwd[nxt])))
+    comp: dict = {}
+    for start in reversed(order):
+        if start in comp:
+            continue
+        members = [start]
+        comp[start] = start
+        while members:
+            node = members.pop()
+            for w in rev[node]:
+                if w not in comp:
+                    comp[w] = start
+                    members.append(w)
+    roots: dict = {}
+    for node, r in comp.items():
+        roots[r] = min(roots.get(r, node), node)
+    truth = {names[node]: roots[comp[node]] for node in nodes}
+    assert got == truth
+
+    # (b) replay the coloring schedule, counting real hop/round needs
+    active, aedges = set(nodes), set(edges)
+    outer = 0
+    max_hops = 0
+    while active:
+        outer += 1
+        color = {v: v for v in active}
+        hops = 0
+        while True:
+            new = dict(color)
+            for u, v in aedges:
+                if color[u] < new[v]:
+                    new[v] = color[u]
+            if new == color:
+                break
+            color, hops = new, hops + 1
+        max_hops = max(max_hops, hops)
+        mark = {v for v in active if color[v] == v}
+        hops = 0
+        while True:
+            add = {
+                u
+                for u, v in aedges
+                if v in mark and u not in mark and color[u] == color[v]
+            }
+            if not add:
+                break
+            mark |= add
+            hops += 1
+        max_hops = max(max_hops, hops)
+        active -= mark
+        aedges = {(u, v) for u, v in aedges if u in active and v in active}
+    assert max_hops < SCC_INNER_ROUNDS, max_hops
+    assert outer < SCC_OUTER_ROUNDS, outer
