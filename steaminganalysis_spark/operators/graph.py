@@ -1741,3 +1741,188 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_scc.__doc__ = graph_scc.__doc__.replace("{IR}", str(SCC_INNER_ROUNDS)).replace(
     "{OR}", str(SCC_OUTER_ROUNDS)
 )
+
+
+# ------------------------------- approximate neighborhood function
+
+ANF_HOPS = 3  # ball radii reported: h = 0..3 (growth saturates by 3)
+ANF_M = 64  # HLL registers per node — 25-node domain stays in LC regime
+ANF_RMAX = 27  # register cap: the 26 post-bucket hash bits are exhausted
+_ANF_AM2 = repr(0.709 * ANF_M * ANF_M)  # alpha_64 · m² as a shared literal
+
+# The register derivation, written ONCE and parsed by BOTH engines:
+# a 32-bit multiplicative hash (Knuth's 2654435761, node+1 so nation 0
+# does not hash to 0), low 6 bits pick the register, the rank is the
+# 1-indexed position of the lowest set bit of the remaining 28 bits
+# (bit_count((x & -x) - 1) counts trailing zeros — pure BIGINT bit ops,
+# identical in Spark SQL and DuckDB; `DIV`/`//` both truncate).
+_ANF_HASH_SQL = "((node + 1) * 2654435761) % 4294967296"
+
+
+def _anf_rank_sql(div: str) -> str:
+    rb = f"(h {div} {ANF_M})"
+    return (
+        f"CASE WHEN {rb} = 0 THEN {ANF_RMAX} "
+        f"ELSE 1 + bit_count(({rb} & -{rb}) - 1) END"
+    )
+
+
+# Linear-counting lookup: m·ln(m/V) for every possible zero-register
+# count V ∈ 1..m-1, precomputed to double literals so the correction
+# needs NO runtime ln() (banned from hash-checked outputs by the
+# repo's determinism conventions) — both engines parse the exact same
+# decimal literal to the exact same double.
+_ANF_LC = {v: repr(ANF_M * __import__("math").log(ANF_M / v)) for v in range(1, ANF_M)}
+
+
+def _anf_estimate_sql(alias: str) -> str:
+    """Per-node HLL estimate folded to exact integers: the register
+    sum Σ 2^-r is a sum of ≤{m} exact dyadics (order-free in doubles),
+    the raw estimate αm²/(zeros + Σ2^-r) is one deterministic
+    division, the small-range branch (raw ≤ 2.5m with zero registers
+    present — the standard Flajolet rule, and the operating regime on
+    a 25-node graph) swaps in the linear-counting table above, and
+    FLOOR(…·1000) lands in BIGINT BEFORE the cross-node sum — so no
+    engine ever sums arbitrary doubles in engine-specific order."""
+    raw = (
+        f"({_ANF_AM2} / ({ANF_M}.0 - COUNT(*) "
+        f"+ SUM(POW(2.0, -{alias}.r))))"
+    )
+    lc = " ".join(
+        f"WHEN {v} THEN {lit}" for v, lit in _ANF_LC.items()
+    )
+    est = (
+        f"CASE WHEN {raw} <= {2.5 * ANF_M} AND COUNT(*) < {ANF_M} "
+        f"THEN (CASE ({ANF_M} - COUNT(*)) {lc} END) "
+        f"ELSE {raw} END"
+    )
+    return f"CAST(FLOOR(({est}) * 1000.0) AS BIGINT)"
+
+
+def _anf_oracle() -> str:
+    ctes = [
+        f"de AS MATERIALIZED ({_SQL_DIRECTED_EDGES})",
+        """nodes AS (SELECT DISTINCT src AS node FROM de
+                     UNION SELECT DISTINCT dst FROM de)""",
+        f"hh AS (SELECT node, {_ANF_HASH_SQL} AS h FROM nodes)",
+        f"""s0 AS MATERIALIZED (
+          SELECT node, h % {ANF_M} AS j, {_anf_rank_sql('//')} AS r
+          FROM hh
+        )""",
+    ]
+    outs = []
+    for k in range(ANF_HOPS + 1):
+        if k > 0:
+            ctes.append(
+                f"""s{k} AS MATERIALIZED (
+                  SELECT node, j, MAX(r) AS r FROM (
+                    SELECT node, j, r FROM s{k - 1}
+                    UNION ALL
+                    SELECT e.src AS node, s.j, s.r
+                    FROM de e JOIN s{k - 1} s ON s.node = e.dst
+                  ) GROUP BY 1, 2
+                )"""
+            )
+        ctes.append(
+            f"""p{k} AS (
+              SELECT s.node,
+                     {_anf_estimate_sql('s')} AS milli,
+                     CAST(SUM(POW(2.0, {ANF_RMAX} - s.r)) AS BIGINT) AS mass
+              FROM s{k} s GROUP BY s.node
+            )"""
+        )
+        outs.append(
+            f"""SELECT CAST({k} AS BIGINT) AS h,
+                       CAST(SUM(mass) AS BIGINT) AS reg_mass,
+                       CAST(SUM(milli) AS BIGINT) AS nf_est_milli
+                FROM p{k}"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT * FROM (" + " UNION ALL ".join(outs) + ") ORDER BY h"
+    )
+
+
+def _anf_snapshot(state: DataFrame, hop: int) -> DataFrame:
+    per = state.alias("s").groupBy("node").agg(
+        F.expr(_anf_estimate_sql("s")).alias("milli"),
+        F.expr(f"CAST(SUM(POW(2.0, {ANF_RMAX} - s.r)) AS BIGINT)").alias("mass"),
+    )
+    return per.agg(
+        F.sum("mass").cast("long").alias("reg_mass"),
+        F.sum("milli").cast("long").alias("nf_est_milli"),
+    ).select(F.lit(hop).cast("long").alias("h"), "reg_mass", "nf_est_milli")
+
+
+@query("q_graph_anf", oracle=_anf_oracle())
+def graph_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood function (ANF) of the directed trade
+    graph — N(h) = Σ_v |{u reachable from v in ≤ h hops}|, the classic
+    web-scale graph diagnostic behind effective-diameter and
+    connectivity studies (Palmer et al.'s ANF; Boldi & Vigna's
+    HyperBall runs exactly this loop with HyperLogLog counters over
+    the whole web graph). Exact per-source reachability is O(V²)
+    state; the sketch version keeps ONE {m}-register HLL counter per
+    node and each hop is a register-wise MAX merge of every node's
+    out-neighbors' counters.
+
+    The novel evidentiary trick vs the repo's other sketches (HLL /
+    theta / CMS are rows-only keys): every register op here — the
+    multiplicative hash, the trailing-zero rank, the MAX-merge lattice,
+    the estimate — is expressed in engine-portable integer SQL (shared
+    literally between the Spark plan and the oracle, see _ANF_HASH_SQL
+    / _anf_estimate_sql), and per-node estimates are floored to BIGINT
+    milli-units BEFORE the cross-node sum, so nothing order-sensitive
+    ever leaves double-exactness and the sketch is ORACLE-EXACT, not
+    rows-only. Accuracy (a separate concern from parity) is pinned
+    loosely against exact Python closure in tests/test_graph.py —
+    m={m} keeps the whole 25-node domain in the linear-counting
+    regime — measured: ≤1% off exact closure at h=0 and +25-27% at
+    saturation at every shipped SF (the fixed multiplicative hash
+    scatters the 25 sequential keys collision-free, which linear
+    counting reads as more mass than a random hash would — the known
+    fixed-hash small-domain deviation; at real cardinalities the
+    estimator converges to its ~13% standard error).
+
+    Scale shape: sketch state lives in the (node, register, rank)
+    relation — O(V·m) rows, never O(V²) — shuffled on the node key;
+    each hop is one edges ⋈ state join + one groupBy-MAX with map-side
+    partials (registers merge associatively, so partial combine does
+    real work). At a billion nodes this is HyperBall on Spark:
+    co-partition edges and state on the node key and the loop is
+    exchange-free except the merge aggregate. The ball snapshots per
+    radius are four O(1)-row aggregates off the same staged states.
+    Reference parity: no graph surface in the reference (SURVEY §2
+    B.11 extension)."""
+    from steaminganalysis_spark.staging import stage
+
+    de = stage(_directed_edges(spark, sf_dir), "anf_edges")
+    nodes = (
+        de.select(F.col("src").alias("node"))
+        .union(de.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = (
+        nodes.selectExpr("node", f"{_ANF_HASH_SQL} AS h")
+        .selectExpr("node", f"h % {ANF_M} AS j", f"{_anf_rank_sql('DIV')} AS r")
+        .localCheckpoint(eager=True)
+    )
+    snaps = [_anf_snapshot(state, 0)]
+    for hop in range(1, ANF_HOPS + 1):
+        contrib = de.join(state, de.dst == state.node).select(
+            F.col("src").alias("node"), "j", "r"
+        )
+        state = (
+            state.unionByName(contrib)
+            .groupBy("node", "j")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        snaps.append(_anf_snapshot(state, hop))
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("h")
+
+
+graph_anf.__doc__ = graph_anf.__doc__.replace("{m}", str(ANF_M))

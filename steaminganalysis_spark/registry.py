@@ -305,7 +305,12 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # directed trade graph by forward-coloring + backward-marking, both
 # min-label relaxations over the staged edge relation; path-doubling
 # MATERIALIZED-CTE closure oracle) —
-# 316 keys / 282 oracles at the round-9 additions (count with
+# q_graph_anf (HyperBall-style approximate neighborhood function:
+# per-node HLL registers as a (node, register, rank) relation, hop =
+# register-wise MAX merge of out-neighbor counters; engine-portable
+# integer bit-op hashing + a linear-counting literal table make the
+# sketch ORACLE-EXACT rather than rows-only) —
+# 317 keys / 283 oracles at the round-9 additions (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
@@ -401,13 +406,13 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_set_union, q_set_intersect) roll to round 10 behind any round-9
 # additions in deferred_to_round10.
 # ROUND-10 WINDOW (planned): canaries q_daily_rollup + q_tpch_q12,
-# then the 9 round-9 additions from deferred_to_round10
+# then the 10 round-9 additions from deferred_to_round10
 # (q_stream_mv_time_travel, q_stream_ann_index rows-only,
 # q_dedup_keep_best, q_graph_k_truss, q_graph_butterfly,
 # q_retrieval_mmr, q_decontaminate_fuzzy, q_stream_decon_guard,
-# q_graph_scc), then the 12 rolled round-2 keys above, then 27
-# oldest-green round-3 family re-checks in registration order to
-# fill 50.
+# q_graph_scc, q_graph_anf), then the 12 rolled round-2 keys above,
+# then 26 oldest-green round-3 family re-checks in registration
+# order to fill 50.
 ROUND9_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",

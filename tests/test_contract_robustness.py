@@ -94,6 +94,8 @@ deferred_to_round10: set[str] = {
     "q_stream_decon_guard",
     # round-9 additions (operators/graph.py — directed SCC by coloring)
     "q_graph_scc",
+    # round-9 additions (operators/graph.py — HyperBall-style ANF)
+    "q_graph_anf",
 }
 
 

@@ -716,3 +716,50 @@ def test_scc_matches_kosaraju_and_budgets_cover_fixpoint(spark):
         aedges = {(u, v) for u, v in aedges if u in active and v in active}
     assert max_hops < SCC_INNER_ROUNDS, max_hops
     assert outer < SCC_OUTER_ROUNDS, outer
+
+
+def test_anf_monotone_saturating_and_near_exact_closure(spark):
+    """q_graph_anf: (a) one row per radius 0..ANF_HOPS; (b) both the
+    register mass and the estimate are monotone non-decreasing in h
+    (counters only ever MAX-merge upward); (c) the ball saturates
+    inside the hop budget (last two radii identical); (d) accuracy vs
+    an exact Python closure: ~1% at h=0 and within the documented
+    fixed-hash small-domain band at saturation — parity with the
+    oracle is exact, so this pin is about ESTIMATOR quality, the one
+    thing the oracle cannot certify."""
+    import duckdb
+
+    from steaminganalysis_spark.operators.graph import ANF_HOPS
+
+    rows = sorted(
+        QUERIES["q_graph_anf"](spark, SF).collect(), key=lambda r: r.h
+    )
+    assert [r.h for r in rows] == list(range(ANF_HOPS + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b.reg_mass >= a.reg_mass
+        assert b.nf_est_milli >= a.nf_est_milli
+    assert rows[-1].reg_mass == rows[-2].reg_mass
+    assert rows[-1].nf_est_milli == rows[-2].nf_est_milli
+
+    edges = duckdb.sql(f"""
+    SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+    FROM '{SF}/lineitem.parquet' l
+    JOIN '{SF}/orders.parquet' o   ON l.l_orderkey = o.o_orderkey
+    JOIN '{SF}/customer.parquet' c ON o.o_custkey  = c.c_custkey
+    JOIN '{SF}/supplier.parquet' s ON l.l_suppkey  = s.s_suppkey
+    """).fetchall()
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    adj: dict = {u: set() for u in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+    ball = {u: {u} for u in nodes}
+    truth = [sum(len(b) for b in ball.values())]
+    for _ in range(ANF_HOPS):
+        ball = {
+            u: ball[u].union(*(ball[w] for w in adj[u])) if adj[u] else ball[u]
+            for u in nodes
+        }
+        truth.append(sum(len(b) for b in ball.values()))
+    ratios = [r.nf_est_milli / 1000.0 / t for r, t in zip(rows, truth)]
+    assert 0.95 <= ratios[0] <= 1.05, ratios
+    assert 0.70 <= ratios[-1] <= 1.40, ratios
