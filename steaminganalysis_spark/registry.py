@@ -405,14 +405,65 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_filter_in_between_like, q_case_when, q_sort_multi, q_topk_global,
 # q_set_union, q_set_intersect) roll to round 10 behind any round-9
 # additions in deferred_to_round10.
-# ROUND-10 WINDOW (planned): canaries q_daily_rollup + q_tpch_q12,
+# ROUND-10 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 10 round-9 additions from deferred_to_round10
 # (q_stream_mv_time_travel, q_stream_ann_index rows-only,
 # q_dedup_keep_best, q_graph_k_truss, q_graph_butterfly,
 # q_retrieval_mmr, q_decontaminate_fuzzy, q_stream_decon_guard,
-# q_graph_scc, q_graph_anf), then the 12 rolled round-2 keys above,
-# then 26 oldest-green round-3 family re-checks in registration
-# order to fill 50.
+# q_graph_scc, q_graph_anf — restores zero-never-driver-checked), then
+# the 12 rolled round-2 keys above, then 26 oldest-ORACLED-green
+# re-checks: the plan said "26 round-3 family re-checks", refined here
+# to maximize hash-check value — the 3 oracled keys still carrying
+# round-1 stamps (q_fn_bitwise, q_text_token_regex,
+# q_text_langid_ngram; the other 8 round-1 stamps are rows-only-by-
+# design sketch keys whose driver row adds only rows>0) followed by
+# the first 23 ORACLED round-3-stamp keys in registration order
+# (skipping rows-only q_udtf_applyinpandas / q_scan_binary /
+# q_compact_small_files for the same reason). Round-10 additions go
+# into deferred_to_round11 (tests/test_contract_robustness.py).
+# Remaining round-3 oracled backlog rolling to round 11:
+# q_retention_cohorts, q_funnel, q_histogram, q_dq_checks,
+# q_train_test_split, q_sample_stratified, q_data_mix,
+# q_text_pii_scrub, the streaming r3 family, then round-4 stamps.
+ROUND10_WINDOW = [
+    # Canaries (2): flagship + the HUGEINT-class sentinel.
+    "q_daily_rollup",
+    "q_tpch_q12",
+    # --- the 10 round-9 additions (former deferred_to_round10 pin),
+    # registration order ---
+    "q_decontaminate_fuzzy",
+    "q_stream_mv_time_travel",
+    "q_stream_decon_guard",
+    "q_stream_ann_index",  # rows-only by design (LSM run-file layout)
+    "q_graph_k_truss",
+    "q_graph_butterfly",
+    "q_graph_scc",
+    "q_graph_anf",
+    "q_dedup_keep_best",
+    "q_retrieval_mmr",
+    # --- the 12 rolled round-2-stamp keys, registration order ---
+    "q_window_percent_rank", "q_topk_with_ties",
+    "q_scan_parquet", "q_scan_json",
+    "q_project_cast", "q_filter_basic", "q_filter_in_between_like",
+    "q_case_when", "q_sort_multi", "q_topk_global",
+    "q_set_union", "q_set_intersect",
+    # --- the 3 oracled round-1-stamp stragglers ---
+    "q_fn_bitwise", "q_text_token_regex", "q_text_langid_ngram",
+    # --- 23 oldest oracled round-3-stamp re-checks, registration
+    # order ---
+    "q_subquery_scalar", "q_subquery_in_correlated", "q_cte",
+    "q_fn_null", "q_fn_struct", "q_text_levenshtein",
+    "q_subquery_not_exists",
+    "q_udf_scalar", "q_udf_pandas", "q_udaf_grouped",
+    "q_udf_sql_registered", "q_udf_arrow", "q_udtf_python",
+    "q_udf_mapinarrow",
+    "q_scan_csv", "q_scan_orc", "q_scan_partitioned",
+    "q_join_bucketed", "q_pivot", "q_unpivot",
+    "q_sample_hash", "q_dedup_latest_per_key", "q_sessionize",
+]
+
+# Retired round-9 window, for the record (50/50 green in
+# CORRECTNESS_r09.json — 49 hash + 1 rows-only):
 ROUND9_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
@@ -593,7 +644,7 @@ ROUND4_WINDOW = [
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every operator module (side effect: registration), then
-    reorder so ROUND9_WINDOW occupies the first 50 registration slots
+    reorder so ROUND10_WINDOW occupies the first 50 registration slots
     — the slice the driver's correctness gate checks this round."""
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import tpch  # noqa: F401  isort: skip
@@ -620,11 +671,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import curation  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import retrieval  # noqa: F401  isort: skip
 
-    missing = [k for k in ROUND9_WINDOW if k not in QUERIES]
+    missing = [k for k in ROUND10_WINDOW if k not in QUERIES]
     if missing:
-        raise RuntimeError(f"ROUND9_WINDOW names unregistered queries: {missing}")
-    window = set(ROUND9_WINDOW)
-    ordered = ROUND9_WINDOW + [k for k in QUERIES if k not in window]
+        raise RuntimeError(f"ROUND10_WINDOW names unregistered queries: {missing}")
+    window = set(ROUND10_WINDOW)
+    ordered = ROUND10_WINDOW + [k for k in QUERIES if k not in window]
     reordered = {k: QUERIES[k] for k in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -69,54 +69,34 @@ def test_demo_app_accumulates_day_totals(spark):
             assert h["fee_cents"] == 0
 
 
-# Keys registered AFTER the round-9 window froze — exempt from the
-# rotation-closure check below, pinned here so they head the round-10
-# window (the same bookkeeping rounds 2-9 used). Every new @query
-# registration this round MUST be added here. The round-9 window
-# absorbed the ENTIRE former deferred_to_round9 set (the six round-8
-# additions), so this set restarts from the round-9 additions only.
-deferred_to_round10: set[str] = {
-    # round-9 additions (streaming/queries.py — MV store time travel)
-    "q_stream_mv_time_travel",
-    # round-9 additions (operators/ann.py — streaming IVF maintenance)
-    "q_stream_ann_index",
-    # round-9 additions (operators/curation.py — source-priority dedup)
-    "q_dedup_keep_best",
-    # round-9 additions (operators/graph.py — edge-cohesion truss)
-    "q_graph_k_truss",
-    # round-9 additions (operators/graph.py — bipartite butterfly motif)
-    "q_graph_butterfly",
-    # round-9 additions (operators/retrieval.py — MMR diversified re-rank)
-    "q_retrieval_mmr",
-    # round-9 additions (operators/extras.py — threshold containment decon)
-    "q_decontaminate_fuzzy",
-    # round-9 additions (streaming/decon.py — incremental decon guard)
-    "q_stream_decon_guard",
-    # round-9 additions (operators/graph.py — directed SCC by coloring)
-    "q_graph_scc",
-    # round-9 additions (operators/graph.py — HyperBall-style ANF)
-    "q_graph_anf",
-}
+# Keys registered AFTER the round-10 window froze — exempt from the
+# rotation-closure check below, pinned here so they head the round-11
+# window (the same bookkeeping rounds 2-10 used). Every new @query
+# registration this round MUST be added here. The round-10 window
+# absorbed the ENTIRE former deferred_to_round10 set (the ten round-9
+# additions), so this set restarts from the round-10 additions only.
+deferred_to_round11: set[str] = set()
 
 
-def test_round9_correctness_window_composition():
-    """The driver verifies the FIRST ~50 registered queries; the round-9
-    window is the explicit ROUND9_WINDOW key list — the two canaries,
-    the 6 round-8 additions (former deferred_to_round9 pin, never
-    driver-checked), the 5-key oldest-stamp backlog tail, and 37
-    round-2-stamp re-checks. Pin it so a stray registration (or an
+def test_round10_correctness_window_composition():
+    """The driver verifies the FIRST ~50 registered queries; the
+    round-10 window is the explicit ROUND10_WINDOW key list — the two
+    canaries, the 10 round-9 additions (former deferred_to_round10 pin,
+    never driver-checked), the 12 rolled round-2-stamp keys, the 3
+    oracled round-1-stamp stragglers, and 23 oldest oracled
+    round-3-stamp re-checks. Pin it so a stray registration (or an
     import reorder) cannot silently displace queries out of the checked
     window before the driver runs. Update deliberately on each round's
     rotation."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND9_WINDOW, collect_queries
+    from steaminganalysis_spark.registry import ROUND10_WINDOW, collect_queries
 
     QUERIES, ORACLE = collect_queries()
     first50 = list(QUERIES)[:50]
-    assert len(ROUND9_WINDOW) == 50
-    assert first50 == ROUND9_WINDOW
+    assert len(ROUND10_WINDOW) == 50
+    assert first50 == ROUND10_WINDOW
     # the canaries must sit inside the window
     for k in (
         "q_daily_rollup",
@@ -124,25 +104,26 @@ def test_round9_correctness_window_composition():
     ):
         assert k in first50, k
     # Rotation closure: after this round, every key that existed when
-    # the round-9 window froze has a driver CORRECTNESS row — the
-    # window must cover everything the union of CORRECTNESS_r01..r08
-    # did not, except the pinned new keys in deferred_to_round10.
+    # the round-10 window froze has a driver CORRECTNESS row — the
+    # window must cover everything the union of CORRECTNESS_r01..r09
+    # did not, except the pinned new keys in deferred_to_round11.
     checked = set()
     for p in sorted(
-        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[12345678].json")
+        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[1-9].json")
     ):
         checked |= set(json.loads(p.read_text()))
-    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round10]
+    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round11]
     assert set(never) <= set(first50), sorted(set(never) - set(first50))
-    assert deferred_to_round10 <= set(QUERIES)
-    assert deferred_to_round10.isdisjoint(first50)
+    assert deferred_to_round11 <= set(QUERIES)
+    assert deferred_to_round11.isdisjoint(first50)
     # every key in the window is registered with an oracle unless it is
     # one of the documented rows-only keys (physical file layout,
     # sketch-byte payloads, float-order artifacts — see
-    # test_oracle_parity's list). q_emb_pca_topk is rows-only by design
-    # (sign/rotation freedom of principal components; numpy |cos| pin).
+    # test_oracle_parity's list). q_stream_ann_index is rows-only by
+    # design (LSM run-file layout + engine-hash bucket assignment; its
+    # recall/compaction invariants are pinned in tests).
     rows_only_in_window = {k for k in first50 if k not in ORACLE}
-    assert rows_only_in_window == {"q_emb_pca_topk"}, rows_only_in_window
+    assert rows_only_in_window == {"q_stream_ann_index"}, rows_only_in_window
 
 
 def test_python_source_filter_pushdown(spark):

@@ -30,33 +30,34 @@ def test_oracle_type_classes_match(spark, duck, name):
     assert not problems, "\n".join(problems)
 
 
-def test_round9_window_oracles_all_audited():
+def test_round10_window_oracles_all_audited():
     """Rotation pre-audit closure (VERDICT r4 order #2's standing
-    pattern): every oracle key in the round-9 driver window is inside
+    pattern): every oracle key in the round-10 driver window is inside
     the parametrized type-class audit above (which covers ALL
-    registered oracles), so none of the 6 first-time-checked keys can
-    hit the driver with an unaudited HUGEINT/DECIMAL oracle."""
-    from steaminganalysis_spark.registry import ROUND9_WINDOW
+    registered oracles), so none of the 9 first-time-checked oracle
+    keys can hit the driver with an unaudited HUGEINT/DECIMAL
+    oracle."""
+    from steaminganalysis_spark.registry import ROUND10_WINDOW
 
-    window_oracles = [k for k in ROUND9_WINDOW if k in ORACLE]
+    window_oracles = [k for k in ROUND10_WINDOW if k in ORACLE]
     assert len(window_oracles) == 49  # 50 minus the 1 rows-only key
     assert set(window_oracles) <= set(ORACLE)
 
 
-def test_round10_deferred_oracles_all_audited():
-    """Round-10 rotation pre-audit closure: every key registered after
-    the round-9 window froze (the pinned deferred_to_round10 set — the
+def test_round11_deferred_oracles_all_audited():
+    """Round-11 rotation pre-audit closure: every key registered after
+    the round-10 window froze (the pinned deferred_to_round11 set — the
     next round's window head) that has an oracle is inside the
     parametrized type-class audit above, so none can hit the driver
     with an unaudited HUGEINT/DECIMAL oracle either."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND9_WINDOW
+    from steaminganalysis_spark.registry import ROUND10_WINDOW
 
-    checked = set(ROUND9_WINDOW)
+    checked = set(ROUND10_WINDOW)
     for p in sorted(
-        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[12345678].json")
+        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[1-9].json")
     ):
         checked |= set(json.loads(p.read_text()))
     deferred = [k for k in QUERIES if k not in checked]
