@@ -1457,6 +1457,112 @@ _BUTTERFLY_ORACLE = """
 """
 
 
+# Centers whose incidence degree exceeds this cap peel out of the
+# plain hash self-join (where ALL C(deg, 2) wedge pairs of one center
+# land in ONE task) into the salted fragment-replicate pass below.
+# 256² = 65k pair rows per join key — comfortable task granularity; no
+# fixture-SF center comes near it (max deg ≈ 60 at sf0.1), so the hub
+# branch is empty at test scale and tests monkeypatch the cap down to
+# force it.
+BUTTERFLY_HUB_DEGREE_CAP = 256
+
+
+def _butterfly_wedges(inc: DataFrame, center: str, item: str, cap: int) -> DataFrame:
+    """Wedge rows ``(center, e1, e2)`` with ``e1 < e2`` — one row per
+    (center node, unordered pair of its incident items). Skew-guarded:
+    centers with ``deg <= cap`` pair up in a plain self-join on the
+    center key; hub centers (``deg > cap``) go through a salted
+    fragment-replicate self-join so one hub's deg² pair space spreads
+    across s² join keys (s = ceil(deg/cap)) of ≤ cap² pairs each,
+    instead of a single straggler task. Each side of a hub pair carries
+    its own deterministic fragment id ``ob = xxhash64(item) mod s`` and
+    is replicated s× against the OTHER side's fragment axis, so pair
+    (x, y) meets exactly once — at join key (center, ob(x), ob(y))."""
+    deg = inc.groupBy(center).agg(F.count("*").alias("deg"))
+    # inc arrives hash-partitioned on the center key and deg derives
+    # from it, so this join adds no exchange
+    flagged = inc.join(deg, center)
+    lo = flagged.filter(F.col("deg") <= cap).select(center, item)
+    a, b = lo.alias("a"), lo.alias("b")
+    lo_wedges = a.join(
+        b,
+        (F.col(f"a.{center}") == F.col(f"b.{center}"))
+        & (F.col(f"a.{item}") < F.col(f"b.{item}")),
+    ).select(
+        F.col(f"a.{center}").alias("w_c"),
+        F.col(f"a.{item}").alias("e1"),
+        F.col(f"b.{item}").alias("e2"),
+    )
+    hub = (
+        flagged.filter(F.col("deg") > cap)
+        .withColumn("s", F.ceil(F.col("deg") / F.lit(cap)).cast("int"))
+        .withColumn(
+            "ob",
+            F.pmod(F.xxhash64(F.lit("bf_frag"), F.col(item)), F.col("s")).cast("int"),
+        )
+        .select(center, item, "s", "ob")
+    )
+    rep = F.explode(F.sequence(F.lit(0), F.col("s") - 1))
+    ha = hub.withColumn("jj", rep).alias("a")
+    hb = hub.withColumn("ii", rep).alias("b")
+    hub_wedges = ha.join(
+        hb,
+        (F.col(f"a.{center}") == F.col(f"b.{center}"))
+        & (F.col("a.ob") == F.col("b.ii"))
+        & (F.col("a.jj") == F.col("b.ob"))
+        & (F.col(f"a.{item}") < F.col(f"b.{item}")),
+    ).select(
+        F.col(f"a.{center}").alias("w_c"),
+        F.col(f"a.{item}").alias("e1"),
+        F.col(f"b.{item}").alias("e2"),
+    )
+    return lo_wedges.unionAll(hub_wedges)
+
+
+def _butterfly_counts(inc: DataFrame, center: str, cap: int) -> DataFrame:
+    """Per-part butterfly counts with the wedge pivot on ``center``
+    ('c' or 'p'). Customer-centered: wedge endpoints are part pairs —
+    count wedges per (p1, p2), each pair shared by cnt customers
+    yields C(cnt, 2) butterflies attributed to both endpoint parts by
+    explode. Part-centered: wedge endpoints are customer pairs and the
+    endpoint aggregate loses part identity, so attribution joins the
+    wedge rows back on the customer pair — part p's wedge (p, c1, c2)
+    pairs p with each of the other cnt−1 parts sharing (c1, c2),
+    i.e. per-part butterflies = Σ (cnt − 1), each butterfly counted
+    once per endpoint part. Identical output either way (pinned)."""
+    item = "p" if center == "c" else "c"
+    wedges = _butterfly_wedges(inc, center, item, cap)
+    if center == "c":
+        pair_counts = (
+            wedges.groupBy(F.col("e1").alias("p1"), F.col("e2").alias("p2"))
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+        )
+        bf = pair_counts.select(
+            "p1", "p2", F.expr("(cnt * (cnt - 1)) DIV 2").alias("b")
+        )
+        # explode, not union: a two-branch union re-executes the wedge
+        # join per branch (the k-truss three-role lesson); the
+        # generator emits both endpoint attributions in ONE pass
+        attributed = bf.select(
+            F.explode(F.array("p1", "p2")).alias("part"), "b"
+        )
+    else:
+        pair_counts = (
+            wedges.groupBy("e1", "e2")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+        )
+        attributed = wedges.join(pair_counts, ["e1", "e2"]).select(
+            F.col("w_c").alias("part"), (F.col("cnt") - 1).alias("b")
+        )
+    return (
+        attributed.groupBy("part")
+        .agg(F.sum("b").cast("long").alias("butterflies"))
+        .orderBy("part")
+    )
+
+
 @query("q_graph_butterfly", oracle=_BUTTERFLY_ORACLE)
 def graph_butterfly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part butterfly (2×2 biclique) count over the customer–part
@@ -1471,62 +1577,69 @@ def graph_butterfly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Algorithm (wedge counting, the standard exact method — Wang et
     al., "Butterfly Counting in Bipartite Networks"): enumerate wedges
-    centered on customers (a customer + an ordered pair of parts they
-    both bought), count wedges per part pair, and each pair shared by
-    ``cnt`` customers contributes C(cnt, 2) butterflies, attributed to
-    both endpoint parts. Pure integer arithmetic end-to-end — counts
-    and ``(cnt·(cnt−1)) DIV 2`` (the product is always even, so
+    centered on one side (a center node + an ordered pair of incident
+    items), count wedges per endpoint pair, and each pair shared by
+    ``cnt`` centers contributes C(cnt, 2) butterflies, attributed to
+    both parts of the butterfly (directly in customer-centered mode;
+    by a wedge join-back in part-centered mode — see
+    ``_butterfly_counts``). Pure integer arithmetic end-to-end —
+    counts and ``(cnt·(cnt−1)) DIV 2`` (the product is always even, so
     truncating integer division is exact and identical to DuckDB's
     ``//``).
 
-    Scale shape: one distinct over the incidence relation (16-byte
-    rows, map-side combine), one self-join on the center key whose
-    intermediate is Σ_c C(deg(c), 2) wedge rows, one wedge aggregate
-    with map-side partial counts, and one per-part sum over a pure
-    projection — no O(V) driver state, no floats. The center side is
-    CHOSEN: wedges can pivot on customers (pairs of parts) or parts
-    (pairs of customers), and the wedge volume is Σ deg² of the center
-    side, so at 100 TB you center on whichever side has the smaller
-    sum of squared degrees (here customers; one cheap pre-aggregate
-    decides) and peel the few hub centers above a degree cap into a
-    separate degree-ordered pass — the same skew discipline as the
-    document-frequency cap in q_dedup_ngram_jaccard. Reference parity:
-    no graph surface in the reference (SURVEY §2 B.11 extension).
+    Scale shape (both skew guards CODED, not just documented): the
+    incidence relation is staged once (hash-partitioned on the
+    customer key, which the degree aggregates and the customer-
+    centered join both reuse), then
+    (1) CENTER-SIDE CHOICE — wedge volume is Σ C(deg, 2) of the
+        center side, so one cheap pre-aggregate per side computes
+        both volumes (two scalar fetches, never data-sized) and the
+        smaller side pivots; the part-centered path pays its
+        attribution join-back by re-shuffling the wedge relation, so
+        it must win by ≥2× before it is chosen;
+    (2) HUB PEEL — centers above BUTTERFLY_HUB_DEGREE_CAP leave the
+        plain self-join for a salted fragment-replicate pass that
+        spreads one hub's deg² pair space across ceil(deg/cap)² join
+        keys of ≤ cap² pairs each (``_butterfly_wedges``), the same
+        skew discipline as the document-frequency cap in
+        q_dedup_ngram_jaccard — a viral center costs many normal
+        tasks instead of one quadratic straggler.
+    No O(V) driver state, no floats. Reference parity: no graph
+    surface in the reference (SURVEY §2 B.11 extension).
     """
+    from steaminganalysis_spark.staging import stage
+
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # repartition on the CENTER key only, then dedupe: hashpartitioning(c)
-    # satisfies the (c, p) dedup clustering AND the wedge self-join's
-    # requirement, so the incidence relation shuffles exactly ONCE — a
-    # plain .distinct() costs an exchange on (c, p) followed by a second
-    # exchange on c for the join (verified against the executed plan)
-    inc = (
+    # repartition on the customer key only, then dedupe:
+    # hashpartitioning(c) satisfies the (c, p) dedup clustering AND
+    # (when customers win the center choice, the common case) the
+    # wedge self-join's requirement, so the incidence relation
+    # shuffles exactly ONCE — a plain .distinct() costs an exchange
+    # on (c, p) followed by a second exchange on c for the join
+    # (verified against the executed plan)
+    inc = stage(
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .repartition(F.col("c"))
-        .dropDuplicates()
+        .dropDuplicates(),
+        "butterfly_inc",
     )
-    a, b = inc.alias("a"), inc.alias("b")
-    wedges = (
-        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-    )
-    bf = wedges.select(
-        "p1", "p2", F.expr("(cnt * (cnt - 1)) DIV 2").alias("b")
-    )
-    # explode, not union: a two-branch union re-executes the wedge join
-    # per branch (the k-truss three-role lesson); the generator emits
-    # both endpoint attributions in the SAME single pass
-    return (
-        bf.select(
-            F.explode(F.array("p1", "p2")).alias("part"), "b"
-        )
-        .groupBy("part")
-        .agg(F.sum("b").cast("long").alias("butterflies"))
-        .orderBy("part")
-    )
+    # center-side choice: one tiny aggregate per side (a single long
+    # each crosses the driver link). C(n,2) products are always even →
+    # DIV 2 exact.
+    wedge_cost = {
+        side: inc.groupBy(side)
+        .agg(F.count("*").alias("n"))
+        .select(F.sum(F.expr("(n * (n - 1)) DIV 2")).alias("w"))
+        .collect()[0]["w"]
+        or 0
+        for side in ("c", "p")
+    }
+    # part-centered attribution join-back re-shuffles the wedge
+    # relation once more, so the part side must win by 2× to pivot
+    center = "p" if 2 * wedge_cost["p"] < wedge_cost["c"] else "c"
+    return _butterfly_counts(inc, center, BUTTERFLY_HUB_DEGREE_CAP)
 
 
 # ------------------------------------- strongly connected components

@@ -605,6 +605,83 @@ def test_butterfly_matches_customer_side_brute_force(spark):
     assert got == {p: n for p, n in expected.items() if n > 0}
 
 
+def _butterfly_inc(spark):
+    from steaminganalysis_spark.operators.graph import load
+
+    o = load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .repartition(F.col("c"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_butterfly_hub_peel_and_center_choice_equivalence(spark, monkeypatch):
+    """The two CODED skew guards leave the answer bit-identical:
+    (a) hub peel — forcing BUTTERFLY_HUB_DEGREE_CAP down to 4 routes
+    most fixture centers through the salted fragment-replicate pass
+    (non-vacuity asserted) and the registered key still returns the
+    unguarded result; (b) center-side choice — the part-centered
+    attribution path (wedge join-back) equals the customer-centered
+    explode path, under both the default and the forced-hub cap."""
+    from steaminganalysis_spark.operators import graph as G
+
+    base = {tuple(r) for r in QUERIES["q_graph_butterfly"](spark, SF).collect()}
+    assert base, "butterfly empty at fixture SF — vacuous pin"
+
+    inc = _butterfly_inc(spark)
+    # non-vacuity: cap 4 must actually produce hub centers
+    assert inc.groupBy("c").count().filter("count > 4").count() > 0
+    for center in ("c", "p"):
+        for cap in (G.BUTTERFLY_HUB_DEGREE_CAP, 4):
+            got = {
+                tuple(r) for r in G._butterfly_counts(inc, center, cap).collect()
+            }
+            assert got == base, (center, cap)
+
+    # and the registered key end-to-end under the forced cap
+    monkeypatch.setattr(G, "BUTTERFLY_HUB_DEGREE_CAP", 4)
+    forced = {tuple(r) for r in QUERIES["q_graph_butterfly"](spark, SF).collect()}
+    assert forced == base
+
+
+def test_butterfly_hub_fragment_bound_sub_quadratic(spark):
+    """The salted hub pass bounds per-join-key work: for every hub
+    center (deg > cap) the fragment split s = ceil(deg/cap) with
+    fragment id xxhash64(item) mod s must keep every fragment at
+    most ~cap items — so a join key (center, ob_a, ob_b) never pairs
+    more than O(cap²) rows and a viral hub becomes many normal tasks,
+    never one quadratic straggler. Hash imbalance gets a
+    balls-in-bins allowance (4×cap — at cap 4 the bins hold ~4 ± a
+    few, measured max 12) but the quadratic failure mode (a fragment
+    carrying ~deg items) is excluded by the mxdeg/2 splitting
+    assertion."""
+    cap = 4
+    inc = _butterfly_inc(spark)
+    frag = (
+        inc.join(inc.groupBy("c").agg(F.count("*").alias("deg")), "c")
+        .filter(F.col("deg") > cap)
+        .withColumn("s", F.ceil(F.col("deg") / F.lit(cap)).cast("int"))
+        .withColumn(
+            "ob",
+            F.pmod(F.xxhash64(F.lit("bf_frag"), F.col("p")), F.col("s")).cast(
+                "int"
+            ),
+        )
+        .groupBy("c", "ob")
+        .agg(F.count("*").alias("frag_n"), F.max("deg").alias("deg"))
+    )
+    stats = frag.agg(
+        F.max("frag_n").alias("mx"), F.max("deg").alias("mxdeg")
+    ).collect()[0]
+    assert stats["mx"] is not None, "no hub fragments — vacuous pin"
+    assert stats["mx"] <= 4 * cap, stats
+    assert stats["mx"] <= stats["mxdeg"] / 2, "fragmenting did not split the hub"
+
+
 def test_scc_matches_kosaraju_and_budgets_cover_fixpoint(spark):
     """q_graph_scc: (a) labels equal an independent Python Kosaraju
     over the same thresholded directed edge set (TRUE strongly
