@@ -193,6 +193,65 @@ def _directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _degree_oriented(edges: DataFrame) -> DataFrame:
+    """Orient an undirected edge relation ``(a, b)`` by the (degree,
+    id) total order: ``src ≺ dst``, carrying ``ddeg`` (the dst's
+    degree) so wedge enumeration can order a center's out-neighbors by
+    the same key. Under this orientation out-deg(u) ≤ √(2m) — every
+    out-neighbor has degree ≥ deg(u) ≥ out-deg(u), so 2m ≥ Σ deg ≥
+    out-deg² — which bounds the wedge join's intermediate by O(m^1.5)
+    regardless of hubs (id-orientation leaves a low-id star center
+    with a quadratic wedge set). The degree table is O(V) node-keyed
+    rows; both enrichment joins broadcast at fixture scale and
+    co-partition on the node key at cluster scale."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e = edges.join(
+        deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+    )
+
+
+def _oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Enumerate each triangle of the undirected ``(a, b)`` relation
+    exactly once via the degree-ordered orientation: wedge (u; v, w)
+    with v ≺ w among u's out-neighbors closes iff edge v→w exists
+    (v ≺ w ⇒ the closing edge is oriented v→w). Returns one row per
+    triangle with columns ``u, v, w`` (u ≺ v ≺ w by (degree, id) —
+    NOT id-sorted; callers needing id-sorted edge roles apply
+    least/greatest)."""
+    o = _degree_oriented(edges)
+    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
+    wedge_ord = (F.col("o1.ddeg") < F.col("o2.ddeg")) | (
+        (F.col("o1.ddeg") == F.col("o2.ddeg"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    return (
+        o1.join(o2, (F.col("o2.src") == F.col("o1.src")) & wedge_ord)
+        .join(
+            o3,
+            (F.col("o3.src") == F.col("o1.dst"))
+            & (F.col("o3.dst") == F.col("o2.dst")),
+        )
+        .select(
+            F.col("o1.src").alias("u"),
+            F.col("o1.dst").alias("v"),
+            F.col("o2.dst").alias("w"),
+        )
+    )
+
+
 @query(
     "q_graph_triangles",
     oracle=f"""
@@ -229,17 +288,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (undirected) nation trade graph — the other workhorse graph metric
     next to centrality, and the classic shuffle-explosion benchmark.
 
-    Scale shape: edges are ORIENTED low-endpoint → high-endpoint before
-    the wedge join, so each triangle is generated exactly once and the
-    wedge intermediate is bounded by Σ out-deg² under the orientation —
-    the standard compact-forward trick. (At web scale the orientation
-    key is DEGREE order, not id order, which provably bounds out-degree
-    by O(√m); id order is used here because the oracle must replicate
-    the orientation exactly and ids are deterministic.) The two wedge
-    joins are plain equi-joins on node keys — shuffle-partitioned,
-    skew-salvageable by AQE — never a cartesian. Degree/wedge counts
-    are integer-exact; the clustering ratio rounds via the engine's
-    half-up convention."""
+    Scale shape: edges are ORIENTED by DEGREE order (ties by id)
+    before the wedge join, so each triangle is generated exactly once
+    FROM ITS LOWEST-DEGREE VERTEX and the wedge intermediate is
+    Σ out-deg² with out-deg provably ≤ √(2m) — the O(m^1.5) bound of
+    the compact-forward / vertex-priority family (Chiba–Nishizeki;
+    `_degree_oriented`), where id-orientation leaves a star hub with a
+    quadratic wedge set. The triangle COUNT is orientation-independent,
+    so the id-oriented oracle certifies the degree-oriented plan. The
+    wedge joins are plain equi-joins on node keys — shuffle-
+    partitioned, skew-salvageable by AQE — never a cartesian.
+    Degree/wedge counts are integer-exact; the clustering ratio rounds
+    via the engine's half-up convention."""
     from steaminganalysis_spark.staging import stage
 
     de = (
@@ -261,12 +321,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nodes"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
     )
-    e1, e2, e3 = ue.alias("e1"), ue.alias("e2"), ue.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    tri = _oriented_triangles(ue).agg(F.count("*").alias("n_triangles"))
     n_edges = ue.agg(F.count("*").alias("n_edges"))
     return (
         summ.crossJoin(F.broadcast(n_edges))
@@ -1334,25 +1389,17 @@ def _ktruss_oracle() -> str:
 
 
 def _truss_round(edges: DataFrame):
-    """(surviving edges, per-edge support) for one peel round. Edges
-    are oriented a < b so each triangle is enumerated exactly once by
-    the compact wedge join; support counts an edge's three possible
-    roles in those triangles."""
+    """(surviving edges, per-edge support) for one peel round. Triangle
+    enumeration goes through the DEGREE-ordered orientation
+    (``_oriented_triangles``, recomputed per round over the shrinking
+    survivor set — degrees change as edges peel), so the wedge
+    intermediate is bounded by Σ out-deg² ≤ m·√(2m) even when peeling
+    exposes hub-centered stars; support counts an edge's three possible
+    roles in those triangles, each role re-expressed in the state
+    relation's id order (a < b) via least/greatest."""
     from steaminganalysis_spark.staging import stage
 
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .select(
-            F.col("e1.a").alias("x"),
-            F.col("e1.b").alias("y"),
-            F.col("e2.b").alias("z"),
-        )
-    )
+    tri = _oriented_triangles(edges)
     # staged: the three-role union references the triangle list three
     # times and Spark re-executes a derived frame per branch — without
     # this the wedge join (the round's expensive step) runs 3× per
@@ -1360,9 +1407,17 @@ def _truss_round(edges: DataFrame):
     # the DuckDB side)
     tri = stage(tri, "ktruss_tri")
     roles = (
-        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
-        .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
-        .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        tri.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .unionAll(
+            tri.select(
+                F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")
+            )
+        )
+        .unionAll(
+            tri.select(
+                F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")
+            )
+        )
     )
     supp = roles.groupBy("a", "b").agg(F.count("*").cast("long").alias("supp"))
     kept = (
@@ -1386,13 +1441,15 @@ def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a round-{R}≡round-{R1} test), then each surviving edge is
     reported with its support inside the final truss.
 
-    Scale shape: ALL state lives in the oriented (a < b) edge
+    Scale shape: ALL state lives in the id-ordered (a < b) edge
     relation — no O(V) vectors, no driver state (the q_graph_cc_stars
-    discipline). Per round: one compact wedge join (each triangle
-    enumerated exactly once; intermediate bounded by Σ out-deg² under
-    the orientation — at web scale the orientation key would be degree
-    order, bounding it by O(m^1.5)), a three-role union that is a pure
-    projection, and one support aggregate with map-side partials. The
+    discipline). Per round: one compact wedge join over the
+    DEGREE-ordered orientation (recomputed per round as peeling
+    changes degrees; each triangle enumerated exactly once from its
+    lowest-degree vertex, intermediate Σ out-deg² with out-deg ≤ √(2m)
+    — the O(m^1.5) bound, coded in ``_degree_oriented``), a three-role
+    union that is a pure projection back to id order, and one support
+    aggregate with map-side partials. The
     edge set only shrinks, so per-round cost is monotonically
     non-increasing; each round's survivor set is re-staged to keep
     lineage flat. Reference parity: no graph surface in the reference

@@ -564,6 +564,71 @@ def test_k_truss_fixpoint_inside_round_budget_and_coherence(spark):
         assert deg[a] >= K_TRUSS_K - 1 and deg[b] >= K_TRUSS_K - 1
 
 
+def test_degree_orientation_wedge_bound_and_exact_enumeration(spark):
+    """`_degree_oriented` delivers the O(m^1.5) wedge bound the truss/
+    triangle docstrings promise: (a) THEOREM PIN — on the part
+    co-purchase edge set, max out-deg² ≤ 2m (every out-neighbor has
+    degree ≥ the center's, so 2m ≥ Σ_{v∈N⁺(u)} deg(v) ≥ out-deg(u)²);
+    (b) the id-orientation counterfactual on the same edge set has a
+    strictly larger Σ out-deg² wedge volume (non-vacuity: the guard
+    changes the actual join intermediate, not just the constant);
+    (c) `_oriented_triangles` enumerates exactly the triangle set of a
+    Python brute force, each exactly once."""
+    from itertools import combinations
+
+    from steaminganalysis_spark.operators.graph import (
+        _degree_oriented,
+        _oriented_triangles,
+        load,
+    )
+
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    m = edges.count()
+    assert m > 0
+    o = _degree_oriented(edges)
+    out = o.groupBy("src").agg(F.count("*").alias("od"))
+    mx = out.agg(F.max("od")).collect()[0][0]
+    assert mx * mx <= 2 * m, (mx, m)
+    # wedge volume Σ C(out-deg, 2): degree orientation vs id orientation
+    vol_deg = out.agg(F.sum(F.expr("(od * (od - 1)) DIV 2"))).collect()[0][0]
+    vol_id = (
+        edges.groupBy("a")
+        .agg(F.count("*").alias("od"))
+        .agg(F.sum(F.expr("(od * (od - 1)) DIV 2")))
+        .collect()[0][0]
+    )
+    assert vol_deg < vol_id, (vol_deg, vol_id)
+    # exact enumeration vs Python brute force
+    es = {(r.a, r.b) for r in edges.collect()}
+    adj = {}
+    for x, y in es:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    expected = {
+        tuple(sorted(t))
+        for x in adj
+        for y, z in combinations(sorted(adj[x]), 2)
+        if z in adj.get(y, ())
+        for t in [(x, y, z)]
+    }
+    got = [tuple(sorted((r.u, r.v, r.w))) for r in _oriented_triangles(edges).collect()]
+    assert len(got) == len(set(got)), "a triangle was enumerated twice"
+    assert set(got) == expected
+
+
 def test_butterfly_matches_customer_side_brute_force(spark):
     """q_graph_butterfly counts wedges centered on CUSTOMERS (pairs of
     parts per shared buyer); this brute force counts from the OPPOSITE
