@@ -104,6 +104,11 @@ def _previous_extended(sf_val: float | str) -> dict[str, float]:
         except (OSError, json.JSONDecodeError):
             continue
         rnd = int(m.group(1))
+        # the driver wraps the emitted JSON line under "parsed"
+        # (top level carries run metadata: n/rc/cpus/tail); a raw
+        # bench line has the fields at top level — accept both
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
         if (
             rnd > best[0]
             and data.get("sf") == sf_val

@@ -126,6 +126,27 @@ def test_round10_correctness_window_composition():
     assert rows_only_in_window == {"q_stream_ann_index"}, rows_only_in_window
 
 
+def test_bench_previous_extended_reads_driver_wrapped_files():
+    """bench.py's extended-set regression check must actually find the
+    reference numbers: driver-recorded BENCH_r{N}.json files wrap the
+    emitted JSON line under "parsed" (top level is run metadata), and
+    until round 10 the loader only looked at the top level — the check
+    silently compared against nothing. Pin that the latest same-SF
+    extended timings load, and that a foreign SF yields none."""
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location("bench_mod", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prev = bench._previous_extended(0.1)
+    assert prev, "no extended reference found in BENCH_r*.json at sf0.1"
+    assert "q_graph_butterfly" in prev and prev["q_graph_butterfly"] > 0
+    assert bench._previous_extended(123.456) == {}
+
+
 def test_python_source_filter_pushdown(spark):
     """Filter pushdown into the custom Python connector: with the
     pushdown conf on, an EqualTo('status') predicate is absorbed by
