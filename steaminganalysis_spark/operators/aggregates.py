@@ -225,6 +225,154 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------- portable-hash HLL: the oracle-exact sketch (r10)
+
+HLLP_M = 256  # registers: 8 index bits off the 32-bit multiplicative hash
+HLLP_RMAX = 25  # rank cap: the 24 post-index bits are exhausted
+# alpha_m · m² for m = 256 (Flajolet's 0.7213/(1 + 1.079/m)), emitted
+# as ONE decimal literal both engines parse to the same double
+_HLLP_ALPHA_M2 = repr((0.7213 / (1.0 + 1.079 / HLLP_M)) * HLLP_M * HLLP_M)
+
+
+def _hllp_hash_sql(xor: str, div: str) -> str:
+    """lowbias32 avalanche hash (degski's xor-shift-multiply: two
+    rounds of ``x = ((x >> 16) ^ x) * 0x45d9f3b mod 2^32`` + a final
+    xor-shift) as engine-portable SQL. A plain multiplicative hash is
+    NOT enough here: with an odd multiplier the product's trailing
+    zeros equal the input's, so sequential ids give deterministic
+    ranks and the estimate lands 50-100% high (measured). The mixer's
+    constant 0x45d9f3b < 2^31 keeps every product under 2^63 — no
+    BIGINT overflow in either engine. The one spelling difference
+    between engines is xor/integer-div syntax, injected via ``xor``
+    (``"({a} ^ {b})"`` Spark, ``"xor({a}, {b})"`` DuckDB) and ``div``
+    (``DIV`` / ``//``); the constants, masks and structure are shared
+    literally. ``+ 1`` so user_id 0 does not fix to 0."""
+    x = "((user_id + 1) % 4294967296)"
+    for _ in range(2):
+        shifted = xor.format(a=f"({x} {div} 65536)", b=x)
+        x = f"(({shifted}) * 73244475) % 4294967296"
+    return xor.format(a=f"({x} {div} 65536)", b=x)
+# linear-counting lookup m·ln(m/V) for V ∈ 1..m-1 precomputed to
+# double literals: no runtime ln() (banned from hash-checked outputs)
+_HLLP_LC = {
+    v: repr(HLLP_M * __import__("math").log(HLLP_M / v))
+    for v in range(1, HLLP_M)
+}
+
+
+def _hllp_rank_sql(div: str) -> str:
+    """1-indexed lowest-set-bit position of the 24 post-index hash
+    bits (`bit_count((x & -x) - 1)` = trailing zeros): the HLL rank,
+    in BIGINT ops shared by both engines (`DIV`/`//` both truncate)."""
+    rb = f"(h {div} {HLLP_M})"
+    return (
+        f"CASE WHEN {rb} = 0 THEN {HLLP_RMAX} "
+        f"ELSE 1 + bit_count(({rb} & -{rb}) - 1) END"
+    )
+
+
+def _hllp_estimate_sql(alias: str) -> str:
+    """Per-group HLL estimate folded to exact integers (the q_graph_anf
+    discipline): Σ 2^-r is a sum of ≤m exact dyadics (order-free in
+    doubles), the raw estimate αm²/(zeros + Σ2^-r) is one
+    deterministic division, the small-range branch (raw ≤ 2.5m with
+    zero registers present — Flajolet's rule) swaps in the
+    linear-counting literal table, and FLOOR(est·1000) lands in BIGINT
+    before anything crosses groups."""
+    raw = (
+        f"({_HLLP_ALPHA_M2} / ({HLLP_M}.0 - COUNT(*) "
+        f"+ SUM(POW(2.0, -{alias}.r))))"
+    )
+    lc = " ".join(f"WHEN {v} THEN {lit}" for v, lit in _HLLP_LC.items())
+    est = (
+        f"CASE WHEN {raw} <= {2.5 * HLLP_M} AND COUNT(*) < {HLLP_M} "
+        f"THEN (CASE ({HLLP_M} - COUNT(*)) {lc} END) "
+        f"ELSE {raw} END"
+    )
+    return f"CAST(FLOOR(({est}) * 1000.0) AS BIGINT)"
+
+
+@query(
+    "q_agg_hll_portable",
+    oracle=f"""
+    WITH hh AS (
+      SELECT event_type,
+             {_hllp_hash_sql("xor({a}, {b})", '//')} AS h
+      FROM events
+    ),
+    regs AS MATERIALIZED (
+      SELECT event_type, h % {HLLP_M} AS j,
+             MAX({_hllp_rank_sql('//')}) AS r
+      FROM hh GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT s.event_type, {_hllp_estimate_sql('s')} AS hll_est_milli
+      FROM regs s GROUP BY s.event_type
+    ),
+    ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, ex.exact_distinct, e.hll_est_milli
+    FROM est e JOIN ex ON ex.event_type = e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type by a PORTABLE-HASH HyperLogLog —
+    the oracle-exact twin of the rows-only sketch family
+    (q_agg_approx_distinct / q_agg_hll_sketch check rows-only because
+    their register bytes are engine-internal). Here every register op
+    — the 32-bit multiplicative hash, the trailing-zero rank, the
+    register MAX lattice, the αm²/LC estimate — is engine-portable
+    integer SQL shared literally between the Spark plan and the DuckDB
+    oracle (the q_graph_anf evidentiary trick, applied to the plain
+    aggregation surface), so the driver hash-checks the ESTIMATE
+    itself. The exact COUNT(DISTINCT) rides along per group, making
+    the row self-certifying about accuracy. The fixture SFs exercise
+    BOTH estimator regimes: sf0.001/0.01 land in linear counting
+    (~150 distinct users ≪ 2.5m), sf0.1 (~1500 users) in the raw
+    αm²/Σ2^-r branch — pinned in tests.
+
+    Scale shape: the only shuffled state is the (group, register,
+    max-rank) relation — ≤ m rows per group regardless of input size;
+    the register MAX merge is associative so the map-side partial
+    combine does real work, exactly how approx_count_distinct's
+    internal HLL++ behaves, but auditable. The exact-distinct column
+    is the standard two-phase distinct aggregate (keyed on
+    (group, value), no single-reducer hotspot); at 100 TB you would
+    drop it and keep only the sketch — it is here as the oracle's
+    accuracy witness. Reference parity: no sketch surface in the
+    reference (SURVEY §2 B.4 extension)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = (
+        ev.selectExpr(
+            "event_type", f"{_hllp_hash_sql('({a} ^ {b})', 'DIV')} AS h"
+        )
+        .selectExpr(
+            "event_type",
+            f"h % {HLLP_M} AS j",
+            f"{_hllp_rank_sql('DIV')} AS r",
+        )
+        .groupBy("event_type", "j")
+        .agg(F.max("r").alias("r"))
+    )
+    est = (
+        regs.alias("s")
+        .groupBy("event_type")
+        .agg(F.expr(_hllp_estimate_sql("s")).alias("hll_est_milli"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "exact_distinct", "hll_est_milli")
+        .orderBy("event_type")
+    )
+
+
 @query(
     "q_agg_rollup",
     oracle=f"""

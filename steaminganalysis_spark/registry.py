@@ -313,6 +313,16 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # 317 keys / 283 oracles at the round-9 additions (count with
 # collect_queries(), never this comment).
 #
+# Round-10 additions (pinned as deferred_to_round11 in
+# tests/test_contract_robustness.py): q_agg_hll_portable (per-group
+# distinct-user HLL whose every register op — lowbias32 avalanche
+# hash, trailing-zero rank, register-MAX lattice, αm²/linear-counting
+# estimate — is engine-portable integer SQL, so the ESTIMATE itself
+# is oracle-exact; the exact COUNT(DISTINCT) rides along as the
+# accuracy witness; fixture SFs exercise both estimator regimes).
+# 318 keys / 284 oracles at the q_agg_hll_portable addition (count
+# with collect_queries(), never this comment).
+#
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the
 # keys deferred below, plus re-checks of any module edited since its

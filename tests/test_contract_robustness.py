@@ -75,7 +75,11 @@ def test_demo_app_accumulates_day_totals(spark):
 # registration this round MUST be added here. The round-10 window
 # absorbed the ENTIRE former deferred_to_round10 set (the ten round-9
 # additions), so this set restarts from the round-10 additions only.
-deferred_to_round11: set[str] = set()
+deferred_to_round11: set[str] = {
+    # round-10 additions (operators/aggregates.py — oracle-exact
+    # portable-hash HLL distinct with the exact count as witness)
+    "q_agg_hll_portable",
+}
 
 
 def test_round10_correctness_window_composition():
