@@ -1706,13 +1706,16 @@ SCC_INNER_ROUNDS = 4  # measured max hop count: 3 (color AND mark) at all SFs
 _SCC_DOUBLINGS = 5  # oracle closure: paths up to 2^5 = 32 > |V| = 25
 
 
-def _scc_oracle() -> str:
-    """Exact mutual-reachability oracle: the transitive closure of the
-    thresholded edge set by ``log2`` path-doubling rounds (each CTE
-    ``AS MATERIALIZED`` — the 2^k-inlining lesson from q_graph_wcc),
-    then scc(u) = min over {u} ∪ {v : u→v and v→u}. Quadratic state is
-    fine HERE because the oracle runs on a ≤25-node nation graph; the
-    Spark side must not and does not build a closure."""
+def _scc_closure_ctes() -> list[str]:
+    """The shared oracle prefix: thresholded edge set, ``log2``
+    path-doubling transitive closure (each CTE ``AS MATERIALIZED`` —
+    the 2^k-inlining lesson from q_graph_wcc), and the final ``scc``
+    CTE mapping every node to its component id, scc(u) = min over
+    {u} ∪ {v : u→v and v→u}. Quadratic state is fine HERE because the
+    oracle runs on a ≤25-node nation graph; the Spark side must not
+    and does not build a closure. Reused by q_graph_scc (skins with
+    nation names) and q_graph_scc_condensation (contracts to the
+    component DAG)."""
     ctes = [
         """pairs AS MATERIALIZED (
           SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
@@ -1741,18 +1744,24 @@ def _scc_oracle() -> str:
             )"""
         )
     last = f"r{_SCC_DOUBLINGS}"
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f""",
-        nodes AS (SELECT DISTINCT src AS node FROM e
-                  UNION SELECT DISTINCT dst FROM e),
-        mutual AS (SELECT a.u AS u, a.v AS v
-                   FROM {last} a JOIN {last} b ON b.u = a.v AND b.v = a.u),
-        scc AS (SELECT n.node,
+    ctes += [
+        """nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e)""",
+        f"""mutual AS (SELECT a.u AS u, a.v AS v
+                   FROM {last} a JOIN {last} b ON b.u = a.v AND b.v = a.u)""",
+        """scc AS (SELECT n.node,
                        LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS comp
                 FROM nodes n LEFT JOIN mutual m ON m.u = n.node
-                GROUP BY n.node)
+                GROUP BY n.node)""",
+    ]
+    return ctes
+
+
+def _scc_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_scc_closure_ctes())
+        + """
         SELECT nat.n_name AS nation, CAST(s.comp AS BIGINT) AS scc
         FROM scc s
         JOIN nation nat ON nat.n_nationkey = s.node
@@ -1795,46 +1804,12 @@ def _scc_mark_round(edges: DataFrame, color: DataFrame, mark: DataFrame) -> Data
     return mark.unionByName(up).groupBy("node").agg(F.min("scc").alias("scc"))
 
 
-@query("q_graph_scc", oracle=_scc_oracle())
-def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT strongly connected components of the DIRECTED trade graph
-    — the directed counterpart of q_graph_cc_stars. Nodes are nations;
-    an edge supplier-nation → customer-nation survives iff its trade
-    volume is at least the mean pair volume (self-loops dropped before
-    the mean — a self-loop never changes an SCC), so the graph is the
-    "strong trade links" network and its SCCs are the mutually-
-    reachable trading blocs (measured: one 10–20-nation bloc plus
-    singleton peripheries at every shipped SF).
-
-    Algorithm: the coloring algorithm (Orzan 2004; the FW-BW-coloring
-    family Slota et al. parallelize) — per round, (1) propagate the
-    minimum node id FORWARD to fixpoint, partitioning the active graph
-    into color regions rooted at nodes with color(v)=v; (2) propagate
-    markers BACKWARD from each root, confined to its color class: the
-    marked set of root c is exactly SCC(c) (any path between same-color
-    nodes stays inside the class — a smaller-id detour would have
-    recolored the endpoint); (3) retire marked nodes and repeat on the
-    remnant. Both propagations are min-label relaxations with the same
-    edges ⋈ O(V)-vector shape as q_graph_bfs / q_graph_sssp, with
-    fixed budgets ({IR} hops, {OR} rounds; measured fixpoints at every
-    shipped SF: ≤3 hops, 2 rounds) keeping the result a pure function
-    of the input. Budget insufficiency is LOUD twice over:
-    unassigned nodes are dropped (row-count mismatch vs the oracle)
-    and the fixpoint is pinned in tests/test_graph.py.
-
-    Scale shape: the fact⋈fact edge aggregate is staged once; every
-    round is equi-joins + groupBy-MIN over the staged edges — no
-    closure, no O(V²) state, no driver-side graph. The remnant active
-    set shrinks monotonically (each round retires every color root's
-    SCC — on random graphs the min-id root colors almost everything
-    and the expected round count is O(log n)); at billion-node scale
-    the two standard accelerants documented by the literature slot in
-    unchanged: trim leaves (in/out-degree-0 nodes are singleton SCCs,
-    removable map-side) and co-partition edges and labels on the node
-    key so each hop is exchange-free. Oracle: exact path-doubling
-    closure — affordable only because the oracle graph is ≤25 nodes.
-    Reference parity: no graph surface in the reference (SURVEY §2
-    B.11 extension)."""
+def _scc_label_graph(spark: SparkSession, sf_dir: str):
+    """(staged thresholded edge relation, (node, scc) labels) of the
+    directed trade graph — the full coloring computation shared by
+    q_graph_scc (which skins it with nation names) and
+    q_graph_scc_condensation (which contracts it to the component
+    DAG). See graph_scc's docstring for the algorithm and budgets."""
     from steaminganalysis_spark.staging import stage
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -1897,6 +1872,50 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return edges, assigned
+
+
+@query("q_graph_scc", oracle=_scc_oracle())
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT strongly connected components of the DIRECTED trade graph
+    — the directed counterpart of q_graph_cc_stars. Nodes are nations;
+    an edge supplier-nation → customer-nation survives iff its trade
+    volume is at least the mean pair volume (self-loops dropped before
+    the mean — a self-loop never changes an SCC), so the graph is the
+    "strong trade links" network and its SCCs are the mutually-
+    reachable trading blocs (measured: one 10–20-nation bloc plus
+    singleton peripheries at every shipped SF).
+
+    Algorithm: the coloring algorithm (Orzan 2004; the FW-BW-coloring
+    family Slota et al. parallelize) — per round, (1) propagate the
+    minimum node id FORWARD to fixpoint, partitioning the active graph
+    into color regions rooted at nodes with color(v)=v; (2) propagate
+    markers BACKWARD from each root, confined to its color class: the
+    marked set of root c is exactly SCC(c) (any path between same-color
+    nodes stays inside the class — a smaller-id detour would have
+    recolored the endpoint); (3) retire marked nodes and repeat on the
+    remnant. Both propagations are min-label relaxations with the same
+    edges ⋈ O(V)-vector shape as q_graph_bfs / q_graph_sssp, with
+    fixed budgets ({IR} hops, {OR} rounds; measured fixpoints at every
+    shipped SF: ≤3 hops, 2 rounds) keeping the result a pure function
+    of the input. Budget insufficiency is LOUD twice over:
+    unassigned nodes are dropped (row-count mismatch vs the oracle)
+    and the fixpoint is pinned in tests/test_graph.py.
+
+    Scale shape: the fact⋈fact edge aggregate is staged once; every
+    round is equi-joins + groupBy-MIN over the staged edges — no
+    closure, no O(V²) state, no driver-side graph. The remnant active
+    set shrinks monotonically (each round retires every color root's
+    SCC — on random graphs the min-id root colors almost everything
+    and the expected round count is O(log n)); at billion-node scale
+    the two standard accelerants documented by the literature slot in
+    unchanged: trim leaves (in/out-degree-0 nodes are singleton SCCs,
+    removable map-side) and co-partition edges and labels on the node
+    key so each hop is exchange-free. Oracle: exact path-doubling
+    closure — affordable only because the oracle graph is ≤25 nodes.
+    Reference parity: no graph surface in the reference (SURVEY §2
+    B.11 extension)."""
+    _edges, assigned = _scc_label_graph(spark, sf_dir)
     nat = load(spark, sf_dir, "nation")
     return (
         assigned.join(F.broadcast(nat), assigned.node == nat.n_nationkey)
@@ -1910,6 +1929,134 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 graph_scc.__doc__ = graph_scc.__doc__.replace("{IR}", str(SCC_INNER_ROUNDS)).replace(
     "{OR}", str(SCC_OUTER_ROUNDS)
+)
+
+
+# --------------------------------------- SCC condensation DAG
+
+SCC_COND_ROUNDS = 4  # level-relaxation budget; measured DAG depth: 1-2
+
+
+def _scc_condensation_oracle() -> str:
+    """Condensation of the SCC closure oracle: contract components,
+    drop intra-component edges, dedupe, then compute longest-path
+    topological levels by SCC_COND_ROUNDS unrolled max-relaxations
+    (MATERIALIZED per round — the 2^k-inlining lesson). Integer end to
+    end."""
+    ctes = _scc_closure_ctes() + [
+        """cond AS MATERIALIZED (
+          SELECT DISTINCT ls.comp AS csrc, ld.comp AS cdst
+          FROM e
+          JOIN scc ls ON ls.node = e.src
+          JOIN scc ld ON ld.node = e.dst
+          WHERE ls.comp <> ld.comp
+        )""",
+        """sccs AS (SELECT comp AS c_scc, COUNT(*) AS n_members
+                 FROM scc GROUP BY 1)""",
+        "l0 AS MATERIALIZED (SELECT c_scc, 0 AS lvl FROM sccs)",
+    ]
+    for k in range(1, SCC_COND_ROUNDS + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+              SELECT l.c_scc,
+                     GREATEST(l.lvl, COALESCE(mx.m, l.lvl)) AS lvl
+              FROM l{k - 1} l
+              LEFT JOIN (SELECT c.cdst AS c_scc, MAX(p.lvl) + 1 AS m
+                         FROM cond c JOIN l{k - 1} p ON p.c_scc = c.csrc
+                         GROUP BY 1) mx ON mx.c_scc = l.c_scc
+            )"""
+        )
+    last = f"l{SCC_COND_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT CAST(s.c_scc AS BIGINT) AS scc,
+               CAST(s.n_members AS BIGINT) AS n_members,
+               CAST(lv.lvl AS BIGINT) AS topo_level,
+               CAST(COALESCE(od.n, 0) AS BIGINT) AS n_succ
+        FROM sccs s
+        JOIN {last} lv ON lv.c_scc = s.c_scc
+        LEFT JOIN (SELECT csrc, COUNT(*) AS n FROM cond GROUP BY 1) od
+               ON od.csrc = s.c_scc
+        ORDER BY scc
+        """
+    )
+
+
+@query("q_graph_scc_condensation", oracle=_scc_condensation_oracle())
+def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of the directed trade graph + longest-path
+    topological levels — the canonical second act of any SCC analysis
+    (Tarjan-era textbook material: contracting each strongly connected
+    component yields a DAG, and the DAG's level structure is the
+    dependency stratification schedulers and dataflow engines consume).
+    Per component: member count, topological level (longest path from
+    a source component, the level at which a stratified computation
+    could first run it), and the number of distinct successor
+    components. Level relaxation runs a fixed {R}-round budget of
+    max-relaxations (measured DAG depth at every shipped SF: 1-2;
+    budget-covers-depth pinned, and an under-budget run is LOUD — a
+    level still rising at round {R} differs from the oracle's).
+
+    Scale shape: the expensive part is the SCC labeling itself
+    (shared verbatim via ``_scc_label_graph`` — see q_graph_scc);
+    everything after operates at COMPONENT grain: the contraction is
+    two node-keyed equi-joins of the staged edge relation against the
+    O(V) label vector followed by a distinct at component-pair
+    cardinality, and each level round is one equi-join + groupBy-MAX
+    over the condensation edges — the BFS/SSSP loop economics on a
+    graph that is usually orders of magnitude smaller than the input
+    (a billion-node web graph condenses to millions of components).
+    No closure, no O(V²) state, integer end to end. Reference parity:
+    no graph surface in the reference (SURVEY §2 B.11 extension)."""
+    edges, assigned = _scc_label_graph(spark, sf_dir)
+    labels = assigned.localCheckpoint(eager=True)
+    cond = (
+        edges.join(
+            labels.select(F.col("node").alias("sn"), F.col("scc").alias("csrc")),
+            edges.src == F.col("sn"),
+        )
+        .join(
+            labels.select(F.col("node").alias("dn"), F.col("scc").alias("cdst")),
+            edges.dst == F.col("dn"),
+        )
+        .filter(F.col("csrc") != F.col("cdst"))
+        .select("csrc", "cdst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sccs = labels.groupBy(F.col("scc")).agg(F.count("*").alias("n_members"))
+    lvl = sccs.select(F.col("scc").alias("c_scc"), F.lit(0).alias("lvl"))
+    for _ in range(SCC_COND_ROUNDS):
+        preds = (
+            cond.join(lvl, cond.csrc == lvl.c_scc)
+            .groupBy(F.col("cdst").alias("pscc"))
+            .agg((F.max("lvl") + 1).alias("m"))
+        )
+        lvl = (
+            lvl.join(preds, lvl.c_scc == F.col("pscc"), "left")
+            .select(
+                "c_scc",
+                F.greatest("lvl", F.coalesce("m", "lvl")).alias("lvl"),
+            )
+        )
+    out_deg = cond.groupBy(F.col("csrc")).agg(F.count("*").alias("n"))
+    return (
+        sccs.join(lvl, sccs.scc == lvl.c_scc)
+        .join(out_deg, sccs.scc == out_deg.csrc, "left")
+        .select(
+            F.col("scc").cast("long").alias("scc"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("lvl").cast("long").alias("topo_level"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_succ"),
+        )
+        .orderBy("scc")
+    )
+
+
+graph_scc_condensation.__doc__ = graph_scc_condensation.__doc__.replace(
+    "{R}", str(SCC_COND_ROUNDS)
 )
 
 

@@ -320,8 +320,13 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # estimate — is engine-portable integer SQL, so the ESTIMATE itself
 # is oracle-exact; the exact COUNT(DISTINCT) rides along as the
 # accuracy witness; fixture SFs exercise both estimator regimes).
-# 318 keys / 284 oracles at the q_agg_hll_portable addition (count
-# with collect_queries(), never this comment).
+# q_graph_scc_condensation (condensation DAG of the directed trade
+# graph: SCC labeling shared verbatim with q_graph_scc, contraction at
+# component grain, longest-path topological levels by a fixed
+# 4-round max-relaxation budget; closure-CTE oracle extended with
+# unrolled level rounds).
+# 319 keys / 285 oracles at the round-10 additions (count with
+# collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):
 # relational's last 4 set-op/sort keys, extras (24), ann (3), the

@@ -79,6 +79,9 @@ deferred_to_round11: set[str] = {
     # round-10 additions (operators/aggregates.py — oracle-exact
     # portable-hash HLL distinct with the exact count as witness)
     "q_agg_hll_portable",
+    # round-10 additions (operators/graph.py — SCC condensation DAG
+    # with longest-path topological levels)
+    "q_graph_scc_condensation",
 }
 
 

@@ -905,3 +905,111 @@ def test_anf_monotone_saturating_and_near_exact_closure(spark):
     ratios = [r.nf_est_milli / 1000.0 / t for r, t in zip(rows, truth)]
     assert 0.95 <= ratios[0] <= 1.05, ratios
     assert 0.70 <= ratios[-1] <= 1.40, ratios
+
+
+def test_scc_condensation_matches_python_dag_and_budget_covers_depth(spark):
+    """q_graph_scc_condensation vs an independent Python pipeline:
+    Kosaraju labels (min-id canonicalized) → contracted edge set →
+    longest-path levels by DP over a topological order. Pins (a) every
+    output column exactly, (b) the relaxation budget strictly covers
+    the true DAG depth, (c) level monotonicity along every condensation
+    edge (acyclicity witness), (d) non-vacuity — at least two distinct
+    levels and one component with successors."""
+    import duckdb
+
+    from steaminganalysis_spark.operators.graph import SCC_COND_ROUNDS
+
+    got = {
+        r.scc: (r.n_members, r.topo_level, r.n_succ)
+        for r in QUERIES["q_graph_scc_condensation"](spark, SF).collect()
+    }
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    edges = con.execute("""
+    WITH pairs AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS c
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2)
+    SELECT src, dst FROM pairs
+    WHERE c >= (SELECT AVG(c) FROM pairs)""").fetchall()
+
+    # Kosaraju with min-id canonical labels
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    fwd: dict = {u: [] for u in nodes}
+    rev: dict = {u: [] for u in nodes}
+    for u, v in edges:
+        fwd[u].append(v)
+        rev[v].append(u)
+    seen: set = set()
+    order: list = []
+    for start in nodes:
+        if start in seen:
+            continue
+        stack = [(start, iter(fwd[start]))]
+        seen.add(start)
+        while stack:
+            node, it = stack[-1]
+            nxt = next((w for w in it if w not in seen), None)
+            if nxt is None:
+                order.append(node)
+                stack.pop()
+            else:
+                seen.add(nxt)
+                stack.append((nxt, iter(fwd[nxt])))
+    comp: dict = {}
+    for start in reversed(order):
+        if start in comp:
+            continue
+        members = [start]
+        comp[start] = start
+        while members:
+            node = members.pop()
+            for w in rev[node]:
+                if w not in comp:
+                    comp[w] = start
+                    members.append(w)
+    groups: dict = {}
+    for n, c in comp.items():
+        groups.setdefault(c, []).append(n)
+    canon = {c: min(ms) for c, ms in groups.items()}
+    label = {n: canon[c] for n, c in comp.items()}
+
+    cond = {(label[u], label[v]) for u, v in edges if label[u] != label[v]}
+    sccs = sorted({label[n] for n in nodes})
+    # longest-path levels by iterating to fixpoint (DAG, so bounded)
+    lvl = {s: 0 for s in sccs}
+    depth_rounds = 0
+    changed = True
+    while changed:
+        changed = False
+        for u, v in cond:
+            if lvl[u] + 1 > lvl[v]:
+                lvl[v] = lvl[u] + 1
+                changed = True
+        if changed:
+            depth_rounds += 1
+        assert depth_rounds <= len(sccs), "cycle in condensation"
+    n_succ = {s: 0 for s in sccs}
+    for u, _v in cond:
+        n_succ[u] += 1
+    n_members = {s: 0 for s in sccs}
+    for n in nodes:
+        n_members[label[n]] += 1
+
+    expected = {s: (n_members[s], lvl[s], n_succ[s]) for s in sccs}
+    assert got == expected
+    # budget strictly covers the measured depth
+    true_depth = max(lvl.values())
+    assert true_depth < SCC_COND_ROUNDS, (true_depth, SCC_COND_ROUNDS)
+    # monotone levels along edges (acyclicity witness)
+    for u, v in cond:
+        assert got[v][1] >= got[u][1] + 1, (u, v)
+    # non-vacuity
+    assert len({t[1] for t in got.values()}) >= 2
+    assert any(t[2] > 0 for t in got.values())
