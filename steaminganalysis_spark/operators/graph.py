@@ -100,20 +100,12 @@ def _pagerank_oracle() -> str:
     )
 
 
-@query("q_graph_pagerank", oracle=_pagerank_oracle())
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (damping 0.85, 5 fixed iterations, r0=1.0) over the
-    nation-level trade graph: edge supplier-nation → customer-nation
-    per lineitem, weight = lineitem count. Dangling-node mass is
-    dropped (classic per-node formulation), identically on both sides.
-
-    Plan: ONE fact⋈fact shuffle builds the edge table (dims broadcast,
-    map-side partial count), staged once; each of the five iterations
-    is edges ⋈ broadcast(rank vector) + a per-destination aggregate
-    over ≤V² rows. The fixture graph has V=25 — see the module
-    docstring for the billion-node variant (co-partitioned join +
-    periodic checkpoint), which changes the physical hints, not this
-    logical loop."""
+def _pagerank_frac(spark: SparkSession, sf_dir: str):
+    """(staged transition fractions p(u→v), staged node set) of the
+    weighted nation trade graph — shared by q_graph_pagerank and
+    q_graph_ppr. One fact⋈fact shuffle builds the weighted edge table
+    (dims broadcast, map-side partial count); fractions and nodes are
+    staged because every iteration re-reads them."""
     from steaminganalysis_spark.staging import stage
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -144,7 +136,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct(),
         "pagerank_nodes",
     )
+    return frac, nodes
 
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 fixed iterations, r0=1.0) over the
+    nation-level trade graph: edge supplier-nation → customer-nation
+    per lineitem, weight = lineitem count. Dangling-node mass is
+    dropped (classic per-node formulation), identically on both sides.
+
+    Plan: ONE fact⋈fact shuffle builds the edge table (dims broadcast,
+    map-side partial count), staged once; each of the five iterations
+    is edges ⋈ broadcast(rank vector) + a per-destination aggregate
+    over ≤V² rows. The fixture graph has V=25 — see the module
+    docstring for the billion-node variant (co-partitioned join +
+    periodic checkpoint), which changes the physical hints, not this
+    logical loop."""
+    frac, nodes = _pagerank_frac(spark, sf_dir)
     ranks = nodes.withColumn("pr", F.lit(1.0))
     for _ in range(ITERATIONS):
         contrib = (
@@ -163,6 +172,152 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         F.broadcast(nat), ranks.node == nat.n_nationkey
     ).select(F.col("n_name").alias("nation"), round_half_up(F.col("pr"), 6).alias("pagerank"))
+
+
+PPR_SEED_REGION = 2  # seed set: nations of region 2 present in the graph
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized-PageRank CTE chain over the same weighted
+    fractions as q_graph_pagerank: r0 = teleport distribution (1/|S|
+    on the seed set, 0 elsewhere), r_{k+1}(v) = (1-d)·b(v) + d · Σ
+    r_k(u)·p(u,v). Seeds restricted to graph participants so both
+    engines agree on the node domain."""
+    ctes = [
+        """
+        edges AS (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                 CAST(COUNT(*) AS DOUBLE) AS w
+          FROM lineitem l
+          JOIN orders o   ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey  = c.c_custkey
+          JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+          GROUP BY 1, 2
+        )""",
+        "outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src)",
+        """frac AS (SELECT e.src, e.dst, e.w / o.ow AS p
+                    FROM edges e JOIN outw o ON o.src = e.src)""",
+        """nodes AS (SELECT DISTINCT src AS node FROM edges
+                     UNION SELECT DISTINCT dst FROM edges)""",
+        f"""seeds AS (SELECT node FROM nodes
+                     WHERE node IN (SELECT n_nationkey FROM nation
+                                    WHERE n_regionkey = {PPR_SEED_REGION}))""",
+        "ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds)",
+        """base AS (SELECT n.node,
+                       CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n
+                            ELSE CAST(0.0 AS DOUBLE) END AS b
+                 FROM nodes n
+                 LEFT JOIN seeds s ON s.node = n.node
+                 CROSS JOIN ns)""",
+        "p0 AS (SELECT node, b AS pr FROM base)",
+    ]
+    for k in range(1, ITERATIONS + 1):
+        ctes.append(
+            f"""c{k} AS (SELECT f.dst AS node, SUM(r.pr * f.p) AS m
+                 FROM frac f JOIN p{k - 1} r ON r.node = f.src
+                 GROUP BY f.dst)"""
+        )
+        ctes.append(
+            f"""p{k} AS (SELECT b.node,
+                   {1.0 - DAMPING} * b.b + {DAMPING} * COALESCE(c.m, 0) AS pr
+                 FROM base b LEFT JOIN c{k} c ON c.node = b.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT nat.n_name AS nation,
+               CAST(CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_seed,
+               {SQL_ROUND(f'p{ITERATIONS}.pr', 6)} AS ppr
+        FROM p{ITERATIONS}
+        LEFT JOIN seeds s ON s.node = p{ITERATIONS}.node
+        JOIN nation nat ON nat.n_nationkey = p{ITERATIONS}.node
+        ORDER BY nation
+        """
+    )
+
+
+@query("q_graph_ppr", oracle=_ppr_oracle())
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set (damping 0.85, 5 fixed
+    iterations) over the weighted nation trade graph — random walks
+    that TELEPORT BACK TO THE SEEDS instead of to everywhere, the
+    standard proximity/recommendation primitive (Jeh & Widom's
+    personalized PageRank; what link-prediction and who-to-follow
+    systems actually run). Seeds: the graph-participating nations of
+    region {SR}; r0 is the teleport distribution (1/|S| on seeds),
+    each step r_{{k+1}}(v) = (1-d)·1_{{v∈S}}/|S| + d·Σ r_k(u)·p(u,v).
+    Unlike the global key, mass concentrates near the seed region —
+    is_seed rides along so the locality is visible in the output.
+
+    Scale shape: identical loop economics to q_graph_pagerank (the
+    fractions and node set come from the SAME staged builder,
+    ``_pagerank_frac``): each iteration is edges ⋈ broadcast(rank
+    vector) + one per-destination aggregate; the base teleport vector
+    is built once (nodes ⋈ broadcast seed set + a 1-row count) and
+    re-read per iteration. At a billion nodes the PPR vector is
+    SPARSE (only nodes reachable from the seeds carry mass) — the
+    rank relation stays small early and the co-partitioned-join
+    variant in the module docstring applies unchanged. Reference
+    parity: no graph surface in the reference (SURVEY §2 B.11
+    extension)."""
+    frac, nodes = _pagerank_frac(spark, sf_dir)
+    nat = load(spark, sf_dir, "nation")
+    seeds = (
+        nodes.join(
+            F.broadcast(
+                nat.filter(F.col("n_regionkey") == PPR_SEED_REGION).select(
+                    F.col("n_nationkey").alias("node")
+                )
+            ),
+            "node",
+            "semi",
+        )
+        .localCheckpoint(eager=True)
+    )
+    ns = seeds.agg(F.count("*").cast("double").alias("n"))
+    base = (
+        nodes.join(seeds.withColumn("is_seed", F.lit(1)), "node", "left")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "node",
+            F.coalesce("is_seed", F.lit(0)).cast("long").alias("is_seed"),
+            F.when(F.col("is_seed").isNotNull(), F.lit(1.0) / F.col("n"))
+            .otherwise(F.lit(0.0))
+            .alias("b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = base.select("node", F.col("b").alias("pr"))
+    for _ in range(ITERATIONS):
+        contrib = (
+            frac.join(F.broadcast(ranks), frac.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("m"))
+        )
+        ranks = base.join(
+            F.broadcast(contrib), base.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(1.0 - DAMPING) * F.col("b")
+                + F.lit(DAMPING) * F.coalesce(F.col("m"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return (
+        ranks.join(base.select("node", "is_seed"), "node")
+        .join(F.broadcast(nat), ranks.node == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("is_seed"),
+            round_half_up(F.col("pr"), 6).alias("ppr"),
+        )
+        .orderBy("nation")
+    )
+
+
+graph_ppr.__doc__ = graph_ppr.__doc__.replace("{SR}", str(PPR_SEED_REGION))
 
 
 _SQL_DIRECTED_EDGES = """

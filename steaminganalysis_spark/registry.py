@@ -325,7 +325,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # component grain, longest-path topological levels by a fixed
 # 4-round max-relaxation budget; closure-CTE oracle extended with
 # unrolled level rounds).
-# 319 keys / 285 oracles at the round-10 additions (count with
+# q_graph_ppr (personalized PageRank from the region-2 seed set:
+# teleport distribution restricted to seeds, same staged fractions and
+# loop economics as q_graph_pagerank via _pagerank_frac; unrolled-CTE
+# oracle).
+# 320 keys / 286 oracles at the round-10 additions (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

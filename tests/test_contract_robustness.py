@@ -82,6 +82,9 @@ deferred_to_round11: set[str] = {
     # round-10 additions (operators/graph.py — SCC condensation DAG
     # with longest-path topological levels)
     "q_graph_scc_condensation",
+    # round-10 additions (operators/graph.py — personalized PageRank
+    # from a region seed set)
+    "q_graph_ppr",
 }
 
 

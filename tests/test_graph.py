@@ -1013,3 +1013,81 @@ def test_scc_condensation_matches_python_dag_and_budget_covers_depth(spark):
     # non-vacuity
     assert len({t[1] for t in got.values()}) >= 2
     assert any(t[2] > 0 for t in got.values())
+
+
+def test_ppr_seed_locality_mass_and_python_replay(spark):
+    """q_graph_ppr invariants the oracle can't see as invariants:
+    (a) exact Python power-iteration replay (same fractions, same
+    teleport vector, same 5 rounds) matches to the rounding grain;
+    (b) probability mass — Σ ppr ≤ 1 + ε (mass only leaks via dangling
+    drop, never grows) and every value ≥ 0; (c) seed locality — the
+    average seed nation carries strictly more mass than the average
+    non-seed nation, and at least one NON-seed nation has ppr > 0
+    (proximity actually propagates); (d) the personalized vector is
+    genuinely different from global PageRank's ranking (non-vacuity of
+    the personalization)."""
+    import duckdb
+
+    from steaminganalysis_spark.operators.graph import (
+        DAMPING,
+        ITERATIONS,
+        PPR_SEED_REGION,
+    )
+
+    rows = QUERIES["q_graph_ppr"](spark, SF).collect()
+    got = {r.nation: (r.is_seed, r.ppr) for r in rows}
+    assert all(v[1] >= 0 for v in got.values())
+    total = sum(v[1] for v in got.values())
+    assert total <= 1.0 + 1e-6, total
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    frac = con.execute("""
+      WITH e AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1)
+      SELECT e.src, e.dst, e.w / ow.ow FROM e JOIN ow ON ow.src = e.src
+    """).fetchall()
+    names = dict(con.execute("SELECT n_nationkey, n_name FROM nation").fetchall())
+    region_seeds = {
+        k
+        for (k,) in con.execute(
+            f"SELECT n_nationkey FROM nation WHERE n_regionkey = {PPR_SEED_REGION}"
+        ).fetchall()
+    }
+    nodes = sorted({u for u, v, p in frac} | {v for u, v, p in frac})
+    seeds = sorted(set(nodes) & region_seeds)
+    b = {n: (1.0 / len(seeds) if n in seeds else 0.0) for n in nodes}
+    pr = dict(b)
+    for _ in range(ITERATIONS):
+        m = {n: 0.0 for n in nodes}
+        for u, v, p in frac:
+            m[v] += pr[u] * p
+        pr = {n: (1 - DAMPING) * b[n] + DAMPING * m[n] for n in nodes}
+    import math
+
+    expected = {
+        names[n]: (1 if n in seeds else 0, math.floor(pr[n] * 1e6 + 0.5) / 1e6)
+        for n in nodes
+    }
+    assert got == expected
+
+    seed_vals = [v for s, v in got.values() if s]
+    non_vals = [v for s, v in got.values() if not s]
+    assert seed_vals and non_vals
+    assert sum(seed_vals) / len(seed_vals) > sum(non_vals) / len(non_vals)
+    assert any(v > 0 for v in non_vals)
+    # personalization is not the global ranking
+    global_pr = {
+        r.nation: r.pagerank for r in QUERIES["q_graph_pagerank"](spark, SF).collect()
+    }
+    rank_ppr = sorted(got, key=lambda n: (-got[n][1], n))
+    rank_glb = sorted(global_pr, key=lambda n: (-global_pr[n], n))
+    assert rank_ppr != rank_glb
