@@ -527,6 +527,125 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DV_FILES = 8  # simulated data files (key mod DV_FILES)
+DV_WORD_BITS = 32  # positions per bitmap word (1<<31 fits BIGINT safely)
+
+
+@query(
+    "q_merge_deletion_vector",
+    oracle=f"""
+    WITH target AS MATERIALIZED (
+      SELECT c_custkey AS key,
+             c_custkey % {DV_FILES} AS file_id,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey % {DV_FILES}
+                                ORDER BY c_custkey) - 1 AS pos
+      FROM customer
+    ),
+    dels AS (
+      SELECT DISTINCT user_id AS key FROM events WHERE event_type = 'error'
+    ),
+    dv AS MATERIALIZED (
+      SELECT t.file_id,
+             t.pos // {DV_WORD_BITS} AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << (t.pos % {DV_WORD_BITS})) AS word
+      FROM target t JOIN dels d ON d.key = t.key
+      GROUP BY 1, 2
+    )
+    SELECT t.file_id, t.pos, t.key
+    FROM target t
+    LEFT JOIN dv ON dv.file_id = t.file_id
+               AND dv.word_idx = t.pos // {DV_WORD_BITS}
+    WHERE dv.word IS NULL
+       OR (dv.word & (CAST(1 AS BIGINT) << (t.pos % {DV_WORD_BITS}))) = 0
+    ORDER BY t.file_id, t.pos
+    """,
+)
+def merge_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-as-DELETION-VECTORS — the Delta Lake / Iceberg v2
+    "merge-on-read" delete path: instead of rewriting data files to
+    drop rows, the MERGE writes a tiny per-file BITMAP of deleted row
+    positions and readers apply the mask at scan time. Target =
+    the customer snapshot addressed as (file_id, pos) — key mod {NF}
+    simulated data files with a stable row position inside each (in a
+    real table format the position is the physical file offset, free
+    at write time; the window here is the simulation's one-time write
+    cost, staged). Delete set = customers with an 'error' event. The
+    DV is real bitmap encoding, not a key list: per (file, {WB}-bit
+    word) one BIGINT whose bit j marks position word_idx·{WB}+j
+    deleted — built by ONE groupBy(file_id, word_idx) + bit_or
+    aggregate over the matched keys (O(|deletes|) work, the whole
+    point of DVs). The masked read joins the scan against the
+    broadcast DV on (file_id, word_idx) and tests the bit map-side —
+    the data files are never rewritten, never shuffled.
+
+    Scale shape: the delete-side work is O(|deletes|) (semi-join +
+    word aggregate); the DV relation is |deletes|/{WB} .. |deletes|
+    words and broadcasts (a billion deletes ≈ tens of MB of words,
+    still broadcastable per-file at real layouts); the read-side mask
+    is a broadcast hash join + a bitwise AND inside whole-stage
+    codegen — zero exchanges on the data path. Reference parity: no
+    table-format surface in the reference (SURVEY §2 B.1 extension,
+    next to q_merge_upsert / q_merge_with_deletes which rewrite)."""
+    from steaminganalysis_spark.staging import stage
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    wpos = W.partitionBy(F.col("c_custkey") % DV_FILES).orderBy("c_custkey")
+    target = stage(
+        cust.select(
+            F.col("c_custkey").alias("key"),
+            (F.col("c_custkey") % DV_FILES).alias("file_id"),
+            (F.row_number().over(wpos) - 1).alias("pos"),
+        ),
+        "dv_target",
+    )
+    dels = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("key"))
+        .distinct()
+    )
+    dv = (
+        target.join(dels, "key", "semi")
+        .groupBy(
+            "file_id", F.expr(f"pos DIV {DV_WORD_BITS}").alias("word_idx")
+        )
+        .agg(
+            F.bit_or(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(pos % {DV_WORD_BITS} AS INT))"
+                )
+            ).alias("word")
+        )
+    )
+    t = target.alias("t")
+    masked = t.join(
+        F.broadcast(dv.alias("dv")),
+        (F.col("dv.file_id") == F.col("t.file_id"))
+        & (F.col("dv.word_idx") == F.expr(f"t.pos DIV {DV_WORD_BITS}")),
+        "left",
+    )
+    bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(t.pos % {DV_WORD_BITS} AS INT))"
+    )
+    return (
+        masked.filter(
+            F.col("dv.word").isNull() | (F.col("dv.word").bitwiseAND(bit) == 0)
+        )
+        .select(
+            F.col("t.file_id").alias("file_id"),
+            F.col("t.pos").alias("pos"),
+            F.col("t.key").alias("key"),
+        )
+        .orderBy("file_id", "pos")
+    )
+
+
+merge_deletion_vector.__doc__ = merge_deletion_vector.__doc__.replace(
+    "{NF}", str(DV_FILES)
+).replace("{WB}", str(DV_WORD_BITS))
+
+
 @query(
     "q_fn_map2",
     oracle="""

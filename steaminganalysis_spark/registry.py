@@ -329,7 +329,12 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # teleport distribution restricted to seeds, same staged fractions and
 # loop economics as q_graph_pagerank via _pagerank_frac; unrolled-CTE
 # oracle).
-# 320 keys / 286 oracles at the round-10 additions (count with
+# q_merge_deletion_vector (Delta/Iceberg merge-on-read delete path:
+# MERGE writes per-file positional bitmap words — one groupBy+bit_or
+# over the matched keys, O(|deletes|) — and the read applies the mask
+# via a broadcast join + bitwise AND; data files never rewritten or
+# shuffled).
+# 321 keys / 287 oracles at the round-10 additions (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

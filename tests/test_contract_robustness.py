@@ -85,6 +85,9 @@ deferred_to_round11: set[str] = {
     # round-10 additions (operators/graph.py — personalized PageRank
     # from a region seed set)
     "q_graph_ppr",
+    # round-10 additions (operators/extras.py — merge-on-read deletes
+    # via per-file positional bitmap deletion vectors)
+    "q_merge_deletion_vector",
 }
 
 

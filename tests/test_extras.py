@@ -322,3 +322,72 @@ def test_decontaminate_fuzzy_matches_string_level_brute_force(spark):
     assert {
         (r.train_doc, r.eval_doc, r.shared, r.eval_ngrams) for r in rows
     } == expected
+
+
+def test_deletion_vector_semantics_bitmap_exactness_and_plan(spark):
+    """q_merge_deletion_vector: (a) semantics — visible keys are
+    exactly customers minus error-event users; (b) bitmap exactness —
+    the DV words' total popcount equals the delete count (no stray
+    bits) and the word count is within [deletes/32, deletes] (real
+    packing, not one word per delete... unless positions are sparse);
+    (c) plan — the masked read applies the DV via a BROADCAST join
+    (merge-on-read: the data path is never hash-exchanged; the only
+    hash exchanges in the plan belong to the delete-side semi-join +
+    word aggregate and the simulated-write window, which is staged out
+    of the read plan)."""
+    from steaminganalysis_spark.operators.extras import DV_WORD_BITS
+
+    df = QUERIES["q_merge_deletion_vector"](spark, SF)
+    visible = {r.key for r in df.collect()}
+    cust = {
+        r.c_custkey
+        for r in spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey").collect()
+    }
+    dels = {
+        r.user_id
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "error")
+        .select("user_id")
+        .distinct()
+        .collect()
+    } & cust
+    assert dels, "no deletions at fixture SF — vacuous"
+    assert visible == cust - dels
+
+    # rebuild the DV words with the operator's own expressions and
+    # check bit-exactness
+    from steaminganalysis_spark.operators.extras import DV_FILES
+
+    from pyspark.sql import Window as W
+
+    c = spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey")
+    wpos = W.partitionBy(F.col("c_custkey") % DV_FILES).orderBy("c_custkey")
+    target = c.select(
+        F.col("c_custkey").alias("key"),
+        (F.col("c_custkey") % DV_FILES).alias("file_id"),
+        (F.row_number().over(wpos) - 1).alias("pos"),
+    )
+    ddf = spark.createDataFrame([(k,) for k in sorted(dels)], "key long")
+    words = (
+        target.join(ddf, "key", "semi")
+        .groupBy("file_id", F.expr(f"pos DIV {DV_WORD_BITS}").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {DV_WORD_BITS} AS INT))"
+                )
+            ).alias("word")
+        )
+        .collect()
+    )
+    popcount = sum(bin(r.word & ((1 << 64) - 1)).count("1") for r in words)
+    assert popcount == len(dels)
+    assert len(dels) / DV_WORD_BITS <= len(words) <= len(dels)
+
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert_no_cartesian(df)
+    # data-path purity: no hash exchange keyed on the target's columns
+    # downstream of the staged scan — the only hashpartitioning
+    # exchanges are the DV build's
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
