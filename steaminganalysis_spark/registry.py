@@ -334,7 +334,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # over the matched keys, O(|deletes|) — and the read applies the mask
 # via a broadcast join + bitwise AND; data files never rewritten or
 # shuffled).
-# 321 keys / 287 oracles at the round-10 additions (count with
+# q_stream_weighted_sample (streaming weighted reservoir: per-batch
+# O(K) merge of deterministic A-ES priorities behind the versioned
+# KVStore watermark; the oracle IS q_sample_weighted's — stream≡batch
+# is the driver-checked fact).
+# 322 keys / 288 oracles at the round-10 additions (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

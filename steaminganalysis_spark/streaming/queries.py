@@ -1277,6 +1277,93 @@ def stream_mv_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+from steaminganalysis_spark.operators.curation import SAMPLE_K, _uniform_sql
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+    SELECT doc_id, n_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             ln({_uniform_sql('doc_id', 'wsamp')}) / CAST(n_chars AS DOUBLE)
+               AS priority
+      FROM documents
+    )
+    ORDER BY priority DESC, doc_id
+    LIMIT {SAMPLE_K}
+"""
+
+
+@query("q_stream_weighted_sample", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weighted reservoir sampling — the incremental twin of
+    ``q_sample_weighted`` (Efraimidis–Spirakis A-ES, weight =
+    n_chars): the corpus arrives in two micro-batches (doc_id parity,
+    maxFilesPerTrigger=1, mtimes forced monotone) and each batch
+    merges into an O({K})-row stored reservoir — batch-side top-{K} by
+    the SAME hash-derived ``ln(u)/w`` priority, union with the
+    committed reservoir, re-top (streaming/reservoir.py). Because the
+    priority is a pure function of doc_id, top-K-by-priority is an
+    associative monoid, so the final reservoir EQUALS the batch A-ES
+    over the whole corpus regardless of batch boundaries — the
+    registered oracle IS q_sample_weighted's, making stream≡batch the
+    driver-checked fact. Versioned commits behind the shared KVStore
+    watermark: replayed batch ids are no-ops and torn version dirs are
+    invisible (pinned in tests/test_streaming.py). Per batch the
+    corpus side never shuffles — one map-side priority projection into
+    TakeOrderedAndProject heaps, then a {K}+{K}-row merge."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.reservoir import (
+        read_reservoir,
+        reservoir_sink,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("stream_reservoir")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    now = time.time()
+    for i in (0, 1):
+        d = os.path.join(tmp, f"b{i}")
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.parquet(d)
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+    stream = (
+        spark.readStream.schema("doc_id long, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store_name = f"stream_reservoir_{run}"
+    out_dir = os.path.join(tmp, "versions")
+    writer, scope = reservoir_sink(
+        stream, out_dir, os.path.join(tmp, f"ckpt_{run}"), store_name, SAMPLE_K
+    )
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        read_reservoir(spark, out_dir, store_name, scope)
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .select("doc_id", "n_chars")
+        .localCheckpoint(eager=True)
+    )
+    KVStore.reset(store_name)
+    return out
+
+
+stream_weighted_sample.__doc__ = stream_weighted_sample.__doc__.replace(
+    "{K}", str(SAMPLE_K)
+)
+
+
 @query("q_stream_decon_guard", oracle=DECON_FUZZY_ORACLE)
 def stream_decon_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming decontamination guard — the incremental twin of

@@ -88,6 +88,9 @@ deferred_to_round11: set[str] = {
     # round-10 additions (operators/extras.py — merge-on-read deletes
     # via per-file positional bitmap deletion vectors)
     "q_merge_deletion_vector",
+    # round-10 additions (streaming/reservoir.py — streaming weighted
+    # reservoir, stream≡batch vs q_sample_weighted)
+    "q_stream_weighted_sample",
 }
 
 

@@ -1759,3 +1759,65 @@ def test_decon_guard_replay_idempotent_and_torn_write_invisible(spark, tmp_path)
         assert set(after_b0) <= set(final) and len(final) >= len(after_b0)
     finally:
         KVStore.reset(store)
+
+
+def test_weighted_reservoir_replay_torn_write_and_monoid(spark, tmp_path):
+    """The streaming weighted reservoir (streaming/reservoir.py):
+    (a) a replayed committed batch id is a NO-OP even with
+    adversarially different rows; (b) a version dir written WITHOUT
+    the watermark commit (torn write) is invisible to readers;
+    (c) state is bounded — every committed version holds ≤ K rows;
+    (d) the merge is a monoid — one-batch ingestion and two-batch
+    ingestion of the same corpus commit IDENTICAL reservoirs (the
+    stream≡batch property at the unit level, independent of the
+    harness's batch boundaries)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.operators.curation import SAMPLE_K
+    from steaminganalysis_spark.streaming.reservoir import (
+        _version_dir,
+        merge_batch,
+        read_reservoir,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "n_chars")
+        .localCheckpoint(eager=True)
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    store = f"res_crash_{os.getpid()}"
+    out = str(tmp_path / "versions")
+    store2 = f"res_mono_{os.getpid()}"
+    out2 = str(tmp_path / "versions_one")
+    try:
+        merge_batch(b0, 0, out, store, "s", SAMPLE_K)
+        after_b0 = sorted(
+            map(tuple, read_reservoir(spark, out, store, "s").collect())
+        )
+        assert 0 < len(after_b0) <= SAMPLE_K
+        # (a) replay with different rows is a no-op
+        merge_batch(b1, 0, out, store, "s", SAMPLE_K)
+        got = sorted(map(tuple, read_reservoir(spark, out, store, "s").collect()))
+        assert got == after_b0
+        # (b) torn version dir above the watermark is invisible
+        b1.limit(0).selectExpr(
+            "doc_id", "n_chars", "CAST(0.0 AS DOUBLE) AS priority"
+        ).write.mode("overwrite").parquet(_version_dir(out, 7))
+        got = sorted(map(tuple, read_reservoir(spark, out, store, "s").collect()))
+        assert got == after_b0
+        # (c)+(d) two-batch ingestion == one-batch ingestion
+        merge_batch(b1, 1, out, store, "s", SAMPLE_K)
+        two = sorted(map(tuple, read_reservoir(spark, out, store, "s").collect()))
+        assert len(two) <= SAMPLE_K
+        merge_batch(docs, 0, out2, store2, "s", SAMPLE_K)
+        one = sorted(map(tuple, read_reservoir(spark, out2, store2, "s").collect()))
+        assert two == one
+    finally:
+        KVStore.reset(store)
+        KVStore.reset(store2)
