@@ -338,7 +338,13 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # O(K) merge of deterministic A-ES priorities behind the versioned
 # KVStore watermark; the oracle IS q_sample_weighted's — stream≡batch
 # is the driver-checked fact).
-# 322 keys / 288 oracles at the round-10 additions (count with
+# q_stream_mv_backfill (restatement backfill against the MV store:
+# ordinary deltas monoid-add while backfill-flagged batches REPLACE
+# every restated day's stored rows — broadcast anti-join at aggregate
+# cardinality + union behind the shared versioned watermark; the
+# oracle states the composed result, so the driver checks both merge
+# modes together).
+# 323 keys / 289 oracles at the round-10 additions (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

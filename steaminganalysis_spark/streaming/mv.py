@@ -131,6 +131,65 @@ def merge_mv_batch(
     store.apply_batch(batch_id, [], marker)
 
 
+def merge_mv_backfill_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_dir: str,
+    store_name: str,
+    scope: str,
+) -> None:
+    """foreachBatch body for streams that carry BOTH ordinary deltas
+    and RESTATEMENT BACKFILLS (rows flagged ``backfill = 1``): the
+    delta subset monoid-adds as usual; the backfill subset REPLACES —
+    every day present in it has its stored rows dropped and the
+    batch's corrected rollup inserted, the merge a platform runs when
+    an audit restates history (late corrections that must not
+    double-count against what is already stored). Restated days are
+    micro-batch-sized by contract (the backfill carries the full
+    corrected day), so the replacement is a broadcast anti-join at
+    aggregate cardinality + a union — history is still never re-read.
+    Same crash story as ``merge_mv_batch``: version write, then
+    watermark."""
+    spark = batch_df.sparkSession
+    store = KVStore.instance(store_name)
+    marker = f"{KEY_PREFIX}mv-last-applied:{scope}"
+    if batch_id <= store.last_applied(marker):
+        return  # replayed committed batch — version dir already final
+    prior = read_mv(spark, table_dir, store_name, scope)
+    normal = batch_df.filter(F.col("backfill") == 0).drop("backfill")
+    bf = batch_df.filter(F.col("backfill") == 1).drop("backfill")
+    merged = merge_mv(prior, daily_rollup_mv(normal))
+    corrected = daily_rollup_mv(bf).localCheckpoint(eager=True)
+    days = corrected.select("day").distinct()
+    merged = merged.join(F.broadcast(days), "day", "anti").unionByName(
+        corrected
+    )
+    merged.write.mode("overwrite").parquet(_version_dir(table_dir, batch_id))
+    store.apply_batch(batch_id, [], marker)
+
+
+def mv_backfill_sink(
+    event_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    store_name: str,
+):
+    """Attach the delta+backfill merge to an event stream whose rows
+    carry the ``backfill`` flag column."""
+    from steaminganalysis_spark.streaming.sinks import checkpoint_scope
+
+    scope = checkpoint_scope(checkpoint_dir)
+    return (
+        event_stream.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: merge_mv_backfill_batch(
+                df, bid, table_dir, store_name, scope
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    ), scope
+
+
 def mv_sink(
     event_stream: DataFrame,
     table_dir: str,

@@ -1177,6 +1177,104 @@ def stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 MV_MID = "2024-01-28"
 
 
+@query(
+    "q_stream_mv_backfill",
+    oracle="""
+    WITH md AS (
+      SELECT strftime(MIN(date_trunc('day', ts)), '%Y-%m-%d') AS d
+      FROM events
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events, md
+    WHERE NOT (strftime(date_trunc('day', ts), '%Y-%m-%d') = md.d
+               AND event_type = 'error')
+    GROUP BY 1, 2
+    """,
+)
+def stream_mv_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTATEMENT BACKFILL against the streaming MV store — the merge
+    mode q_stream_mv_maintenance (monoid addition) cannot express:
+    when an audit CORRECTS history, the corrected slice must REPLACE
+    the stored rows for the affected grain, not add to them. Batch 0
+    is the ordinary post-MV_CUTOFF delta (monoid-added); batch 1 is
+    the backfill — the earliest day restated with its 'error' events
+    struck (rows flagged ``backfill = 1``), so the merge drops every
+    stored row of that day and inserts the corrected rollup
+    (streaming/mv.py merge_mv_backfill_batch — broadcast anti-join at
+    aggregate cardinality + union; history never re-read, the same
+    versioned-watermark exactly-once as every MV merge). Final view =
+    the full rollup with (earliest day, 'error') removed — the oracle
+    states exactly that, so the driver checks both merge modes
+    composed. Restated days are micro-batch-sized by contract (the
+    backfill carries the full corrected day)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from steaminganalysis_spark.operators.storage import MV_CUTOFF
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.mv import (
+        daily_rollup_mv,
+        mv_backfill_sink,
+        read_mv,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("stream_mv_backfill")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    day = F.date_format("ts", "yyyy-MM-dd")
+    minday = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    cut = F.to_timestamp(F.lit(MV_CUTOFF))
+    table_dir = os.path.join(tmp, "table")
+    daily_rollup_mv(ev.filter(F.col("ts") < cut)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(table_dir, "base"))
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    delta = ev.filter(F.col("ts") >= cut).withColumn("backfill", F.lit(0))
+    restated = (
+        ev.filter((day == minday) & (F.col("event_type") != "error"))
+        .withColumn("backfill", F.lit(1))
+    )
+    now = time.time()
+    for i, part in enumerate((delta, restated)):
+        d = os.path.join(tmp, f"b{i}")
+        part.coalesce(1).write.parquet(d)
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, backfill int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store_name = f"stream_mv_bf_{run}"
+    writer, scope = mv_backfill_sink(
+        stream, table_dir, os.path.join(tmp, f"ckpt_{run}"), store_name
+    )
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = read_mv(spark, table_dir, store_name, scope).localCheckpoint(
+        eager=True
+    )
+    KVStore.reset(store_name)
+    return out
+
+
 def _run_mv_maintenance_stream(spark, sf_dir):
     """Shared harness for the MV maintenance keys: materialize the
     daily-rollup base over pre-MV_CUTOFF history, replay the delta as

@@ -91,6 +91,9 @@ deferred_to_round11: set[str] = {
     # round-10 additions (streaming/reservoir.py — streaming weighted
     # reservoir, stream≡batch vs q_sample_weighted)
     "q_stream_weighted_sample",
+    # round-10 additions (streaming/mv.py — restatement backfill merge
+    # against the MV store)
+    "q_stream_mv_backfill",
 }
 
 

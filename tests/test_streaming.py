@@ -1821,3 +1821,90 @@ def test_weighted_reservoir_replay_torn_write_and_monoid(spark, tmp_path):
     finally:
         KVStore.reset(store)
         KVStore.reset(store2)
+
+
+def test_mv_backfill_restates_replays_and_excludes_torn_writes(spark, tmp_path):
+    """merge_mv_backfill_batch (streaming/mv.py): (a) a backfill
+    REPLACES the stored rows of every restated day — a row type absent
+    from the correction disappears, present types take the corrected
+    values rather than adding; (b) ordinary delta rows in the same
+    stream still monoid-add; (c) a replayed committed batch id is a
+    no-op even with different rows; (d) a version dir above the
+    watermark is invisible."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.streaming.mv import (
+        _version_dir,
+        daily_rollup_mv,
+        merge_mv_backfill_batch,
+        read_mv,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .localCheckpoint(eager=True)
+    )
+    day = F.date_format("ts", "yyyy-MM-dd")
+    minday = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+
+    store = f"mvbf_{os.getpid()}"
+    out = str(tmp_path / "table")
+    try:
+        daily_rollup_mv(ev).write.mode("overwrite").parquet(
+            os.path.join(out, "base")
+        )
+        before = {
+            (r.day, r.event_type): (r.n_events, r.total_cents)
+            for r in read_mv(spark, out, store, "s").collect()
+        }
+        assert (minday, "error") in before, "no error row to restate away"
+
+        restated = ev.filter(
+            (day == minday) & (F.col("event_type") != "error")
+        ).withColumn("backfill", F.lit(1))
+        merge_mv_backfill_batch(restated, 0, out, store, "s")
+        after = {
+            (r.day, r.event_type): (r.n_events, r.total_cents)
+            for r in read_mv(spark, out, store, "s").collect()
+        }
+        # (a) replacement: error row gone, other minday rows unchanged
+        # (the correction carries identical values for surviving types
+        # — restating must NOT double them), other days untouched
+        assert (minday, "error") not in after
+        expected = {k: v for k, v in before.items() if k != (minday, "error")}
+        assert after == expected
+
+        # (b) a delta row still adds
+        one = ev.filter(day != minday).limit(1).withColumn("backfill", F.lit(0))
+        key_row = one.collect()[0]
+        k = (key_row.ts.strftime("%Y-%m-%d"), key_row.event_type)
+        merge_mv_backfill_batch(one, 1, out, store, "s")
+        after2 = {
+            (r.day, r.event_type): (r.n_events, r.total_cents)
+            for r in read_mv(spark, out, store, "s").collect()
+        }
+        assert after2[k][0] == after[k][0] + 1
+
+        # (c) replay of a committed id with different rows is a no-op
+        merge_mv_backfill_batch(
+            ev.limit(5).withColumn("backfill", F.lit(0)), 1, out, store, "s"
+        )
+        assert {
+            (r.day, r.event_type): (r.n_events, r.total_cents)
+            for r in read_mv(spark, out, store, "s").collect()
+        } == after2
+
+        # (d) torn version above the watermark is invisible
+        daily_rollup_mv(ev.limit(3)).write.mode("overwrite").parquet(
+            _version_dir(out, 9)
+        )
+        assert {
+            (r.day, r.event_type): (r.n_events, r.total_cents)
+            for r in read_mv(spark, out, store, "s").collect()
+        } == after2
+    finally:
+        KVStore.reset(store)
