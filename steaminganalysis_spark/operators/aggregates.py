@@ -234,7 +234,7 @@ HLLP_RMAX = 25  # rank cap: the 24 post-index bits are exhausted
 _HLLP_ALPHA_M2 = repr((0.7213 / (1.0 + 1.079 / HLLP_M)) * HLLP_M * HLLP_M)
 
 
-def _hllp_hash_sql(xor: str, div: str) -> str:
+def _hllp_hash_sql(xor: str, div: str, expr: str = "user_id + 1") -> str:
     """lowbias32 avalanche hash (degski's xor-shift-multiply: two
     rounds of ``x = ((x >> 16) ^ x) * 0x45d9f3b mod 2^32`` + a final
     xor-shift) as engine-portable SQL. A plain multiplicative hash is
@@ -246,8 +246,10 @@ def _hllp_hash_sql(xor: str, div: str) -> str:
     between engines is xor/integer-div syntax, injected via ``xor``
     (``"({a} ^ {b})"`` Spark, ``"xor({a}, {b})"`` DuckDB) and ``div``
     (``DIV`` / ``//``); the constants, masks and structure are shared
-    literally. ``+ 1`` so user_id 0 does not fix to 0."""
-    x = "((user_id + 1) % 4294967296)"
+    literally. ``expr`` is the integer input expression (default: the
+    HLL key ``user_id + 1`` — the +1 so id 0 does not fix to 0);
+    other sketches pass their own keyed/seeded inputs."""
+    x = f"(({expr}) % 4294967296)"
     for _ in range(2):
         shifted = xor.format(a=f"({x} {div} 65536)", b=x)
         x = f"(({shifted}) * 73244475) % 4294967296"
@@ -371,6 +373,126 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "exact_distinct", "hll_est_milli")
         .orderBy("event_type")
     )
+
+
+# -------------- portable-hash count-min sketch: oracle-exact (r10)
+
+CMSP_D = 4  # hash rows
+CMSP_W = 1024  # counters per row
+CMSP_TOPN = 20  # heavy hitters reported
+
+
+def _cmsp_col_sql(xor: str, div: str, row: int) -> str:
+    """Counter column for hash row ``row``: lowbias32 of a per-row
+    seeded key (seed folded into the integer input — distinct rows get
+    independent hashes), mod w. Pure BIGINT, shared structure with the
+    portable HLL."""
+    return (
+        f"({_hllp_hash_sql(xor, div, f'user_id + 1 + {row} * 1000003')}"
+        f" % {CMSP_W})"
+    )
+
+
+def _cmsp_oracle() -> str:
+    unions = "\n UNION ALL ".join(
+        f"SELECT {r} AS hrow, {_cmsp_col_sql('xor({a}, {b})', '//', r)} AS col,"
+        f" user_id FROM events"
+        for r in range(CMSP_D)
+    )
+    ests = ",\n".join(
+        f"""e{r} AS (
+          SELECT t.user_id, c.n FROM top t JOIN counters c
+          ON c.hrow = {r}
+         AND c.col = {_cmsp_col_sql('xor({a}, {b})', '//', r).replace('user_id', 't.user_id')}
+        )"""
+        for r in range(CMSP_D)
+    )
+    least = "LEAST(" + ", ".join(f"e{r}.n" for r in range(CMSP_D)) + ")"
+    joins = "\n".join(
+        f"JOIN e{r} ON e{r}.user_id = t.user_id" for r in range(CMSP_D)
+    )
+    return f"""
+    WITH cells AS MATERIALIZED ({unions}),
+    counters AS MATERIALIZED (
+      SELECT hrow, col, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cells GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM events GROUP BY 1
+    ),
+    top AS (
+      SELECT user_id, true_n FROM truth
+      ORDER BY true_n DESC, user_id LIMIT {CMSP_TOPN}
+    ),
+    {ests}
+    SELECT t.user_id, t.true_n, CAST({least} AS BIGINT) AS cms_est
+    FROM top t
+    {joins}
+    ORDER BY t.true_n DESC, t.user_id
+    """
+
+
+@query("q_agg_cms_portable", oracle=_cmsp_oracle())
+def agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters with a PORTABLE-HASH sketch — the
+    oracle-exact twin of the rows-only q_agg_cms_sketch (whose counter
+    bytes are engine-internal): per-user event frequencies estimated
+    from a {D}×{W} integer counter table whose every cell is
+    reproducible SQL (the lowbias32 mixer of the portable HLL with a
+    per-row seed folded into the key), so the driver hash-checks the
+    ESTIMATES. All-integer end to end — counts in, mins out — the
+    easiest sketch to make oracle-exact and the canonical one-sided
+    bound: est ≥ true always (pinned), est ≤ true + ε·N w.h.p. The
+    true count rides along for the top-{T} heaviest users, making each
+    row self-certifying about overestimation.
+
+    Scale shape: the build explodes each event into {D} (row, col)
+    cells and aggregates — one shuffle of 12-byte rows into a table
+    bounded by {D}·{W} cells REGARDLESS of input size, with map-side
+    partial counts doing the heavy lifting (the linearity that lets
+    1000 executors sketch independently and merge by cell-wise SUM).
+    The probe side joins the top users against the BROADCAST counter
+    table ({D}·{W} rows ≈ KBs) — probes never shuffle. At 100 TB the
+    truth side disappears and only the sketch remains; it is here as
+    the oracle's accuracy witness. Reference parity: no sketch
+    surface in the reference (SURVEY §2 B.4 extension)."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    cells = None
+    for r in range(CMSP_D):
+        c = ev.selectExpr(
+            f"{r} AS hrow",
+            f"{_cmsp_col_sql('({a} ^ {b})', 'DIV', r)} AS col",
+        )
+        cells = c if cells is None else cells.unionAll(c)
+    counters = cells.groupBy("hrow", "col").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    truth = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("true_n"))
+    top = truth.orderBy(F.col("true_n").desc(), "user_id").limit(CMSP_TOPN)
+    probed = top
+    for r in range(CMSP_D):
+        cr = counters.filter(F.col("hrow") == r).select(
+            F.col("col").alias(f"col{r}"), F.col("n").alias(f"n{r}")
+        )
+        probed = probed.join(
+            F.broadcast(cr),
+            F.expr(_cmsp_col_sql("({a} ^ {b})", "DIV", r)) == F.col(f"col{r}"),
+        )
+    est = F.least(*[F.col(f"n{r}") for r in range(CMSP_D)])
+    return (
+        probed.select(
+            "user_id", "true_n", est.cast("long").alias("cms_est")
+        )
+        .orderBy(F.col("true_n").desc(), "user_id")
+    )
+
+
+agg_cms_portable.__doc__ = (
+    agg_cms_portable.__doc__.replace("{D}", str(CMSP_D))
+    .replace("{W}", str(CMSP_W))
+    .replace("{T}", str(CMSP_TOPN))
+)
 
 
 @query(

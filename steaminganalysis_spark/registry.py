@@ -344,7 +344,12 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # cardinality + union behind the shared versioned watermark; the
 # oracle states the composed result, so the driver checks both merge
 # modes together).
-# 323 keys / 289 oracles at the round-10 additions (count with
+# q_agg_cms_portable (count-min heavy hitters whose counter table is
+# reproducible integer SQL — lowbias32 per-row hashing — so the
+# one-sided estimates themselves are driver-hash-checked; truth rides
+# along for the top-20 users; build bounded by d·w cells regardless
+# of input, counters broadcast to the probe).
+# 324 keys / 290 oracles at the round-10 additions (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

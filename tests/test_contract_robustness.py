@@ -94,6 +94,9 @@ deferred_to_round11: set[str] = {
     # round-10 additions (streaming/mv.py — restatement backfill merge
     # against the MV store)
     "q_stream_mv_backfill",
+    # round-10 additions (operators/aggregates.py — oracle-exact
+    # portable-hash count-min heavy hitters)
+    "q_agg_cms_portable",
 }
 
 

@@ -296,3 +296,76 @@ def test_hll_portable_shuffles_registers_not_values(spark):
     assert "j#" in plan
     # nothing keyed on the raw value alone
     assert "hashpartitioning(user_id#" not in plan
+
+
+def test_cms_portable_one_sided_replay_and_forced_collisions(spark, monkeypatch):
+    """q_agg_cms_portable: (a) Python replay of the same lowbias32
+    per-row hashing reproduces every reported estimate exactly;
+    (b) one-sidedness — est ≥ true on every reported row (the CMS
+    guarantee); (c) linearity — cell-wise summing the sketches of the
+    two corpus halves equals the one-pass sketch (what lets 1000
+    executors sketch independently); (d) non-vacuity — with the width
+    forced down to 16 the collisions actually happen: some estimate
+    strictly exceeds truth, and one-sidedness still holds."""
+    import duckdb
+
+    from steaminganalysis_spark.operators import aggregates as A
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["q_agg_cms_portable"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_est >= r.true_n, r
+
+    mask = (1 << 32) - 1
+
+    def mix(x):
+        x &= mask
+        for _ in range(2):
+            x = (((x >> 16) ^ x) * 0x45D9F3B) & mask
+        return (x >> 16) ^ x
+
+    uids = [
+        u
+        for (u,) in duckdb.sql(
+            f"SELECT user_id FROM '{sf}/events.parquet'"
+        ).fetchall()
+    ]
+
+    def sketch(ids, w):
+        counters = {}
+        for u in ids:
+            for r in range(A.CMSP_D):
+                c = (r, mix(u + 1 + r * 1000003) % w)
+                counters[c] = counters.get(c, 0) + 1
+        return counters
+
+    full = sketch(uids, A.CMSP_W)
+
+    def estimate(u, counters, w):
+        return min(
+            counters.get((r, mix(u + 1 + r * 1000003) % w), 0)
+            for r in range(A.CMSP_D)
+        )
+
+    from collections import Counter
+
+    truth = Counter(uids)
+    top = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[: A.CMSP_TOPN]
+    expected = [
+        (u, n, estimate(u, full, A.CMSP_W)) for u, n in top
+    ]
+    assert [(r.user_id, r.true_n, r.cms_est) for r in rows] == expected
+
+    # (c) linearity: half-sketches sum to the full sketch
+    h1 = sketch(uids[::2], A.CMSP_W)
+    h2 = sketch(uids[1::2], A.CMSP_W)
+    merged = Counter(h1)
+    merged.update(h2)
+    assert dict(merged) == full
+
+    # (d) forced collisions at w=16
+    monkeypatch.setattr(A, "CMSP_W", 16)
+    small = QUERIES["q_agg_cms_portable"](spark, sf).collect()
+    assert all(r.cms_est >= r.true_n for r in small)
+    assert any(r.cms_est > r.true_n for r in small), "no collision at w=16"
