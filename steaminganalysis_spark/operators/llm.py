@@ -162,6 +162,75 @@ N_MINHASH = 32
 N_BANDS = 8  # 8 bands × 4 rows: P(candidate | j=0.8) ≈ 1-(1-0.8^4)^8 ≈ 0.986/pair-band → ~1.0 overall
 
 
+CHUNK_LEN = 120  # chars per chunk
+CHUNK_STRIDE = 80  # chunk start spacing (overlap = 120 - 80 = 40)
+
+
+@query(
+    "q_text_chunk",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    ks AS (
+      SELECT doc_id, text, n,
+             unnest(generate_series(0, (n - 1) // {CHUNK_STRIDE})) AS k
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_id,
+           CAST(k * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_char,
+           substr(text, k * {CHUNK_STRIDE} + 1, {CHUNK_LEN}) AS chunk_text,
+           CAST(length(substr(text, k * {CHUNK_STRIDE} + 1, {CHUNK_LEN}))
+                AS BIGINT) AS chunk_len
+    FROM ks
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking — the corpus-to-retrieval-unit stage every
+    embedding pipeline runs before vectorizing: each document splits
+    into fixed-{C}-char windows every {S} chars ({O}-char overlap so
+    no sentence straddles a hard boundary unseen), each chunk carrying
+    a STABLE address (doc_id, chunk_id, 1-based start_char) so
+    retrieval hits can be mapped back to exact source spans. Chunk
+    count per doc = 1 + (len-1) DIV {S} — every character lands in at
+    least one chunk (coverage pinned), tail chunks run short rather
+    than padding. Deterministic integer arithmetic + substring only,
+    so the chunk texts themselves are driver-hash-checked.
+
+    Scale shape: pure map — sequence + explode + substring inside
+    whole-stage codegen, zero exchanges (the final ORDER BY is
+    presentation); parallelizes exactly as the scan, and column
+    pruning keeps only (doc_id, text) flowing. Chunk explosion is the
+    one fan-out (≈ len/{S} rows per doc) — the same fan-out the
+    embedding stage pays anyway. Reference parity: no corpus surface
+    in the reference (SURVEY §2 B.9 extension)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    ks = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), F.expr(f"(n - 1) DIV {CHUNK_STRIDE}"))
+        ).alias("k"),
+    )
+    chunk = F.expr(f"substring(text, k * {CHUNK_STRIDE} + 1, {CHUNK_LEN})")
+    return ks.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        (F.col("k") * CHUNK_STRIDE + 1).cast("long").alias("start_char"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+text_chunk.__doc__ = (
+    text_chunk.__doc__.replace("{C}", str(CHUNK_LEN))
+    .replace("{S}", str(CHUNK_STRIDE))
+    .replace("{O}", str(CHUNK_LEN - CHUNK_STRIDE))
+)
+
+
 @query("q_dedup_near")  # rows-only: MinHash is probabilistic; verified vs exact jaccard in tests
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dedup — the 100 TB scale path.

@@ -349,7 +349,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # one-sided estimates themselves are driver-hash-checked; truth rides
 # along for the top-20 users; build bounded by d·w cells regardless
 # of input, counters broadcast to the probe).
-# 324 keys / 290 oracles at the round-10 additions (count with
+# q_text_chunk (RAG chunking: fixed-120-char windows every 80 chars
+# with stable (doc_id, chunk_id, start_char) span addressing; pure
+# codegen map — sequence+explode+substring, zero exchanges; coverage
+# and overlap-stripped reconstruction pinned).
+# 325 keys / 291 oracles at the round-10 additions (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

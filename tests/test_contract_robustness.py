@@ -97,6 +97,9 @@ deferred_to_round11: set[str] = {
     # round-10 additions (operators/aggregates.py — oracle-exact
     # portable-hash count-min heavy hitters)
     "q_agg_cms_portable",
+    # round-10 additions (operators/llm.py — RAG chunking with stable
+    # span addressing)
+    "q_text_chunk",
 }
 
 

@@ -657,3 +657,50 @@ def test_pca_topk_matches_numpy_deflation(spark):
     top1 = QUERIES["q_emb_pca_power"](spark, sf).orderBy("dim").collect()
     v1 = np.array([r["component"] for r in top1])
     assert abs(float(V_spark[0] @ v1)) >= 1 - 1e-9
+
+
+def test_text_chunk_coverage_reconstruction_and_pure_map(spark):
+    """q_text_chunk: (a) coverage — every character of every document
+    appears in at least one chunk, and concatenating each doc's chunks
+    with the overlap stripped reconstructs the document byte-for-byte;
+    (b) addressing — chunk_text equals text[start_char-1 : start_char-1
+    + chunk_len] for every row (stable span mapping, the property RAG
+    hit-highlighting relies on); (c) plan — pure map: zero hash
+    exchanges (the one exchange allowed is the presentation sort's
+    range partitioning)."""
+    from steaminganalysis_spark.operators.llm import CHUNK_LEN, CHUNK_STRIDE
+    from steaminganalysis_spark.plans import physical_plan
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["q_text_chunk"](spark, sf)
+    rows = df.collect()
+    assert rows
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        text = docs[r.doc_id]
+        span = text[r.start_char - 1 : r.start_char - 1 + r.chunk_len]
+        assert r.chunk_text == span
+        assert r.chunk_len == len(r.chunk_text)
+        assert 1 <= r.chunk_len <= CHUNK_LEN
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        # starts are exactly the stride grid
+        assert [c.start_char for c in chunks] == [
+            i * CHUNK_STRIDE + 1 for i in range(len(chunks))
+        ]
+        # reconstruction: first chunk + each subsequent chunk minus the
+        # overlap region re-concatenates to the document
+        rebuilt = chunks[0].chunk_text + "".join(
+            c.chunk_text[CHUNK_LEN - CHUNK_STRIDE :] for c in chunks[1:]
+        )
+        assert rebuilt == docs[doc_id], doc_id
+    plan = physical_plan(df)
+    assert "Exchange hashpartitioning" not in plan
