@@ -2326,6 +2326,135 @@ def _anf_snapshot(state: DataFrame, hop: int) -> DataFrame:
     ).select(F.lit(hop).cast("long").alias("h"), "reg_mass", "nf_est_milli")
 
 
+def _harmonic_oracle() -> str:
+    """Per-nation harmonic out-centrality from the SAME register
+    lattice as q_graph_anf: per-node ball estimates p0..pH (identical
+    CTEs), then H(v) = Σ_{h≥1} (|ball(v,h)| − |ball(v,h−1)|)/h in
+    milli-units with shared truncating integer division."""
+    ctes = [
+        f"de AS MATERIALIZED ({_SQL_DIRECTED_EDGES})",
+        """nodes AS (SELECT DISTINCT src AS node FROM de
+                     UNION SELECT DISTINCT dst FROM de)""",
+        f"hh AS (SELECT node, {_ANF_HASH_SQL} AS h FROM nodes)",
+        f"""s0 AS MATERIALIZED (
+          SELECT node, h % {ANF_M} AS j, {_anf_rank_sql('//')} AS r
+          FROM hh
+        )""",
+    ]
+    for k in range(ANF_HOPS + 1):
+        if k > 0:
+            ctes.append(
+                f"""s{k} AS MATERIALIZED (
+                  SELECT node, j, MAX(r) AS r FROM (
+                    SELECT node, j, r FROM s{k - 1}
+                    UNION ALL
+                    SELECT e.src AS node, s.j, s.r
+                    FROM de e JOIN s{k - 1} s ON s.node = e.dst
+                  ) GROUP BY 1, 2
+                )"""
+            )
+        ctes.append(
+            f"""p{k} AS (
+              SELECT s.node, {_anf_estimate_sql('s')} AS m{k}
+              FROM s{k} s GROUP BY s.node
+            )"""
+        )
+    joins = "\n".join(
+        f"JOIN p{k} ON p{k}.node = p0.node" for k in range(1, ANF_HOPS + 1)
+    )
+    terms = " + ".join(
+        f"((p{k}.m{k} - p{k - 1}.m{k - 1}) // {k})"
+        for k in range(1, ANF_HOPS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT nat.n_name AS nation,
+               CAST({terms} AS BIGINT) AS harmonic_milli
+        FROM p0
+        {joins}
+        JOIN nation nat ON nat.n_nationkey = p0.node
+        ORDER BY nation
+        """
+    )
+
+
+@query("q_graph_harmonic", oracle=_harmonic_oracle())
+def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic (out-)centrality estimated from the HyperBall register
+    lattice — THE metric HyperBall was built to compute at web scale
+    (Boldi & Vigna: harmonic centrality needs every pairwise distance,
+    O(V²) exactly, but only BALL SIZES approximately): H(v) =
+    Σ_{{h≥1}} (|ball(v,h)| − |ball(v,h−1)|)/h, the number of nodes
+    first reached at distance h weighted 1/h. Reuses q_graph_anf's
+    exact machinery — same {m}-register portable-hash HLL per node,
+    same hop = edges ⋈ state + register-MAX merge — but keeps the
+    PER-NODE ball estimates per hop and folds them into one centrality
+    number per nation. All arithmetic after the milli-floored
+    estimates is shared truncating integer ops, so the estimated
+    centralities themselves are oracle-exact (out-ball variant: the
+    state propagates along reversed edges exactly as q_graph_anf —
+    documented, the in-ball variant is the same loop on flipped
+    edges). Monotonicity of the register lattice guarantees every
+    per-hop difference is ≥ 0 (pinned).
+
+    Scale shape: identical to q_graph_anf — O(V·m) sketch rows
+    shuffled on the node key per hop, map-side partial MAX, per-hop
+    per-node estimates at O(V) cardinality joined H ways at the end
+    (H+1 small frames, node-keyed). Reference parity: no graph
+    surface in the reference (SURVEY §2 B.11 extension)."""
+    from steaminganalysis_spark.staging import stage
+
+    de = stage(_directed_edges(spark, sf_dir), "anf_edges")
+    nodes = (
+        de.select(F.col("src").alias("node"))
+        .union(de.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = (
+        nodes.selectExpr("node", f"{_ANF_HASH_SQL} AS h")
+        .selectExpr("node", f"h % {ANF_M} AS j", f"{_anf_rank_sql('DIV')} AS r")
+        .localCheckpoint(eager=True)
+    )
+
+    def per_node(s: DataFrame, k: int) -> DataFrame:
+        return (
+            s.alias("s")
+            .groupBy("node")
+            .agg(F.expr(_anf_estimate_sql("s")).alias(f"m{k}"))
+        )
+
+    hops = [per_node(state, 0)]
+    for hop in range(1, ANF_HOPS + 1):
+        contrib = de.join(state, de.dst == state.node).select(
+            F.col("src").alias("node"), "j", "r"
+        )
+        state = (
+            state.unionByName(contrib)
+            .groupBy("node", "j")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        hops.append(per_node(state, hop))
+    joined = hops[0]
+    for k in range(1, ANF_HOPS + 1):
+        joined = joined.join(hops[k], "node")
+    terms = None
+    for k in range(1, ANF_HOPS + 1):
+        t = F.expr(f"(m{k} - m{k - 1}) DIV {k}")
+        terms = t if terms is None else terms + t
+    nat = load(spark, sf_dir, "nation")
+    return (
+        joined.join(F.broadcast(nat), joined.node == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            terms.cast("long").alias("harmonic_milli"),
+        )
+        .orderBy("nation")
+    )
+
+
 @query("q_graph_anf", oracle=_anf_oracle())
 def graph_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate neighborhood function (ANF) of the directed trade

@@ -353,7 +353,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # with stable (doc_id, chunk_id, start_char) span addressing; pure
 # codegen map — sequence+explode+substring, zero exchanges; coverage
 # and overlap-stripped reconstruction pinned).
-# 325 keys / 291 oracles at the round-10 additions (count with
+# q_graph_harmonic (harmonic out-centrality from the q_graph_anf
+# register lattice — the metric HyperBall exists for: per-node ball
+# estimates per hop folded as Σ (Δball)/h in shared integer
+# milli-units, oracle-exact; zero-set equals exact-BFS sinks, pinned).
+# 326 keys / 292 oracles at the round-10 additions (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

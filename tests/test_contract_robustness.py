@@ -100,6 +100,9 @@ deferred_to_round11: set[str] = {
     # round-10 additions (operators/llm.py — RAG chunking with stable
     # span addressing)
     "q_text_chunk",
+    # round-10 additions (operators/graph.py — HyperBall harmonic
+    # centrality from the ANF register lattice)
+    "q_graph_harmonic",
 }
 
 
