@@ -122,6 +122,148 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNKED_TOPK = 20
+
+
+def _chunked_bm25_oracle() -> str:
+    from steaminganalysis_spark.operators.llm import CHUNK_LEN, CHUNK_STRIDE
+
+    contrib = _CONTRIB.replace("DIV", "//")
+    return f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    ks AS (
+      SELECT doc_id, text, n,
+             unnest(generate_series(0, (n - 1) // {CHUNK_STRIDE})) AS k
+      FROM d
+    ),
+    chunks AS MATERIALIZED (
+      SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+             CAST(k * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_char,
+             substr(text, k * {CHUNK_STRIDE} + 1, {CHUNK_LEN}) AS chunk_text
+      FROM ks
+    ),
+    dl AS (
+      SELECT doc_id, chunk_id,
+             CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS dl
+      FROM chunks
+    ),
+    consts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len
+      FROM dl
+    ),
+    toks AS (
+      SELECT doc_id, chunk_id, unnest(string_split(chunk_text, ' ')) AS w
+      FROM chunks
+    ),
+    tf AS (
+      SELECT doc_id, chunk_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE w IN ({_TERMS_SQL}) GROUP BY 1, 2, 3
+    ),
+    dfreq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM (
+        SELECT DISTINCT doc_id, chunk_id, w
+        FROM toks WHERE w IN ({_TERMS_SQL})
+      ) GROUP BY w
+    ),
+    scored AS (
+      SELECT t.doc_id, t.chunk_id,
+             CAST(SUM({contrib}) AS BIGINT) AS score_ppm
+      FROM tf t
+      JOIN dfreq d USING (w)
+      JOIN dl ON dl.doc_id = t.doc_id AND dl.chunk_id = t.chunk_id,
+      consts
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_id, s.chunk_id, c.start_char, s.score_ppm
+    FROM scored s
+    JOIN chunks c ON c.doc_id = s.doc_id AND c.chunk_id = s.chunk_id
+    ORDER BY s.score_ppm DESC, s.doc_id, s.chunk_id
+    LIMIT {CHUNKED_TOPK}
+    """
+
+
+@query("q_retrieval_chunked", oracle=_chunked_bm25_oracle())
+def retrieval_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-granular BM25 retrieval — what a RAG stack actually
+    retrieves: the unit is the q_text_chunk window (120 chars every
+    80), not the whole document, so a hit pinpoints the exact source
+    span (doc_id, chunk_id, 1-based start_char) that will be stuffed
+    into the prompt. Same exact-integer BM25 as q_text_bm25 with the
+    chunk table as the corpus: N = chunk count, document frequency =
+    chunks containing the term, lengths = chunk token counts — scoring
+    shorter units is the standard precision lever (long documents no
+    longer drown the term-dense span). Top-{K} by score, ties on
+    (doc_id, chunk_id): a pure function of the corpus.
+
+    Scale shape: the chunk explosion is the same pure-map fan-out as
+    q_text_chunk (zero exchanges); tokens are filtered to the probe
+    terms BEFORE any exchange so only matching postings shuffle
+    (O(hits), not O(chunk corpus)); df and the (N, L) constants
+    broadcast back; top-K is TakeOrderedAndProject per-task heaps.
+    Composition evidence: the chunker and the ranker are certified
+    separately (q_text_chunk, q_text_bm25) and this key certifies
+    their composition end to end. Reference parity: no retrieval
+    surface in the reference (SURVEY §2 B.9 extension)."""
+    from steaminganalysis_spark.operators.llm import CHUNK_LEN, CHUNK_STRIDE
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.expr(f"(n - 1) DIV {CHUNK_STRIDE}"))
+        ).alias("k"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        (F.col("k") * CHUNK_STRIDE + 1).cast("long").alias("start_char"),
+        F.expr(f"substring(text, k * {CHUNK_STRIDE} + 1, {CHUNK_LEN})").alias(
+            "chunk_text"
+        ),
+    )
+    dl = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.split("chunk_text", " ")).cast("long").alias("dl"),
+    )
+    consts = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    toks = chunks.select(
+        "doc_id", "chunk_id", F.explode(F.split("chunk_text", " ")).alias("w")
+    ).filter(F.col("w").isin(*BM25_TERMS))
+    tf = toks.groupBy("doc_id", "chunk_id", "w").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = (
+        toks.select("doc_id", "chunk_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, ["doc_id", "chunk_id"])
+        .crossJoin(F.broadcast(consts))
+        .withColumn("contrib", F.expr(_CONTRIB))
+        .groupBy("doc_id", "chunk_id")
+        .agg(F.sum("contrib").cast("long").alias("score_ppm"))
+    )
+    return (
+        scored.join(
+            chunks.select("doc_id", "chunk_id", "start_char"),
+            ["doc_id", "chunk_id"],
+        )
+        .select("doc_id", "chunk_id", "start_char", "score_ppm")
+        .orderBy(F.col("score_ppm").desc(), "doc_id", "chunk_id")
+        .limit(CHUNKED_TOPK)
+    )
+
+
 def _bm25_scored(spark: SparkSession, sf_dir: str):
     """(scored, dl) for the fixed probe: per-matching-document exact
     BM25 ppm score and the document-length table — the shared chain

