@@ -468,7 +468,10 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # round-1 stamps (q_fn_bitwise, q_text_token_regex,
 # q_text_langid_ngram; the other 8 round-1 stamps are rows-only-by-
 # design sketch keys whose driver row adds only rows>0) followed by
-# the first 23 ORACLED round-3-stamp keys in registration order
+# 22 of the first 23 ORACLED round-3-stamp keys in registration
+# order + q_graph_triangles (its wedge enumeration changed to the
+# degree-ordered orientation THIS round — implementation-changed keys
+# outrank unchanged re-checks; q_sessionize rolls to round 11)
 # (skipping rows-only q_udtf_applyinpandas / q_scan_binary /
 # q_compact_small_files for the same reason). Round-10 additions go
 # into deferred_to_round11 (tests/test_contract_robustness.py).
@@ -510,7 +513,13 @@ ROUND10_WINDOW = [
     "q_udf_mapinarrow",
     "q_scan_csv", "q_scan_orc", "q_scan_partitioned",
     "q_join_bucketed", "q_pivot", "q_unpivot",
-    "q_sample_hash", "q_dedup_latest_per_key", "q_sessionize",
+    "q_sample_hash", "q_dedup_latest_per_key",
+    # --- implementation-changed-this-round re-check (the round-3
+    # lesson: a key whose execution changed after its green row needs
+    # a fresh driver row — triangle enumeration switched to the
+    # degree-ordered orientation in round 10; q_sessionize rolls to
+    # round 11 to make room) ---
+    "q_graph_triangles",
 ]
 
 # Retired round-9 window, for the record (50/50 green in

@@ -114,8 +114,9 @@ def test_round10_correctness_window_composition():
     round-10 window is the explicit ROUND10_WINDOW key list — the two
     canaries, the 10 round-9 additions (former deferred_to_round10 pin,
     never driver-checked), the 12 rolled round-2-stamp keys, the 3
-    oracled round-1-stamp stragglers, and 23 oldest oracled
-    round-3-stamp re-checks. Pin it so a stray registration (or an
+    oracled round-1-stamp stragglers, 22 oldest oracled round-3-stamp
+    re-checks, and q_graph_triangles (implementation changed this
+    round — degree-ordered orientation). Pin it so a stray registration (or an
     import reorder) cannot silently displace queries out of the checked
     window before the driver runs. Update deliberately on each round's
     rotation."""
