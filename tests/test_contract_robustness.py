@@ -106,6 +106,9 @@ deferred_to_round11: set[str] = {
     # round-10 additions (operators/retrieval.py — chunk-granular BM25
     # composing q_text_chunk with the exact-integer ranker)
     "q_retrieval_chunked",
+    # round-10 additions (operators/retrieval.py — ranker evaluation:
+    # precision/recall/MRR/nDCG in exact integer ppm)
+    "q_retrieval_eval",
 }
 
 

@@ -239,3 +239,62 @@ def test_retrieval_chunked_spans_contain_terms_and_postings_prefiltered(spark):
     # the probe-term filter sits below the first exchange: the plan's
     # filter on `w` mentions the literal terms
     assert any(t in plan for t in BM25_TERMS)
+
+
+def test_retrieval_eval_python_replay_and_bounds(spark):
+    """q_retrieval_eval: an independent Python computation of
+    precision/recall/MRR/nDCG from (the collected ranking, the
+    relevance rule) reproduces every ppm value exactly; all metrics in
+    [0, 1e6]; non-vacuity — precision strictly between 0 and 1e6 (the
+    relevance rule genuinely discriminates the ranker's top-10 rather
+    than saturating), and nDCG < 1e6 exactly when some top rank
+    missed."""
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.operators.retrieval import (
+        _EVAL_DISC,
+        EVAL_K,
+        _bm25_scored,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.metric: r.value_ppm
+        for r in QUERIES["q_retrieval_eval"](spark, sf).collect()
+    }
+    scored, _ = _bm25_scored(spark, sf)
+    ranking = [
+        r.doc_id
+        for r in scored.orderBy(F.col("score_ppm").desc(), "doc_id")
+        .limit(EVAL_K)
+        .collect()
+    ]
+    rel = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.expr("substring(text, 1, 80) LIKE '%spark%'"))
+        .select("doc_id")
+        .collect()
+    }
+    hits = [1 if d in rel else 0 for d in ranking]
+    nhit = sum(hits)
+    precision = nhit * 1_000_000 // EVAL_K
+    recall = nhit * 1_000_000 // len(rel)
+    first = next((i + 1 for i, h in enumerate(hits) if h), None)
+    mrr = 1_000_000 // first if first else 0
+    dcg = sum(h * _EVAL_DISC[i + 1] for i, h in enumerate(hits))
+    idcg = sum(
+        _EVAL_DISC[i] for i in range(1, min(EVAL_K, len(rel)) + 1)
+    )
+    ndcg = dcg * 1_000_000 // idcg
+    assert got == {
+        f"precision_at_{EVAL_K}": precision,
+        f"recall_at_{EVAL_K}": recall,
+        "mrr": mrr,
+        f"ndcg_at_{EVAL_K}": ndcg,
+    }
+    for v in got.values():
+        assert 0 <= v <= 1_000_000
+    p = got[f"precision_at_{EVAL_K}"]
+    assert 0 < p < 1_000_000, "relevance rule saturated or empty"
+    assert (got[f"ndcg_at_{EVAL_K}"] < 1_000_000) == (nhit < EVAL_K)
