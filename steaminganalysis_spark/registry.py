@@ -366,7 +366,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # lead-span relevance rule, every metric exact integer ppm with a
 # literal nDCG discount table — the evaluation numbers themselves
 # driver-hash-checked; measured P@10 0.4-0.5, never saturated).
-# 328 keys / 294 oracles at the round-10 additions (count with
+# q_multimodal_resize (the brief's resize step registered end-to-end:
+# binary→binary nearest-neighbor resize via mapInPandas with header
+# rewrite certified by re-parsing the produced payloads; rows-only —
+# payload synthesis is not SQL-expressible).
+# 329 keys / 294 oracles at the round-10 additions (count with
 # collect_queries(), never this comment).
 #
 # Remaining never-driver-checked after round 3 (for rounds 4-5):

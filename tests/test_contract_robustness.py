@@ -109,6 +109,9 @@ deferred_to_round11: set[str] = {
     # round-10 additions (operators/retrieval.py — ranker evaluation:
     # precision/recall/MRR/nDCG in exact integer ppm)
     "q_retrieval_eval",
+    # round-10 additions (operators/multimodal.py — binary→binary
+    # image resize registered end-to-end, rows-only)
+    "q_multimodal_resize",
 }
 
 

@@ -223,3 +223,38 @@ def test_phash_candidates_from_band_join_not_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_resize_key_invariants(spark):
+    """The registered q_multimodal_resize key: every image resized to
+    8×8 with n_bytes == header + 64·n_frames (re-derived independently
+    from the source media's frame counts), checksums deterministic
+    across invocations, exactly one row per image, and the row count
+    matches the media table's image population."""
+    from steaminganalysis_spark.operators.multimodal import (
+        HDR_SIZE,
+        _unpack_header,
+        media_table,
+    )
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    rows = QUERIES["q_multimodal_resize"](spark, SF).collect()
+    assert rows
+    media = media_table(spark, SF)
+    imgs = media.filter("modality = 'image'").collect()
+    nf_by_id = {}
+    for r in imgs:
+        _, _, _w, _h, nf = _unpack_header(r.payload)
+        nf_by_id[r.media_id] = nf
+    assert {r.media_id for r in rows} == set(nf_by_id)
+    assert len(rows) == len(nf_by_id)
+    for r in rows:
+        assert (r.out_w, r.out_h) == (8, 8)
+        assert r.n_bytes == HDR_SIZE + 8 * 8 * nf_by_id[r.media_id]
+        assert 0 <= r.checksum < 2147483647
+    again = {
+        r.media_id: r.checksum
+        for r in QUERIES["q_multimodal_resize"](spark, SF).collect()
+    }
+    assert again == {r.media_id: r.checksum for r in rows}

@@ -49,6 +49,7 @@ ROWS_ONLY_DOCUMENTED = {
         "q_multimodal_decode",  # binary payload synthesis not SQL-expressible
         "q_multimodal_image_features",  # binary synthesis not SQL-expressible
         "q_multimodal_frame_sample",  # binary synthesis not SQL-expressible
+        "q_multimodal_resize",  # binary synthesis not SQL-expressible; header/dims/checksum pinned
         "q_multimodal_audio_features",  # binary synthesis not SQL-expressible
         "q_scan_binary",  # binaryFile source over a generated dir; bytes hash-verified in tests
         "q_compact_small_files",  # file-layout maintenance op; invariants in the result row
