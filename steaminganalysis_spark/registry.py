@@ -488,6 +488,27 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_retention_cohorts, q_funnel, q_histogram, q_dq_checks,
 # q_train_test_split, q_sample_stratified, q_data_mix,
 # q_text_pii_scrub, the streaming r3 family, then round-4 stamps.
+# ROUND-11 WINDOW (planned): canaries q_daily_rollup + q_tpch_q12,
+# then the 12 round-10 additions from deferred_to_round11
+# (q_agg_hll_portable, q_graph_scc_condensation, q_graph_ppr,
+# q_merge_deletion_vector, q_stream_weighted_sample,
+# q_stream_mv_backfill, q_agg_cms_portable, q_text_chunk,
+# q_graph_harmonic, q_retrieval_chunked, q_retrieval_eval,
+# q_multimodal_resize rows-only), then the 15 oracled round-3-stamp
+# re-checks left after round 10 (q_sessionize — displaced from the
+# round-10 window by the q_graph_triangles swap — then
+# q_retention_cohorts, q_funnel, q_histogram, q_dq_checks,
+# q_train_test_split, q_sample_stratified, q_data_mix,
+# q_text_pii_scrub, q_stream_tumbling_daily, q_window_sliding,
+# q_session_window, q_stream_dedup, q_stream_stream_join,
+# q_stream_flagship_replay), then 21 oldest oracled round-4-stamp
+# re-checks in registration order to fill 50 (prefer oracled over
+# rows-only, the round-10 refinement). NOTE for the closure test:
+# CORRECTNESS_r10.json breaks the r0[1-9] single-digit glob — extend
+# to two patterns or r*[0-9]. Any round-11 additions go into
+# deferred_to_round12 ahead of the re-checks; any key whose
+# implementation changes after its last green row outranks unchanged
+# re-checks (the q_graph_triangles rule).
 ROUND10_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
