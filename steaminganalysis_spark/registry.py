@@ -488,7 +488,7 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_retention_cohorts, q_funnel, q_histogram, q_dq_checks,
 # q_train_test_split, q_sample_stratified, q_data_mix,
 # q_text_pii_scrub, the streaming r3 family, then round-4 stamps.
-# ROUND-11 WINDOW (planned): canaries q_daily_rollup + q_tpch_q12,
+# ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11
 # (q_agg_hll_portable, q_graph_scc_condensation, q_graph_ppr,
 # q_merge_deletion_vector, q_stream_weighted_sample,
@@ -509,6 +509,47 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # deferred_to_round12 ahead of the re-checks; any key whose
 # implementation changes after its last green row outranks unchanged
 # re-checks (the q_graph_triangles rule).
+ROUND11_WINDOW = [
+    # Canaries (2): flagship + the HUGEINT-class sentinel.
+    "q_daily_rollup",
+    "q_tpch_q12",
+    # --- the 12 round-10 additions (former deferred_to_round11 pin),
+    # registration order. q_multimodal_resize is rows-only by design
+    # (re-encoded synthetic-codec payload bytes; header/checksum
+    # invariants pinned in tests/test_multimodal.py) ---
+    "q_merge_deletion_vector",
+    "q_stream_mv_backfill",
+    "q_stream_weighted_sample",
+    "q_multimodal_resize",  # rows-only by design
+    "q_agg_hll_portable",
+    "q_agg_cms_portable",
+    "q_text_chunk",
+    "q_graph_ppr",
+    "q_graph_scc_condensation",
+    "q_graph_harmonic",
+    "q_retrieval_chunked",
+    "q_retrieval_eval",
+    # --- the 15 oracled round-3-stamp re-checks left after round 10,
+    # registration order (q_sessionize first — displaced from the
+    # round-10 window by the q_graph_triangles swap) ---
+    "q_sessionize", "q_retention_cohorts", "q_funnel", "q_histogram",
+    "q_dq_checks", "q_train_test_split", "q_sample_stratified",
+    "q_data_mix", "q_text_pii_scrub", "q_stream_tumbling_daily",
+    "q_window_sliding", "q_session_window", "q_stream_dedup",
+    "q_stream_stream_join", "q_stream_flagship_replay",
+    # --- 21 oldest oracled round-4-stamp re-checks, registration
+    # order (of the 39 whose latest driver row is CORRECTNESS_r04) ---
+    "q_set_except", "q_set_intersect_all", "q_set_except_all",
+    "q_sort_nulls", "q_sql_group_by_all", "q_pandas_api",
+    "q_udf_applyinarrow", "q_scan_xml", "q_corpus_pipeline",
+    "q_decontaminate", "q_quality_repetition", "q_window_rolling_time",
+    "q_window_ntile", "q_anomaly_zscore", "q_fn_posexplode",
+    "q_dedup_spans_global", "q_tokenize_vocab", "q_agg_grouping_sets",
+    "q_join_lateral", "q_merge_upsert", "q_fn_map2",
+]
+
+# Retired round-10 window, for the record (50/50 green in
+# CORRECTNESS_r10.json — 49 hash + 1 rows-only q_stream_ann_index):
 ROUND10_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
@@ -734,7 +775,7 @@ ROUND4_WINDOW = [
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every operator module (side effect: registration), then
-    reorder so ROUND10_WINDOW occupies the first 50 registration slots
+    reorder so ROUND11_WINDOW occupies the first 50 registration slots
     — the slice the driver's correctness gate checks this round."""
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import tpch  # noqa: F401  isort: skip
@@ -761,11 +802,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import curation  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import retrieval  # noqa: F401  isort: skip
 
-    missing = [k for k in ROUND10_WINDOW if k not in QUERIES]
+    missing = [k for k in ROUND11_WINDOW if k not in QUERIES]
     if missing:
-        raise RuntimeError(f"ROUND10_WINDOW names unregistered queries: {missing}")
-    window = set(ROUND10_WINDOW)
-    ordered = ROUND10_WINDOW + [k for k in QUERIES if k not in window]
+        raise RuntimeError(f"ROUND11_WINDOW names unregistered queries: {missing}")
+    window = set(ROUND11_WINDOW)
+    ordered = ROUND11_WINDOW + [k for k in QUERIES if k not in window]
     reordered = {k: QUERIES[k] for k in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

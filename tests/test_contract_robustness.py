@@ -69,72 +69,34 @@ def test_demo_app_accumulates_day_totals(spark):
             assert h["fee_cents"] == 0
 
 
-# Keys registered AFTER the round-10 window froze — exempt from the
-# rotation-closure check below, pinned here so they head the round-11
-# window (the same bookkeeping rounds 2-10 used). Every new @query
-# registration this round MUST be added here. The round-10 window
-# absorbed the ENTIRE former deferred_to_round10 set (the ten round-9
-# additions), so this set restarts from the round-10 additions only.
-deferred_to_round11: set[str] = {
-    # round-10 additions (operators/aggregates.py — oracle-exact
-    # portable-hash HLL distinct with the exact count as witness)
-    "q_agg_hll_portable",
-    # round-10 additions (operators/graph.py — SCC condensation DAG
-    # with longest-path topological levels)
-    "q_graph_scc_condensation",
-    # round-10 additions (operators/graph.py — personalized PageRank
-    # from a region seed set)
-    "q_graph_ppr",
-    # round-10 additions (operators/extras.py — merge-on-read deletes
-    # via per-file positional bitmap deletion vectors)
-    "q_merge_deletion_vector",
-    # round-10 additions (streaming/reservoir.py — streaming weighted
-    # reservoir, stream≡batch vs q_sample_weighted)
-    "q_stream_weighted_sample",
-    # round-10 additions (streaming/mv.py — restatement backfill merge
-    # against the MV store)
-    "q_stream_mv_backfill",
-    # round-10 additions (operators/aggregates.py — oracle-exact
-    # portable-hash count-min heavy hitters)
-    "q_agg_cms_portable",
-    # round-10 additions (operators/llm.py — RAG chunking with stable
-    # span addressing)
-    "q_text_chunk",
-    # round-10 additions (operators/graph.py — HyperBall harmonic
-    # centrality from the ANF register lattice)
-    "q_graph_harmonic",
-    # round-10 additions (operators/retrieval.py — chunk-granular BM25
-    # composing q_text_chunk with the exact-integer ranker)
-    "q_retrieval_chunked",
-    # round-10 additions (operators/retrieval.py — ranker evaluation:
-    # precision/recall/MRR/nDCG in exact integer ppm)
-    "q_retrieval_eval",
-    # round-10 additions (operators/multimodal.py — binary→binary
-    # image resize registered end-to-end, rows-only)
-    "q_multimodal_resize",
-}
+# Keys registered AFTER the round-11 window froze — exempt from the
+# rotation-closure check below, pinned here so they head the round-12
+# window (the same bookkeeping rounds 2-11 used). Every new @query
+# registration this round MUST be added here. The round-11 window
+# absorbed the ENTIRE former deferred_to_round11 set (the twelve
+# round-10 additions), so this set restarts from round-11 additions.
+deferred_to_round12: set[str] = set()
 
 
-def test_round10_correctness_window_composition():
+def test_round11_correctness_window_composition():
     """The driver verifies the FIRST ~50 registered queries; the
-    round-10 window is the explicit ROUND10_WINDOW key list — the two
-    canaries, the 10 round-9 additions (former deferred_to_round10 pin,
-    never driver-checked), the 12 rolled round-2-stamp keys, the 3
-    oracled round-1-stamp stragglers, 22 oldest oracled round-3-stamp
-    re-checks, and q_graph_triangles (implementation changed this
-    round — degree-ordered orientation). Pin it so a stray registration (or an
-    import reorder) cannot silently displace queries out of the checked
-    window before the driver runs. Update deliberately on each round's
-    rotation."""
+    round-11 window is the explicit ROUND11_WINDOW key list — the two
+    canaries, the 12 round-10 additions (former deferred_to_round11
+    pin, never driver-checked), the 15 oracled round-3-stamp re-checks
+    left after round 10 (q_sessionize first), and the 21 oldest oracled
+    round-4-stamp re-checks in registration order. Pin it so a stray
+    registration (or an import reorder) cannot silently displace
+    queries out of the checked window before the driver runs. Update
+    deliberately on each round's rotation."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND10_WINDOW, collect_queries
+    from steaminganalysis_spark.registry import ROUND11_WINDOW, collect_queries
 
     QUERIES, ORACLE = collect_queries()
     first50 = list(QUERIES)[:50]
-    assert len(ROUND10_WINDOW) == 50
-    assert first50 == ROUND10_WINDOW
+    assert len(ROUND11_WINDOW) == 50
+    assert first50 == ROUND11_WINDOW
     # the canaries must sit inside the window
     for k in (
         "q_daily_rollup",
@@ -142,26 +104,27 @@ def test_round10_correctness_window_composition():
     ):
         assert k in first50, k
     # Rotation closure: after this round, every key that existed when
-    # the round-10 window froze has a driver CORRECTNESS row — the
-    # window must cover everything the union of CORRECTNESS_r01..r09
-    # did not, except the pinned new keys in deferred_to_round11.
+    # the round-11 window froze has a driver CORRECTNESS row — the
+    # window must cover everything the union of CORRECTNESS_r01..r10
+    # did not, except the pinned new keys in deferred_to_round12.
+    # (Glob is two-digit-safe: r0[1-9] broke at CORRECTNESS_r10.json.)
     checked = set()
     for p in sorted(
-        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[1-9].json")
+        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")
     ):
         checked |= set(json.loads(p.read_text()))
-    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round11]
+    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round12]
     assert set(never) <= set(first50), sorted(set(never) - set(first50))
-    assert deferred_to_round11 <= set(QUERIES)
-    assert deferred_to_round11.isdisjoint(first50)
+    assert deferred_to_round12 <= set(QUERIES)
+    assert deferred_to_round12.isdisjoint(first50)
     # every key in the window is registered with an oracle unless it is
     # one of the documented rows-only keys (physical file layout,
     # sketch-byte payloads, float-order artifacts — see
-    # test_oracle_parity's list). q_stream_ann_index is rows-only by
-    # design (LSM run-file layout + engine-hash bucket assignment; its
-    # recall/compaction invariants are pinned in tests).
+    # test_oracle_parity's list). q_multimodal_resize is rows-only by
+    # design (re-encoded synthetic-codec payload bytes; its header and
+    # checksum invariants are pinned in tests/test_multimodal.py).
     rows_only_in_window = {k for k in first50 if k not in ORACLE}
-    assert rows_only_in_window == {"q_stream_ann_index"}, rows_only_in_window
+    assert rows_only_in_window == {"q_multimodal_resize"}, rows_only_in_window
 
 
 def test_bench_previous_extended_reads_driver_wrapped_files():

@@ -30,34 +30,35 @@ def test_oracle_type_classes_match(spark, duck, name):
     assert not problems, "\n".join(problems)
 
 
-def test_round10_window_oracles_all_audited():
+def test_round11_window_oracles_all_audited():
     """Rotation pre-audit closure (VERDICT r4 order #2's standing
-    pattern): every oracle key in the round-10 driver window is inside
+    pattern): every oracle key in the round-11 driver window is inside
     the parametrized type-class audit above (which covers ALL
-    registered oracles), so none of the 9 first-time-checked oracle
+    registered oracles), so none of the 11 first-time-checked oracle
     keys can hit the driver with an unaudited HUGEINT/DECIMAL
     oracle."""
-    from steaminganalysis_spark.registry import ROUND10_WINDOW
+    from steaminganalysis_spark.registry import ROUND11_WINDOW
 
-    window_oracles = [k for k in ROUND10_WINDOW if k in ORACLE]
+    window_oracles = [k for k in ROUND11_WINDOW if k in ORACLE]
     assert len(window_oracles) == 49  # 50 minus the 1 rows-only key
     assert set(window_oracles) <= set(ORACLE)
 
 
-def test_round11_deferred_oracles_all_audited():
-    """Round-11 rotation pre-audit closure: every key registered after
-    the round-10 window froze (the pinned deferred_to_round11 set — the
+def test_round12_deferred_oracles_all_audited():
+    """Round-12 rotation pre-audit closure: every key registered after
+    the round-11 window froze (the pinned deferred_to_round12 set — the
     next round's window head) that has an oracle is inside the
     parametrized type-class audit above, so none can hit the driver
-    with an unaudited HUGEINT/DECIMAL oracle either."""
+    with an unaudited HUGEINT/DECIMAL oracle either. (Glob is
+    two-digit-safe: r0[1-9] broke at CORRECTNESS_r10.json.)"""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND10_WINDOW
+    from steaminganalysis_spark.registry import ROUND11_WINDOW
 
-    checked = set(ROUND10_WINDOW)
+    checked = set(ROUND11_WINDOW)
     for p in sorted(
-        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r0[1-9].json")
+        Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")
     ):
         checked |= set(json.loads(p.read_text()))
     deferred = [k for k in QUERIES if k not in checked]
