@@ -21,14 +21,17 @@ Scale posture (the part that matters at 100 TB):
   (``staging.stage``) so the fact join executes exactly once, not once
   per iteration.
 - Each iteration joins edges to the current rank vector. Ranks are
-  O(V); here V=25 so the rank side is ``broadcast()`` and an iteration
-  is shuffle-free except the per-destination contribution aggregate.
-  For a billion-node web graph the same loop holds with two changes,
-  documented rather than speculated: hash-partition edges and ranks on
-  the SAME key so the per-iteration join is co-partitioned (zero
-  exchange), and checkpoint the rank vector every ~5 iterations to
-  truncate lineage — the pattern ``operators/ann.py`` already uses for
-  Lloyd.
+  O(V); here V=25 so the rank side broadcasts and an iteration is
+  shuffle-free except the per-destination contribution aggregate. For
+  a billion-node web graph the same loop holds with two changes, now
+  CODED rather than documented: ``iter_vector_join`` switches the
+  vector side to a SHUFFLE_HASH co-partitioned join above
+  ITER_VECTOR_BROADCAST_CAP nodes (only the O(V) vector exchanges;
+  the staged edge exchange is reused across rounds — zero exchanges
+  with a bucketed table-mode edge staging), and the rank vector is
+  checkpoint-truncated periodically — the pattern ``operators/ann.py``
+  already uses for Lloyd. Both paths are pinned answer-identical and
+  the copartition path pinned broadcast-free in tests/test_graph.py.
 - Convergence is FIXED-ITERATION (k=5), not threshold-driven: a
   driver-side convergence test would collect a global delta every
   iteration; fixed k keeps the whole computation declarative and makes
@@ -54,6 +57,68 @@ from steaminganalysis_spark.sources import load
 
 DAMPING = 0.85
 ITERATIONS = 5
+
+# ---------------------------------------------------------------
+# Per-iteration O(V)-vector join strategy (the round-11 closure of
+# the "broadcast-vector loop" scale flag — VERDICT r10).
+#
+# Every iterative algorithm in this module repeats the same join
+# shape: staged edge relation ⋈ the current O(V) rank/label/distance
+# vector. While V is small, broadcasting the vector is strictly
+# fastest (one task-local hash map, zero exchange on either side) —
+# but at a billion nodes an O(V) broadcast PER ITERATION is an
+# executor-memory scale-killer (every executor materializes the whole
+# vector, every round). Above ITER_VECTOR_BROADCAST_CAP the helper
+# switches to the co-partitioned discipline q_graph_cc_stars already
+# uses: a SHUFFLE_HASH join where only the O(V) vector side
+# exchanges, hash-partitioned on the join key to meet the staged edge
+# exchange (which Catalyst reuses across iterations — the edge side
+# is one reused exchange, never re-shuffled per round; in table-mode
+# staging with a bucketed edge table it is ZERO exchanges). No
+# executor ever holds more than 1/P of the vector.
+#
+# SPARK_GRAFT_ITER_JOIN ∈ {auto, broadcast, copartition} mirrors
+# SPARK_GRAFT_STAGING: auto applies the cap, the explicit modes force
+# a side for tests/operations. The cap is ~2M nodes ≈ 32 MB of raw
+# (key, value) pairs ≈ low-hundreds-of-MB as a JVM hash relation —
+# inside Spark's recommended broadcast ceiling with headroom.
+# ---------------------------------------------------------------
+
+ITER_VECTOR_BROADCAST_CAP = 2_000_000
+
+
+def _iter_join_mode() -> str:
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_ITER_JOIN", "auto")
+    if mode not in ("auto", "broadcast", "copartition"):
+        raise ValueError(
+            f"SPARK_GRAFT_ITER_JOIN={mode!r}: expected 'auto', "
+            "'broadcast' or 'copartition'"
+        )
+    return mode
+
+
+def iter_vector_join(
+    left: DataFrame,
+    vector: DataFrame,
+    cond,
+    how: str = "inner",
+    n_nodes: int = 0,
+) -> DataFrame:
+    """Join the per-iteration O(V) vector relation onto ``left``
+    (usually the staged edge table, or the staged node set for the
+    apply step). Broadcast below ITER_VECTOR_BROADCAST_CAP nodes,
+    SHUFFLE_HASH co-partitioned join above it (or as forced by
+    SPARK_GRAFT_ITER_JOIN). The strategy hint takes precedence over
+    auto-broadcast AND over AQE's runtime broadcast conversion, so the
+    copartition path is guaranteed broadcast-free — pinned by
+    tests/test_graph.py's executed-plan check."""
+    if _iter_join_mode() == "copartition" or (
+        _iter_join_mode() == "auto" and n_nodes > ITER_VECTOR_BROADCAST_CAP
+    ):
+        return left.join(vector.hint("shuffle_hash"), cond, how)
+    return left.join(F.broadcast(vector), cond, how)
 
 
 def _pagerank_oracle() -> str:
@@ -148,20 +213,25 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE fact⋈fact shuffle builds the edge table (dims broadcast,
     map-side partial count), staged once; each of the five iterations
-    is edges ⋈ broadcast(rank vector) + a per-destination aggregate
-    over ≤V² rows. The fixture graph has V=25 — see the module
-    docstring for the billion-node variant (co-partitioned join +
-    periodic checkpoint), which changes the physical hints, not this
-    logical loop."""
+    is edges ⋈ rank vector (via ``iter_vector_join`` — broadcast at
+    fixture scale, SHUFFLE_HASH co-partitioned above
+    ITER_VECTOR_BROADCAST_CAP nodes, where only the O(V) vector side
+    exchanges and the staged edge exchange is reused across rounds)
+    + a per-destination aggregate over ≤V² rows. Both physical paths
+    are pinned answer-identical and the copartition path is pinned
+    broadcast-free in tests/test_graph.py."""
     frac, nodes = _pagerank_frac(spark, sf_dir)
+    n_nodes = nodes.count()  # bounded scalar: |V| of the staged node set
     ranks = nodes.withColumn("pr", F.lit(1.0))
     for _ in range(ITERATIONS):
         contrib = (
-            frac.join(F.broadcast(ranks), frac.src == ranks.node)
+            iter_vector_join(frac, ranks, frac.src == ranks.node, n_nodes=n_nodes)
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("p")).alias("m"))
         )
-        ranks = nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left").select(
+        ranks = iter_vector_join(
+            nodes, contrib, nodes.node == contrib.dst, "left", n_nodes=n_nodes
+        ).select(
             "node",
             (F.lit(1.0 - DAMPING) + F.lit(DAMPING) * F.coalesce(F.col("m"), F.lit(0.0))).alias(
                 "pr"
@@ -253,13 +323,14 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical loop economics to q_graph_pagerank (the
     fractions and node set come from the SAME staged builder,
-    ``_pagerank_frac``): each iteration is edges ⋈ broadcast(rank
-    vector) + one per-destination aggregate; the base teleport vector
-    is built once (nodes ⋈ broadcast seed set + a 1-row count) and
-    re-read per iteration. At a billion nodes the PPR vector is
-    SPARSE (only nodes reachable from the seeds carry mass) — the
-    rank relation stays small early and the co-partitioned-join
-    variant in the module docstring applies unchanged. Reference
+    ``_pagerank_frac``): each iteration is edges ⋈ rank vector (via
+    ``iter_vector_join`` — broadcast at fixture scale, SHUFFLE_HASH
+    co-partitioned above the cap) + one per-destination aggregate; the
+    base teleport vector is built once (nodes ⋈ broadcast seed set +
+    a 1-row count) and re-read per iteration. At a billion nodes the
+    PPR vector is SPARSE (only nodes reachable from the seeds carry
+    mass) — the rank relation stays small early, and past the cap the
+    co-partitioned path engages automatically. Reference
     parity: no graph surface in the reference (SURVEY §2 B.11
     extension)."""
     frac, nodes = _pagerank_frac(spark, sf_dir)
@@ -290,14 +361,15 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     ranks = base.select("node", F.col("b").alias("pr"))
+    n_nodes = nodes.count()  # bounded scalar: |V| of the staged node set
     for _ in range(ITERATIONS):
         contrib = (
-            frac.join(F.broadcast(ranks), frac.src == ranks.node)
+            iter_vector_join(frac, ranks, frac.src == ranks.node, n_nodes=n_nodes)
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("p")).alias("m"))
         )
-        ranks = base.join(
-            F.broadcast(contrib), base.node == contrib.dst, "left"
+        ranks = iter_vector_join(
+            base, contrib, base.node == contrib.dst, "left", n_nodes=n_nodes
         ).select(
             "node",
             (
@@ -1760,6 +1832,17 @@ def _butterfly_counts(inc: DataFrame, center: str, cap: int) -> DataFrame:
             F.explode(F.array("p1", "p2")).alias("part"), "b"
         )
     else:
+        from steaminganalysis_spark.staging import stage
+
+        # Attribution reads the wedge relation TWICE (endpoint-pair
+        # aggregate + join back) — stage it once, or the expensive
+        # wedge self-join (plain + salted hub branches) re-executes
+        # per consumer: the exact re-execution trap the k-truss
+        # staging above guards against, and it would erode the 2×
+        # win threshold the center-choice heuristic assumes (ADVICE
+        # r10). The customer-centered branch reads wedges once, so it
+        # stays unstaged.
+        wedges = stage(wedges, "butterfly_wedges")
         pair_counts = (
             wedges.groupBy("e1", "e2")
             .agg(F.count("*").alias("cnt"))
@@ -1925,33 +2008,47 @@ def _scc_oracle() -> str:
     )
 
 
-def _scc_color_round(edges: DataFrame, color: DataFrame) -> DataFrame:
+def _scc_color_round(
+    edges: DataFrame, color: DataFrame, n_nodes: int = 0
+) -> DataFrame:
     """One forward min-label hop: color(v) ← min(color(v), min over
     edges u→v of color(u)). Same per-iteration economics as the BFS /
-    SSSP relaxations: edges ⋈ O(V) label vector + per-destination MIN."""
+    SSSP relaxations: edges ⋈ O(V) label vector (``iter_vector_join``
+    — broadcast at fixture scale, co-partitioned above the cap) +
+    per-destination MIN."""
     incoming = (
-        edges.join(color, edges.src == color.node)
+        iter_vector_join(edges, color, edges.src == color.node, n_nodes=n_nodes)
         .groupBy(F.col("dst").alias("inode"))
         .agg(F.min("color").alias("mc"))
     )
-    return color.join(incoming, color.node == F.col("inode"), "left").select(
-        "node", F.least("color", F.coalesce("mc", "color")).alias("color")
-    )
+    return iter_vector_join(
+        color,
+        incoming,
+        color.node == F.col("inode"),
+        "left",
+        n_nodes=n_nodes,
+    ).select("node", F.least("color", F.coalesce("mc", "color")).alias("color"))
 
 
-def _scc_mark_round(edges: DataFrame, color: DataFrame, mark: DataFrame) -> DataFrame:
+def _scc_mark_round(
+    edges: DataFrame, color: DataFrame, mark: DataFrame, n_nodes: int = 0
+) -> DataFrame:
     """One backward mark hop WITHIN a color class: u joins the marked
     set of its color root when some edge u→v lands on a marked v of
     the same color. The same-color guard is what confines the
     reachability to the root's region."""
+    hit = iter_vector_join(
+        edges,
+        mark.select(F.col("node").alias("mnode"), "scc"),
+        edges.dst == F.col("mnode"),
+        n_nodes=n_nodes,
+    )
     up = (
-        edges.join(
-            mark.select(F.col("node").alias("mnode"), "scc"),
-            edges.dst == F.col("mnode"),
-        )
-        .join(
+        iter_vector_join(
+            hit,
             color.select(F.col("node").alias("cnode"), F.col("color").alias("ccolor")),
             edges.src == F.col("cnode"),
+            n_nodes=n_nodes,
         )
         .filter(F.col("ccolor") == F.col("scc"))
         .select(F.col("src").alias("node"), "scc")
@@ -1995,17 +2092,18 @@ def _scc_label_graph(spark: SparkSession, sf_dir: str):
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_nodes = nodes.count()  # bounded scalar: |V| of the staged node set
     active_nodes, active_edges, assigned = nodes, edges, None
     for _ in range(SCC_OUTER_ROUNDS):
         color = active_nodes.select("node", F.col("node").alias("color"))
         for _ in range(SCC_INNER_ROUNDS):
-            color = _scc_color_round(active_edges, color)
+            color = _scc_color_round(active_edges, color, n_nodes=n_nodes)
         color = color.localCheckpoint(eager=True)
         mark = color.filter(F.col("node") == F.col("color")).select(
             "node", F.col("color").alias("scc")
         )
         for _ in range(SCC_INNER_ROUNDS):
-            mark = _scc_mark_round(active_edges, color, mark)
+            mark = _scc_mark_round(active_edges, color, mark, n_nodes=n_nodes)
         mark = mark.localCheckpoint(eager=True)
         assigned = mark if assigned is None else assigned.unionByName(mark)
         active_nodes = active_nodes.join(mark, "node", "left_anti")
@@ -2095,9 +2193,15 @@ SCC_COND_ROUNDS = 4  # level-relaxation budget; measured DAG depth: 1-2
 def _scc_condensation_oracle() -> str:
     """Condensation of the SCC closure oracle: contract components,
     drop intra-component edges, dedupe, then compute longest-path
-    topological levels by SCC_COND_ROUNDS unrolled max-relaxations
-    (MATERIALIZED per round — the 2^k-inlining lesson). Integer end to
-    end."""
+    topological levels by SCC_COND_ROUNDS **+ 1** unrolled
+    max-relaxations (MATERIALIZED per round — the 2^k-inlining
+    lesson). The EXTRA round is deliberate (ADVICE r10): with equal
+    budgets both engines would agree on identically under-converged
+    levels and budget insufficiency would be silent; the oracle's
+    spare relaxation makes a DAG deeper than SCC_COND_ROUNDS keep
+    rising on the oracle side only — a LOUD hash mismatch. At the
+    measured fixpoint (depth 1-2 at every shipped SF) the extra round
+    is a no-op. Integer end to end."""
     ctes = _scc_closure_ctes() + [
         """cond AS MATERIALIZED (
           SELECT DISTINCT ls.comp AS csrc, ld.comp AS cdst
@@ -2110,7 +2214,7 @@ def _scc_condensation_oracle() -> str:
                  FROM scc GROUP BY 1)""",
         "l0 AS MATERIALIZED (SELECT c_scc, 0 AS lvl FROM sccs)",
     ]
-    for k in range(1, SCC_COND_ROUNDS + 1):
+    for k in range(1, SCC_COND_ROUNDS + 2):  # +1 spare round, see docstring
         ctes.append(
             f"""l{k} AS MATERIALIZED (
               SELECT l.c_scc,
@@ -2121,7 +2225,7 @@ def _scc_condensation_oracle() -> str:
                          GROUP BY 1) mx ON mx.c_scc = l.c_scc
             )"""
         )
-    last = f"l{SCC_COND_ROUNDS}"
+    last = f"l{SCC_COND_ROUNDS + 1}"
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -2151,8 +2255,12 @@ def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     could first run it), and the number of distinct successor
     components. Level relaxation runs a fixed {R}-round budget of
     max-relaxations (measured DAG depth at every shipped SF: 1-2;
-    budget-covers-depth pinned, and an under-budget run is LOUD — a
-    level still rising at round {R} differs from the oracle's).
+    budget-covers-depth pinned, and an under-budget run is LOUD
+    because the oracle deliberately unrolls ONE EXTRA relaxation
+    round — a level still rising at round {R} keeps rising on the
+    oracle side only and the hashes diverge; with equal budgets both
+    engines would agree on identically under-converged levels, ADVICE
+    r10).
 
     Scale shape: the expensive part is the SCC labeling itself
     (shared verbatim via ``_scc_label_graph`` — see q_graph_scc);
@@ -2167,14 +2275,19 @@ def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     no graph surface in the reference (SURVEY §2 B.11 extension)."""
     edges, assigned = _scc_label_graph(spark, sf_dir)
     labels = assigned.localCheckpoint(eager=True)
+    n_nodes = labels.count()  # bounded scalar: |V| (components ≤ nodes)
+    hit = iter_vector_join(
+        edges,
+        labels.select(F.col("node").alias("sn"), F.col("scc").alias("csrc")),
+        edges.src == F.col("sn"),
+        n_nodes=n_nodes,
+    )
     cond = (
-        edges.join(
-            labels.select(F.col("node").alias("sn"), F.col("scc").alias("csrc")),
-            edges.src == F.col("sn"),
-        )
-        .join(
+        iter_vector_join(
+            hit,
             labels.select(F.col("node").alias("dn"), F.col("scc").alias("cdst")),
             edges.dst == F.col("dn"),
+            n_nodes=n_nodes,
         )
         .filter(F.col("csrc") != F.col("cdst"))
         .select("csrc", "cdst")
@@ -2185,16 +2298,15 @@ def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lvl = sccs.select(F.col("scc").alias("c_scc"), F.lit(0).alias("lvl"))
     for _ in range(SCC_COND_ROUNDS):
         preds = (
-            cond.join(lvl, cond.csrc == lvl.c_scc)
+            iter_vector_join(cond, lvl, cond.csrc == lvl.c_scc, n_nodes=n_nodes)
             .groupBy(F.col("cdst").alias("pscc"))
             .agg((F.max("lvl") + 1).alias("m"))
         )
-        lvl = (
-            lvl.join(preds, lvl.c_scc == F.col("pscc"), "left")
-            .select(
-                "c_scc",
-                F.greatest("lvl", F.coalesce("m", "lvl")).alias("lvl"),
-            )
+        lvl = iter_vector_join(
+            lvl, preds, lvl.c_scc == F.col("pscc"), "left", n_nodes=n_nodes
+        ).select(
+            "c_scc",
+            F.greatest("lvl", F.coalesce("m", "lvl")).alias("lvl"),
         )
     out_deg = cond.groupBy(F.col("csrc")).agg(F.count("*").alias("n"))
     return (
@@ -2396,8 +2508,14 @@ def graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     centralities themselves are oracle-exact (out-ball variant: the
     state propagates along reversed edges exactly as q_graph_anf —
     documented, the in-ball variant is the same loop on flipped
-    edges). Monotonicity of the register lattice guarantees every
-    per-hop difference is ≥ 0 (pinned).
+    edges). The register lattice is monotone (ball registers only
+    grow hop over hop), but the HLL ESTIMATOR is not strictly
+    monotone across its linear-counting → raw switch (an LC estimate
+    with few zero registers can exceed a raw estimate just above
+    2.5m), so per-hop differences ≥ 0 is an empirical property: it
+    holds at all shipped SFs and is pinned in tests, not guaranteed
+    by the lattice (ADVICE r10). Oracle parity is unaffected either
+    way — both engines compute the identical estimator.
 
     Scale shape: identical to q_graph_anf — O(V·m) sketch rows
     shuffled on the node key per hop, map-side partial MAX, per-hop

@@ -1142,3 +1142,85 @@ def test_harmonic_zero_set_and_accuracy_vs_exact_bfs(spark):
     for n in nonzero:
         est = got[n] / 1000.0
         assert abs(est - exact[n]) <= 0.45 * exact[n], (n, est, exact[n])
+
+
+def test_iter_vector_join_auto_cap_switches_strategy(spark):
+    """iter_vector_join's auto mode must pick the physical join by the
+    vector size: below ITER_VECTOR_BROADCAST_CAP the vector broadcasts
+    (today's fixture fast path), above it the vector side becomes a
+    SHUFFLE_HASH co-partitioned join — no O(V) broadcast (the round-11
+    closure of the broadcast-vector-loop scale flag, VERDICT r10)."""
+    from steaminganalysis_spark.operators.graph import (
+        ITER_VECTOR_BROADCAST_CAP,
+        iter_vector_join,
+    )
+
+    edges = spark.range(100).selectExpr("id AS src", "(id + 1) % 100 AS dst")
+    vec = spark.range(100).selectExpr("id AS node", "CAST(1.0 AS DOUBLE) AS pr")
+
+    small = iter_vector_join(edges, vec, edges.src == vec.node, n_nodes=100)
+    small.collect()
+    p_small = _plan(small)
+    assert "BroadcastHashJoin" in p_small
+    assert "ShuffledHashJoin" not in p_small
+
+    big = iter_vector_join(
+        edges, vec, edges.src == vec.node, n_nodes=ITER_VECTOR_BROADCAST_CAP + 1
+    )
+    big.collect()
+    p_big = _plan(big)
+    assert "ShuffledHashJoin" in p_big
+    assert "BroadcastHashJoin" not in p_big
+    assert "BroadcastExchange" not in p_big
+    # the two physical paths agree on the answer
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
+def test_iter_join_copartition_mode_answers_identical_and_broadcast_free(
+    spark, monkeypatch
+):
+    """Forcing SPARK_GRAFT_ITER_JOIN=copartition (the billion-node
+    configuration) must leave every iterative-graph answer IDENTICAL
+    to the broadcast path and produce a broadcast-free vector join —
+    every per-iteration join is a ShuffledHashJoin; the only remaining
+    broadcasts are the bounded dim skins (nation names). Run under an
+    adversarial shuffle layout (3 partitions) so co-partitioning is
+    exercised, not degenerate. The SHUFFLE_HASH hint takes precedence
+    over auto-broadcast AND AQE's runtime broadcast conversion, which
+    is what makes the guarantee pinnable."""
+    keys = [
+        "q_graph_pagerank",
+        "q_graph_ppr",
+        "q_graph_scc",
+        "q_graph_scc_condensation",
+    ]
+    base = {k: sorted(map(tuple, QUERIES[k](spark, SF).collect())) for k in keys}
+
+    monkeypatch.setenv("SPARK_GRAFT_ITER_JOIN", "copartition")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        for k in keys:
+            df = QUERIES[k](spark, SF)
+            got = sorted(map(tuple, df.collect()))
+            assert got == base[k], k
+        # plan pin on the deepest loop: 5 iterations × 2 vector joins
+        pr = QUERIES["q_graph_pagerank"](spark, SF)
+        pr.collect()
+        plan = _plan(pr)
+        shj, bhj = plan.count("ShuffledHashJoin"), plan.count("BroadcastHashJoin")
+        assert shj >= 10, f"expected >=10 ShuffledHashJoin, saw {shj}"
+        # only the nation-name skin (and its AQE re-print) may broadcast
+        assert bhj <= 2, f"expected <=2 BroadcastHashJoin (dim skins), saw {bhj}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_iter_join_mode_rejects_unknown_value(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ITER_JOIN", "bogus")
+    import pytest as _pytest
+
+    from steaminganalysis_spark.operators.graph import _iter_join_mode
+
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_ITER_JOIN"):
+        _iter_join_mode()
