@@ -488,6 +488,13 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_retention_cohorts, q_funnel, q_histogram, q_dq_checks,
 # q_train_test_split, q_sample_stratified, q_data_mix,
 # q_text_pii_scrub, the streaming r3 family, then round-4 stamps.
+# Round-11 additions (registered after the round-11 window froze,
+# pinned in deferred_to_round12): q_stream_rate_source (the built-in
+# rate streaming source run unbounded with a processingTime trigger,
+# oracle-checked via the deterministic value-prefix — converts SURVEY
+# B.1's "rate/memory source" harness-only row into driver evidence).
+# 330 keys / 295 oracles at the round-11 close (count with
+# collect_queries(), never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11
 # (q_agg_hll_portable, q_graph_scc_condensation, q_graph_ppr,

@@ -1530,3 +1530,95 @@ def stream_decon_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     KVStore.reset(store_name)
     return out
+
+
+# ------------------------------------------------ rate source (r11)
+
+RATE_SOURCE_ROWS = 512  # deterministic prefix: values 0..511
+
+
+@query(
+    "q_stream_rate_source",
+    oracle=f"""
+    SELECT CAST(value % 7 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(value) AS BIGINT) AS total,
+           CAST(MIN(value) AS BIGINT) AS lo,
+           CAST(MAX(value) AS BIGINT) AS hi
+    FROM range({RATE_SOURCE_ROWS}) t(value)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``rate`` STREAMING source run as a genuine
+    unbounded stream (micro-batch trigger → filter → append-mode
+    memory sink), made oracle-checkable by the deterministic-prefix
+    trick: the rate source emits ``value`` = 0, 1, 2, … exactly once
+    each (round-robined across partitions, monotone per partition), so
+    filtering ``value < K`` BEFORE the sink and polling the sink until
+    all K rows landed yields a result that is a pure function of K —
+    the wall-clock ``timestamp`` column, the only nondeterministic
+    output of the source, is dropped at the filter projection. The
+    final frame is a per-``value % 7`` bucket aggregate; the DuckDB
+    oracle computes the same aggregate over ``range(K)``, so this is
+    a full stream≡batch hash check, not a rows-only row.
+
+    This converts SURVEY §2's "rate/memory source" row from
+    harness-only evidence into a driver-checked key, and is the
+    Spark-native twin of the reference's synthetic generator (REF A14,
+    MockData:22-43 / Producer:37-57 — random order rows pushed into
+    the stream; here the generator IS the source, no external
+    producer process). Scale shape: the rate source is per-partition
+    independent (numPartitions scales it to any executor count); the
+    one exchange is the bucket aggregate, with map-side partial
+    combine over ≤K rows. Unbounded-stream hygiene: the query is
+    stopped in a finally and the uuid-suffixed sink is dropped on
+    re-invocation by name uniqueness (the module-wide memory-sink
+    convention)."""
+    import time
+
+    name = f"rate_src_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 5000)
+        .option("numPartitions", 4)
+        .load()
+        .filter(F.col("value") < RATE_SOURCE_ROWS)
+        .select("value")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120.0
+        while spark.table(name).count() < RATE_SOURCE_ROWS:
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"rate source produced "
+                    f"{spark.table(name).count()}/{RATE_SOURCE_ROWS} "
+                    "rows within 120s"
+                )
+            time.sleep(0.1)
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy((F.col("value") % 7).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n").cast("long").alias("n"),
+            F.col("total").cast("long").alias("total"),
+            F.col("lo").cast("long").alias("lo"),
+            F.col("hi").cast("long").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -75,7 +75,13 @@ def test_demo_app_accumulates_day_totals(spark):
 # registration this round MUST be added here. The round-11 window
 # absorbed the ENTIRE former deferred_to_round11 set (the twelve
 # round-10 additions), so this set restarts from round-11 additions.
-deferred_to_round12: set[str] = set()
+deferred_to_round12: set[str] = {
+    # round-11 additions (streaming/queries.py — the rate STREAMING
+    # source made oracle-checkable by the deterministic-prefix trick:
+    # filter value < K before the sink, poll until all K landed,
+    # bucket aggregate == DuckDB range(K) aggregate)
+    "q_stream_rate_source",
+}
 
 
 def test_round11_correctness_window_composition():

@@ -1908,3 +1908,27 @@ def test_mv_backfill_restates_replays_and_excludes_torn_writes(spark, tmp_path):
         } == after2
     finally:
         KVStore.reset(store)
+
+
+def test_rate_source_deterministic_prefix_and_reinvocation(spark):
+    """q_stream_rate_source's whole oracle-ability rests on the
+    deterministic-prefix claim: the rate source emits value = 0..K-1
+    exactly once each (no dupes, no gaps), regardless of trigger
+    timing, partition count, or how long the stream ran before stop.
+    Pin it by checking the bucket aggregate against the closed form,
+    twice in one session (uuid sink names — no collisions)."""
+    from steaminganalysis_spark.registry import collect_queries
+    from steaminganalysis_spark.streaming.queries import RATE_SOURCE_ROWS
+
+    QUERIES, _ = collect_queries()
+    K = RATE_SOURCE_ROWS
+    expect = {}
+    for b in range(7):
+        vals = range(b, K, 7)
+        expect[b] = (len(vals), sum(vals), min(vals), max(vals))
+    for _ in range(2):
+        rows = QUERIES["q_stream_rate_source"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        got = {r["bucket"]: (r["n"], r["total"], r["lo"], r["hi"]) for r in rows}
+        assert got == expect
