@@ -617,14 +617,15 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     output.
 
     Plan shape: the edge build is the shared fact⋈fact aggregate,
-    staged once; each relaxation round is edges ⋈ broadcast(frontier
-    distances, O(V)) + a per-destination MIN aggregate — the same
-    iterate-on-the-small-table loop as PageRank, with integer
-    distances so the result is exact (no rounding convention needed).
-    At billion-node scale the broadcast becomes a co-partitioned join
-    and only the FRONTIER (nodes whose distance changed last round)
-    joins edges — the classic Pregel delta optimization; here V=25 so
-    the full vector rides along."""
+    staged once; each relaxation round is edges ⋈ frontier distances
+    (O(V), via ``iter_vector_join`` — broadcast at fixture scale,
+    SHUFFLE_HASH co-partitioned above the cap) + a per-destination MIN
+    aggregate — the same iterate-on-the-small-table loop as PageRank,
+    with integer distances so the result is exact (no rounding
+    convention needed). At billion-node scale additionally only the
+    FRONTIER (nodes whose distance changed last round) joins edges —
+    the classic Pregel delta optimization; here V=25 so the full
+    vector rides along."""
     from steaminganalysis_spark.staging import stage
 
     de = stage(_directed_edges(spark, sf_dir), "bfs_edges")
@@ -634,22 +635,25 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct(),
         "bfs_nodes",
     )
+    n_nodes = nodes.count()  # bounded scalar: |V| of the staged node set
     src = nodes.agg(F.min("node").alias("s"))
     dist = nodes.join(F.broadcast(src)).select(
         "node", F.when(F.col("node") == F.col("s"), 0).alias("dist")
     )
     for _ in range(BFS_ITERATIONS):
         relax = (
-            de.join(
-                F.broadcast(dist.filter(F.col("dist").isNotNull())),
+            iter_vector_join(
+                de,
+                dist.filter(F.col("dist").isNotNull()),
                 de.src == F.col("node"),
+                n_nodes=n_nodes,
             )
             .groupBy("dst")
             .agg(F.min(F.col("dist") + 1).alias("cand"))
         )
-        dist = dist.join(F.broadcast(relax), dist.node == relax.dst, "left").select(
-            "node", F.least(F.col("dist"), F.col("cand")).alias("dist")
-        )
+        dist = iter_vector_join(
+            dist, relax, dist.node == relax.dst, "left", n_nodes=n_nodes
+        ).select("node", F.least(F.col("dist"), F.col("cand")).alias("dist"))
     nat = load(spark, sf_dir, "nation")
     return (
         dist.filter(F.col("dist").isNotNull())
@@ -760,20 +764,18 @@ def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
+    n_nodes = labels.count()  # bounded scalar: |V| (part-key domain)
     for _ in range(WCC_ROUNDS):
         contrib = (
-            edges.join(F.broadcast(labels), edges.src == labels.node)
+            iter_vector_join(edges, labels, edges.src == labels.node, n_nodes=n_nodes)
             .groupBy("dst")
             .agg(F.min("lbl").alias("nl"))
         )
-        labels = (
-            labels.join(F.broadcast(contrib), labels.node == contrib.dst, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias(
-                    "lbl"
-                ),
-            )
+        labels = iter_vector_join(
+            labels, contrib, labels.node == contrib.dst, "left", n_nodes=n_nodes
+        ).select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
         )
     return labels.select(
         F.col("node").alias("part"), F.col("lbl").cast("long").alias("component")
@@ -1047,9 +1049,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
     )
+    n_nodes = labels.count()  # bounded scalar: |V| (part-key domain)
     for _ in range(LPA_ROUNDS):
         weights = (
-            edges.join(F.broadcast(labels), edges.src == labels.node)
+            iter_vector_join(edges, labels, edges.src == labels.node, n_nodes=n_nodes)
             .groupBy(F.col("dst").alias("node"), "lbl")
             .agg(F.sum("w").alias("tw"))
         )
@@ -1357,26 +1360,29 @@ def _sssp_oracle() -> str:
     )
 
 
-def min_plus_round(we: DataFrame, dist: DataFrame) -> DataFrame:
+def min_plus_round(we: DataFrame, dist: DataFrame, n_nodes: int = 0) -> DataFrame:
     """One synchronous min-plus (Bellman-Ford) relaxation round:
     d'(v) = min(d(v), min over edges u→v of d(u) + w). The distance
-    vector is O(V) and broadcast both ways, so a round costs one
-    map-side join over the staged edges plus a per-destination MIN —
-    the edge table itself never re-shuffles. Shared by ``q_graph_sssp``
-    and the delta-frontier behavior pin in tests/test_graph.py (which
-    drives it on a synthetic chain graph and asserts rounds past the
-    fixpoint improve zero rows)."""
+    vector is O(V) and joins through ``iter_vector_join`` both ways
+    (broadcast at fixture scale, co-partitioned above the cap), so a
+    round costs one join over the staged edges plus a per-destination
+    MIN — the edge table itself never re-shuffles. Shared by
+    ``q_graph_sssp`` and the delta-frontier behavior pin in
+    tests/test_graph.py (which drives it on a synthetic chain graph
+    and asserts rounds past the fixpoint improve zero rows)."""
     relax = (
-        we.join(
-            F.broadcast(dist.filter(F.col("dist").isNotNull())),
+        iter_vector_join(
+            we,
+            dist.filter(F.col("dist").isNotNull()),
             we.src == F.col("node"),
+            n_nodes=n_nodes,
         )
         .groupBy("dst")
         .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
     )
-    return dist.join(F.broadcast(relax), dist.node == relax.dst, "left").select(
-        "node", F.least(F.col("dist"), F.col("cand")).alias("dist")
-    )
+    return iter_vector_join(
+        dist, relax, dist.node == relax.dst, "left", n_nodes=n_nodes
+    ).select("node", F.least(F.col("dist"), F.col("cand")).alias("dist"))
 
 
 @query("q_graph_sssp", oracle=_sssp_oracle())
@@ -1391,10 +1397,11 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget at every shipped SF (pinned in tests/test_graph.py).
 
     Plan shape: the weighted edge build is the fact⋈fact count
-    aggregate, staged ONCE; each round is edges ⋈ broadcast(O(V)
-    distance vector) + per-destination MIN — identical loop economics
-    to BFS/PageRank, and at billion-node scale the same delta-frontier
-    evolution applies."""
+    aggregate, staged ONCE; each round is edges ⋈ O(V) distance
+    vector (``iter_vector_join`` — broadcast at fixture scale,
+    co-partitioned above the cap) + per-destination MIN — identical
+    loop economics to BFS/PageRank, and at billion-node scale the
+    same delta-frontier evolution applies."""
     from steaminganalysis_spark.staging import stage
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -1414,13 +1421,14 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = we.select(F.col("src").alias("node")).union(
         we.select(F.col("dst").alias("node"))
     ).distinct()
+    n_nodes = nodes.count()  # bounded scalar: |V| of the staged node set
     src = nodes.agg(F.min("node").alias("s"))
     dist = nodes.join(F.broadcast(src)).select(
         "node",
         F.when(F.col("node") == F.col("s"), F.lit(0).cast("long")).alias("dist"),
     )
     for _ in range(SSSP_ROUNDS):
-        dist = min_plus_round(we, dist)
+        dist = min_plus_round(we, dist, n_nodes=n_nodes)
     nat = load(spark, sf_dir, "nation")
     return (
         dist.filter(F.col("dist").isNotNull())

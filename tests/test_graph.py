@@ -1193,6 +1193,10 @@ def test_iter_join_copartition_mode_answers_identical_and_broadcast_free(
         "q_graph_ppr",
         "q_graph_scc",
         "q_graph_scc_condensation",
+        "q_graph_bfs",
+        "q_graph_sssp",
+        "q_graph_wcc",
+        "q_graph_label_propagation",
     ]
     base = {k: sorted(map(tuple, QUERIES[k](spark, SF).collect())) for k in keys}
 
