@@ -808,3 +808,137 @@ def mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 mv_incremental.__doc__ = mv_incremental.__doc__.replace("{CUT}", MV_CUTOFF)
+
+
+# --------------------------------- incremental clustering (round 11)
+
+CLUSTER_SPAN_FRAC_MAX = 0.5  # a file is "well-clustered" below this
+
+
+@query("q_cluster_incremental")  # rows-only: file-layout op, invariants in the row
+def cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquid-clustering-style INCREMENTAL re-cluster — the maintenance
+    mode Delta's Liquid Clustering / Iceberg's incremental rewrite add
+    on top of full OPTIMIZE (q_zorder_layout's whole-table rewrite):
+    appends land unclustered, and the maintenance pass rewrites ONLY
+    the files that violate the clustering, leaving well-clustered base
+    files byte-untouched — O(delta), never O(table), which is the
+    entire economics of keeping a 100 TB table clustered under
+    continuous ingest.
+
+    Harness: (1) 80% of events (deterministic xxhash64 split) is
+    written range-clustered on user_id into 16 files (each file spans
+    ~1/16 of the key range); (2) the remaining 20% appends as two
+    unclustered delta batches (each file spans ~the whole range — what
+    a streaming writer produces); (3) the incremental pass classifies
+    files by ONE file-metadata aggregate (per-file min/max of the
+    cluster key via input_file_name — never a data collect), rewrites
+    only files whose key-span fraction exceeds CLUSTER_SPAN_FRAC_MAX
+    into range-placed files, and deletes the originals. The result row
+    carries the proof: exact row-count + value-checksum preservation,
+    every base file byte-untouched (same name/size/mtime), rewrite
+    amplification rows_rewritten/rows_appended == 1.0 (the pass never
+    touched base data), post-pass max span fraction back under the
+    bound, and a SECOND classification pass finding zero candidates
+    (the pass is idempotent — Liquid's convergence property).
+    Invariants pinned in tests/test_storage.py. Rows-only: physical
+    file layout is not SQL-expressible (same class as
+    q_compact_small_files / q_zorder_layout)."""
+    import math
+
+    from steaminganalysis_spark.registry import to_cents
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.sources import load as _load
+
+    table = f"{scratch_dir('liquid')}/table"
+    ev = _load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    split = F.pmod(F.xxhash64("event_id"), F.lit(10))
+    base, delta = ev.filter(split < 8), ev.filter(split >= 8)
+
+    base.repartitionByRange(16, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.parquet(table)
+    base_files = {
+        f: (os.path.getsize(p), os.path.getmtime(p))
+        for f in os.listdir(table)
+        if f.endswith(".parquet")
+        for p in [os.path.join(table, f)]
+    }
+    # two unclustered append batches (each file spans the full range)
+    for par in (0, 1):
+        delta.filter(F.pmod(F.xxhash64("event_id"), F.lit(2)) == par).coalesce(
+            2
+        ).write.mode("append").parquet(table)
+
+    def _spans() -> dict[str, float]:
+        """{file basename: key-span fraction} — file METADATA grain
+        (≤ dozens of rows), the only thing the planner needs."""
+        df = spark.read.parquet(table)
+        per_file = (
+            df.select(F.input_file_name().alias("f"), "user_id")
+            .groupBy("f")
+            .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+            .collect()
+        )
+        g_lo = min(r.lo for r in per_file)
+        g_hi = max(r.hi for r in per_file)
+        span = max(g_hi - g_lo, 1)
+        return {os.path.basename(r.f): (r.hi - r.lo) / span for r in per_file}
+
+    def _checksum() -> int:
+        return int(
+            spark.read.parquet(table)
+            .agg(F.sum(to_cents(F.col("value")).cast("decimal(38,0)")))
+            .first()[0]
+        )
+
+    n_src, sum_src = ev.count(), _checksum()
+    spans_before = _spans()
+    candidates = [
+        f for f, s in spans_before.items() if s > CLUSTER_SPAN_FRAC_MAX
+    ]
+    cand_paths = [os.path.join(table, f) for f in candidates]
+    cand_df = spark.read.parquet(*cand_paths)
+    rows_rewritten = cand_df.count()
+    n_total = spark.read.parquet(table).count()
+    # size rewritten files like the base files so locality is restored
+    target = max(2, int(math.ceil(16 * rows_rewritten / max(n_total, 1))))
+    cand_df.repartitionByRange(target, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.mode("append").parquet(table)
+    for p in cand_paths:
+        os.remove(p)
+
+    spans_after = _spans()
+    second_pass = [
+        f for f, s in spans_after.items() if s > CLUSTER_SPAN_FRAC_MAX
+    ]
+    base_untouched = all(
+        f in spans_after
+        and (os.path.getsize(os.path.join(table, f)),
+             os.path.getmtime(os.path.join(table, f))) == meta
+        for f, meta in base_files.items()
+    )
+    rows_appended = delta.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_src,
+                spark.read.parquet(table).count(),
+                bool(_checksum() == sum_src),
+                len(base_files),
+                bool(base_untouched),
+                len(candidates),
+                int(rows_appended),
+                int(rows_rewritten),
+                round(rows_rewritten / max(rows_appended, 1), 6),
+                round(max(spans_before.values()), 4),
+                round(max(spans_after.values()), 4),
+                len(second_pass),
+            )
+        ],
+        "rows_src long, rows_final long, checksum_preserved boolean, "
+        "base_files int, base_untouched boolean, files_rewritten int, "
+        "rows_appended long, rows_rewritten long, rewrite_amplification double, "
+        "max_span_before double, max_span_after double, second_pass_candidates int",
+    )

@@ -492,9 +492,12 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # pinned in deferred_to_round12): q_stream_rate_source (the built-in
 # rate streaming source run unbounded with a processingTime trigger,
 # oracle-checked via the deterministic value-prefix — converts SURVEY
-# B.1's "rate/memory source" harness-only row into driver evidence).
-# 330 keys / 295 oracles at the round-11 close (count with
-# collect_queries(), never this comment).
+# B.1's "rate/memory source" harness-only row into driver evidence),
+# q_cluster_incremental (Liquid-clustering-style incremental
+# re-cluster: one file-metadata aggregate classifies files, only
+# span-violating files rewrite — O(delta) never O(table); rows-only
+# file-layout op). 331 keys / 295 oracles at the round-11 close
+# (count with collect_queries(), never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11
 # (q_agg_hll_portable, q_graph_scc_condensation, q_graph_ppr,

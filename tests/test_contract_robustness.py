@@ -81,6 +81,11 @@ deferred_to_round12: set[str] = {
     # filter value < K before the sink, poll until all K landed,
     # bucket aggregate == DuckDB range(K) aggregate)
     "q_stream_rate_source",
+    # round-11 additions (operators/storage.py — Liquid-clustering-style
+    # incremental re-cluster: rewrite ONLY span-violating files, base
+    # files byte-untouched, amplification 1.0, idempotent second pass;
+    # rows-only file-layout op)
+    "q_cluster_incremental",
 }
 
 

@@ -54,6 +54,7 @@ ROWS_ONLY_DOCUMENTED = {
         "q_scan_binary",  # binaryFile source over a generated dir; bytes hash-verified in tests
         "q_compact_small_files",  # file-layout maintenance op; invariants in the result row
         "q_zorder_layout",  # file-layout op; preservation + locality invariants in the result row
+        "q_cluster_incremental",  # file-layout op; base-untouched/amplification/idempotence invariants in the result row (r11)
         "q_datagen",  # randomized generator; schema+domain-tested
         "q_stream_hll_daily",  # HLL estimate; stream≡batch equality-tested
         "q_bpe_train",  # iterative merge loop; equality-tested vs Python BPE

@@ -336,3 +336,25 @@ def test_mv_incremental_delta_filter_pushed_and_merge_cardinality(spark):
     rows = df.collect()
     keys = [(r.day, r.event_type) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_cluster_incremental_invariants(spark):
+    """The Liquid-clustering economics in one row: only delta files
+    rewrite (amplification exactly 1.0, base files byte-untouched),
+    rows + checksum preserved, locality restored under the span bound,
+    and the pass is idempotent (a second classification finds zero
+    candidates)."""
+    from steaminganalysis_spark.operators.storage import CLUSTER_SPAN_FRAC_MAX
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    r = QUERIES["q_cluster_incremental"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.rows_final == r.rows_src
+    assert r.checksum_preserved
+    assert r.base_untouched
+    assert r.rewrite_amplification == 1.0
+    assert r.rows_rewritten == r.rows_appended
+    assert r.max_span_before > CLUSTER_SPAN_FRAC_MAX  # deltas were dirty
+    assert r.max_span_after <= CLUSTER_SPAN_FRAC_MAX  # ...and are not now
+    assert r.second_pass_candidates == 0  # idempotent / convergent
+    assert r.files_rewritten >= 1
