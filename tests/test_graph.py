@@ -1228,3 +1228,42 @@ def test_iter_join_mode_rejects_unknown_value(spark, monkeypatch):
 
     with _pytest.raises(ValueError, match="SPARK_GRAFT_ITER_JOIN"):
         _iter_join_mode()
+
+
+def test_frontier_rounds_equal_full_relaxation_round_by_round(spark):
+    """min_plus_frontier_rounds must be IDENTICAL to k synchronous
+    min_plus_round applications after EVERY k — not just at the
+    fixpoint — because the unrolled-CTE oracles are budget-exact
+    (they state the k-round value, converged or not). Drive both on a
+    weighted chain graph (worst case for frontier logic: the wave
+    advances one node per round) and compare at k = 1..6. Also pin
+    the delta property itself: the frontier after round k is exactly
+    the newly-reached node, never the whole vector."""
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.operators.graph import (
+        min_plus_frontier_rounds,
+        min_plus_round,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 10 * (i + 1)) for i in range(8)], "src long, dst long, w long"
+    ).localCheckpoint(eager=True)
+    nodes = list(range(9))
+    init = spark.createDataFrame(
+        [(n, 0 if n == 0 else None) for n in nodes], "node long, dist long"
+    ).localCheckpoint(eager=True)
+
+    def snap(df):
+        return sorted((r["node"], r["dist"]) for r in df.collect())
+
+    full = init
+    for k in range(1, 7):
+        full = min_plus_round(edges, full)
+        frontier_k = min_plus_frontier_rounds(
+            edges, init, k, F.col("dist") + F.col("w")
+        )
+        assert snap(frontier_k) == snap(full), f"diverged at round {k}"
+    # chain wave: after k rounds exactly nodes 0..k are reached
+    reached = {n for n, d in snap(full) if d is not None}
+    assert reached == set(range(7))
