@@ -1423,3 +1423,143 @@ def agg_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FLOOR((m4 / (m2 * m2) - 3.0D) * 1000000.0D + 0.5D) / 1000000.0D"
         " AS excess_kurtosis",
     )
+
+
+# ---- portable-hash sampled quantiles: oracle-exact estimator (r11)
+
+QSAMP_MOD = 8  # deterministic Bernoulli rate 1/8: keep rows with h % 8 = 0
+
+
+def _qsamp_pick_sql(div: str, q: int, src: str = "cents") -> str:
+    """Rank-select the q-th percentile from rows carrying rn (1-based
+    rank by (cents, rid)) and n (group size): index = 1 +
+    FLOOR((n-1)·q/100) in shared truncating integer division —
+    percentile_disc semantics spelled identically on both engines
+    (their built-ins disagree on interpolation, so neither is used)."""
+    return f"MAX(CASE WHEN rn = 1 + (((n - 1) * {q}) {div} 100) THEN {src} END)"
+
+
+def _qsamp_oracle() -> str:
+    h = _hllp_hash_sql("xor({a}, {b})", "//", "l_orderkey * 8 + l_linenumber")
+    return f"""
+    WITH s AS (
+      SELECT l_returnflag AS grp,
+             CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             (l_orderkey * 8 + l_linenumber) AS rid,
+             {h} AS h
+      FROM lineitem
+    ),
+    samp AS MATERIALIZED (
+      SELECT grp, cents, rid,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, rid) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM s WHERE (h % {QSAMP_MOD}) = 0
+    ),
+    est AS (
+      SELECT grp,
+             CAST(MAX(n) AS BIGINT) AS sample_n,
+             {_qsamp_pick_sql('//', 50)} AS p50_cents,
+             {_qsamp_pick_sql('//', 90)} AS p90_cents,
+             {_qsamp_pick_sql('//', 99)} AS p99_cents
+      FROM samp GROUP BY grp
+    ),
+    fx AS MATERIALIZED (
+      SELECT grp, cents,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, rid) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM s
+    ),
+    wit AS (
+      SELECT grp,
+             CAST(MAX(n) AS BIGINT) AS exact_n,
+             {_qsamp_pick_sql('//', 50)} AS exact_p50_cents
+      FROM fx GROUP BY grp
+    )
+    SELECT e.grp AS returnflag, w.exact_n, e.sample_n,
+           e.p50_cents, e.p90_cents, e.p99_cents, w.exact_p50_cents
+    FROM est e JOIN wit w ON w.grp = e.grp
+    ORDER BY returnflag
+    """
+
+
+@query("q_agg_quantile_sampled", oracle=_qsamp_oracle())
+def agg_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group percentiles (p50/p90/p99 of l_extendedprice by return
+    flag) from a DETERMINISTIC-HASH Bernoulli sample — the third
+    member of the oracle-exact sketch family (portable HLL for
+    distincts, portable CMS for frequencies, this for quantiles).
+    Random sampling would be rows-only; here the sample membership
+    decision is lowbias32(primary key) % {M} = 0 — a pure function of
+    the row — so both engines draw the IDENTICAL sample and the
+    driver hash-checks the estimates themselves. Rank selection is
+    percentile_disc spelled as shared integer SQL (row_number by
+    (cents, rid) + index 1+FLOOR((n-1)q/100)) because the engines'
+    built-in percentile functions disagree on interpolation; values
+    are exact cents end to end. The exact full-data median rides
+    along as the accuracy witness (the portable-HLL convention);
+    accuracy against it is pinned in tests.
+
+    Scale shape: the sample predicate evaluates MAP-SIDE on the scan
+    (only ~1/{M} of rows ever reach the exchange), the per-group sort
+    is over sample rows only, and hash-deterministic Bernoulli
+    sampling is MERGEABLE — the sample of a union is the union of the
+    samples, so per-partition/per-day samples compose exactly like
+    sketch merges, and re-runs are reproducible. At 100 TB the
+    modulus is the accuracy/cost lever (error ~ 1/√(group·rate));
+    the witness column is the part you drop. Reference parity: no
+    sketch surface in the reference (SURVEY §2 B.4 extension)."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    s = li.selectExpr(
+        "l_returnflag AS grp",
+        "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents",
+        "(l_orderkey * 8 + l_linenumber) AS rid",
+        f"{_hllp_hash_sql('({a} ^ {b})', 'DIV', 'l_orderkey * 8 + l_linenumber')} AS h",
+    )
+    rn_w = W.partitionBy("grp").orderBy("cents", "rid")
+    n_w = W.partitionBy("grp")
+
+    def ranked(df: DataFrame) -> DataFrame:
+        return df.withColumn("rn", F.row_number().over(rn_w)).withColumn(
+            "n", F.count("*").over(n_w)
+        )
+
+    est = (
+        ranked(s.filter(f"(h % {QSAMP_MOD}) = 0"))
+        .groupBy("grp")
+        .agg(
+            F.expr("CAST(MAX(n) AS BIGINT)").alias("sample_n"),
+            F.expr(_qsamp_pick_sql("DIV", 50)).alias("p50_cents"),
+            F.expr(_qsamp_pick_sql("DIV", 90)).alias("p90_cents"),
+            F.expr(_qsamp_pick_sql("DIV", 99)).alias("p99_cents"),
+        )
+    )
+    wit = (
+        ranked(s)
+        .groupBy("grp")
+        .agg(
+            F.expr("CAST(MAX(n) AS BIGINT)").alias("exact_n"),
+            F.expr(_qsamp_pick_sql("DIV", 50)).alias("exact_p50_cents"),
+        )
+    )
+    return (
+        est.join(wit, "grp")
+        .select(
+            F.col("grp").alias("returnflag"),
+            "exact_n",
+            "sample_n",
+            "p50_cents",
+            "p90_cents",
+            "p99_cents",
+            "exact_p50_cents",
+        )
+        .orderBy("returnflag")
+    )
+
+
+agg_quantile_sampled.__doc__ = agg_quantile_sampled.__doc__.replace(
+    "{M}", str(QSAMP_MOD)
+)

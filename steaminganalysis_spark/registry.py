@@ -496,8 +496,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_cluster_incremental (Liquid-clustering-style incremental
 # re-cluster: one file-metadata aggregate classifies files, only
 # span-violating files rewrite — O(delta) never O(table); rows-only
-# file-layout op). 331 keys / 295 oracles at the round-11 close
-# (count with collect_queries(), never this comment).
+# file-layout op), q_agg_quantile_sampled (deterministic-hash
+# Bernoulli sample quantiles — the identical lowbias32 sample on both
+# engines makes the estimates hash-checkable; the third oracle-exact
+# sketch). 332 keys / 296 oracles at the round-11 close (count with
+# collect_queries(), never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11
 # (q_agg_hll_portable, q_graph_scc_condensation, q_graph_ppr,

@@ -86,6 +86,11 @@ deferred_to_round12: set[str] = {
     # files byte-untouched, amplification 1.0, idempotent second pass;
     # rows-only file-layout op)
     "q_cluster_incremental",
+    # round-11 additions (operators/aggregates.py — deterministic-hash
+    # Bernoulli sample quantiles: both engines draw the identical
+    # lowbias32 sample, rank-select in shared integer SQL — the third
+    # oracle-exact sketch after portable HLL and portable CMS)
+    "q_agg_quantile_sampled",
 }
 
 

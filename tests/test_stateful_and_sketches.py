@@ -369,3 +369,23 @@ def test_cms_portable_one_sided_replay_and_forced_collisions(spark, monkeypatch)
     small = QUERIES["q_agg_cms_portable"](spark, sf).collect()
     assert all(r.cms_est >= r.true_n for r in small)
     assert any(r.cms_est > r.true_n for r in small), "no collision at w=16"
+
+
+def test_quantile_sampled_accuracy_and_sample_rate(spark):
+    """The deterministic-hash sample must (a) estimate the median
+    within 5% of the exact witness at sf0.01 (sample ~2.5k/group),
+    (b) draw close to the nominal 1/8 rate (lowbias32 uniformity),
+    and (c) order the percentiles p50 <= p90 <= p99 — the rank-select
+    CASE can only violate that if the window rank went wrong."""
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    rows = QUERIES["q_agg_quantile_sampled"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert abs(r.p50_cents - r.exact_p50_cents) <= 0.05 * r.exact_p50_cents
+        rate = r.sample_n / r.exact_n
+        assert 0.08 <= rate <= 0.17, rate  # nominal 0.125
+        assert r.p50_cents <= r.p90_cents <= r.p99_cents
