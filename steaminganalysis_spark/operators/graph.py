@@ -191,6 +191,7 @@ def _pagerank_frac(spark: SparkSession, sf_dir: str):
     frac = stage(
         edges.join(outw, "src").select("src", "dst", (F.col("w") / F.col("ow")).alias("p")),
         "pagerank_frac",
+        bucket_col="src",  # table-mode staging: zero-exchange iteration joins
     )
     # nodes is referenced in EVERY iteration's left join — stage it too
     # or the union+distinct over the edge table replays per iteration
@@ -628,7 +629,7 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector rides along."""
     from steaminganalysis_spark.staging import stage
 
-    de = stage(_directed_edges(spark, sf_dir), "bfs_edges")
+    de = stage(_directed_edges(spark, sf_dir), "bfs_edges", bucket_col="src")
     nodes = stage(
         de.select(F.col("src").alias("node"))
         .union(de.select(F.col("dst").alias("node")))
@@ -1456,6 +1457,7 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.lit(1) + F.expr("1000000 DIV COUNT(*)")).cast("long").alias("w")),
         "sssp_edges",
+        bucket_col="src",  # table-mode staging: zero-exchange iteration joins
     )
     nodes = we.select(F.col("src").alias("node")).union(
         we.select(F.col("dst").alias("node"))
@@ -2136,6 +2138,7 @@ def _scc_label_graph(spark: SparkSession, sf_dir: str):
         .filter(F.col("c") >= F.col("t"))
         .select("src", "dst"),
         "scc_edges",
+        bucket_col="src",  # table-mode staging: zero-exchange relaxation joins
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
