@@ -525,6 +525,27 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # deferred_to_round12 ahead of the re-checks; any key whose
 # implementation changes after its last green row outranks unchanged
 # re-checks (the q_graph_triangles rule).
+# ROUND-12 WINDOW (planned at the round-11 freeze): canaries
+# q_daily_rollup + q_tpch_q12, then deferred_to_round12 (the round-11
+# additions — q_stream_rate_source, q_cluster_incremental rows-only,
+# q_agg_quantile_sampled, plus any later round-12 registrations per
+# the standing pin discipline), then the 25 remaining oracled
+# round-4-stamp re-checks in registration order (head: the 7 displaced
+# by the round-11 graph swap — q_fn_posexplode, q_dedup_spans_global,
+# q_tokenize_vocab, q_agg_grouping_sets, q_join_lateral,
+# q_merge_upsert, q_fn_map2 — then q_fn_array3, q_data_mix_weighted,
+# q_join_interval_overlap, q_sessionize_dynamic, q_join_salted,
+# q_cte_recursive, q_fn_variant, q_source_python,
+# q_stream_source_python, q_ts_similarity, q_ts_resample,
+# q_scd2_from_cdc, q_stream_static_join, q_stream_append_watermark,
+# q_daily_rollup_substring, q_fn_try, q_dedup_ngram_jaccard,
+# q_sim_threshold_pairs), then the oldest oracled round-5-stamp
+# re-checks in registration order to fill 50 (q_join_asof_forward,
+# q_sql_parameterized, q_sql_modern, q_udtf_analyze, q_udf_sql_body,
+# q_scan_file_metadata, q_stream_sink_python, q_yoy_revenue,
+# q_attribution_last_touch, q_gaps_islands, ... — recompute at the
+# freeze, prefer oracled over rows-only, implementation-changed keys
+# outrank unchanged re-checks).
 ROUND11_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
