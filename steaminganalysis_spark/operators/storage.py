@@ -898,16 +898,18 @@ def cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         f for f, s in spans_before.items() if s > CLUSTER_SPAN_FRAC_MAX
     ]
     cand_paths = [os.path.join(table, f) for f in candidates]
-    cand_df = spark.read.parquet(*cand_paths)
-    rows_rewritten = cand_df.count()
-    n_total = spark.read.parquet(table).count()
-    # size rewritten files like the base files so locality is restored
-    target = max(2, int(math.ceil(16 * rows_rewritten / max(n_total, 1))))
-    cand_df.repartitionByRange(target, "user_id").sortWithinPartitions(
-        "user_id"
-    ).write.mode("append").parquet(table)
-    for p in cand_paths:
-        os.remove(p)
+    rows_rewritten = 0
+    if cand_paths:  # a fully-clustered table is a no-op pass
+        cand_df = spark.read.parquet(*cand_paths)
+        rows_rewritten = cand_df.count()
+        n_total = spark.read.parquet(table).count()
+        # size rewritten files like the base files (locality restored)
+        target = max(2, int(math.ceil(16 * rows_rewritten / max(n_total, 1))))
+        cand_df.repartitionByRange(target, "user_id").sortWithinPartitions(
+            "user_id"
+        ).write.mode("append").parquet(table)
+        for p in cand_paths:
+            os.remove(p)
 
     spans_after = _spans()
     second_pass = [
