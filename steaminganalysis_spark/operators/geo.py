@@ -50,6 +50,14 @@ _SUPP_LON = f"(s_suppkey * 48271 + 98765) % {BOX}"
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
+# Nearest-POI strategy switch (round 11): broadcast the POI table
+# below the cap (thousands of facilities — the realistic case), grid
+# two-phase search above it. GEO_POI_PITCH is the grid pitch of the
+# fallback — production tunes it to POI density so the certified
+# phase resolves most points and the residue stays small.
+GEO_POI_BROADCAST_CAP = 4_000_000
+GEO_POI_PITCH = 100_000
+
 
 def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "customer").selectExpr(
@@ -217,12 +225,34 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 def geo_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-facility assignment: each customer mapped to its closest
     supplier by exact squared µdeg distance (suppkey tie-break). The
-    POI side is DELIBERATELY broadcast — facilities number in the
+    POI side broadcasts while it fits — facilities number in the
     thousands at any realistic scale, so the point table never
     shuffles and the argmin is a map-side partial aggregate (the same
-    brute-force-with-broadcast shape as ``q_sim_topk``; a POI set too
-    large to broadcast falls back to the grid equi-join of
-    ``q_geo_radius_join``)."""
+    brute-force-with-broadcast shape as ``q_sim_topk``).
+
+    The POI-outgrows-broadcast fallback is CODED (round 11), not
+    documented: above GEO_POI_BROADCAST_CAP (or under
+    ``SPARK_GRAFT_POI_JOIN=grid``) the assignment becomes a two-phase
+    EXACT grid search — (1) candidates by the radius-join discipline
+    (points explode to their 3×3 GEO_POI_PITCH-cell neighborhood,
+    equi-join on the cell key against the bucketed POI table; no cross
+    join, candidate volume bounded by local POI density × 9); a
+    candidate argmin with dist² ≤ pitch² is PROVABLY global (any POI
+    outside the 3×3 block is > pitch away in L∞, hence in L2); (2)
+    the residue — points whose 3×3 block holds no POI within pitch —
+    re-runs the argmin with the RESIDUE side broadcast against the
+    streaming POI table, so the big side never shuffles and the cross
+    join is bounded by the residue count, which shrinks with POI
+    density (production tunes the pitch to the density). Both paths
+    pinned answer-identical; forced-grid oracle parity at 3 SFs."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_POI_JOIN", "auto")
+    if mode not in ("auto", "broadcast", "grid"):
+        raise ValueError(
+            f"SPARK_GRAFT_POI_JOIN={mode!r}: expected 'auto', "
+            "'broadcast' or 'grid'"
+        )
     c = _customer_points(spark, sf_dir).selectExpr(
         "id AS c_custkey", "lat AS clat", "lon AS clon"
     )
@@ -234,14 +264,50 @@ def geo_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist2 = (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat")) + (
         F.col("clon") - F.col("slon")
     ) * (F.col("clon") - F.col("slon"))
-    return (
-        c.crossJoin(F.broadcast(s))
-        .select("c_custkey", "s_suppkey", dist2.alias("dist2"))
-        .groupBy("c_custkey")
-        .agg(F.min(F.struct("dist2", "s_suppkey")).alias("m"))
-        .select(
-            "c_custkey",
-            F.col("m.s_suppkey").alias("nearest_suppkey"),
-            F.col("m.dist2").alias("nearest_dist2"),
+
+    def argmin(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.select("c_custkey", "s_suppkey", dist2.alias("dist2"))
+            .groupBy("c_custkey")
+            .agg(F.min(F.struct("dist2", "s_suppkey")).alias("m"))
+            .select(
+                "c_custkey",
+                F.col("m.s_suppkey").alias("nearest_suppkey"),
+                F.col("m.dist2").alias("nearest_dist2"),
+            )
         )
+
+    if mode == "broadcast" or (
+        mode == "auto" and s.count() <= GEO_POI_BROADCAST_CAP
+    ):
+        return argmin(c.crossJoin(F.broadcast(s)))
+
+    # ---- grid fallback: exact two-phase search, POIs never broadcast
+    p = GEO_POI_PITCH
+    sg = s.selectExpr("*", f"slat div {p} AS gx", f"slon div {p} AS gy")
+    c9 = c.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in _OFFSETS
+                ]
+            )
+        ).alias("o"),
+    ).selectExpr(
+        "c_custkey", "clat", "clon",
+        f"clat div {p} + o.dx AS gx",
+        f"clon div {p} + o.dy AS gy",
     )
+    best_cand = argmin(c9.join(sg, ["gx", "gy"]))
+    # dist² ≤ pitch² certifies the candidate argmin globally: any POI
+    # outside the 3×3 block is at L∞ distance > pitch (integer µdeg:
+    # ≥ pitch+1), hence strictly farther in L2.
+    safe = best_cand.filter(F.col("nearest_dist2") <= p * p).localCheckpoint(
+        eager=True
+    )
+    residue = c.join(safe.select("c_custkey"), "c_custkey", "left_anti")
+    # the residue is the small side now — broadcast IT; POIs stream
+    resolved_residue = argmin(s.crossJoin(F.broadcast(residue)))
+    return safe.unionByName(resolved_residue)

@@ -87,3 +87,40 @@ def test_nearest_poi_broadcasts_poi_side(spark):
     assert "CartesianProduct" not in plan
     assert count_exchanges(df) == 1
     assert df.count() == len(pd.read_parquet(f"{SF}/customer.parquet"))
+
+
+def test_nearest_poi_grid_fallback_equals_broadcast(spark, monkeypatch):
+    """The POI-outgrows-broadcast grid fallback (two-phase exact
+    search) must return the IDENTICAL assignment as the broadcast
+    argmin — same nearest suppkey, same distance, same tie-breaks —
+    and its certified phase must actually resolve points (the 3×3
+    pitch-cell guarantee is doing work, not everything falling through
+    to the residue)."""
+    from steaminganalysis_spark.operators.geo import GEO_POI_PITCH
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    sf = "/root/testdata/sf0.01"
+    base = sorted(
+        map(tuple, QUERIES["q_geo_nearest_poi"](spark, sf).collect())
+    )
+    monkeypatch.setenv("SPARK_GRAFT_POI_JOIN", "grid")
+    grid = sorted(
+        map(tuple, QUERIES["q_geo_nearest_poi"](spark, sf).collect())
+    )
+    assert grid == base
+    # the certified phase resolves a meaningful share: points whose
+    # nearest POI is within one pitch never reach the residue pass
+    certified = sum(1 for _, _, d2 in grid if d2 <= GEO_POI_PITCH**2)
+    assert certified >= len(grid) * 0.5, (certified, len(grid))
+
+
+def test_nearest_poi_rejects_unknown_mode(spark, monkeypatch):
+    import pytest as _pytest
+
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    monkeypatch.setenv("SPARK_GRAFT_POI_JOIN", "nope")
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_POI_JOIN"):
+        QUERIES["q_geo_nearest_poi"](spark, "/root/testdata/sf0.001")
