@@ -23,9 +23,10 @@ Scale posture (the 100 TB story):
   the CELL table — O(occupied cells), never O(points).
 - ``q_geo_nearest_poi`` broadcasts the POI side (facilities/stores are
   thousands, not billions) and takes a map-side argmin per point —
-  zero shuffle on the point table. For POI sets too big to broadcast,
-  the grid-bucketed shape above is the fallback, documented not
-  speculated.
+  zero shuffle on the point table. For POI sets too big to broadcast
+  the grid-bucketed fallback is CODED (round 11): an exact two-phase
+  search — certified 3×3 pitch-cell candidates, then a residue-only
+  broadcast — behind GEO_POI_BROADCAST_CAP / SPARK_GRAFT_POI_JOIN.
 """
 
 from __future__ import annotations
