@@ -516,10 +516,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_session_window, q_stream_dedup, q_stream_stream_join,
 # q_stream_flagship_replay), then 14 oldest oracled round-4-stamp
 # re-checks in registration order (prefer oracled over rows-only, the
-# round-10 refinement), then the 7 graph keys whose execution changed
-# THIS round (iter_vector_join everywhere, frontier-delta BFS/SSSP/
-# WCC, butterfly wedge staging) — the q_graph_triangles rule; the 7
-# displaced round-4 stamps roll to round 12. NOTE for the closure test:
+# round-10 refinement), then the 8 keys whose execution changed THIS
+# round (iter_vector_join everywhere, frontier-delta BFS/SSSP/WCC,
+# butterfly wedge staging, the nearest-POI strategy switch) — the
+# q_graph_triangles rule; the 8 displaced round-4 stamps roll to
+# round 12. NOTE for the closure test:
 # CORRECTNESS_r10.json breaks the r0[1-9] single-digit glob — extend
 # to two patterns or r*[0-9]. Any round-11 additions go into
 # deferred_to_round12 ahead of the re-checks; any key whose
@@ -533,7 +534,7 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # round-4-stamp re-checks in registration order (head: the 7 displaced
 # by the round-11 graph swap — q_fn_posexplode, q_dedup_spans_global,
 # q_tokenize_vocab, q_agg_grouping_sets, q_join_lateral,
-# q_merge_upsert, q_fn_map2 — then q_fn_array3, q_data_mix_weighted,
+# q_merge_upsert, q_fn_map2, q_anomaly_zscore — then q_fn_array3, q_data_mix_weighted,
 # q_join_interval_overlap, q_sessionize_dynamic, q_join_salted,
 # q_cte_recursive, q_fn_variant, q_source_python,
 # q_stream_source_python, q_ts_similarity, q_ts_resample,
@@ -584,15 +585,16 @@ ROUND11_WINDOW = [
     "q_sort_nulls", "q_sql_group_by_all", "q_pandas_api",
     "q_udf_applyinarrow", "q_scan_xml", "q_corpus_pipeline",
     "q_decontaminate", "q_quality_repetition", "q_window_rolling_time",
-    "q_window_ntile", "q_anomaly_zscore",
+    "q_window_ntile",
     # --- implementation-changed-this-round re-checks (round-11 code:
     # iter_vector_join in every O(V)-vector loop, Pregel frontier-delta
-    # rounds in BFS/SSSP/WCC, butterfly part-branch wedge staging) —
-    # a key whose execution changed after its last green row needs a
-    # fresh driver row; registration order ---
+    # rounds in BFS/SSSP/WCC, butterfly part-branch wedge staging,
+    # nearest-POI strategy switch) — a key whose execution changed
+    # after its last green row needs a fresh driver row; registration
+    # order. q_anomaly_zscore rolls to round 12 to make room. ---
     "q_graph_pagerank", "q_graph_bfs", "q_graph_wcc",
     "q_graph_label_propagation", "q_graph_sssp", "q_graph_butterfly",
-    "q_graph_scc",
+    "q_graph_scc", "q_geo_nearest_poi",
 ]
 
 # Retired round-10 window, for the record (50/50 green in

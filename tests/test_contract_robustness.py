@@ -99,10 +99,10 @@ def test_round11_correctness_window_composition():
     round-11 window is the explicit ROUND11_WINDOW key list — the two
     canaries, the 12 round-10 additions (former deferred_to_round11
     pin, never driver-checked), the 15 oracled round-3-stamp re-checks
-    left after round 10 (q_sessionize first), the 14 oldest oracled
-    round-4-stamp re-checks in registration order, and the 7 graph
-    keys whose execution changed this round (the q_graph_triangles
-    rule; 7 displaced round-4 stamps roll to round 12). Pin it so a stray
+    left after round 10 (q_sessionize first), the 13 oldest oracled
+    round-4-stamp re-checks in registration order, and the 8 keys
+    whose execution changed this round (the q_graph_triangles rule;
+    8 displaced round-4 stamps roll to round 12). Pin it so a stray
     registration (or an import reorder) cannot silently displace
     queries out of the checked window before the driver runs. Update
     deliberately on each round's rotation."""
