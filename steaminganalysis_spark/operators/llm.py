@@ -1949,3 +1949,167 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("mh").alias("n_fingerprints"),
         F.md5(F.concat_ws("", F.sort_array(F.collect_set("mh")))).alias("fp_digest"),
     )
+
+
+# ---- portable MinHash: the oracle-exact near-dup ESTIMATOR (r11)
+
+MHP_K = 32  # permutations; estimate resolution 1/32
+MHP_SEED = 2654435761  # per-permutation additive stride (Knuth)
+MHP_MIN_MATCH = 16  # report pairs with >= 16/32 matching minhashes
+
+# Cross-engine string->BIGINT hash: the first 15 hex chars of md5
+# (60 bits, no sign/overflow surface), parsed per engine —
+# Spark conv(hex,16,10), DuckDB CAST('0x'||hex AS BIGINT). UTF-8
+# verified identical (md5 operates on bytes in both engines).
+_MHP_H_SPARK = "CAST(conv(substring(md5(shingle),1,15),16,10) AS BIGINT)"
+_MHP_H_DUCK = "CAST('0x' || substr(md5(shingle),1,15) AS BIGINT)"
+
+
+def _mhp_perm_sql(xor: str, div: str, h: str) -> str:
+    """Permutation-j hash of a shingle: lowbias32 over the 32-bit
+    fold of (H + j·stride) — the portable-HLL mixer with the
+    permutation index folded in additively (products stay < 2^63)."""
+    from steaminganalysis_spark.operators.aggregates import _hllp_hash_sql
+
+    return _hllp_hash_sql(xor, div, f"(({h}) % 4294967296) + j * {MHP_SEED}")
+
+
+def _mhp_oracle() -> str:
+    perm = _mhp_perm_sql("xor({a}, {b})", "//", _MHP_H_DUCK)
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS r(i)
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id, j, MIN({perm}) AS mh
+      FROM sh, unnest(generate_series(0, {MHP_K - 1})) AS p(j)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_match
+      FROM sig a JOIN sig b ON a.j = b.j AND a.mh = b.mh
+                            AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MHP_MIN_MATCH}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    witness AS (
+      SELECT c.doc_a, c.doc_b, c.n_match,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY 1, 2, 3
+    )
+    SELECT w.doc_a, w.doc_b, w.n_match,
+           (w.n_match * 1000000) // {MHP_K} AS est_ppm,
+           (w.n_common * 1000000) // (sa.n + sb.n - w.n_common) AS jaccard_ppm
+    FROM witness w
+    JOIN sizes sa ON sa.doc_id = w.doc_a
+    JOIN sizes sb ON sb.doc_id = w.doc_b
+    ORDER BY w.doc_a, w.doc_b
+    """
+
+
+@query("q_dedup_minhash_portable", oracle=_mhp_oracle())
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-duplicate detection with an ORACLE-EXACT estimate —
+    the fourth portable sketch (HLL distincts, CMS frequencies,
+    sampled quantiles, now MinHash similarity), and the hash-checked
+    twin of rows-only ``q_dedup_near`` (whose xxhash64 signatures are
+    engine-internal): every permutation hash is engine-portable
+    integer SQL — the shingle string maps to a 60-bit integer via the
+    first 15 hex chars of md5 (byte-identical in both engines), the
+    permutation-j value is the portable-HLL lowbias32 mixer over
+    (H + j·stride) mod 2^32, and the doc signature is 32 per-
+    permutation MINs — so the driver hash-checks the similarity
+    ESTIMATES themselves. Candidate pairs come from the signature
+    equi-join (docs sharing any (j, minhash) cell — single-row LSH
+    bands, never an all-pairs product); pairs with ≥ 16/32 matches are
+    reported with est_ppm = matches/32 and, as the accuracy witness,
+    the EXACT shingle-set Jaccard in ppm (the q_agg_hll_portable
+    convention: the estimate and its ground truth in one row —
+    |est − exact| bounded in tests).
+
+    Scale shape: the shuffled signature state is K=32 rows per doc
+    regardless of document size (per-permutation MIN is associative —
+    map-side partial combine does real work); the candidate join is
+    bucketed on the (j, mh) cell exactly like the LSH band join of
+    q_dedup_near; the exact-Jaccard witness touches only emitted
+    pairs (semi-join against the candidate list) and is the column
+    you drop at 100 TB. Reference parity: no dedup surface in the
+    reference (SURVEY §2 B.9 extension)."""
+    from steaminganalysis_spark.operators.aggregates import _hllp_hash_sql
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    sh = stage(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.expr("size(t) >= 3"))
+        .distinct(),
+        "mhp_shingles",
+    )
+    perm = _mhp_perm_sql("({a} ^ {b})", "DIV", _MHP_H_SPARK)
+    sig = (
+        sh.select("doc_id", "shingle")
+        .crossJoin(
+            F.broadcast(
+                spark.range(MHP_K).select(F.col("id").cast("int").alias("j"))
+            )
+        )
+        .selectExpr("doc_id", "j", f"{perm} AS ph")
+        .groupBy("doc_id", "j")
+        .agg(F.min("ph").alias("mh"))
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_match"))
+        .filter(F.col("n_match") >= MHP_MIN_MATCH)
+        .localCheckpoint(eager=True)  # tiny pair list, read 2× below
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    witness = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("doc_a", "doc_b", "n_match")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.selectExpr("doc_id AS _da", "n AS na")
+    sb = sizes.selectExpr("doc_id AS _db", "n AS nb")
+    return (
+        witness.join(F.broadcast(sa), F.col("doc_a") == F.col("_da"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("_db"))
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            f"(n_match * 1000000) DIV {MHP_K} AS est_ppm",
+            "(n_common * 1000000) DIV (na + nb - n_common) AS jaccard_ppm",
+        )
+        .orderBy("doc_a", "doc_b")
+    )

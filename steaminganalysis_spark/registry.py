@@ -499,8 +499,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # file-layout op), q_agg_quantile_sampled (deterministic-hash
 # Bernoulli sample quantiles — the identical lowbias32 sample on both
 # engines makes the estimates hash-checkable; the third oracle-exact
-# sketch). 332 keys / 296 oracles at the round-11 close (count with
-# collect_queries(), never this comment).
+# sketch), q_dedup_minhash_portable (oracle-exact MinHash similarity:
+# cross-engine md5-hex->BIGINT shingle hash + lowbias32 permutation
+# mixer — the estimates themselves hash-check, exact Jaccard witness
+# rides along). 333 keys / 297 oracles at the round-11 close (count
+# with collect_queries(), never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11
 # (q_agg_hll_portable, q_graph_scc_condensation, q_graph_ppr,

@@ -91,6 +91,11 @@ deferred_to_round12: set[str] = {
     # lowbias32 sample, rank-select in shared integer SQL — the third
     # oracle-exact sketch after portable HLL and portable CMS)
     "q_agg_quantile_sampled",
+    # round-11 additions (operators/llm.py — oracle-exact MinHash: the
+    # cross-engine md5-hex->BIGINT shingle hash + lowbias32 permutation
+    # mixer make the similarity ESTIMATES hash-checkable, with the
+    # exact shingle Jaccard riding along as witness)
+    "q_dedup_minhash_portable",
 }
 
 

@@ -389,3 +389,28 @@ def test_quantile_sampled_accuracy_and_sample_rate(spark):
         rate = r.sample_n / r.exact_n
         assert 0.08 <= rate <= 0.17, rate  # nominal 0.125
         assert r.p50_cents <= r.p90_cents <= r.p99_cents
+
+
+def test_minhash_portable_accuracy_and_recall(spark):
+    """The portable MinHash estimates must (a) sit within the K=32
+    resolution band of the exact Jaccard witness on every emitted
+    pair (binomial noise at J >= 0.5 stays well under 8/32 for the
+    fixed portable hash — an empirical pin, deterministic here), and
+    (b) recall every exact >= 0.8-Jaccard pair that
+    q_dedup_ngram_jaccard emits (at J >= 0.8 the expected match count
+    is ~26/32, far above the 16 cut)."""
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["q_dedup_minhash_portable"](spark, sf).collect()
+    assert rows, "no near-dup pairs emitted"
+    for r in rows:
+        assert abs(r.est_ppm - r.jaccard_ppm) <= 250_000, r  # 8/32 band
+        assert r.est_ppm == (r.n_match * 1_000_000) // 32
+    got_pairs = {(r.doc_a, r.doc_b) for r in rows}
+    exact_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_ngram_jaccard"](spark, sf).collect()
+    }
+    assert exact_pairs <= got_pairs, exact_pairs - got_pairs
