@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from steaminganalysis_spark.registry import query
+from steaminganalysis_spark.registry import SQL_DSUM, query
 from steaminganalysis_spark.sources import load
 
 __all__ = [
@@ -943,4 +943,159 @@ def cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "base_files int, base_untouched boolean, files_rewritten int, "
         "rows_appended long, rows_rewritten long, rewrite_amplification double, "
         "max_span_before double, max_span_after double, second_pass_candidates int",
+    )
+
+
+# ------------------------- manifest snapshots / time travel (r11)
+
+
+def _snap_commit(table: str, files: list[str], version: int) -> None:
+    """Atomic manifest commit: write the complete file list to a temp
+    path, fsync, then os.replace to manifests/v{N}.json — readers
+    either see the whole snapshot or the previous one, never a torn
+    list. This is the Iceberg/Delta commit primitive reduced to its
+    load-bearing core (one atomic rename of a self-contained
+    manifest)."""
+    import json
+
+    mdir = os.path.join(table, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{version}.json.inprogress")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "files": sorted(files)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mdir, f"v{version}.json"))
+
+
+def _snap_read(spark: SparkSession, table: str, version: int | None = None):
+    """Read the table AS OF a committed snapshot (default: latest
+    committed). Only files listed in the resolved manifest are read —
+    orphan data files (crashed writers) and in-progress manifests are
+    invisible by construction."""
+    import json
+    import re
+
+    mdir = os.path.join(table, "manifests")
+    committed = {
+        int(m.group(1)): f
+        for f in os.listdir(mdir)
+        for m in [re.fullmatch(r"v(\d+)\.json", f)]
+        if m
+    }
+    v = max(committed) if version is None else version
+    if v not in committed:
+        raise ValueError(f"snapshot v{v} is not committed (have {sorted(committed)})")
+    manifest = json.loads(open(os.path.join(mdir, committed[v])).read())
+    paths = [os.path.join(table, "data", f) for f in manifest["files"]]
+    return spark.read.parquet(*paths)
+
+
+def _snap_add_files(df: DataFrame, table: str, tmp_tag: str) -> list[str]:
+    """Write df as new uuid-named data files under table/data, NOT yet
+    visible (no manifest references them). Returns the new names."""
+    import shutil
+    import uuid as _uuid
+
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    staging = f"{scratch_dir(tmp_tag)}/out"
+    df.write.parquet(staging)
+    ddir = os.path.join(table, "data")
+    os.makedirs(ddir, exist_ok=True)
+    names = []
+    for f in os.listdir(staging):
+        if f.endswith(".parquet"):
+            name = f"{_uuid.uuid4().hex[:12]}.parquet"
+            shutil.move(os.path.join(staging, f), os.path.join(ddir, name))
+            names.append(name)
+    return names
+
+
+@query(
+    "q_table_snapshot_read",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN event_id % 10 < 8 THEN 1 END) AS BIGINT)
+             AS v0_rows,
+           {SQL_DSUM("CASE WHEN event_id % 10 < 8 THEN value ELSE 0.0 END")}
+             AS v0_value,
+           CAST(COUNT(*) AS BIGINT) AS v1_rows
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on a BATCH table via atomic
+    manifests — the file-grain table-format mechanics (Iceberg/Delta's
+    core) that complete the repo's lakehouse row: q_stream_mv_time_travel
+    versions an AGGREGATE store, q_merge_deletion_vector handles
+    row-level deletes, q_cluster_incremental the layout; this key is
+    the committed-file-list contract itself. Harness: snapshot v0 =
+    events with event_id % 10 < 8 (committed via temp-write + fsync +
+    os.replace of manifests/v0.json), v1 = v0's files plus the
+    remaining rows' files (manifests never rewrite data). Two fault
+    injections sit on disk when the reads run: an ORPHAN data file (a
+    crashed writer's duplicate rows, present in data/ but in no
+    manifest) and an IN-PROGRESS manifest (.v2.json.inprogress) — both
+    must be invisible. The registered frame reads v0 (time travel) and
+    latest-committed (v1) side by side and aggregates per event type;
+    the oracle states both snapshots from the raw table, so a reader
+    that ever lists the directory instead of the manifest — the classic
+    non-atomic-table bug — is a hash mismatch, not a lucky pass.
+
+    Scale shape: a snapshot read plans exactly the listed parquet
+    files (no directory listing, no filtering of dead files at scan
+    time); commits are O(1) manifest renames regardless of table
+    size; history retention = keeping old manifests (data files are
+    shared across snapshots). Invariants (orphan/torn invisibility,
+    uncommitted-version raise, snapshot immutability across appends)
+    pinned in tests/test_storage.py. Reference parity: no table
+    format in the reference (SURVEY §2 B.1 extension)."""
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snaptable')}/table"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base_files = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 < 8")), table, "snap_base"
+    )
+    _snap_commit(table, base_files, 0)
+    delta_files = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 >= 8")), table, "snap_delta"
+    )
+    _snap_commit(table, base_files + delta_files, 1)
+    # fault injection 1: an orphan data file no manifest references
+    # (a crashed writer's leftovers — duplicate rows that would break
+    # the counts if a reader listed the directory)
+    _snap_add_files(ev.limit(50), table, "snap_orphan")
+    # fault injection 2: a torn (in-progress) manifest
+    with open(
+        os.path.join(table, "manifests", ".v2.json.inprogress"), "w"
+    ) as f:
+        f.write('{"version": 2, "files": ["garbage')
+
+    v0 = (
+        _snap_read(spark, table, 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("v0_rows"),
+            dsum(F.col("value")).alias("v0_value"),
+        )
+    )
+    v1 = (
+        _snap_read(spark, table)  # latest committed = v1
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("v1_rows"))
+    )
+    return (
+        v0.join(v1, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("v0_rows", F.lit(0)).alias("v0_rows"),
+            F.coalesce("v0_value", F.lit(0.0)).alias("v0_value"),
+            F.coalesce("v1_rows", F.lit(0)).alias("v1_rows"),
+        )
+        .orderBy("event_type")
     )

@@ -502,8 +502,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # sketch), q_dedup_minhash_portable (oracle-exact MinHash similarity:
 # cross-engine md5-hex->BIGINT shingle hash + lowbias32 permutation
 # mixer — the estimates themselves hash-check, exact Jaccard witness
-# rides along). 333 keys / 297 oracles at the round-11 close (count
-# with collect_queries(), never this comment).
+# rides along), q_table_snapshot_read (snapshot isolation + time
+# travel via atomic manifests — the committed-file-list contract;
+# orphans and torn manifests invisible, O(1) commits). 334 keys /
+# 298 oracles at the round-11 close (count with collect_queries(),
+# never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11
 # (q_agg_hll_portable, q_graph_scc_condensation, q_graph_ppr,

@@ -96,6 +96,11 @@ deferred_to_round12: set[str] = {
     # mixer make the similarity ESTIMATES hash-checkable, with the
     # exact shingle Jaccard riding along as witness)
     "q_dedup_minhash_portable",
+    # round-11 additions (operators/storage.py — snapshot isolation +
+    # time travel on a batch table via atomic manifests: orphan files
+    # and in-progress manifests invisible by construction; the oracle
+    # states both snapshots so directory-listing readers hash-mismatch)
+    "q_table_snapshot_read",
 }
 
 

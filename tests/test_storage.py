@@ -358,3 +358,43 @@ def test_cluster_incremental_invariants(spark):
     assert r.max_span_after <= CLUSTER_SPAN_FRAC_MAX  # ...and are not now
     assert r.second_pass_candidates == 0  # idempotent / convergent
     assert r.files_rewritten >= 1
+
+
+def test_snapshot_manifest_contract(spark):
+    """The manifest commit protocol's load-bearing properties, pinned
+    directly against the helpers: (a) a snapshot read plans ONLY the
+    manifest's files — an orphan data file in data/ is invisible; (b)
+    appends never mutate an old snapshot (v0 re-read byte-identical
+    after the v1 commit); (c) an uncommitted version raises; (d) the
+    latest-committed resolution ignores in-progress manifests."""
+    import pytest as _pytest
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_read,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snaptest')}/t"
+    df0 = spark.range(100).selectExpr("id", "id * 2 AS v")
+    f0 = _snap_add_files(df0, table, "snaptest_b")
+    _snap_commit(table, f0, 0)
+    v0_before = sorted(map(tuple, _snap_read(spark, table, 0).collect()))
+
+    f1 = _snap_add_files(
+        spark.range(100, 150).selectExpr("id", "id * 2 AS v"), table, "snaptest_d"
+    )
+    _snap_commit(table, f0 + f1, 1)
+    # orphan + torn manifest on disk
+    _snap_add_files(spark.range(7).selectExpr("id", "id AS v"), table, "snaptest_o")
+    import os
+
+    with open(os.path.join(table, "manifests", ".v9.json.inprogress"), "w") as fh:
+        fh.write("{")
+
+    assert sorted(map(tuple, _snap_read(spark, table, 0).collect())) == v0_before
+    latest = _snap_read(spark, table)  # resolves v1, not the torn v9
+    assert latest.count() == 150  # orphan's 7 rows invisible
+    with _pytest.raises(ValueError, match="not committed"):
+        _snap_read(spark, table, 9)
