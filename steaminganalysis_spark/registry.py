@@ -504,8 +504,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # mixer — the estimates themselves hash-check, exact Jaccard witness
 # rides along), q_table_snapshot_read (snapshot isolation + time
 # travel via atomic manifests — the committed-file-list contract;
-# orphans and torn manifests invisible, O(1) commits). 334 keys /
-# 298 oracles at the round-11 close (count with collect_queries(),
+# orphans and torn manifests invisible, O(1) commits),
+# q_stream_table_ingest (streaming ingestion into the snapshot table:
+# per-batch file append + manifest commit + KVStore watermark —
+# exactly-once at FILE grain, stream≡batch oracle). 335 keys /
+# 299 oracles at the round-11 close (count with collect_queries(),
 # never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11

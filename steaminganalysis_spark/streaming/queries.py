@@ -1622,3 +1622,155 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# -------------------------- streaming snapshot-table ingest (r11)
+
+
+def snapshot_ingest_sink(table: str, store_name: str, marker: str):
+    """foreachBatch sink appending each micro-batch to the atomic-
+    manifest snapshot table exactly once: (1) the replayed-batch guard
+    returns before writing anything; (2) new uuid data files land
+    invisible; (3) manifest v{batch+1} = previous committed list + the
+    new files commits via fsync + os.replace; (4) the KVStore batch
+    watermark advances LAST — a crash anywhere earlier leaves either
+    orphan files (invisible by the manifest contract) or a committed
+    manifest whose replay is skipped by the guard. Module-level so the
+    replay/crash pins in tests/test_streaming.py drive it directly."""
+    import json
+    import os
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        store = KVStore.instance(store_name)
+        if batch_id <= store.last_applied(marker):
+            return  # replayed, already-committed batch: exactly-once
+        new_files = _snap_add_files(batch_df, table, f"ingest_b{batch_id}")
+        prev = json.loads(
+            open(os.path.join(table, "manifests", f"v{batch_id}.json")).read()
+        )["files"]
+        _snap_commit(table, prev + new_files, batch_id + 1)
+        store.apply_batch(batch_id, [], marker)
+
+    return sink
+
+
+@query(
+    "q_stream_table_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_table_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion INTO the atomic-manifest snapshot table —
+    the capstone that composes q_table_snapshot_read's commit protocol
+    with the module's exactly-once discipline: history lands as
+    snapshot v0, then the delta streams in two micro-batches and each
+    ``foreachBatch`` (1) appends the batch as new uuid data files —
+    invisible until committed, (2) commits manifest
+    v{batch+1} = previous committed list + the new files (fsync +
+    os.replace — O(1) regardless of table size, no data rewritten),
+    and (3) advances the KVStore batch watermark. Replayed batch ids
+    return before writing anything (exactly-once); a crash between the
+    file-append and the manifest commit strands orphan files that the
+    manifest contract already keeps invisible, and the replay re-adds
+    and commits — the same crash algebra as the MV merges, now at FILE
+    grain. The registered frame reads the final committed snapshot and
+    rolls it up per event type; the oracle is the batch rollup over
+    ALL events — streamed ingestion must converge to the batch answer
+    regardless of batch boundaries (stream≡batch), and any reader that
+    saw orphans or torn manifests would hash-mismatch.
+
+    Scale shape: per batch, only batch rows are written (one
+    partitionless parquet write), the commit is one manifest rename,
+    and nothing existing is rewritten — O(batch) forever, the Delta/
+    Iceberg streaming-sink economics. Replay idempotence and
+    crash-window behavior pinned in tests/test_streaming.py."""
+    import glob
+    import json
+    import os
+    import shutil
+    import time
+
+    from steaminganalysis_spark.operators.storage import (
+        MV_CUTOFF,
+        _snap_add_files,
+        _snap_commit,
+        _snap_read,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("stream_ingest")
+    table = os.path.join(tmp, "table")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    cut = F.to_timestamp(F.lit(MV_CUTOFF))
+    base_files = _snap_add_files(
+        ev.filter(F.col("ts") < cut), table, "ingest_base"
+    )
+    _snap_commit(table, base_files, 0)
+    # the delta replayed as two time-ordered micro-batch files (the
+    # shared mtime-forced harness pattern)
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    delta = ev.filter(F.col("ts") >= cut)
+    now = time.time()
+    for i, part in enumerate(
+        (
+            delta.filter(F.col("ts") < F.lit(MV_MID).cast("timestamp")),
+            delta.filter(F.col("ts") >= F.lit(MV_MID).cast("timestamp")),
+        )
+    ):
+        d = os.path.join(tmp, f"b{i}")
+        part.coalesce(1).write.parquet(d)
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+
+    store_name = f"stream_ingest_{run}"
+    marker = f"{KEY_PREFIX}ingest-last-applied:{run}"
+    sink = snapshot_ingest_sink(table, store_name, marker)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp, f"ckpt_{run}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        _snap_read(spark, table)  # latest committed snapshot
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)  # detach before scratch cleanup
+    )
+    KVStore.reset(store_name)
+    return out

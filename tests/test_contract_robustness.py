@@ -101,6 +101,12 @@ deferred_to_round12: set[str] = {
     # and in-progress manifests invisible by construction; the oracle
     # states both snapshots so directory-listing readers hash-mismatch)
     "q_table_snapshot_read",
+    # round-11 additions (streaming/queries.py — streaming ingestion
+    # into the atomic-manifest snapshot table: per-batch file append +
+    # O(1) manifest commit + KVStore watermark; exactly-once on
+    # replay, orphans from crash windows invisible; stream≡batch
+    # oracle over all events)
+    "q_stream_table_ingest",
 }
 
 

@@ -1932,3 +1932,53 @@ def test_rate_source_deterministic_prefix_and_reinvocation(spark):
         ).collect()
         got = {r["bucket"]: (r["n"], r["total"], r["lo"], r["hi"]) for r in rows}
         assert got == expect
+
+
+def test_snapshot_ingest_sink_replay_and_crash_windows(spark):
+    """The snapshot-table streaming sink's exactly-once algebra, driven
+    directly: (a) a replayed committed batch id is a strict no-op —
+    manifest list unchanged, not one new data file; (b) a crash AFTER
+    the file append but BEFORE the manifest commit strands orphan
+    files the next read never sees, and the replay commits cleanly
+    with the table content correct (no double rows)."""
+    import json
+    import os
+    import uuid as _uuid
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_read,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.queries import snapshot_ingest_sink
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = _uuid.uuid4().hex[:8]
+    table = f"{scratch_dir('ingest_pin')}/t"
+    base = spark.range(100).selectExpr("id", "id * 3 AS v")
+    _snap_commit(table, _snap_add_files(base, table, "pin_base"), 0)
+    store_name = f"ingest_pin_{run}"
+    marker = f"{KEY_PREFIX}ingest-last-applied:{run}"
+    sink = snapshot_ingest_sink(table, store_name, marker)
+
+    b0 = spark.range(100, 150).selectExpr("id", "id * 3 AS v")
+    sink(b0, 0)
+    manifest = os.path.join(table, "manifests", "v1.json")
+    committed = json.loads(open(manifest).read())["files"]
+    n_data = len(os.listdir(os.path.join(table, "data")))
+    # (a) replay: strict no-op
+    sink(b0, 0)
+    assert json.loads(open(manifest).read())["files"] == committed
+    assert len(os.listdir(os.path.join(table, "data"))) == n_data
+    assert _snap_read(spark, table).count() == 150
+
+    # (b) crashed attempt: files appended, NO manifest, NO watermark
+    b1 = spark.range(150, 170).selectExpr("id", "id * 3 AS v")
+    _snap_add_files(b1, table, "pin_crash")  # the stranded half-write
+    assert _snap_read(spark, table).count() == 150  # orphans invisible
+    sink(b1, 1)  # the replay after the crash
+    got = _snap_read(spark, table)
+    assert got.count() == 170  # exactly once, despite the orphans
+    assert got.select("id").distinct().count() == 170
+    KVStore.reset(store_name)
