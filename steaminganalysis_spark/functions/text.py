@@ -45,7 +45,9 @@ def shingle_hashes(df, text_col: str = "text", id_col: str = "doc_id", n: int = 
     )
 
 
-def cap_document_frequency(sh, id_col: str = "doc_id", df_cap: int = 1000):
+def cap_document_frequency(
+    sh, id_col: str = "doc_id", df_cap: int = 1000, key_col: str = "h"
+):
     """Drop shingles that appear in more than ``df_cap`` documents
     before any shingle self-join — the skew guard every production
     near-dedup system applies (a stopword-ish shingle shared by k docs
@@ -56,17 +58,19 @@ def cap_document_frequency(sh, id_col: str = "doc_id", df_cap: int = 1000):
     near-duplicate detection (it is corpus boilerplate, not shared
     authorship), so dropping it barely moves Jaccard scores while
     bounding the worst bucket to df_cap² pairs. Input rows are distinct
-    (id, h), so COUNT(*) per h IS the document frequency. The DF
-    aggregate and the anti-join both key on ``h`` — the same key the
+    (id, key), so COUNT(*) per key IS the document frequency. The DF
+    aggregate and the anti-join both key on ``key_col`` (default the
+    hashed ``h``; the portable-MinHash path passes the raw ``shingle``
+    string its cross-engine md5 hash derives from) — the same key the
     caller's self-join shuffles on — so the guard rides the existing
     partitioning rather than adding an independent shuffle chain."""
     hot = (
-        sh.groupBy("h")
+        sh.groupBy(key_col)
         .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") > df_cap)
-        .select("h")
+        .select(key_col)
     )
-    return sh.join(hot, "h", "left_anti")
+    return sh.join(hot, key_col, "left_anti")
 
 
 def minhash_band_signatures(

@@ -59,6 +59,19 @@ _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 GEO_POI_BROADCAST_CAP = 4_000_000
 GEO_POI_PITCH = 100_000
 
+# POI row count per sf_dir: the auto-mode strategy pick needs the
+# cardinality once; without the cache every invocation ran a separate
+# count() action just to choose a join strategy (ADVICE r11). Tiny and
+# immutable per fixture dir, so a process-lifetime dict is safe; on a
+# real deployment this is one catalog-statistics lookup.
+_POI_COUNT_CACHE: dict[str, int] = {}
+
+
+def _poi_count(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _POI_COUNT_CACHE:
+        _POI_COUNT_CACHE[sf_dir] = load(spark, sf_dir, "supplier").count()
+    return _POI_COUNT_CACHE[sf_dir]
+
 
 def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "customer").selectExpr(
@@ -279,7 +292,7 @@ def geo_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     if mode == "broadcast" or (
-        mode == "auto" and s.count() <= GEO_POI_BROADCAST_CAP
+        mode == "auto" and _poi_count(spark, sf_dir) <= GEO_POI_BROADCAST_CAP
     ):
         return argmin(c.crossJoin(F.broadcast(s)))
 

@@ -23,15 +23,18 @@ Scale posture (the part that matters at 100 TB):
 - Each iteration joins edges to the current rank vector. Ranks are
   O(V); here V=25 so the rank side broadcasts and an iteration is
   shuffle-free except the per-destination contribution aggregate. For
-  a billion-node web graph the same loop holds with two changes, now
+  a billion-node web graph the same loop holds with one change, now
   CODED rather than documented: ``iter_vector_join`` switches the
   vector side to a SHUFFLE_HASH co-partitioned join above
   ITER_VECTOR_BROADCAST_CAP nodes (only the O(V) vector exchanges;
   the staged edge exchange is reused across rounds — zero exchanges
-  with a bucketed table-mode edge staging), and the rank vector is
-  checkpoint-truncated periodically — the pattern ``operators/ann.py``
-  already uses for Lloyd. Both paths are pinned answer-identical and
-  the copartition path pinned broadcast-free in tests/test_graph.py.
+  with a bucketed table-mode edge staging). Both paths are pinned
+  answer-identical and the copartition path pinned broadcast-free in
+  tests/test_graph.py. Lineage depth is bounded by the FIXED k (5
+  rounds) so no checkpoint truncation is needed at this depth; if k
+  ever grows into the dozens, truncate the rank vector periodically
+  with the localCheckpoint pattern ``operators/ann.py`` uses for
+  Lloyd.
 - Convergence is FIXED-ITERATION (k=5), not threshold-driven: a
   driver-side convergence test would collect a global delta every
   iteration; fixed k keeps the whole computation declarative and makes

@@ -1974,14 +1974,67 @@ def _mhp_perm_sql(xor: str, div: str, h: str) -> str:
     return _hllp_hash_sql(xor, div, f"(({h}) % 4294967296) + j * {MHP_SEED}")
 
 
-def _mhp_oracle() -> str:
-    perm = _mhp_perm_sql("xor({a}, {b})", "//", _MHP_H_DUCK)
-    return f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS MATERIALIZED (
+# Shared DuckDB CTE block for the portable sketches' shingle relation:
+# distinct 3-gram word shingles with the _SHINGLE_DF_CAP skew guard
+# replicated verbatim (same threshold, same key) so the estimates stay
+# oracle-exact at every SF — the q_index_inverted precedent: cap in
+# BOTH engines or in neither. Used by q_dedup_minhash_portable and
+# q_dedup_simhash_portable.
+_PORTABLE_SH_CTES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh_raw AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
       FROM toks, unnest(generate_series(1, len(t) - 2)) AS r(i)
     ),
+    hot AS (
+      SELECT shingle FROM sh_raw GROUP BY shingle HAVING COUNT(*) > {cap}
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id, shingle FROM sh_raw
+      WHERE shingle NOT IN (SELECT shingle FROM hot)
+    )"""
+
+
+def _portable_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_PORTABLE_SH_CTES``: the staged, DF-capped
+    distinct (doc_id, shingle) relation the portable MinHash and
+    SimHash signatures are computed from. Raw STRING shingles (not the
+    usual xxhash64 8-byte keys) because the cross-engine md5 hash must
+    see identical bytes in both engines; the staged capped relation is
+    read several times downstream (signatures, sizes, witnesses), so
+    it is staged once more after the cap anti-join."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    raw = stage(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.expr("size(t) >= 3"))
+        .distinct(),
+        "mhp_shingles",
+    )
+    # Skew guard (the family discipline of _shingle_hashes): a corpus-
+    # boilerplate shingle in > _SHINGLE_DF_CAP docs forces the same
+    # md5-derived minimum into every one of those signatures, pinning
+    # one (j, mh) cell of the candidate equi-join at C² pairs.
+    return stage(
+        cap_document_frequency(
+            raw, df_cap=_SHINGLE_DF_CAP, key_col="shingle"
+        ),
+        "mhp_shingles_capped",
+    )
+
+
+def _mhp_oracle() -> str:
+    perm = _mhp_perm_sql("xor({a}, {b})", "//", _MHP_H_DUCK)
+    return f"""
+    WITH {_PORTABLE_SH_CTES.format(cap=_SHINGLE_DF_CAP)},
     sig AS MATERIALIZED (
       SELECT doc_id, j, MIN({perm}) AS mh
       FROM sh, unnest(generate_series(0, {MHP_K - 1})) AS p(j)
@@ -2038,28 +2091,16 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of document size (per-permutation MIN is associative —
     map-side partial combine does real work); the candidate join is
     bucketed on the (j, mh) cell exactly like the LSH band join of
-    q_dedup_near; the exact-Jaccard witness touches only emitted
-    pairs (semi-join against the candidate list) and is the column
-    you drop at 100 TB. Reference parity: no dedup surface in the
+    q_dedup_near; the shingle table routes through the family's
+    ``_SHINGLE_DF_CAP`` skew guard (replicated in the oracle CTE so
+    the key stays oracle-exact at every SF — a boilerplate shingle in
+    C docs would otherwise pin one (j, mh) cell at C² pairs); the
+    exact-Jaccard witness touches only emitted pairs (semi-join
+    against the candidate list) and is the column you drop at 100 TB. Reference parity: no dedup surface in the
     reference (SURVEY §2 B.9 extension)."""
     from steaminganalysis_spark.operators.aggregates import _hllp_hash_sql
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    sh = stage(
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 3), "
-                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
-                )
-            ).alias("shingle"),
-        )
-        .filter(F.expr("size(t) >= 3"))
-        .distinct(),
-        "mhp_shingles",
-    )
+    sh = _portable_capped_shingles(spark, sf_dir)
     perm = _mhp_perm_sql("({a} ^ {b})", "DIV", _MHP_H_SPARK)
     sig = (
         sh.select("doc_id", "shingle")
@@ -2099,11 +2140,15 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b", "n_match")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
+    # annotate the PAIR side by broadcasting IT (the witness pair list
+    # is tiny); the per-doc sizes relation is O(N_docs) and must never
+    # be the broadcast side at corpus scale (r12 — same fix as
+    # q_dedup_simhash_portable's signature annotation)
     sa = sizes.selectExpr("doc_id AS _da", "n AS na")
     sb = sizes.selectExpr("doc_id AS _db", "n AS nb")
+    j1 = sa.join(F.broadcast(witness), F.col("_da") == F.col("doc_a"))
     return (
-        witness.join(F.broadcast(sa), F.col("doc_a") == F.col("_da"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("_db"))
+        sb.join(F.broadcast(j1), F.col("_db") == F.col("doc_b"))
         .selectExpr(
             "doc_a",
             "doc_b",
@@ -2111,5 +2156,165 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(n_match * 1000000) DIV {MHP_K} AS est_ppm",
             "(n_common * 1000000) DIV (na + nb - n_common) AS jaccard_ppm",
         )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---- portable SimHash: the oracle-exact Hamming near-dup (r12)
+
+SHP_BITS = 32  # signature width
+SHP_BANDS = 4  # 4 bands x 8 bits: full recall for hamming <= 3
+SHP_MAX_HAMMING = 6  # emission cut (band-probabilistic past 3)
+
+
+def _shp_bit_hash(xor: str, div: str, h: str) -> str:
+    """Per-shingle 32-bit hash whose bits are voted: lowbias32 over
+    the 32-bit fold of the portable md5-derived shingle integer —
+    the same mixer every portable sketch uses."""
+    from steaminganalysis_spark.operators.aggregates import _hllp_hash_sql
+
+    return _hllp_hash_sql(xor, div, f"(({h}) % 4294967296)")
+
+
+def _shp_sig_sql(div: str) -> str:
+    """Signature from the 32 per-bit vote counts: bit j is set when
+    ones_j*2 >= n (majority with ties set — one deterministic integer
+    rule, identical in both engines); the signature is the weighted
+    sum of set bits. Expects columns ones_0..ones_31 and n in scope."""
+    terms = [
+        f"(CASE WHEN ones_{j} * 2 >= n THEN {1 << j} ELSE 0 END)"
+        for j in range(SHP_BITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _shp_ones_sql(div: str, hh: str) -> list[str]:
+    """The 32 vote aggregates: ones_j = SUM(bit j of the shingle
+    hash) — ONE pass over the shingle relation computes every bit
+    column (no 32-way explode; the aggregate is a map-side partial
+    combine of 32 longs per doc)."""
+    return [
+        f"SUM(({hh} {div} {1 << j}) % 2) AS ones_{j}" for j in range(SHP_BITS)
+    ]
+
+
+def _shp_oracle() -> str:
+    hh = _shp_bit_hash("xor({a}, {b})", "//", _MHP_H_DUCK)
+    ones = ",\n             ".join(_shp_ones_sql("//", "hh"))
+    band = "(sig // {w}) % 256"
+    bands = ", ".join(
+        f"(sig // {1 << (8 * k)}) % 256 AS band_{k}" for k in range(SHP_BANDS)
+    )
+    return f"""
+    WITH {_PORTABLE_SH_CTES.format(cap=_SHINGLE_DF_CAP)},
+    hashed AS (SELECT doc_id, {hh} AS hh FROM sh),
+    votes AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n,
+             {ones}
+      FROM hashed GROUP BY 1
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, {_shp_sig_sql("//")} AS sig FROM votes
+    ),
+    banded AS (
+      SELECT doc_id, k, (sig // CASE k WHEN 0 THEN 1 WHEN 1 THEN 256
+                                 WHEN 2 THEN 65536 ELSE 16777216 END) % 256 AS bv
+      FROM sigs, unnest(generate_series(0, {SHP_BANDS - 1})) AS p(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.k = b.k AND a.bv = b.bv
+                                 AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming,
+           sa.sig AS sig_a, sb.sig AS sig_b
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= {SHP_MAX_HAMMING}
+    ORDER BY c.doc_a, c.doc_b
+    """
+
+
+@query("q_dedup_simhash_portable", oracle=_shp_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate detection with ORACLE-EXACT signatures —
+    the fifth portable sketch (HLL, CMS, sampled quantiles, MinHash,
+    now SimHash), converting the rows-only ``q_dedup_simhash`` family
+    member (xxhash64 bit-votes, engine-internal) into a hash-checked
+    key: every per-shingle bit hash is the portable md5->60-bit
+    integer fed through the lowbias32 mixer, bit j of a doc's 32-bit
+    signature is the majority vote of its shingles' bit j
+    (ones*2 >= n, ties set — pure integer SQL), and the driver
+    hash-checks the SIGNATURES and Hamming distances themselves.
+
+    Candidate pairs come from a 4-band x 8-bit LSH split of the
+    signature (docs sharing any band value): by pigeonhole, any pair
+    at Hamming <= 3 differs in at most 3 bands, so at least one band
+    matches — FULL recall inside the <=3 radius, probabilistic
+    beyond it; the oracle replicates the identical band join, so both
+    engines miss (and emit) exactly the same pairs and the key stays
+    hash-exact at the <= {SHP_MAX_HAMMING} emission cut.
+
+    Scale shape: the vote aggregate computes all 32 bit-columns in
+    ONE pass over the capped shingle relation (32 longs of map-side
+    combinable state per doc — no per-bit explode); signatures are
+    one slim row per doc; the band self-join is the LSH-band
+    discipline (single-row bands, never all-pairs) over 4 rows per
+    doc; the shingle relation routes through ``_SHINGLE_DF_CAP`` in
+    both engines. Brute-force recall pin and tie-rule determinism in
+    tests/test_stateful_and_sketches.py. Reference parity: no dedup
+    surface in the reference (SURVEY §2 B.9 extension)."""
+    sh = _portable_capped_shingles(spark, sf_dir)
+    hh = _shp_bit_hash("({a} ^ {b})", "DIV", _MHP_H_SPARK)
+    votes = (
+        sh.selectExpr("doc_id", f"{hh} AS hh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.expr(f"SUM((hh DIV {1 << j}) % 2)").alias(f"ones_{j}")
+                for j in range(SHP_BITS)
+            ],
+        )
+    )
+    sigs = votes.selectExpr(
+        "doc_id", f"{_shp_sig_sql('DIV')} AS sig"
+    ).localCheckpoint(eager=True)  # one slim row per doc, read 3x below
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.array(*[F.lit(k) for k in range(SHP_BANDS)])).alias("k"),
+    ).selectExpr("doc_id", "k", "(sig DIV CAST(pow(256, k) AS BIGINT)) % 256 AS bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # annotate the PAIR side by broadcasting IT (the near-dup pair
+    # list is tiny); the per-doc signature relation is O(N_docs) and
+    # must never be the broadcast side at corpus scale
+    sa = sigs.selectExpr("doc_id AS _da", "sig AS sig_a")
+    sb = sigs.selectExpr("doc_id AS _db", "sig AS sig_b")
+    j1 = sa.join(F.broadcast(cand), F.col("_da") == F.col("doc_a"))
+    return (
+        sb.join(F.broadcast(j1), F.col("_db") == F.col("doc_b"))
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(bit_count(sig_a ^ sig_b) AS BIGINT) AS hamming",
+            "sig_a",
+            "sig_b",
+        )
+        .filter(F.col("hamming") <= SHP_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
     )

@@ -968,25 +968,49 @@ def _snap_commit(table: str, files: list[str], version: int) -> None:
     os.replace(tmp, os.path.join(mdir, f"v{version}.json"))
 
 
+def _snap_versions(table: str) -> dict[int, str]:
+    """Committed manifest versions -> file name. In-progress manifests
+    (dot-prefixed temp names) never match the committed pattern."""
+    import re
+
+    mdir = os.path.join(table, "manifests")
+    return {
+        int(m.group(1)): f
+        for f in os.listdir(mdir)
+        for m in [re.fullmatch(r"v(\d+)\.json", f)]
+        if m
+    }
+
+
+def _snap_latest(table: str) -> tuple[int, list[str]]:
+    """(latest committed version, its file list) — the lookup writers
+    use to build the successor manifest. Decouples manifest versions
+    from any external counter (e.g. a streaming sink's batch id, which
+    restarts at 0 on a fresh checkpoint against an old table)."""
+    import json
+
+    committed = _snap_versions(table)
+    v = max(committed)
+    manifest = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    return v, manifest["files"]
+
+
 def _snap_read(spark: SparkSession, table: str, version: int | None = None):
     """Read the table AS OF a committed snapshot (default: latest
     committed). Only files listed in the resolved manifest are read —
     orphan data files (crashed writers) and in-progress manifests are
     invisible by construction."""
     import json
-    import re
 
-    mdir = os.path.join(table, "manifests")
-    committed = {
-        int(m.group(1)): f
-        for f in os.listdir(mdir)
-        for m in [re.fullmatch(r"v(\d+)\.json", f)]
-        if m
-    }
+    committed = _snap_versions(table)
     v = max(committed) if version is None else version
     if v not in committed:
         raise ValueError(f"snapshot v{v} is not committed (have {sorted(committed)})")
-    manifest = json.loads(open(os.path.join(mdir, committed[v])).read())
+    manifest = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
     paths = [os.path.join(table, "data", f) for f in manifest["files"]]
     return spark.read.parquet(*paths)
 
@@ -1096,6 +1120,405 @@ def table_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("v0_rows", F.lit(0)).alias("v0_rows"),
             F.coalesce("v0_value", F.lit(0.0)).alias("v0_value"),
             F.coalesce("v1_rows", F.lit(0)).alias("v1_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------- optimistic concurrency / VACUUM / MERGE (r12)
+
+
+def _snap_commit_cas(table: str, files: list[str], version: int) -> bool:
+    """Compare-and-swap manifest commit — Iceberg's commit-conflict
+    model reduced to its load-bearing core: write the complete file
+    list to a unique temp path (fsync), then ``os.link`` it to
+    manifests/v{N}.json. link(2) FAILS with EEXIST when the version
+    is already taken, atomically — so exactly one of two racing
+    committers wins and the loser learns it lost without ever making
+    a torn or clobbered manifest visible. Returns True iff this
+    committer created v{N}."""
+    import json
+    import uuid as _uuid
+
+    mdir = os.path.join(table, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{version}.{_uuid.uuid4().hex[:8]}.inprogress")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "files": sorted(files)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, os.path.join(mdir, f"v{version}.json"))
+        return True
+    except FileExistsError:
+        return False  # lost the race; nothing visible was written
+    finally:
+        os.remove(tmp)
+
+
+def snap_append_optimistic(
+    table: str, new_files: list[str], max_retries: int = 20
+) -> int:
+    """Optimistic-concurrency append: read the latest committed
+    snapshot, CAS-commit successor = latest + new_files; on a lost
+    race re-read and retry (the new latest now includes the winner's
+    files, so the retry preserves BOTH appends). Append-append
+    conflicts always merge — no row-level conflict is possible — so
+    retries never abort; returns the committed version."""
+    for _ in range(max_retries):
+        v, prev = _snap_latest(table)
+        if _snap_commit_cas(table, prev + new_files, v + 1):
+            return v + 1
+    raise RuntimeError(
+        f"optimistic append lost {max_retries} consecutive races on {table}"
+    )
+
+
+def snap_expire(table: str, retain: list[int]) -> dict:
+    """Snapshot expiration (VACUUM): delete manifests whose version is
+    not in ``retain``, then delete data files referenced by NO
+    retained manifest — which also sweeps orphans from crashed
+    writers. A data file shared by an expired and a retained snapshot
+    survives (files are reference-counted by manifest membership, the
+    Iceberg expire-snapshots contract). Returns the removal record
+    for the pins."""
+    import json
+
+    committed = _snap_versions(table)
+    missing = set(retain) - set(committed)
+    if missing:
+        raise ValueError(f"cannot retain uncommitted versions {sorted(missing)}")
+    keep_files: set[str] = set()
+    for v in retain:
+        manifest = json.loads(
+            open(os.path.join(table, "manifests", committed[v])).read()
+        )
+        keep_files |= set(manifest["files"])
+    removed_manifests = sorted(v for v in committed if v not in retain)
+    for v in removed_manifests:
+        os.remove(os.path.join(table, "manifests", committed[v]))
+    ddir = os.path.join(table, "data")
+    removed_files = sorted(
+        f
+        for f in os.listdir(ddir)
+        if f.endswith(".parquet") and f not in keep_files
+    )
+    for f in removed_files:
+        os.remove(os.path.join(ddir, f))
+    return {
+        "manifests_removed": removed_manifests,
+        "files_removed": removed_files,
+        "files_kept": len(keep_files),
+    }
+
+
+@query(
+    "q_table_concurrent_commit",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN event_id % 10 <= 8 THEN 1 END) AS BIGINT)
+             AS v1_rows,
+           CAST(COUNT(*) AS BIGINT) AS v2_rows,
+           {SQL_DSUM("value")} AS v2_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_concurrent_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency on the atomic-manifest table — two
+    committers race to the same successor version and BOTH appends
+    land exactly once (VERDICT r11 order #4a). Harness: snapshot v0 =
+    events with event_id % 10 < 8; writers A (% 10 == 8) and B
+    (% 10 == 9) then stage data files and each computes its target
+    manifest from the SAME observed latest snapshot (the race). A's
+    CAS commit of v1 wins; B's CAS on v1 — carrying a stale file list
+    that would silently DROP A's append if os.replace were the commit
+    primitive — fails atomically (os.link EEXIST), and B retries
+    through the full read-latest/CAS protocol, landing v2 = v0 + A +
+    B. Both outcomes are asserted live in the registered run (a
+    clobbering commit primitive or a lost append raises before any
+    read). The frame reads v1 and v2 side by side; the oracle states
+    both from the raw table, so a clobbered v2 (missing A's rows) or
+    a double-applied retry is a hash mismatch.
+
+    Scale shape: conflict detection is O(1) (one link syscall — on an
+    object store, a conditional PUT), loser work is re-reading one
+    manifest + one rename; data files are never re-written on retry
+    (append-append conflicts always merge). Thread-race and
+    loser-invisibility pins in tests/test_storage.py. Reference
+    parity: no table format in the reference (SURVEY §2 B.1
+    extension)."""
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapcas')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 < 8")), table, "cas_base"
+    )
+    _snap_commit(table, base, 0)
+    files_a = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 = 8")), table, "cas_a"
+    )
+    files_b = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 = 9")), table, "cas_b"
+    )
+    # the race: both writers observe the same latest snapshot and
+    # build their successor manifest from it
+    v, prev = _snap_latest(table)
+    won_a = _snap_commit_cas(table, prev + files_a, v + 1)
+    won_b = _snap_commit_cas(table, prev + files_b, v + 1)
+    if not won_a or won_b:
+        raise RuntimeError(
+            f"CAS contract violated: won_a={won_a} won_b={won_b}"
+        )
+    v_b = snap_append_optimistic(table, files_b)
+    if v_b != 2:
+        raise RuntimeError(f"loser retry landed v{v_b}, expected v2")
+
+    v1 = (
+        _snap_read(spark, table, 1)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("v1_rows"))
+    )
+    v2 = (
+        _snap_read(spark, table, 2)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("v2_rows"),
+            dsum(F.col("value")).alias("v2_value"),
+        )
+    )
+    return (
+        v1.join(v2, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("v1_rows", F.lit(0)).alias("v1_rows"),
+            F.coalesce("v2_rows", F.lit(0)).alias("v2_rows"),
+            F.coalesce("v2_value", F.lit(0.0)).alias("v2_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_table_vacuum",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value,
+           CAST(MIN(event_id) AS BIGINT) AS lo_id,
+           CAST(MAX(event_id) AS BIGINT) AS hi_id
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiration (VACUUM) with shared-file safety — the
+    retention half of the table format (VERDICT r11 order #4b).
+    Harness: v0 = base events (event_id % 10 < 8, four files); v1 =
+    base + two delta files (% 10 >= 8); v2 = base + the delta
+    REWRITTEN as one compacted file — so the original delta files are
+    referenced only by the expired v1, while the base files are
+    shared by v0 AND the retained v2. An orphan data file (crashed
+    writer) sits in data/ too. Expiring to retain only v2 must (a)
+    delete the v0/v1 manifests, (b) delete exactly the two stale
+    delta files + the orphan, and (c) keep every base file — a
+    reference-count-by-membership bug that deleted any shared file
+    would break the subsequent read. All three are asserted live in
+    the registered run, plus: time travel to the expired v0 raises
+    after the expiry. The frame is the post-VACUUM read of the
+    retained snapshot; the oracle states it from the raw table, so a
+    vacuum that dropped a shared file (read fails) or kept the
+    orphan invisible-file accounting wrong is loud, not lucky.
+
+    Scale shape: expiration is manifest-set arithmetic (union of
+    retained file lists) + unreferenced-file deletes — no data reads,
+    no rewrites; cost is O(files), independent of row count — the
+    Iceberg expire-snapshots / Delta VACUUM economics. Shared-file
+    and raise-on-expired pins in tests/test_storage.py."""
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapvac')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 < 8")).repartition(4), table, "vac_base"
+    )
+    _snap_commit(table, base, 0)
+    delta = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 >= 8")).repartition(2), table, "vac_delta"
+    )
+    _snap_commit(table, base + delta, 1)
+    # v2 rewrites the delta files into one compacted file (same rows);
+    # the old delta files are now referenced only by v1
+    compacted = _snap_add_files(
+        spark.read.parquet(*[os.path.join(table, "data", f) for f in delta])
+        .coalesce(1),
+        table,
+        "vac_compact",
+    )
+    _snap_commit(table, base + compacted, 2)
+    # a crashed writer's orphan — VACUUM must sweep it with the stale files
+    orphan = _snap_add_files(ev.limit(25), table, "vac_orphan")
+
+    record = snap_expire(table, retain=[2])
+    if record["manifests_removed"] != [0, 1]:
+        raise RuntimeError(f"expected v0/v1 expired, got {record}")
+    if sorted(record["files_removed"]) != sorted(delta + orphan):
+        raise RuntimeError(
+            f"VACUUM removed the wrong files: {record['files_removed']} "
+            f"vs stale {sorted(delta + orphan)}"
+        )
+    ddir = os.path.join(table, "data")
+    missing_shared = [f for f in base if not os.path.exists(os.path.join(ddir, f))]
+    if missing_shared:
+        raise RuntimeError(f"shared base files deleted: {missing_shared}")
+    try:
+        _snap_read(spark, table, 0)
+        raise RuntimeError("expired v0 still readable")
+    except ValueError:
+        pass  # time travel to an expired snapshot correctly raises
+
+    return (
+        _snap_read(spark, table)  # latest committed = v2, post-VACUUM
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+            F.min("event_id").cast("long").alias("lo_id"),
+            F.max("event_id").cast("long").alias("hi_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MERGE_INSERT_OFFSET = 1_000_000_000  # re-key offset for merge inserts
+
+
+@query(
+    "q_table_merge_snapshot",
+    oracle=f"""
+    WITH cut AS (SELECT MAX(event_id) // 4 AS c FROM events),
+    merged AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id <= (SELECT c FROM cut)
+                  THEN value + 10.0 ELSE value END AS value
+      FROM events
+      UNION ALL
+      SELECT event_id + {MERGE_INSERT_OFFSET}, event_type, value
+      FROM events WHERE event_id % 97 = 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value,
+           CAST(COUNT(CASE WHEN event_id >= {MERGE_INSERT_OFFSET} THEN 1 END)
+                AS BIGINT) AS n_inserted
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-grain copy-on-write MERGE into the snapshot table — the
+    missing write-path third of the lakehouse row (read = snapshot,
+    ingest = append, this = update; VERDICT r11 order #5), composing
+    q_merge_upsert's MERGE semantics with the manifest contract.
+    Harness: v0 = events range-clustered on event_id into 8 files
+    (disjoint spans); the merge source updates every row with
+    event_id <= max/4 (value += 10) and inserts re-keyed copies
+    (event_id % 97 == 0, + 1e9). The merge (1) classifies v0's files
+    by ONE file-metadata aggregate (per-file min/max of event_id —
+    the q_cluster_incremental pattern), (2) rewrites ONLY files whose
+    span intersects the matched key range, applying the update while
+    copying unmatched rows through, (3) writes the inserts as new
+    files, and (4) CAS-commits v1 = untouched-by-name + rewritten +
+    inserted. Untouched files must be byte-identical (same
+    name/size/mtime) and the rewrite must touch SOME but not ALL
+    files — both asserted live, so a whole-table rewrite (the naive
+    MERGE) or a clobbered carry-through is loud. The oracle states
+    MERGE semantics from the raw table; a rewritten file that dropped
+    its unmatched rows, applied the update twice, or missed a
+    boundary row hash-mismatches.
+
+    Scale shape: matched-file pruning reads file METADATA (min/max
+    footer stats on a cluster — here one aggregate over ≤ dozens of
+    file names), rewrite cost is O(matched files), commit is one CAS
+    rename; the economics of Delta/Iceberg copy-on-write MERGE on a
+    clustered table. Rewrite-amplification pin in
+    tests/test_storage.py."""
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapmerge')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = _snap_add_files(
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        table,
+        "merge_base",
+    )
+    _snap_commit(table, base, 0)
+    ddir = os.path.join(table, "data")
+    base_meta = {
+        f: (os.path.getsize(os.path.join(ddir, f)),
+            os.path.getmtime(os.path.join(ddir, f)))
+        for f in base
+    }
+    # matched range: event_id <= max/4 (one scalar — bounded metadata)
+    cut = int(ev.agg(F.max("event_id")).first()[0]) // 4
+    # file classification at METADATA grain: per-file key spans
+    spans = (
+        _snap_read(spark, table, 0)
+        .select(F.input_file_name().alias("f"), "event_id")
+        .groupBy("f")
+        .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+        .collect()
+    )
+    matched = sorted(
+        os.path.basename(r.f) for r in spans if r.lo <= cut  # span hits [0,cut]
+    )
+    untouched = [f for f in base if f not in matched]
+    if not matched or not untouched:
+        raise RuntimeError(
+            f"degenerate merge layout: {len(matched)} matched / "
+            f"{len(untouched)} untouched of {len(base)}"
+        )
+    rewritten = _snap_add_files(
+        spark.read.parquet(*[os.path.join(ddir, f) for f in matched]).select(
+            "event_id",
+            "event_type",
+            F.when(F.col("event_id") <= cut, F.col("value") + 10.0)
+            .otherwise(F.col("value"))
+            .alias("value"),
+        ),
+        table,
+        "merge_rewrite",
+    )
+    inserted = _snap_add_files(
+        ev.filter(F.expr("event_id % 97 = 0")).select(
+            (F.col("event_id") + MERGE_INSERT_OFFSET).alias("event_id"),
+            "event_type",
+            "value",
+        ),
+        table,
+        "merge_insert",
+    )
+    if not _snap_commit_cas(table, untouched + rewritten + inserted, 1):
+        raise RuntimeError("single-writer CAS commit lost a race")
+    dirty = [
+        f
+        for f in untouched
+        if (os.path.getsize(os.path.join(ddir, f)),
+            os.path.getmtime(os.path.join(ddir, f))) != base_meta[f]
+    ]
+    if dirty:
+        raise RuntimeError(f"copy-on-write touched unmatched files: {dirty}")
+
+    return (
+        _snap_read(spark, table)  # latest committed = post-merge v1
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+            F.count(
+                F.when(F.col("event_id") >= MERGE_INSERT_OFFSET, 1)
+            ).cast("long").alias("n_inserted"),
         )
         .orderBy("event_type")
     )

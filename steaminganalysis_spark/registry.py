@@ -510,6 +510,19 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # exactly-once at FILE grain, stream≡batch oracle). 335 keys /
 # 299 oracles at the round-11 close (count with collect_queries(),
 # never this comment).
+# Round-12 additions (registered after the round-11 freeze, pinned in
+# deferred_to_round13): q_table_concurrent_commit (optimistic
+# concurrency — os.link CAS on the successor manifest, loser re-reads
+# and retries, both appends land exactly once),
+# q_table_vacuum (snapshot expiration — manifests below retention
+# deleted, data files unreferenced by retained manifests swept,
+# shared files survive), q_table_merge_snapshot (file-grain
+# copy-on-write MERGE — span-matched files rewrite, untouched files
+# carried by name, CAS commit), q_dedup_simhash_portable (the fifth
+# oracle-exact portable sketch: md5->lowbias32 bit-vote SimHash
+# signatures + 4x8-bit LSH bands, hash-checked Hamming distances).
+# 339 keys / 303 oracles at the round-12 close (count with
+# collect_queries(), never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11
 # (q_agg_hll_portable, q_graph_scc_condensation, q_graph_ppr,
@@ -523,7 +536,7 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_train_test_split, q_sample_stratified, q_data_mix,
 # q_text_pii_scrub, q_stream_tumbling_daily, q_window_sliding,
 # q_session_window, q_stream_dedup, q_stream_stream_join,
-# q_stream_flagship_replay), then 14 oldest oracled round-4-stamp
+# q_stream_flagship_replay), then 13 oldest oracled round-4-stamp
 # re-checks in registration order (prefer oracled over rows-only, the
 # round-10 refinement), then the 8 keys whose execution changed THIS
 # round (iter_vector_join everywhere, frontier-delta BFS/SSSP/WCC,
@@ -556,6 +569,65 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_attribution_last_touch, q_gaps_islands, ... — recompute at the
 # freeze, prefer oracled over rows-only, implementation-changed keys
 # outrank unchanged re-checks).
+# ROUND-12 WINDOW (composed this round, executing the plan above):
+# recomputed at composition time the round-4-stamp backlog is 26
+# oracled keys (the plan's "25" undercounted by one — q_anomaly_zscore
+# heads the list in registration order), so the round-5 fill is the 16
+# oldest oracled round-5 stamps. 2 canaries + 6 deferred_to_round12 +
+# 26 round-4 stamps + 16 round-5 stamps = 50. Round-12 additions go
+# into deferred_to_round13 (tests/test_contract_robustness.py).
+# Execution-changed keys this round (the q_graph_triangles rule):
+# q_dedup_minhash_portable (_SHINGLE_DF_CAP routing + pair-side
+# broadcast), q_stream_rate_source (poll surfaces stream failures),
+# q_stream_table_ingest (previous snapshot via latest-committed
+# lookup) — all three already sit in the window via the deferred
+# pin — and q_geo_nearest_poi (auto-mode POI count cached per
+# sf_dir), swapped in at the tail; the displaced 16th round-5 stamp
+# (q_stream_dedup_within_watermark) rolls to round 13.
+ROUND12_WINDOW = [
+    # Canaries (2): flagship + the HUGEINT-class sentinel.
+    "q_daily_rollup",
+    "q_tpch_q12",
+    # --- the 6 round-11 additions (former deferred_to_round12 pin),
+    # registration order. q_cluster_incremental is rows-only by design
+    # (file-layout op; rewrite-amplification + idempotence pinned in
+    # tests/test_storage_table.py) ---
+    "q_cluster_incremental",
+    "q_table_snapshot_read",
+    "q_stream_rate_source",
+    "q_stream_table_ingest",
+    "q_agg_quantile_sampled",
+    "q_dedup_minhash_portable",
+    # --- the 26 remaining oracled round-4-stamp re-checks,
+    # registration order (head: q_anomaly_zscore + the 7 displaced by
+    # the round-11 graph swap) ---
+    "q_anomaly_zscore", "q_fn_posexplode", "q_dedup_spans_global",
+    "q_tokenize_vocab", "q_agg_grouping_sets", "q_join_lateral",
+    "q_merge_upsert", "q_fn_map2", "q_fn_array3",
+    "q_data_mix_weighted", "q_join_interval_overlap",
+    "q_sessionize_dynamic", "q_join_salted", "q_cte_recursive",
+    "q_fn_variant", "q_source_python", "q_stream_source_python",
+    "q_ts_similarity", "q_ts_resample", "q_scd2_from_cdc",
+    "q_stream_static_join", "q_stream_append_watermark",
+    "q_daily_rollup_substring", "q_fn_try", "q_dedup_ngram_jaccard",
+    "q_sim_threshold_pairs",
+    # --- the 15 oldest oracled round-5-stamp re-checks, registration
+    # order (the remaining 25 round-5 stamps, head
+    # q_stream_dedup_within_watermark, roll to round 13) ---
+    "q_join_asof_forward", "q_sql_parameterized", "q_sql_modern",
+    "q_udtf_analyze", "q_udf_sql_body", "q_scan_file_metadata",
+    "q_stream_sink_python", "q_yoy_revenue",
+    "q_attribution_last_touch", "q_gaps_islands",
+    "q_attribution_first_touch", "q_stream_cdc_scd2",
+    "q_stream_stream_left_join", "q_stream_stream_full_join",
+    "q_stream_chained_aggs",
+    # --- execution-changed-this-round re-check (auto-mode POI-count
+    # caching; broadcast/grid answer identity re-pinned) ---
+    "q_geo_nearest_poi",
+]
+
+# Retired round-11 window, for the record (50/50 green in
+# CORRECTNESS_r11.json — 49 hash + 1 rows-only q_multimodal_resize):
 ROUND11_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
@@ -584,7 +656,7 @@ ROUND11_WINDOW = [
     "q_data_mix", "q_text_pii_scrub", "q_stream_tumbling_daily",
     "q_window_sliding", "q_session_window", "q_stream_dedup",
     "q_stream_stream_join", "q_stream_flagship_replay",
-    # --- 14 oldest oracled round-4-stamp re-checks, registration
+    # --- 13 oldest oracled round-4-stamp re-checks, registration
     # order (of the 39 whose latest driver row is CORRECTNESS_r04; the
     # next 7 — q_fn_posexplode, q_dedup_spans_global, q_tokenize_vocab,
     # q_agg_grouping_sets, q_join_lateral, q_merge_upsert, q_fn_map2 —
@@ -833,7 +905,7 @@ ROUND4_WINDOW = [
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every operator module (side effect: registration), then
-    reorder so ROUND11_WINDOW occupies the first 50 registration slots
+    reorder so ROUND12_WINDOW occupies the first 50 registration slots
     — the slice the driver's correctness gate checks this round."""
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import tpch  # noqa: F401  isort: skip
@@ -860,11 +932,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import curation  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import retrieval  # noqa: F401  isort: skip
 
-    missing = [k for k in ROUND11_WINDOW if k not in QUERIES]
+    missing = [k for k in ROUND12_WINDOW if k not in QUERIES]
     if missing:
-        raise RuntimeError(f"ROUND11_WINDOW names unregistered queries: {missing}")
-    window = set(ROUND11_WINDOW)
-    ordered = ROUND11_WINDOW + [k for k in QUERIES if k not in window]
+        raise RuntimeError(f"ROUND12_WINDOW names unregistered queries: {missing}")
+    window = set(ROUND12_WINDOW)
+    ordered = ROUND12_WINDOW + [k for k in QUERIES if k not in window]
     reordered = {k: QUERIES[k] for k in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -1595,6 +1595,9 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         deadline = time.time() + 120.0
         while spark.table(name).count() < RATE_SOURCE_ROWS:
+            exc = q.exception()
+            if exc is not None:
+                raise exc  # surface the real stream failure, not a timeout
             if time.time() > deadline:
                 raise TimeoutError(
                     f"rate source produced "
@@ -1637,12 +1640,10 @@ def snapshot_ingest_sink(table: str, store_name: str, marker: str):
     orphan files (invisible by the manifest contract) or a committed
     manifest whose replay is skipped by the guard. Module-level so the
     replay/crash pins in tests/test_streaming.py drive it directly."""
-    import json
-    import os
-
     from steaminganalysis_spark.operators.storage import (
         _snap_add_files,
         _snap_commit,
+        _snap_latest,
     )
     from steaminganalysis_spark.streaming.sinks import KVStore
 
@@ -1651,10 +1652,12 @@ def snapshot_ingest_sink(table: str, store_name: str, marker: str):
         if batch_id <= store.last_applied(marker):
             return  # replayed, already-committed batch: exactly-once
         new_files = _snap_add_files(batch_df, table, f"ingest_b{batch_id}")
-        prev = json.loads(
-            open(os.path.join(table, "manifests", f"v{batch_id}.json")).read()
-        )["files"]
-        _snap_commit(table, prev + new_files, batch_id + 1)
+        # Resolve the previous snapshot via the latest-committed lookup
+        # (never v{batch_id}: batch ids restart at 0 on a fresh
+        # checkpoint, and a pre-loaded table may hold several
+        # committed snapshots before ingestion starts).
+        prev_v, prev_files = _snap_latest(table)
+        _snap_commit(table, prev_files + new_files, prev_v + 1)
         store.apply_batch(batch_id, [], marker)
 
     return sink

@@ -69,68 +69,58 @@ def test_demo_app_accumulates_day_totals(spark):
             assert h["fee_cents"] == 0
 
 
-# Keys registered AFTER the round-11 window froze — exempt from the
-# rotation-closure check below, pinned here so they head the round-12
-# window (the same bookkeeping rounds 2-11 used). Every new @query
-# registration this round MUST be added here. The round-11 window
-# absorbed the ENTIRE former deferred_to_round11 set (the twelve
-# round-10 additions), so this set restarts from round-11 additions.
-deferred_to_round12: set[str] = {
-    # round-11 additions (streaming/queries.py — the rate STREAMING
-    # source made oracle-checkable by the deterministic-prefix trick:
-    # filter value < K before the sink, poll until all K landed,
-    # bucket aggregate == DuckDB range(K) aggregate)
-    "q_stream_rate_source",
-    # round-11 additions (operators/storage.py — Liquid-clustering-style
-    # incremental re-cluster: rewrite ONLY span-violating files, base
-    # files byte-untouched, amplification 1.0, idempotent second pass;
-    # rows-only file-layout op)
-    "q_cluster_incremental",
-    # round-11 additions (operators/aggregates.py — deterministic-hash
-    # Bernoulli sample quantiles: both engines draw the identical
-    # lowbias32 sample, rank-select in shared integer SQL — the third
-    # oracle-exact sketch after portable HLL and portable CMS)
-    "q_agg_quantile_sampled",
-    # round-11 additions (operators/llm.py — oracle-exact MinHash: the
-    # cross-engine md5-hex->BIGINT shingle hash + lowbias32 permutation
-    # mixer make the similarity ESTIMATES hash-checkable, with the
-    # exact shingle Jaccard riding along as witness)
-    "q_dedup_minhash_portable",
-    # round-11 additions (operators/storage.py — snapshot isolation +
-    # time travel on a batch table via atomic manifests: orphan files
-    # and in-progress manifests invisible by construction; the oracle
-    # states both snapshots so directory-listing readers hash-mismatch)
-    "q_table_snapshot_read",
-    # round-11 additions (streaming/queries.py — streaming ingestion
-    # into the atomic-manifest snapshot table: per-batch file append +
-    # O(1) manifest commit + KVStore watermark; exactly-once on
-    # replay, orphans from crash windows invisible; stream≡batch
-    # oracle over all events)
-    "q_stream_table_ingest",
+# Keys registered AFTER the round-12 window froze — exempt from the
+# rotation-closure check below, pinned here so they head the round-13
+# window (the same bookkeeping rounds 2-12 used). Every new @query
+# registration this round MUST be added here. The round-12 window
+# absorbed the ENTIRE former deferred_to_round12 set (the six
+# round-11 additions), so this set restarts from round-12 additions.
+deferred_to_round13: set[str] = {
+    # round-12 additions (operators/storage.py — optimistic
+    # concurrency on the atomic-manifest table: O_EXCL link-based CAS
+    # on manifests/v{N+1}.json, loser re-reads and retries; both
+    # racers' rows land exactly once)
+    "q_table_concurrent_commit",
+    # round-12 additions (operators/storage.py — snapshot expiration:
+    # VACUUM deletes manifests below the retention cutoff and data
+    # files unreferenced by retained manifests; a file shared by an
+    # expired and a retained snapshot survives)
+    "q_table_vacuum",
+    # round-12 additions (operators/storage.py — file-grain
+    # copy-on-write MERGE into the snapshot table: only manifest-listed
+    # files containing matched keys rewrite, swap committed atomically)
+    "q_table_merge_snapshot",
+    # round-12 additions (operators/llm.py — oracle-exact SimHash:
+    # md5-derived shingle hash + lowbias32 bit-votes make the 32-bit
+    # signatures and Hamming distances hash-checkable cross-engine)
+    "q_dedup_simhash_portable",
 }
 
 
-def test_round11_correctness_window_composition():
+def test_round12_correctness_window_composition():
     """The driver verifies the FIRST ~50 registered queries; the
-    round-11 window is the explicit ROUND11_WINDOW key list — the two
-    canaries, the 12 round-10 additions (former deferred_to_round11
-    pin, never driver-checked), the 15 oracled round-3-stamp re-checks
-    left after round 10 (q_sessionize first), the 13 oldest oracled
-    round-4-stamp re-checks in registration order, and the 8 keys
-    whose execution changed this round (the q_graph_triangles rule;
-    8 displaced round-4 stamps roll to round 12). Pin it so a stray
-    registration (or an import reorder) cannot silently displace
-    queries out of the checked window before the driver runs. Update
-    deliberately on each round's rotation."""
+    round-12 window is the explicit ROUND12_WINDOW key list — the two
+    canaries, the 6 round-11 additions (former deferred_to_round12
+    pin, never driver-checked), the 26 remaining oracled
+    round-4-stamp re-checks in registration order, the 15 oldest
+    oracled round-5-stamp re-checks, and q_geo_nearest_poi (the
+    q_graph_triangles rule: its auto-mode strategy pick changed this
+    round; the other execution-changed keys —
+    q_dedup_minhash_portable, q_stream_rate_source,
+    q_stream_table_ingest — already sit in the window via the
+    deferred pin). Pin it so a stray registration (or an import
+    reorder) cannot silently displace queries out of the checked
+    window before the driver runs. Update deliberately on each
+    round's rotation."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND11_WINDOW, collect_queries
+    from steaminganalysis_spark.registry import ROUND12_WINDOW, collect_queries
 
     QUERIES, ORACLE = collect_queries()
     first50 = list(QUERIES)[:50]
-    assert len(ROUND11_WINDOW) == 50
-    assert first50 == ROUND11_WINDOW
+    assert len(ROUND12_WINDOW) == 50
+    assert first50 == ROUND12_WINDOW
     # the canaries must sit inside the window
     for k in (
         "q_daily_rollup",
@@ -138,27 +128,27 @@ def test_round11_correctness_window_composition():
     ):
         assert k in first50, k
     # Rotation closure: after this round, every key that existed when
-    # the round-11 window froze has a driver CORRECTNESS row — the
-    # window must cover everything the union of CORRECTNESS_r01..r10
-    # did not, except the pinned new keys in deferred_to_round12.
+    # the round-12 window froze has a driver CORRECTNESS row — the
+    # window must cover everything the union of CORRECTNESS_r01..r11
+    # did not, except the pinned new keys in deferred_to_round13.
     # (Glob is two-digit-safe: r0[1-9] broke at CORRECTNESS_r10.json.)
     checked = set()
     for p in sorted(
         Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")
     ):
         checked |= set(json.loads(p.read_text()))
-    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round12]
+    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round13]
     assert set(never) <= set(first50), sorted(set(never) - set(first50))
-    assert deferred_to_round12 <= set(QUERIES)
-    assert deferred_to_round12.isdisjoint(first50)
+    assert deferred_to_round13 <= set(QUERIES)
+    assert deferred_to_round13.isdisjoint(first50)
     # every key in the window is registered with an oracle unless it is
     # one of the documented rows-only keys (physical file layout,
     # sketch-byte payloads, float-order artifacts — see
-    # test_oracle_parity's list). q_multimodal_resize is rows-only by
-    # design (re-encoded synthetic-codec payload bytes; its header and
-    # checksum invariants are pinned in tests/test_multimodal.py).
+    # test_oracle_parity's list). q_cluster_incremental is rows-only by
+    # design (file-layout op; rewrite amplification and idempotence
+    # pinned in tests/test_storage.py::test_cluster_incremental_invariants).
     rows_only_in_window = {k for k in first50 if k not in ORACLE}
-    assert rows_only_in_window == {"q_multimodal_resize"}, rows_only_in_window
+    assert rows_only_in_window == {"q_cluster_incremental"}, rows_only_in_window
 
 
 def test_bench_previous_extended_reads_driver_wrapped_files():

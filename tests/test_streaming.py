@@ -1982,3 +1982,53 @@ def test_snapshot_ingest_sink_replay_and_crash_windows(spark):
     assert got.count() == 170  # exactly once, despite the orphans
     assert got.select("id").distinct().count() == 170
     KVStore.reset(store_name)
+
+
+def test_snapshot_ingest_sink_decoupled_from_batch_ids(spark):
+    """ADVICE r11: the sink must resolve the previous snapshot via the
+    latest-committed lookup, never v{batch_id} — pinned with both
+    failure shapes the coupling had: (a) a target table with SEVERAL
+    pre-existing committed snapshots (v0 and v1 before ingestion
+    starts), and (b) batch ids that do NOT start at 0 (a resumed
+    checkpoint against a fresh store). Each batch must land exactly
+    once on top of whatever is latest."""
+    import uuid as _uuid
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_latest,
+        _snap_read,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.queries import snapshot_ingest_sink
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = _uuid.uuid4().hex[:8]
+    table = f"{scratch_dir('ingest_pin2')}/t"
+    # (a) two committed snapshots BEFORE ingestion starts
+    f0 = _snap_add_files(spark.range(10).selectExpr("id", "id AS v"), table, "p0")
+    _snap_commit(table, f0, 0)
+    f1 = _snap_add_files(
+        spark.range(10, 30).selectExpr("id", "id AS v"), table, "p1"
+    )
+    _snap_commit(table, f0 + f1, 1)
+
+    store_name = f"ingest_pin2_{run}"
+    marker = f"{KEY_PREFIX}ingest-last-applied:{run}"
+    sink = snapshot_ingest_sink(table, store_name, marker)
+    # (b) batch ids resume at 7 (not 0)
+    sink(spark.range(30, 45).selectExpr("id", "id AS v"), 7)
+    v, files = _snap_latest(table)
+    assert v == 2  # latest+1, NOT batch_id+1
+    assert _snap_read(spark, table).count() == 45
+    sink(spark.range(45, 50).selectExpr("id", "id AS v"), 8)
+    v, _ = _snap_latest(table)
+    assert v == 3
+    assert _snap_read(spark, table).count() == 50
+    # replay of the resumed id is still a strict no-op
+    sink(spark.range(30, 45).selectExpr("id", "id AS v"), 7)
+    v, _ = _snap_latest(table)
+    assert v == 3
+    assert _snap_read(spark, table).count() == 50
+    KVStore.reset(store_name)
