@@ -1522,3 +1522,179 @@ def table_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------- manifest column stats / data skipping (r12)
+
+
+def _parquet_file_stats(path: str, cols: list[str]) -> dict:
+    """Per-file [min, max] for ``cols`` read from the parquet FOOTER
+    (pyarrow metadata — no data pages touched): file-level bound =
+    min of row-group mins / max of row-group maxes. This is how every
+    table format collects skipping stats — at write time, for free,
+    from metadata the writer already produced."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for c in cols:
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                return {}  # stats absent -> record none (reader keeps file)
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out[c] = [lo, hi]
+    return out
+
+
+def _snap_add_files_with_stats(
+    df: DataFrame, table: str, tmp_tag: str, stats_cols: list[str]
+) -> tuple[list[str], dict]:
+    """_snap_add_files + footer-stat collection for the manifest."""
+    names = _snap_add_files(df, table, tmp_tag)
+    ddir = os.path.join(table, "data")
+    stats = {
+        n: s
+        for n in names
+        for s in [_parquet_file_stats(os.path.join(ddir, n), stats_cols)]
+        if s
+    }
+    return names, stats
+
+
+def _snap_commit_stats(
+    table: str, files: list[str], version: int, stats: dict
+) -> None:
+    """Manifest commit carrying per-file column stats — same atomic
+    temp+fsync+os.replace protocol; ``files`` stays the plain name
+    list so every existing reader (_snap_read/_snap_latest) keeps
+    working, stats ride under a separate key."""
+    import json
+
+    mdir = os.path.join(table, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{version}.json.inprogress")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"version": version, "files": sorted(files), "stats": stats}, f
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mdir, f"v{version}.json"))
+
+
+def snap_read_pruned(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo: int,
+    hi: int,
+    version: int | None = None,
+) -> tuple[DataFrame, list[str], int]:
+    """Stats-pruned snapshot read: plan ONLY files whose manifest
+    [min, max] span for ``col`` intersects [lo, hi]; files with no
+    recorded stats are always kept (pruning must be a SUPERSET of the
+    true match — correctness never depends on stats). Returns
+    (frame, planned file names, total files) so callers can assert
+    skipping actually happened. The frame still needs the row-level
+    predicate applied — stats prune at FILE grain."""
+    import json
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    if v not in committed:
+        raise ValueError(f"snapshot v{v} is not committed (have {sorted(committed)})")
+    manifest = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    stats = manifest.get("stats", {})
+    planned = [
+        f
+        for f in manifest["files"]
+        if f not in stats
+        or col not in stats[f]
+        or (stats[f][col][0] <= hi and lo <= stats[f][col][1])
+    ]
+    paths = [os.path.join(table, "data", f) for f in planned]
+    return spark.read.parquet(*paths), planned, len(manifest["files"])
+
+
+@query(
+    "q_table_pruned_read",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(event_id) AS m FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value,
+           CAST(MIN(event_id) AS BIGINT) AS lo_id,
+           CAST(MAX(event_id) AS BIGINT) AS hi_id
+    FROM events
+    WHERE event_id BETWEEN (SELECT m // 2 FROM mx) AND (SELECT m * 3 // 4 FROM mx)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level DATA SKIPPING — per-file column stats recorded
+    in the manifest at commit time (parquet FOOTER min/max, no data
+    read) let a range predicate prune files at PLANNING time, before
+    any file is opened: the Iceberg/Delta stats-pruning core, and the
+    feature that makes a key-range query on a 100 TB range-clustered
+    table cost O(matched files) instead of O(table). Harness: events
+    range-clustered on event_id into 8 span-disjoint files, committed
+    with footer stats; the registered read asks for the
+    [max/2, 3·max/4] quarter and must (asserted live) plan a PROPER
+    subset of files — exactly those whose recorded span intersects
+    the range (on this layout, ~2-3 of 8) — while files lacking stats
+    are always kept (pruning is a superset of the true match, so
+    correctness never depends on stats; the row-level predicate still
+    applies after the scan). The oracle states the same range
+    aggregate from the raw table: a pruner that dropped a boundary
+    file (off-by-one on the closed interval) loses rows and
+    hash-mismatches.
+
+    Scale shape: pruning is manifest arithmetic — zero file opens,
+    zero scan tasks for skipped files (vs parquet row-group skipping,
+    which still costs a task + a footer read per file); stats
+    collection at write time is free (the writer's footer already has
+    them). Superset-safety and stats-roundtrip pins in
+    tests/test_storage.py."""
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapprune')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    files, stats = _snap_add_files_with_stats(
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        table,
+        "prune_base",
+        ["event_id"],
+    )
+    _snap_commit_stats(table, files, 0, stats)
+    m = int(ev.agg(F.max("event_id")).first()[0])
+    lo, hi = m // 2, m * 3 // 4
+    frame, planned, total = snap_read_pruned(spark, table, "event_id", lo, hi)
+    # the pruned plan must be a PROPER subset and EXACTLY the
+    # span-intersecting files per the recorded stats
+    expected = sorted(
+        f for f in files
+        if f in stats and stats[f]["event_id"][0] <= hi
+        and lo <= stats[f]["event_id"][1]
+    )
+    if sorted(planned) != expected:
+        raise RuntimeError(f"pruned {sorted(planned)} != expected {expected}")
+    if not (0 < len(planned) < total):
+        raise RuntimeError(f"degenerate pruning: {len(planned)}/{total}")
+    return (
+        frame.filter(F.col("event_id").between(lo, hi))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+            F.min("event_id").cast("long").alias("lo_id"),
+            F.max("event_id").cast("long").alias("hi_id"),
+        )
+        .orderBy("event_type")
+    )

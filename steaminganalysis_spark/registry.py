@@ -520,8 +520,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # copy-on-write MERGE — span-matched files rewrite, untouched files
 # carried by name, CAS commit), q_dedup_simhash_portable (the fifth
 # oracle-exact portable sketch: md5->lowbias32 bit-vote SimHash
-# signatures + 4x8-bit LSH bands, hash-checked Hamming distances).
-# 339 keys / 303 oracles at the round-12 close (count with
+# signatures + 4x8-bit LSH bands, hash-checked Hamming distances),
+# q_table_pruned_read (manifest-level data skipping: per-file footer
+# min/max recorded at commit, range reads plan only span-intersecting
+# files — zero file opens for skipped files).
+# 340 keys / 304 oracles at the round-12 close (count with
 # collect_queries(), never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11

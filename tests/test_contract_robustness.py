@@ -94,6 +94,11 @@ deferred_to_round13: set[str] = {
     # md5-derived shingle hash + lowbias32 bit-votes make the 32-bit
     # signatures and Hamming distances hash-checkable cross-engine)
     "q_dedup_simhash_portable",
+    # round-12 additions (operators/storage.py — manifest-level data
+    # skipping: per-file footer min/max recorded at commit time, a
+    # range read plans only span-intersecting files; stats-less files
+    # always kept — pruning is a superset of the true match)
+    "q_table_pruned_read",
 }
 
 

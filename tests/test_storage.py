@@ -545,3 +545,56 @@ def test_vacuum_shared_file_safety_and_merge_amplification(spark):
     assert len(spans) == 4
     for (_lo_prev, hi_prev), (lo, _hi) in zip(spans, spans[1:]):
         assert hi_prev < lo  # disjoint -> span-pruning is exact
+
+
+def test_pruned_read_superset_safety_and_stats_roundtrip(spark):
+    """Data-skipping pins: (a) a pruned read NEVER loses rows vs the
+    full read + predicate, whatever the range (superset safety,
+    boundary-inclusive); (b) manifest stats round-trip the parquet
+    footer exactly; (c) a file committed WITHOUT stats is always
+    planned (correctness never depends on stats presence)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_add_files_with_stats,
+        _snap_commit_stats,
+        snap_read_pruned,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('prunetest')}/t"
+    df = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    files, stats = _snap_add_files_with_stats(
+        df.repartitionByRange(4, "k"), table, "pb", ["k"]
+    )
+    # one extra file with NO stats recorded
+    extra = _snap_add_files(
+        spark.range(5000, 5100).selectExpr("id AS k", "id * 2 AS v").coalesce(1),
+        table,
+        "pn",
+    )
+    _snap_commit_stats(table, files + extra, 0, stats)
+
+    import os
+
+    ddir = os.path.join(table, "data")
+    for f, st in stats.items():
+        md = pq.ParquetFile(os.path.join(ddir, f)).metadata
+        ci = {md.schema.column(i).name: i for i in range(md.num_columns)}["k"]
+        lo = min(md.row_group(g).column(ci).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(ci).statistics.max
+                 for g in range(md.num_row_groups))
+        assert st["k"] == [lo, hi], (f, st, lo, hi)
+
+    for lo, hi in [(0, 0), (249, 250), (999, 999), (100, 900), (2000, 3000)]:
+        frame, planned, total = snap_read_pruned(spark, table, "k", lo, hi)
+        got = sorted(
+            r.k for r in frame.filter(F.col("k").between(lo, hi)).collect()
+        )
+        assert got == list(range(max(lo, 0), min(hi, 999) + 1)), (lo, hi)
+        assert set(extra) <= set(planned), "stats-less file was pruned"
+        assert total == 5
