@@ -997,6 +997,22 @@ def _snap_latest(table: str) -> tuple[int, list[str]]:
     return v, manifest["files"]
 
 
+def _snap_latest_with_stats(table: str) -> tuple[int, list[str], dict]:
+    """(latest committed version, file list, per-file stats dict) —
+    the lookup stats-aware writers (CDC merge) use: classification by
+    manifest stats needs the bounds alongside the names, and the
+    successor commit must CARRY surviving files' stats forward or
+    pruning degrades to full rewrites after one commit."""
+    import json
+
+    committed = _snap_versions(table)
+    v = max(committed)
+    manifest = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    return v, manifest["files"], manifest.get("stats", {})
+
+
 def _snap_read(spark: SparkSession, table: str, version: int | None = None):
     """Read the table AS OF a committed snapshot (default: latest
     committed). Only files listed in the resolved manifest are read —
@@ -1128,7 +1144,9 @@ def table_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------- optimistic concurrency / VACUUM / MERGE (r12)
 
 
-def _snap_commit_cas(table: str, files: list[str], version: int) -> bool:
+def _snap_commit_cas(
+    table: str, files: list[str], version: int, stats: dict | None = None
+) -> bool:
     """Compare-and-swap manifest commit — Iceberg's commit-conflict
     model reduced to its load-bearing core: write the complete file
     list to a unique temp path (fsync), then ``os.link`` it to
@@ -1143,8 +1161,11 @@ def _snap_commit_cas(table: str, files: list[str], version: int) -> bool:
     mdir = os.path.join(table, "manifests")
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".v{version}.{_uuid.uuid4().hex[:8]}.inprogress")
+    doc = {"version": version, "files": sorted(files)}
+    if stats is not None:
+        doc["stats"] = stats  # per-file column bounds ride the commit
     with open(tmp, "w") as f:
-        json.dump({"version": version, "files": sorted(files)}, f)
+        json.dump(doc, f)
         f.flush()
         os.fsync(f.fileno())
     try:
@@ -1536,6 +1557,8 @@ def _parquet_file_stats(path: str, cols: list[str]) -> dict:
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
+    if md.num_rows == 0:
+        return {}  # empty file: no bounds -> reader keeps it (superset)
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
     out = {}
     for c in cols:
@@ -1553,16 +1576,25 @@ def _parquet_file_stats(path: str, cols: list[str]) -> dict:
 def _snap_add_files_with_stats(
     df: DataFrame, table: str, tmp_tag: str, stats_cols: list[str]
 ) -> tuple[list[str], dict]:
-    """_snap_add_files + footer-stat collection for the manifest."""
+    """_snap_add_files + footer-stat collection for the manifest.
+    Zero-row part files (a sparse write's empty partitions) are
+    dropped instead of added — they carry no data, no bounds, and
+    would bloat every future manifest and defeat pruning asserts."""
+    import pyarrow.parquet as pq
+
     names = _snap_add_files(df, table, tmp_tag)
     ddir = os.path.join(table, "data")
-    stats = {
-        n: s
-        for n in names
-        for s in [_parquet_file_stats(os.path.join(ddir, n), stats_cols)]
-        if s
-    }
-    return names, stats
+    kept, stats = [], {}
+    for n in names:
+        path = os.path.join(ddir, n)
+        if pq.ParquetFile(path).metadata.num_rows == 0:
+            os.remove(path)
+            continue
+        kept.append(n)
+        s = _parquet_file_stats(path, stats_cols)
+        if s:
+            stats[n] = s
+    return kept, stats
 
 
 def _snap_commit_stats(

@@ -523,8 +523,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # signatures + 4x8-bit LSH bands, hash-checked Hamming distances),
 # q_table_pruned_read (manifest-level data skipping: per-file footer
 # min/max recorded at commit, range reads plan only span-intersecting
-# files — zero file opens for skipped files).
-# 340 keys / 304 oracles at the round-12 close (count with
+# files — zero file opens for skipped files), q_stream_table_cdc_merge
+# (streaming CDC MERGE into the snapshot table: manifest-stats file
+# classification, span-matched COW rewrite, stats carried forward,
+# exactly-once via the watermark-last ordering).
+# 341 keys / 305 oracles at the round-12 close (count with
 # collect_queries(), never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11

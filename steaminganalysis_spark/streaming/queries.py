@@ -1777,3 +1777,248 @@ def stream_table_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     KVStore.reset(store_name)
     return out
+
+
+# ------------------ streaming CDC MERGE into the snapshot table (r12)
+
+
+def snapshot_cdc_merge_sink(table: str, store_name: str, marker: str):
+    """foreachBatch sink applying a CDC micro-batch (op = 'U' update /
+    'I' insert) to the atomic-manifest snapshot table as a file-grain
+    copy-on-write MERGE, exactly once: (1) the replayed-batch guard
+    returns before writing; (2) matched-file classification reads the
+    MANIFEST STATS only — files whose recorded event_id span misses
+    the batch's update-key range are never opened (stats-less files
+    conservatively rewrite); (3) matched files rewrite with the
+    update applied via a broadcast of the MICRO-BATCH-sized update
+    side (the table side streams); (4) inserts land as new files;
+    (5) the successor manifest = untouched-by-name + rewritten +
+    inserted commits via CAS, CARRYING surviving files' stats forward
+    (else pruning degrades to full rewrites after one commit); (6) the
+    KVStore watermark advances LAST — the ingest sink's crash algebra
+    at MERGE grain. Deletes are deliberately out of scope here: the
+    repo handles them as deletion vectors (q_merge_deletion_vector,
+    merge-on-read) — rewriting files for scattered deletes is the
+    anti-pattern. Module-level so the replay/crash/pruning pins in
+    tests/test_streaming.py drive it directly."""
+    import os
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files_with_stats,
+        _snap_commit_cas,
+        _snap_latest_with_stats,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        store = KVStore.instance(store_name)
+        if batch_id <= store.last_applied(marker):
+            return  # replayed, already-committed batch: exactly-once
+        ups = batch_df.filter(F.col("op") == "U").select("event_id", "value")
+        ins = batch_df.filter(F.col("op") == "I").select(
+            "event_id", "event_type", "value"
+        )
+        prev_v, prev_files, prev_stats = _snap_latest_with_stats(table)
+        matched: list[str] = []
+        new_files: list[str] = []
+        new_stats: dict = {}
+        bounds = ups.agg(
+            F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+        ).first()
+        if bounds.lo is not None:
+            matched = [
+                f
+                for f in prev_files
+                if f not in prev_stats
+                or "event_id" not in prev_stats[f]
+                or (
+                    prev_stats[f]["event_id"][0] <= bounds.hi
+                    and bounds.lo <= prev_stats[f]["event_id"][1]
+                )
+            ]
+        if matched:
+            ddir = os.path.join(table, "data")
+            u = ups.withColumnRenamed("value", "_new_value")
+            rewritten = (
+                batch_df.sparkSession.read.parquet(
+                    *[os.path.join(ddir, f) for f in matched]
+                )
+                .join(F.broadcast(u), "event_id", "left")
+                .select(
+                    "event_id",
+                    "event_type",
+                    F.coalesce("_new_value", "value").alias("value"),
+                )
+            )
+            rw, rw_stats = _snap_add_files_with_stats(
+                rewritten, table, f"cdc_rw_b{batch_id}", ["event_id"]
+            )
+            new_files += rw
+            new_stats.update(rw_stats)
+        if ins.take(1):
+            ins_files, ins_stats = _snap_add_files_with_stats(
+                ins, table, f"cdc_ins_b{batch_id}", ["event_id"]
+            )
+            new_files += ins_files
+            new_stats.update(ins_stats)
+        untouched = [f for f in prev_files if f not in matched]
+        stats = {f: prev_stats[f] for f in untouched if f in prev_stats}
+        stats.update(new_stats)
+        if not _snap_commit_cas(
+            table, untouched + new_files, prev_v + 1, stats
+        ):
+            raise RuntimeError("single-writer CDC merge lost a CAS race")
+        store.apply_batch(batch_id, [], marker)
+
+    return sink
+
+
+@query(
+    "q_stream_table_cdc_merge",
+    oracle="""
+    WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+    final AS (
+      SELECT event_id, event_type,
+             value + CASE WHEN event_id <= (SELECT m // 8 FROM mx) THEN 100.0
+                          WHEN event_id <= (SELECT m // 4 FROM mx) THEN 7.0
+                          ELSE 0.0 END AS value
+      FROM events WHERE event_id % 10 < 8
+      UNION ALL
+      SELECT event_id, event_type, value FROM events WHERE event_id % 10 >= 8
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+             AS DOUBLE) / 100.0) AS total_value,
+           CAST(COUNT(CASE WHEN event_id % 10 >= 8 THEN 1 END) AS BIGINT)
+             AS n_inserted
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_table_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC MERGE into the snapshot table — the write-path
+    capstone composing q_table_merge_snapshot's file-grain
+    copy-on-write with the streaming exactly-once discipline, and the
+    first consumer of the r12 manifest stats on the WRITE path:
+    per micro-batch, matched-file classification reads the committed
+    manifest's per-file event_id bounds (no file opens), only
+    span-intersecting files rewrite with the update applied (the
+    update side — micro-batch-sized by construction — broadcasts;
+    the table side streams), inserts append as new files, and the
+    successor manifest CAS-commits carrying surviving stats forward
+    so the NEXT batch still prunes. Harness: base = events with
+    event_id % 10 < 8, range-clustered into 8 stats-committed files;
+    batch 0 = updates over [0, max/8] (value += 100) + inserts
+    (% 10 == 8); batch 1 = updates over (max/8, max/4] (value += 7) +
+    inserts (% 10 == 9). The oracle states the merged end state from
+    the raw table — a dropped carry-through row, a double-applied
+    replayed update, or an un-applied boundary file hash-mismatches.
+    Replay strict-no-op, crash-window, and stats-carry-forward
+    pruning pins in tests/test_streaming.py.
+
+    Scale shape: per batch — one manifest read, O(matched files)
+    rewrite (bounded by batch key locality, not table size; the CDC
+    batch is small so its key range is narrow on a range-clustered
+    table), one broadcast of batch-sized updates, one CAS rename.
+    Deletes stay deletion-vector-shaped (q_merge_deletion_vector) —
+    COW for scattered deletes is the anti-pattern."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files_with_stats,
+        _snap_commit_stats,
+        _snap_read,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("stream_cdc_merge")
+    table = os.path.join(tmp, "table")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = ev.filter(F.expr("event_id % 10 < 8"))
+    files, stats = _snap_add_files_with_stats(
+        base.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        table,
+        "cdc_base",
+        ["event_id"],
+    )
+    _snap_commit_stats(table, files, 0, stats)
+    m = int(ev.agg(F.max("event_id")).first()[0])
+    cut1, cut2 = m // 8, m // 4
+
+    def cdc_batch(upd_filter: str, bump: float, ins_filter: str) -> DataFrame:
+        u = ev.filter(F.expr("event_id % 10 < 8")).filter(
+            F.expr(upd_filter)
+        ).select(
+            "event_id",
+            "event_type",
+            (F.col("value") + F.lit(bump)).alias("value"),
+            F.lit("U").alias("op"),
+        )
+        i = ev.filter(F.expr(ins_filter)).select(
+            "event_id", "event_type", "value", F.lit("I").alias("op")
+        )
+        return u.unionByName(i)
+
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    now = time.time()
+    batches = (
+        cdc_batch(f"event_id <= {cut1}", 100.0, "event_id % 10 = 8"),
+        cdc_batch(
+            f"event_id > {cut1} AND event_id <= {cut2}", 7.0,
+            "event_id % 10 = 9",
+        ),
+    )
+    for i, part in enumerate(batches):
+        d = os.path.join(tmp, f"b{i}")
+        part.coalesce(1).write.parquet(d)
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+
+    store_name = f"stream_cdc_{run}"
+    marker = f"{KEY_PREFIX}cdc-last-applied:{run}"
+    sink = snapshot_cdc_merge_sink(table, store_name, marker)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp, f"ckpt_{run}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        _snap_read(spark, table)  # latest committed = post-merge
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5))
+                    .cast("long")
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("total_value"),
+            F.count(
+                F.when(F.col("event_id") % 10 >= 8, 1)
+            ).cast("long").alias("n_inserted"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)  # detach before scratch cleanup
+    )
+    KVStore.reset(store_name)
+    return out

@@ -99,6 +99,12 @@ deferred_to_round13: set[str] = {
     # range read plans only span-intersecting files; stats-less files
     # always kept — pruning is a superset of the true match)
     "q_table_pruned_read",
+    # round-12 additions (streaming/queries.py — streaming CDC MERGE
+    # into the snapshot table: per micro-batch, manifest-stats file
+    # classification, span-matched copy-on-write rewrite with the
+    # batch-sized update side broadcast, stats carried forward through
+    # the CAS commit, KVStore watermark last — exactly-once)
+    "q_stream_table_cdc_merge",
 }
 
 

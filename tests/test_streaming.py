@@ -2032,3 +2032,98 @@ def test_snapshot_ingest_sink_decoupled_from_batch_ids(spark):
     assert v == 3
     assert _snap_read(spark, table).count() == 50
     KVStore.reset(store_name)
+
+
+def test_cdc_merge_sink_replay_pruning_and_stats_carry(spark):
+    """The CDC-merge sink's algebra, driven directly: (a) matched-file
+    classification prunes by manifest stats — an update batch whose key
+    range hits one file rewrites EXACTLY that file; (b) surviving
+    files' stats carry forward through the commit, so a SECOND batch
+    still prunes (the degradation mode: dropping stats makes every
+    later merge a full rewrite); (c) a replayed committed batch id is
+    a strict no-op; (d) a crash between the file write and the commit
+    strands invisible orphans and the replay lands exactly once."""
+    import json
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files_with_stats,
+        _snap_commit_stats,
+        _snap_latest,
+        _snap_latest_with_stats,
+        _snap_read,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.queries import snapshot_cdc_merge_sink
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = _uuid.uuid4().hex[:8]
+    table = f"{scratch_dir('cdc_pin')}/t"
+    base = spark.range(400).selectExpr(
+        "id AS event_id", "'click' AS event_type", "id * 1.0 AS value"
+    )
+    files, stats = _snap_add_files_with_stats(
+        base.repartitionByRange(4, "event_id").sortWithinPartitions("event_id"),
+        table,
+        "pin_base",
+        ["event_id"],
+    )
+    assert len(files) == 4 and len(stats) == 4
+    _snap_commit_stats(table, files, 0, stats)
+
+    store_name = f"cdc_pin_{run}"
+    marker = f"{KEY_PREFIX}cdc-last-applied:{run}"
+    sink = snapshot_cdc_merge_sink(table, store_name, marker)
+
+    def batch(u_lo, u_hi, bump, ins_start, n_ins):
+        u = spark.range(u_lo, u_hi + 1).selectExpr(
+            "id AS event_id", "'click' AS event_type",
+            f"id * 1.0 + {bump} AS value", "'U' AS op",
+        )
+        i = spark.range(ins_start, ins_start + n_ins).selectExpr(
+            "id AS event_id", "'ins' AS event_type",
+            "id * 1.0 AS value", "'I' AS op",
+        )
+        return u.unionByName(i)
+
+    # (a) batch 0 updates keys 0..49 — inside the FIRST file's span only
+    sink(batch(0, 49, 1000.0, 10_000, 5), 0)
+    v1, files1, stats1 = _snap_latest_with_stats(table)
+    assert v1 == 1
+    survivors = [f for f in files if f in files1]
+    assert len(survivors) == 3, "exactly one span-matched file rewritten"
+    # (b) stats carried forward for survivors + recorded for new files
+    for f in survivors:
+        assert stats1[f] == stats[f]
+    assert all(f in stats1 for f in files1), "a committed file lost its stats"
+    got = _snap_read(spark, table)
+    assert got.count() == 405
+    assert got.filter(F.col("event_id") == 25).first().value == 1025.0
+    assert got.filter(F.col("event_id") == 350).first().value == 350.0
+
+    # (c) replay: strict no-op
+    n_data = len(os.listdir(os.path.join(table, "data")))
+    sink(batch(0, 49, 1000.0, 10_000, 5), 0)
+    v_r, files_r = _snap_latest(table)
+    assert (v_r, sorted(files_r)) == (v1, sorted(files1))
+    assert len(os.listdir(os.path.join(table, "data"))) == n_data
+
+    # (d) crash window: batch 1's files written, NO commit, NO watermark
+    b1 = batch(300, 340, 500.0, 20_000, 3)
+    _snap_add_files_with_stats(
+        b1.filter("op = 'I'").drop("op"), table, "pin_crash", ["event_id"]
+    )
+    assert _snap_read(spark, table).count() == 405  # orphans invisible
+    sink(b1, 1)  # replay after the crash
+    v2, files2, stats2 = _snap_latest_with_stats(table)
+    assert v2 == 2
+    got = _snap_read(spark, table)
+    assert got.count() == 408  # 405 + 3 inserts, despite orphans
+    assert got.filter(F.col("event_id") == 320).first().value == 820.0
+    # second batch still pruned: the key-0..49 rewrite output and the
+    # untouched middle files survived batch 1 by name
+    assert sum(1 for f in files1 if f in files2) == len(files1) - 1
+    KVStore.reset(store_name)
