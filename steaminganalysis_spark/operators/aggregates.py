@@ -1563,3 +1563,147 @@ def agg_quantile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 agg_quantile_sampled.__doc__ = agg_quantile_sampled.__doc__.replace(
     "{M}", str(QSAMP_MOD)
 )
+
+
+# ---- portable Bloom filter: the oracle-exact membership sketch (r12)
+
+BLP_BITS = 16384  # filter width (512 x 32-bit words, 4 KB broadcast)
+BLP_K = 4  # hash functions
+BLP_SEED = 2654435761  # per-hash additive stride (Knuth, the MHP seed)
+
+
+def _blp_pos_sql(xor: str, div: str, key: str) -> str:
+    """Bit position of hash j for ``key``: the lowbias32 mixer over
+    the 32-bit fold of (key + j·stride), reduced mod BLP_BITS —
+    engine-portable integer SQL, same toolkit as every portable
+    sketch. Expects ``j`` in scope."""
+    return (
+        f"({_hllp_hash_sql(xor, div, f'(({key}) % 4294967296) + j * {BLP_SEED}')}"
+        f" % {BLP_BITS})"
+    )
+
+
+def _blp_oracle() -> str:
+    pos_b = _blp_pos_sql("xor({a}, {b})", "//", "o_custkey")
+    pos_p = _blp_pos_sql("xor({a}, {b})", "//", "c_custkey")
+    return f"""
+    WITH build AS MATERIALIZED (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    words AS MATERIALIZED (
+      SELECT pos // 32 AS w,
+             bit_or(CAST(POWER(2, pos % 32) AS BIGINT)) AS word
+      FROM (SELECT {pos_b} AS pos
+            FROM build, unnest(generate_series(0, {BLP_K - 1})) AS p(j))
+      GROUP BY 1
+    ),
+    bits AS (
+      SELECT c_custkey, c_nationkey,
+             COALESCE((word // CAST(POWER(2, pos % 32) AS BIGINT)) % 2, 0) AS bit
+      FROM (SELECT c_custkey, c_nationkey, {pos_p} AS pos
+            FROM customer, unnest(generate_series(0, {BLP_K - 1})) AS p(j)) pr
+      LEFT JOIN words ON pr.pos // 32 = words.w
+    ),
+    verdicts AS (
+      SELECT c_custkey, MIN(c_nationkey) AS nk, MIN(bit) AS maybe
+      FROM bits GROUP BY 1
+    ),
+    final AS (
+      SELECT v.nk, v.maybe,
+             CASE WHEN b.o_custkey IS NULL THEN 0 ELSE 1 END AS actual
+      FROM verdicts v LEFT JOIN build b ON v.c_custkey = b.o_custkey
+    )
+    SELECT CAST(nk AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+           CAST(SUM(actual) AS BIGINT) AS n_actual,
+           CAST(SUM(CASE WHEN maybe = 1 AND actual = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive
+    FROM final GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("q_agg_bloom_portable", oracle=_blp_oracle())
+def agg_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership with an ORACLE-EXACT bit array — the
+    sixth portable sketch (HLL, CMS, sampled quantiles, MinHash,
+    SimHash, now Bloom), converting rows-only ``q_agg_bloom``
+    (xxhash64 bit patterns, engine-internal) into a hash-checked key:
+    every bit position is the lowbias32 mixer over the 32-bit fold of
+    (key + j·stride) mod BLP_BITS, so BOTH engines build the
+    byte-identical 512-word filter and even the FALSE-POSITIVE SET is
+    deterministic cross-engine — the driver hash-checks the filter's
+    answers themselves, not a tolerance band. Build = urgent-order
+    customer keys (a strict subset of the probe domain, so answers
+    split); probe = every customer; output = per-nation counts of
+    probes / filter-yes / truly-present / false positives, with the
+    no-false-negative contract implied by n_maybe >= n_actual in
+    every row (pinned).
+
+    Scale shape: the build explodes each key to k=4 (word, mask)
+    pairs whose map-side partial bit_or collapses every partition to
+    <= 512 rows BEFORE the exchange — filter state is bounded by
+    BLP_BITS regardless of input size, and bit_or linearity makes
+    partial filters mergeable (filter(A∪B) = filter(A)|filter(B),
+    pinned); the probe side joins the BROADCAST 4 KB word table and
+    never shuffles the probe relation — exactly the runtime-bloom
+    join-pruning shape Spark itself injects, spelled portably.
+    Reference parity: no sketch surface in the reference (SURVEY §2
+    B.4 extension)."""
+    pos_b = _blp_pos_sql("({a} ^ {b})", "DIV", "o_custkey")
+    pos_p = _blp_pos_sql("({a} ^ {b})", "DIV", "c_custkey")
+    jays = F.broadcast(
+        spark.range(BLP_K).select(F.col("id").cast("int").alias("j"))
+    )
+    build = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .localCheckpoint(eager=True)  # read twice: filter build + truth
+    )
+    words = (
+        build.crossJoin(jays)
+        .selectExpr(f"{pos_b} AS pos")
+        .selectExpr(
+            "pos DIV 32 AS w", "CAST(pow(2, pos % 32) AS BIGINT) AS m"
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("word"))
+    )
+    probe = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .crossJoin(jays)
+        .selectExpr("c_custkey", "c_nationkey", f"{pos_p} AS pos")
+    )
+    bits = (
+        probe.selectExpr("c_custkey", "c_nationkey", "pos", "pos DIV 32 AS w")
+        .join(F.broadcast(words), "w", "left")
+        .selectExpr(
+            "c_custkey",
+            "c_nationkey",
+            "COALESCE((word DIV CAST(pow(2, pos % 32) AS BIGINT)) % 2, 0) AS bit",
+        )
+    )
+    verdicts = bits.groupBy("c_custkey").agg(
+        F.min("c_nationkey").alias("nk"), F.min("bit").alias("maybe")
+    )
+    truth = build.selectExpr("o_custkey AS _k", "1 AS actual")
+    return (
+        verdicts.join(
+            F.broadcast(truth), F.col("c_custkey") == F.col("_k"), "left"
+        )
+        .selectExpr("nk", "maybe", "COALESCE(actual, 0) AS actual")
+        .groupBy(F.col("nk").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("maybe").cast("long").alias("n_maybe"),
+            F.sum("actual").cast("long").alias("n_actual"),
+            F.sum(
+                F.when((F.col("maybe") == 1) & (F.col("actual") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_false_positive"),
+        )
+        .orderBy("nationkey")
+    )

@@ -1579,7 +1579,13 @@ def _snap_add_files_with_stats(
     """_snap_add_files + footer-stat collection for the manifest.
     Zero-row part files (a sparse write's empty partitions) are
     dropped instead of added — they carry no data, no bounds, and
-    would bloat every future manifest and defeat pruning asserts."""
+    would bloat every future manifest and defeat pruning asserts.
+
+    Scale note: the footer loop runs over the NEWLY-ADDED files only —
+    O(files per commit), never O(table) — and reads metadata pages, not
+    data. On a real cluster the write tasks return these bounds with
+    the commit message (the Iceberg DataFile contract) and no driver
+    loop exists at all; this is the single-process reduction of that."""
     import pyarrow.parquet as pq
 
     names = _snap_add_files(df, table, tmp_tag)

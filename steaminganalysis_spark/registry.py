@@ -526,8 +526,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # files — zero file opens for skipped files), q_stream_table_cdc_merge
 # (streaming CDC MERGE into the snapshot table: manifest-stats file
 # classification, span-matched COW rewrite, stats carried forward,
-# exactly-once via the watermark-last ordering).
-# 341 keys / 305 oracles at the round-12 close (count with
+# exactly-once via the watermark-last ordering), q_agg_bloom_portable
+# (the sixth oracle-exact portable sketch: lowbias32 bit positions
+# build the byte-identical Bloom word array in both engines — even
+# the false-positive set hash-checks).
+# 342 keys / 306 oracles at the round-12 close (count with
 # collect_queries(), never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11
@@ -575,6 +578,26 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_attribution_last_touch, q_gaps_islands, ... — recompute at the
 # freeze, prefer oracled over rows-only, implementation-changed keys
 # outrank unchanged re-checks).
+# ROUND-13 WINDOW (planned at the round-12 freeze): canaries
+# q_daily_rollup + q_tpch_q12, then deferred_to_round13 (the seven
+# round-12 additions — q_table_concurrent_commit, q_table_vacuum,
+# q_table_merge_snapshot, q_dedup_simhash_portable,
+# q_table_pruned_read, q_stream_table_cdc_merge,
+# q_agg_bloom_portable — plus any later
+# round-13 registrations per the standing pin discipline), then the
+# 25 remaining oracled round-5-stamp re-checks in registration order
+# (head: q_stream_dedup_within_watermark — displaced from the
+# round-12 window by the q_geo_nearest_poi execution-change swap —
+# then q_agg_basic, q_agg_distinct, q_agg_rollup, q_agg_cube,
+# q_agg_collect, q_agg_theta_sketch, q_agg_bitmap_distinct, q_fn_url,
+# q_fn_csv, q_fn_xml, q_fn_collation, q_fn_mask, q_dedup_semantic,
+# q_emb_random_projection, q_knn_graph, q_chunk_documents,
+# q_shuffle_deterministic, q_index_inverted, q_dedup_incremental,
+# q_skew_profile, q_ngram_lm, q_quality_lm_score, q_dsir_score,
+# q_corpus_select), then the oldest oracled round-6-stamp re-checks
+# in registration order to fill 50 — recompute at the freeze, prefer
+# oracled over rows-only, implementation-changed keys outrank
+# unchanged re-checks (the q_graph_triangles rule).
 # ROUND-12 WINDOW (composed this round, executing the plan above):
 # recomputed at composition time the round-4-stamp backlog is 26
 # oracled keys (the plan's "25" undercounted by one — q_anomaly_zscore

@@ -105,6 +105,11 @@ deferred_to_round13: set[str] = {
     # batch-sized update side broadcast, stats carried forward through
     # the CAS commit, KVStore watermark last — exactly-once)
     "q_stream_table_cdc_merge",
+    # round-12 additions (operators/aggregates.py — oracle-exact
+    # portable Bloom filter: lowbias32 bit positions build the
+    # byte-identical 512-word array in both engines, so even the
+    # false-positive set hash-checks; the sixth portable sketch)
+    "q_agg_bloom_portable",
 }
 
 

@@ -534,3 +534,88 @@ def test_simhash_portable_matches_pure_python_and_recall(spark):
         {k: (got.get(k), expected.get(k)) for k in set(got) ^ set(expected)},
     )
     assert expected, "fixture produced no near-dup pairs — pin is vacuous"
+
+
+def test_bloom_portable_python_replay_fn_zero_and_mergeability(spark):
+    """Portable-Bloom pins (the portable-CMS discipline): (a) the
+    512-word filter replayed bit-for-bit in pure Python equals the
+    engine's; (b) no false negatives ever — every truly-present
+    customer gets maybe=1, so n_maybe >= n_actual per nation and the
+    per-key FN count is exactly 0; (c) bit_or linearity — the word
+    table built from a 2-way split of the build keys, OR-merged,
+    equals the global filter (mergeable partial filters, what lets
+    every executor build its partition's filter independently)."""
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.operators.aggregates import (
+        BLP_BITS,
+        BLP_K,
+        BLP_SEED,
+    )
+    from steaminganalysis_spark.sources import load
+
+    sf = "/root/testdata/sf0.01"
+
+    def lowbias32(x):
+        x &= 0xFFFFFFFF
+        for _ in range(2):
+            x = (((x >> 16) ^ x) * 0x45D9F3B) % (1 << 32)
+        return (x >> 16) ^ x
+
+    keys = sorted(
+        r.o_custkey
+        for r in load(spark, sf, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    )
+    words_py = {}
+    for key in keys:
+        for j in range(BLP_K):
+            pos = lowbias32((key % (1 << 32)) + j * BLP_SEED) % BLP_BITS
+            words_py[pos // 32] = words_py.get(pos // 32, 0) | (1 << (pos % 32))
+
+    from steaminganalysis_spark.operators.aggregates import _blp_pos_sql
+
+    pos_b = _blp_pos_sql("({a} ^ {b})", "DIV", "o_custkey")
+    jays = spark.range(BLP_K).select(F.col("id").cast("int").alias("j"))
+
+    def build_words(df):
+        return {
+            r.w: r.word
+            for r in df.crossJoin(jays)
+            .selectExpr(f"{pos_b} AS pos")
+            .selectExpr("pos DIV 32 AS w", "CAST(pow(2, pos % 32) AS BIGINT) AS m")
+            .groupBy("w")
+            .agg(F.expr("bit_or(m)").alias("word"))
+            .collect()
+        }
+
+    build = (
+        load(spark, sf, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_custkey")
+        .distinct()
+    )
+    words_spark = build_words(build)
+    assert words_spark == words_py  # (a) bit-for-bit replay
+
+    # (b) FN == 0: every build key probes to maybe=1
+    from steaminganalysis_spark.registry import collect_queries
+
+    QUERIES, _ = collect_queries()
+    rows = QUERIES["q_agg_bloom_portable"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.n_maybe >= r.n_actual, r
+        assert r.n_false_positive == r.n_maybe - r.n_actual, r
+    # the filter must not be saturated-vacuous at this SF
+    assert sum(r.n_maybe for r in rows) < sum(r.n_cust for r in rows)
+
+    # (c) mergeability: OR of split-built filters == global filter
+    a = build.filter(F.col("o_custkey") % 2 == 0)
+    b = build.filter(F.col("o_custkey") % 2 == 1)
+    wa, wb = build_words(a), build_words(b)
+    merged = {w: wa.get(w, 0) | wb.get(w, 0) for w in set(wa) | set(wb)}
+    assert merged == words_spark
