@@ -2702,3 +2702,131 @@ def graph_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_anf.__doc__ = graph_anf.__doc__.replace("{m}", str(ANF_M))
+
+
+# ------------- deterministic random walks (DeepWalk sampling, r12)
+
+WALK_LEN = 4  # steps per walk (unrolled in the oracle)
+WALK_EPOCH = 7  # epoch seed folded into the next-hop hash
+
+
+def _walk_hash(xor: str, div: str, t: int) -> str:
+    """Next-hop priority of candidate edge (cur -> dst) at step ``t``:
+    the lowbias32 mixer over the folded (node, step, epoch, dst)
+    tuple — engine-portable integer SQL, so both engines walk the
+    identical paths. Expects columns ``cur`` and ``dst`` in scope."""
+    from steaminganalysis_spark.operators.aggregates import _hllp_hash_sql
+
+    return _hllp_hash_sql(
+        xor,
+        div,
+        f"(cur * 1048573 + {t} * 8191 + dst + {WALK_EPOCH * 131071})",
+    )
+
+
+def _walks_oracle() -> str:
+    ctes = [
+        """
+        edges AS MATERIALIZED (
+          SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+          FROM lineitem l
+          JOIN orders o   ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey  = c.c_custkey
+          JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        )""",
+        "w0 AS (SELECT DISTINCT src AS seed, src AS cur FROM edges)",
+    ]
+    for t in range(1, WALK_LEN + 1):
+        h = _walk_hash("xor({a}, {b})", "//", t).replace("cur", "e.src")
+        ctes.append(
+            f"""pick{t} AS (
+              SELECT e.src, MIN(({h}) * 1073741824 + e.dst) % 1073741824 AS nxt
+              FROM edges e GROUP BY 1
+            )"""
+        )
+        ctes.append(
+            f"""w{t} AS (
+              SELECT w.seed, COALESCE(p.nxt, w.cur) AS cur
+              FROM w{t - 1} w LEFT JOIN pick{t} p ON w.cur = p.src
+            )"""
+        )
+    steps = "\nUNION ALL\n".join(
+        f"SELECT seed, {t} AS step, cur AS node FROM w{t}"
+        for t in range(WALK_LEN + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT CAST(seed AS BIGINT) AS seed, CAST(step AS BIGINT) AS step,
+           CAST(node AS BIGINT) AS node
+    FROM ({steps}) ORDER BY seed, step
+    """
+    )
+
+
+@query("q_graph_random_walks", oracle=_walks_oracle())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk sampling (the DeepWalk/node2vec corpus
+    generator) with ORACLE-EXACT paths: one walk starts at every
+    source node and takes WALK_LEN steps; the next hop from node u at
+    step t is the out-neighbor minimizing the portable lowbias32
+    priority of (u, t, epoch, v) — a pure function of the graph, so
+    both engines walk the identical paths and the driver hash-checks
+    every (seed, step, node) row. Ties are impossible by
+    construction: priorities compare as priority·2^30 + dst, unique
+    per dst for node ids < 2^30. Dead-end nodes self-loop (COALESCE
+    to the current node), keeping every walk exactly WALK_LEN + 1
+    rows. Varying WALK_EPOCH yields independent walk epochs — the
+    production corpus runs E epochs and feeds the paths to a
+    skip-gram embedder.
+
+    Scale shape: each step is ONE equi-join of the O(walks) frontier
+    vector against the staged bucketed edge relation
+    (``iter_vector_join`` — broadcast under the cap, SHUFFLE_HASH
+    co-partitioned above; the edge exchange is reused across steps)
+    plus a per-walk MIN aggregate with map-side partial combine —
+    O(frontier out-edges) per step, the PageRank loop economics
+    applied to sampling. Deterministic-hash walks are the same
+    trick as q_shuffle_deterministic/q_agg_quantile_sampled: replace
+    RNG state with a keyed hash and sampling becomes reproducible,
+    mergeable, and oracle-checkable. Reference parity: no graph
+    surface in the reference (SURVEY §2 B.11 extension)."""
+    from steaminganalysis_spark.staging import stage
+
+    edges = stage(
+        _directed_edges(spark, sf_dir), "walk_edges", bucket_col="src"
+    )
+    n_nodes = edges.select("src").distinct().count()  # bounded scalar: |V|
+    cur = edges.select(F.col("src").alias("seed")).distinct().select(
+        "seed", F.col("seed").alias("cur")
+    )
+    out = [cur.select("seed", F.lit(0).alias("step"), F.col("cur").alias("node"))]
+    for t in range(1, WALK_LEN + 1):
+        h = _walk_hash("({a} ^ {b})", "DIV", t)
+        pick = (
+            iter_vector_join(
+                edges, cur, edges.src == cur.cur, n_nodes=n_nodes
+            )
+            .selectExpr(
+                "seed", f"(({h}) * 1073741824 + dst) AS pri"
+            )
+            .groupBy("seed")
+            .agg((F.min("pri") % 1073741824).alias("nxt"))
+        )
+        cur = (
+            cur.join(pick, "seed", "left")
+            .select("seed", F.coalesce("nxt", "cur").alias("cur"))
+            .localCheckpoint(eager=True)  # O(walks) frontier, read twice
+        )
+        out.append(
+            cur.select("seed", F.lit(t).alias("step"), F.col("cur").alias("node"))
+        )
+    res = out[0]
+    for frame in out[1:]:
+        res = res.unionByName(frame)
+    return res.select(
+        F.col("seed").cast("long").alias("seed"),
+        F.col("step").cast("long").alias("step"),
+        F.col("node").cast("long").alias("node"),
+    ).orderBy("seed", "step")

@@ -529,8 +529,10 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # exactly-once via the watermark-last ordering), q_agg_bloom_portable
 # (the sixth oracle-exact portable sketch: lowbias32 bit positions
 # build the byte-identical Bloom word array in both engines — even
-# the false-positive set hash-checks).
-# 342 keys / 306 oracles at the round-12 close (count with
+# the false-positive set hash-checks), q_graph_random_walks
+# (deterministic DeepWalk-style walk sampling: portable hash-argmin
+# next hop, oracle-exact paths, frontier-join per step).
+# 343 keys / 307 oracles at the round-12 close (count with
 # collect_queries(), never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11
@@ -579,11 +581,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # freeze, prefer oracled over rows-only, implementation-changed keys
 # outrank unchanged re-checks).
 # ROUND-13 WINDOW (planned at the round-12 freeze): canaries
-# q_daily_rollup + q_tpch_q12, then deferred_to_round13 (the seven
+# q_daily_rollup + q_tpch_q12, then deferred_to_round13 (the eight
 # round-12 additions — q_table_concurrent_commit, q_table_vacuum,
 # q_table_merge_snapshot, q_dedup_simhash_portable,
 # q_table_pruned_read, q_stream_table_cdc_merge,
-# q_agg_bloom_portable — plus any later
+# q_agg_bloom_portable, q_graph_random_walks — plus any later
 # round-13 registrations per the standing pin discipline), then the
 # 25 remaining oracled round-5-stamp re-checks in registration order
 # (head: q_stream_dedup_within_watermark — displaced from the

@@ -110,6 +110,11 @@ deferred_to_round13: set[str] = {
     # byte-identical 512-word array in both engines, so even the
     # false-positive set hash-checks; the sixth portable sketch)
     "q_agg_bloom_portable",
+    # round-12 additions (operators/graph.py — deterministic random
+    # walks: next hop = argmin of the portable lowbias32 priority of
+    # (node, step, epoch, neighbor), so the DeepWalk-style path corpus
+    # is oracle-exact; frontier-join economics per step)
+    "q_graph_random_walks",
 }
 
 

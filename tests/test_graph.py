@@ -1267,3 +1267,65 @@ def test_frontier_rounds_equal_full_relaxation_round_by_round(spark):
     # chain wave: after k rounds exactly nodes 0..k are reached
     reached = {n for n, d in snap(full) if d is not None}
     assert reached == set(range(7))
+
+
+def test_random_walks_match_pure_python_and_are_edge_valid(spark):
+    """Deterministic-walk pins: (a) the full (seed, step, node) table
+    replayed in pure Python (independent lowbias32 + argmin) equals
+    the engine's bit-for-bit; (b) every consecutive hop is a real
+    directed edge OR a dead-end self-loop; (c) every walk is exactly
+    WALK_LEN + 1 rows starting at its seed."""
+    from steaminganalysis_spark.operators.graph import (
+        WALK_EPOCH,
+        WALK_LEN,
+        _directed_edges,
+    )
+    from steaminganalysis_spark.registry import collect_queries
+
+    sf = "/root/testdata/sf0.001"
+    QUERIES, _ = collect_queries()
+    got = [
+        (r.seed, r.step, r.node)
+        for r in QUERIES["q_graph_random_walks"](spark, sf).collect()
+    ]
+
+    edges = {}
+    for r in _directed_edges(spark, sf).collect():
+        edges.setdefault(r.src, []).append(r.dst)
+
+    def lowbias32(x):
+        x &= 0xFFFFFFFF
+        for _ in range(2):
+            x = (((x >> 16) ^ x) * 0x45D9F3B) % (1 << 32)
+        return (x >> 16) ^ x
+
+    expected = []
+    for seed in sorted(edges):
+        cur = seed
+        expected.append((seed, 0, seed))
+        for t in range(1, WALK_LEN + 1):
+            outs = edges.get(cur)
+            if outs:
+                cur = min(
+                    outs,
+                    key=lambda d: lowbias32(
+                        (cur * 1048573 + t * 8191 + d + WALK_EPOCH * 131071)
+                        % (1 << 32)
+                    )
+                    * (1 << 30)
+                    + d,
+                )
+            expected.append((seed, t, cur))
+    assert got == expected  # (a) bit-for-bit
+
+    walks = {}
+    for seed, step, node in got:
+        walks.setdefault(seed, {})[step] = node
+    for seed, path in walks.items():
+        assert sorted(path) == list(range(WALK_LEN + 1))  # (c) length
+        assert path[0] == seed
+        for t in range(1, WALK_LEN + 1):
+            u, v = path[t - 1], path[t]
+            assert v in edges.get(u, []) or (
+                u == v and u not in edges
+            ), (seed, t, u, v)  # (b) edge-valid or dead-end self-loop
