@@ -1736,3 +1736,221 @@ def table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------- manifest-tracked schema evolution (r12)
+
+
+def _parquet_file_schema(path: str) -> dict[str, str]:
+    """{column: arrow type string} from the parquet FOOTER — the
+    commit-time compatibility check reads metadata, never data."""
+    import pyarrow.parquet as pq
+
+    sch = pq.ParquetFile(path).schema_arrow
+    return {f.name: str(f.type) for f in sch}
+
+
+def _snap_commit_schema(
+    table: str,
+    files: list[str],
+    version: int,
+    schema: list[tuple[str, str]],
+    new_files: list[str] | None = None,
+) -> None:
+    """Manifest commit carrying the TABLE SCHEMA (ordered
+    (column, arrow-type) pairs) — Iceberg's schema-tracking pillar
+    reduced to its core: the schema lives in the manifest, not in the
+    data files, so (a) adding a column is a metadata-only commit (old
+    files are never rewritten — readers NULL-fill), and (b) every
+    appended file is validated against the declared schema AT COMMIT
+    TIME from its footer: unknown columns and type conflicts are
+    rejected BEFORE they become a torn read hours later (the
+    mergeSchema-blowup failure mode). Missing columns are fine —
+    that IS evolution."""
+    import json
+
+    declared = dict(schema)
+    for n in new_files or []:
+        got = _parquet_file_schema(os.path.join(table, "data", n))
+        unknown = sorted(set(got) - set(declared))
+        if unknown:
+            raise ValueError(
+                f"file {n} carries columns not in the table schema: {unknown}"
+            )
+        conflicts = sorted(
+            c for c, t in got.items() if declared[c] != t
+        )
+        if conflicts:
+            raise ValueError(
+                f"file {n} type-conflicts with the table schema on: "
+                f"{conflicts} ({[(c, got[c], declared[c]) for c in conflicts]})"
+            )
+    mdir = os.path.join(table, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{version}.json.inprogress")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": version,
+                "files": sorted(files),
+                "schema": [list(p) for p in schema],
+            },
+            f,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mdir, f"v{version}.json"))
+
+
+def _snap_read_schema(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Schema-resolved snapshot read: plan the manifest's file list,
+    merge-read, then SELECT exactly the manifest's declared columns in
+    declared order (NULL-filling columns absent from pre-evolution
+    files). The projection is the manifest's, never the files' — a
+    rogue column in a data file cannot leak into the table surface,
+    and a time-travel read serves the OLD schema."""
+    import json
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    if v not in committed:
+        raise ValueError(f"snapshot v{v} is not committed (have {sorted(committed)})")
+    manifest = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    paths = [os.path.join(table, "data", f) for f in manifest["files"]]
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    cols = []
+    for name, _t in manifest["schema"]:
+        cols.append(
+            F.col(name) if name in df.columns else F.lit(None).alias(name)
+        )
+    return df.select(*cols)
+
+
+@query(
+    "q_table_schema_evolution",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value,
+           CAST(COUNT(CASE WHEN event_id % 10 >= 8
+                           THEN 1 END) AS BIGINT) AS n_with_day,
+           CAST(COUNT(CASE WHEN event_id % 10 >= 8
+                           THEN NULLIF(strftime(ts, '%Y-%m-%d'), '')
+                      END) AS BIGINT) AS n_day_values
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on the snapshot table — the remaining pillar
+    of the table-format story (snapshots v0/v1 = isolation, CAS =
+    concurrency, VACUUM = retention, MERGE/CDC = updates, stats =
+    skipping, this = add-column without rewrite): the table schema
+    lives in the MANIFEST, so v0 commits (event_id, event_type,
+    value) files, and v1 appends new rows carrying an added ``day``
+    column in a metadata-only evolution — v0's data files are never
+    rewritten; the v1 read NULL-fills ``day`` for pre-evolution rows,
+    while a v0 time-travel read still serves the ORIGINAL 3-column
+    schema (both asserted live). Commit-time enforcement comes from
+    the appended files' FOOTERS (no data read): a file carrying an
+    undeclared column and a file whose ``day`` is typed double both
+    REJECT at commit (asserted live with real rejected files on
+    disk, invisible to every read — the mergeSchema-blowup failure
+    mode caught at write time, hours earlier). The frame rolls up the
+    evolved read per event type counting day-coverage; the oracle
+    states it from the raw table, so a reader that dropped
+    pre-evolution rows, leaked a rogue column, or mis-NULL-filled
+    hash-mismatches.
+
+    Scale shape: evolution cost is ONE manifest commit regardless of
+    table size (no rewrite — the entire point); schema validation is
+    O(new files) footer reads at commit; reads project the manifest's
+    declared columns, so parquet column pruning still reaches every
+    file. Old-schema-time-travel and reject pins in
+    tests/test_storage.py."""
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapevo')}/table"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    schema_v0 = [
+        ("event_id", "int64"),
+        ("event_type", "string"),
+        ("value", "double"),
+    ]
+    base = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 < 8")).select(
+            "event_id", "event_type", "value"
+        ),
+        table,
+        "evo_base",
+    )
+    _snap_commit_schema(table, base, 0, schema_v0, new_files=base)
+    # metadata-only evolution: schema v1 adds `day`; the delta rows
+    # carry it, v0's files are untouched
+    schema_v1 = schema_v0 + [("day", "string")]
+    delta = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 >= 8")).select(
+            "event_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        ),
+        table,
+        "evo_delta",
+    )
+    _snap_commit_schema(table, base + delta, 1, schema_v1, new_files=delta)
+    # fault injections: both must REJECT at commit time, from footers
+    rogue = _snap_add_files(
+        ev.limit(10).select(
+            "event_id", "event_type", "value",
+            F.lit("x").alias("undeclared_col"),
+        ),
+        table,
+        "evo_rogue",
+    )
+    try:
+        _snap_commit_schema(
+            table, base + delta + rogue, 2, schema_v1, new_files=rogue
+        )
+        raise RuntimeError("undeclared-column file was accepted")
+    except ValueError:
+        pass  # rejected at commit; the rogue file stays an orphan
+    badtype = _snap_add_files(
+        ev.limit(10).select(
+            "event_id", "event_type", "value",
+            F.lit(1.5).alias("day"),  # day typed double: conflict
+        ),
+        table,
+        "evo_badtype",
+    )
+    try:
+        _snap_commit_schema(
+            table, base + delta + badtype, 2, schema_v1, new_files=badtype
+        )
+        raise RuntimeError("type-conflicting file was accepted")
+    except ValueError:
+        pass
+    # time travel serves the OLD schema
+    v0_cols = _snap_read_schema(spark, table, 0).columns
+    if v0_cols != ["event_id", "event_type", "value"]:
+        raise RuntimeError(f"v0 schema leaked evolution: {v0_cols}")
+
+    return (
+        _snap_read_schema(spark, table)  # latest = evolved v1
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+            F.count(
+                F.when(F.col("event_id") % 10 >= 8, 1)
+            ).cast("long").alias("n_with_day"),
+            F.count("day").cast("long").alias("n_day_values"),
+        )
+        .orderBy("event_type")
+    )

@@ -531,8 +531,11 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # build the byte-identical Bloom word array in both engines — even
 # the false-positive set hash-checks), q_graph_random_walks
 # (deterministic DeepWalk-style walk sampling: portable hash-argmin
-# next hop, oracle-exact paths, frontier-join per step).
-# 343 keys / 307 oracles at the round-12 close (count with
+# next hop, oracle-exact paths, frontier-join per step),
+# q_table_schema_evolution (manifest-tracked schema: add-column
+# commits without rewrite, footer-validated appends, old-schema time
+# travel — the table-format story's last pillar).
+# 344 keys / 308 oracles at the round-12 close (count with
 # collect_queries(), never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11
@@ -581,11 +584,12 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # freeze, prefer oracled over rows-only, implementation-changed keys
 # outrank unchanged re-checks).
 # ROUND-13 WINDOW (planned at the round-12 freeze): canaries
-# q_daily_rollup + q_tpch_q12, then deferred_to_round13 (the eight
+# q_daily_rollup + q_tpch_q12, then deferred_to_round13 (the nine
 # round-12 additions — q_table_concurrent_commit, q_table_vacuum,
 # q_table_merge_snapshot, q_dedup_simhash_portable,
 # q_table_pruned_read, q_stream_table_cdc_merge,
-# q_agg_bloom_portable, q_graph_random_walks — plus any later
+# q_agg_bloom_portable, q_graph_random_walks,
+# q_table_schema_evolution — plus any later
 # round-13 registrations per the standing pin discipline), then the
 # 25 remaining oracled round-5-stamp re-checks in registration order
 # (head: q_stream_dedup_within_watermark — displaced from the

@@ -115,6 +115,11 @@ deferred_to_round13: set[str] = {
     # (node, step, epoch, neighbor), so the DeepWalk-style path corpus
     # is oracle-exact; frontier-join economics per step)
     "q_graph_random_walks",
+    # round-12 additions (operators/storage.py — manifest-tracked
+    # schema evolution: add-column commits without rewrite, appended
+    # files footer-validated at commit time, time travel serves the
+    # old schema, rogue data-file columns cannot leak)
+    "q_table_schema_evolution",
 }
 
 

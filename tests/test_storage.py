@@ -598,3 +598,84 @@ def test_pruned_read_superset_safety_and_stats_roundtrip(spark):
         assert got == list(range(max(lo, 0), min(hi, 999) + 1)), (lo, hi)
         assert set(extra) <= set(planned), "stats-less file was pruned"
         assert total == 5
+
+
+def test_schema_evolution_commit_validation_and_time_travel(spark):
+    """Manifest-schema pins, at helper grain: (a) a commit validates
+    appended files' FOOTER schemas — undeclared columns and type
+    conflicts reject with the offending column named, and the failed
+    commit leaves NO manifest (the in-progress temp never lands); (b)
+    adding a column is metadata-only — the pre-evolution data file's
+    bytes are untouched; (c) the evolved read NULL-fills old rows and
+    serves columns in DECLARED order; (d) time travel to v0 serves the
+    original schema; (e) a rogue column present in a data file but
+    not in the schema cannot leak into the read surface."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit_schema,
+        _snap_read_schema,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('evotest')}/t"
+    v0_schema = [("k", "int64"), ("v", "double")]
+    f0 = _snap_add_files(
+        spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(1),
+        table,
+        "e0",
+    )
+    _snap_commit_schema(table, f0, 0, v0_schema, new_files=f0)
+    ddir = os.path.join(table, "data")
+    base_meta = (
+        os.path.getsize(os.path.join(ddir, f0[0])),
+        os.path.getmtime(os.path.join(ddir, f0[0])),
+    )
+
+    # (a) rejections name the offending column; no manifest lands
+    rogue = _snap_add_files(
+        spark.range(5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v", "'x' AS extra"),
+        table,
+        "er",
+    )
+    with _pytest.raises(ValueError, match="extra"):
+        _snap_commit_schema(table, f0 + rogue, 1, v0_schema, new_files=rogue)
+    bad = _snap_add_files(
+        spark.range(5).selectExpr("id AS k", "CAST(id AS STRING) AS v"), table, "eb"
+    )
+    with _pytest.raises(ValueError, match="v"):
+        _snap_commit_schema(table, f0 + bad, 1, v0_schema, new_files=bad)
+    assert not os.path.exists(os.path.join(table, "manifests", "v1.json"))
+    assert not [
+        f for f in os.listdir(os.path.join(table, "manifests"))
+        if f.endswith(".inprogress")
+    ]
+
+    # (b)+(c) add-column evolution: metadata-only, NULL-filled reads
+    v1_schema = v0_schema + [("tag", "string")]
+    f1 = _snap_add_files(
+        spark.range(100, 120).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v", "'new' AS tag"
+        ).coalesce(1),
+        table,
+        "e1",
+    )
+    _snap_commit_schema(table, f0 + f1, 1, v1_schema, new_files=f1)
+    assert (
+        os.path.getsize(os.path.join(ddir, f0[0])),
+        os.path.getmtime(os.path.join(ddir, f0[0])),
+    ) == base_meta
+    cur = _snap_read_schema(spark, table)
+    assert cur.columns == ["k", "v", "tag"]
+    assert cur.count() == 120
+    assert cur.filter(F.col("tag").isNull()).count() == 100
+    assert cur.filter(F.col("tag") == "new").count() == 20
+    # (d) time travel serves the OLD schema
+    assert _snap_read_schema(spark, table, 0).columns == ["k", "v"]
+    # (e) a data-file column absent from the schema never leaks:
+    # the rogue file's `extra` column is not in any read surface
+    assert "extra" not in cur.columns
