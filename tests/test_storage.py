@@ -528,7 +528,7 @@ def test_vacuum_shared_file_safety_and_merge_amplification(spark):
 
     t2 = f"{scratch_dir('vactest')}/t2"
     files = _snap_add_files(
-        spark.range(1000).selectExpr("id AS event_id", "id * 1.0 AS value")
+        spark.range(1000).selectExpr("id AS event_id", "CAST(id AS DOUBLE) AS value")
         .repartitionByRange(4, "event_id"),
         t2,
         "m",

@@ -2063,7 +2063,8 @@ def test_cdc_merge_sink_replay_pruning_and_stats_carry(spark):
     run = _uuid.uuid4().hex[:8]
     table = f"{scratch_dir('cdc_pin')}/t"
     base = spark.range(400).selectExpr(
-        "id AS event_id", "'click' AS event_type", "id * 1.0 AS value"
+        "id AS event_id", "'click' AS event_type",
+        "CAST(id AS DOUBLE) AS value",
     )
     files, stats = _snap_add_files_with_stats(
         base.repartitionByRange(4, "event_id").sortWithinPartitions("event_id"),
@@ -2079,13 +2080,16 @@ def test_cdc_merge_sink_replay_pruning_and_stats_carry(spark):
     sink = snapshot_cdc_merge_sink(table, store_name, marker)
 
     def batch(u_lo, u_hi, bump, ins_start, n_ins):
+        # CAST, not `id * 1.0`: decimal precision would differ between
+        # batch expressions, and a multi-file read's inferred schema is
+        # file-order dependent (observed flake at the round-12 freeze)
         u = spark.range(u_lo, u_hi + 1).selectExpr(
             "id AS event_id", "'click' AS event_type",
-            f"id * 1.0 + {bump} AS value", "'U' AS op",
+            f"CAST(id AS DOUBLE) + {bump} AS value", "'U' AS op",
         )
         i = spark.range(ins_start, ins_start + n_ins).selectExpr(
             "id AS event_id", "'ins' AS event_type",
-            "id * 1.0 AS value", "'I' AS op",
+            "CAST(id AS DOUBLE) AS value", "'I' AS op",
         )
         return u.unionByName(i)
 
