@@ -949,20 +949,35 @@ def cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------- manifest snapshots / time travel (r11)
 
 
-def _snap_commit(table: str, files: list[str], version: int) -> None:
+def _snap_commit(
+    table: str,
+    files: list[str],
+    version: int,
+    stats: dict | None = None,
+    txn: dict | None = None,
+) -> None:
     """Atomic manifest commit: write the complete file list to a temp
     path, fsync, then os.replace to manifests/v{N}.json — readers
     either see the whole snapshot or the previous one, never a torn
     list. This is the Iceberg/Delta commit primitive reduced to its
     load-bearing core (one atomic rename of a self-contained
-    manifest)."""
+    manifest). ``txn`` is the Delta txn appId→version pattern: a
+    {writer_marker: last_batch_id} map riding the manifest so a
+    streaming sink that crashed AFTER the commit but BEFORE its
+    external watermark advance can detect its own committed batch on
+    replay (see snapshot_ingest_sink)."""
     import json
 
     mdir = os.path.join(table, "manifests")
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".v{version}.json.inprogress")
+    doc: dict = {"version": version, "files": sorted(files)}
+    if stats is not None:
+        doc["stats"] = stats
+    if txn is not None:
+        doc["txn"] = txn
     with open(tmp, "w") as f:
-        json.dump({"version": version, "files": sorted(files)}, f)
+        json.dump(doc, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(mdir, f"v{version}.json"))
@@ -995,6 +1010,21 @@ def _snap_latest(table: str) -> tuple[int, list[str]]:
         open(os.path.join(table, "manifests", committed[v])).read()
     )
     return v, manifest["files"]
+
+
+def _snap_latest_doc(table: str) -> tuple[int, dict]:
+    """(latest committed version, FULL manifest doc) — the lookup for
+    writers that need more than the file list: the ``txn`` marker map
+    (idempotent streaming commits) and/or the ``stats`` bounds. Keys
+    absent from older manifests read as missing, never as errors."""
+    import json
+
+    committed = _snap_versions(table)
+    v = max(committed)
+    doc = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    return v, doc
 
 
 def _snap_latest_with_stats(table: str) -> tuple[int, list[str], dict]:
@@ -1145,7 +1175,11 @@ def table_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _snap_commit_cas(
-    table: str, files: list[str], version: int, stats: dict | None = None
+    table: str,
+    files: list[str],
+    version: int,
+    stats: dict | None = None,
+    txn: dict | None = None,
 ) -> bool:
     """Compare-and-swap manifest commit — Iceberg's commit-conflict
     model reduced to its load-bearing core: write the complete file
@@ -1164,6 +1198,8 @@ def _snap_commit_cas(
     doc = {"version": version, "files": sorted(files)}
     if stats is not None:
         doc["stats"] = stats  # per-file column bounds ride the commit
+    if txn is not None:
+        doc["txn"] = txn  # writer-marker → batch id (idempotent replay)
     with open(tmp, "w") as f:
         json.dump(doc, f)
         f.flush()
@@ -1195,41 +1231,75 @@ def snap_append_optimistic(
     )
 
 
-def snap_expire(table: str, retain: list[int]) -> dict:
+def snap_expire(
+    table: str, retain: list[int], orphan_grace_seconds: float = 600.0
+) -> dict:
     """Snapshot expiration (VACUUM): delete manifests whose version is
     not in ``retain``, then delete data files referenced by NO
-    retained manifest — which also sweeps orphans from crashed
+    still-committed manifest — which also sweeps orphans from crashed
     writers. A data file shared by an expired and a retained snapshot
     survives (files are reference-counted by manifest membership, the
     Iceberg expire-snapshots contract). Returns the removal record
-    for the pins."""
+    for the pins.
+
+    Concurrent-writer safety (ADVICE r12): an in-flight optimistic
+    append stages its data files BEFORE its CAS commit, and a manifest
+    may commit between our version listing and the file sweep — naive
+    "unreferenced = orphan" would corrupt that winning commit. Two
+    guards, the Iceberg remove-orphan-files discipline:
+
+    1. the keep-set is recomputed AT DELETE TIME from every manifest
+       still committed on disk (not just ``retain`` — a concurrently
+       committed successor's files are referenced, not orphans);
+    2. unreferenced files younger than ``orphan_grace_seconds`` are
+       left alone (the ``older_than`` grace period) — a staged-but-
+       not-yet-committed file is by construction recent. Pass 0.0
+       only when writers are known quiesced (the single-writer test
+       harnesses do, explicitly);
+    3. versions NEWER than ``max(retain)`` are never expired — a
+       successor committed after the caller chose ``retain`` is the
+       current table, not history.
+    """
     import json
+    import time
 
     committed = _snap_versions(table)
     missing = set(retain) - set(committed)
     if missing:
         raise ValueError(f"cannot retain uncommitted versions {sorted(missing)}")
-    keep_files: set[str] = set()
-    for v in retain:
-        manifest = json.loads(
-            open(os.path.join(table, "manifests", committed[v])).read()
-        )
-        keep_files |= set(manifest["files"])
-    removed_manifests = sorted(v for v in committed if v not in retain)
+    # Never expire versions NEWER than the newest retained one: a
+    # successor committed after the caller chose ``retain`` (the
+    # concurrent-writer race) is the current table, not history.
+    removed_manifests = sorted(
+        v for v in committed if v not in retain and v < max(retain)
+    )
     for v in removed_manifests:
         os.remove(os.path.join(table, "manifests", committed[v]))
+    # Re-list at delete time: keep files referenced by ANY manifest
+    # still committed — retained versions plus anything a concurrent
+    # writer committed since the listing above.
+    keep_files: set[str] = set()
+    for _v, fname in _snap_versions(table).items():
+        manifest = json.loads(open(os.path.join(table, "manifests", fname)).read())
+        keep_files |= set(manifest["files"])
+        keep_files |= {dv for dvs in manifest.get("dv", {}).values() for dv in [dvs]}
     ddir = os.path.join(table, "data")
-    removed_files = sorted(
-        f
-        for f in os.listdir(ddir)
-        if f.endswith(".parquet") and f not in keep_files
-    )
-    for f in removed_files:
+    now = time.time()
+    kept_in_grace = 0
+    removed_files = []
+    for f in sorted(os.listdir(ddir)):
+        if not f.endswith(".parquet") or f in keep_files:
+            continue
+        if now - os.path.getmtime(os.path.join(ddir, f)) < orphan_grace_seconds:
+            kept_in_grace += 1  # possibly staged by an in-flight writer
+            continue
+        removed_files.append(f)
         os.remove(os.path.join(ddir, f))
     return {
         "manifests_removed": removed_manifests,
         "files_removed": removed_files,
         "files_kept": len(keep_files),
+        "unreferenced_kept_in_grace": kept_in_grace,
     }
 
 
@@ -1381,7 +1451,9 @@ def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a crashed writer's orphan — VACUUM must sweep it with the stale files
     orphan = _snap_add_files(ev.limit(25), table, "vac_orphan")
 
-    record = snap_expire(table, retain=[2])
+    # grace 0.0: this harness is single-writer and quiesced by
+    # construction (everything above already committed or abandoned)
+    record = snap_expire(table, retain=[2], orphan_grace_seconds=0.0)
     if record["manifests_removed"] != [0, 1]:
         raise RuntimeError(f"expected v0/v1 expired, got {record}")
     if sorted(record["files_removed"]) != sorted(delta + orphan):

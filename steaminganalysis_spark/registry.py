@@ -626,7 +626,7 @@ ROUND12_WINDOW = [
     # --- the 6 round-11 additions (former deferred_to_round12 pin),
     # registration order. q_cluster_incremental is rows-only by design
     # (file-layout op; rewrite-amplification + idempotence pinned in
-    # tests/test_storage_table.py) ---
+    # tests/test_storage.py::test_cluster_incremental_invariants) ---
     "q_cluster_incremental",
     "q_table_snapshot_read",
     "q_stream_rate_source",

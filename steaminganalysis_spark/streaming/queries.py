@@ -1638,12 +1638,17 @@ def snapshot_ingest_sink(table: str, store_name: str, marker: str):
     new files commits via fsync + os.replace; (4) the KVStore batch
     watermark advances LAST — a crash anywhere earlier leaves either
     orphan files (invisible by the manifest contract) or a committed
-    manifest whose replay is skipped by the guard. Module-level so the
-    replay/crash pins in tests/test_streaming.py drive it directly."""
+    manifest whose ``txn`` marker map already carries this batch id,
+    so the replay re-advances the watermark WITHOUT committing a
+    duplicate successor (the Delta txn appId/version pattern — ADVICE
+    r12: _snap_latest()+1 addressing alone made a commit-then-crash
+    replay re-append on top of its own committed result). Module-level
+    so the replay/crash pins in tests/test_streaming.py drive it
+    directly."""
     from steaminganalysis_spark.operators.storage import (
         _snap_add_files,
         _snap_commit,
-        _snap_latest,
+        _snap_latest_doc,
     )
     from steaminganalysis_spark.streaming.sinks import KVStore
 
@@ -1651,13 +1656,24 @@ def snapshot_ingest_sink(table: str, store_name: str, marker: str):
         store = KVStore.instance(store_name)
         if batch_id <= store.last_applied(marker):
             return  # replayed, already-committed batch: exactly-once
-        new_files = _snap_add_files(batch_df, table, f"ingest_b{batch_id}")
         # Resolve the previous snapshot via the latest-committed lookup
         # (never v{batch_id}: batch ids restart at 0 on a fresh
         # checkpoint, and a pre-loaded table may hold several
         # committed snapshots before ingestion starts).
-        prev_v, prev_files = _snap_latest(table)
-        _snap_commit(table, prev_files + new_files, prev_v + 1)
+        prev_v, prev_doc = _snap_latest_doc(table)
+        prev_txn = prev_doc.get("txn", {})
+        if int(prev_txn.get(marker, -1)) >= batch_id:
+            # Crash landed between the manifest commit and the
+            # watermark advance: the table already holds this batch.
+            store.apply_batch(batch_id, [], marker)
+            return
+        new_files = _snap_add_files(batch_df, table, f"ingest_b{batch_id}")
+        _snap_commit(
+            table,
+            prev_doc["files"] + new_files,
+            prev_v + 1,
+            txn={**prev_txn, marker: batch_id},
+        )
         store.apply_batch(batch_id, [], marker)
 
     return sink
@@ -1796,7 +1812,10 @@ def snapshot_cdc_merge_sink(table: str, store_name: str, marker: str):
     inserted commits via CAS, CARRYING surviving files' stats forward
     (else pruning degrades to full rewrites after one commit); (6) the
     KVStore watermark advances LAST — the ingest sink's crash algebra
-    at MERGE grain. Deletes are deliberately out of scope here: the
+    at MERGE grain, including the manifest ``txn`` marker map that
+    makes a commit-then-crash replay advance the watermark instead of
+    re-merging its own committed batch (ADVICE r12). Deletes are
+    deliberately out of scope here: the
     repo handles them as deletion vectors (q_merge_deletion_vector,
     merge-on-read) — rewriting files for scattered deletes is the
     anti-pattern. Module-level so the replay/crash/pruning pins in
@@ -1806,7 +1825,7 @@ def snapshot_cdc_merge_sink(table: str, store_name: str, marker: str):
     from steaminganalysis_spark.operators.storage import (
         _snap_add_files_with_stats,
         _snap_commit_cas,
-        _snap_latest_with_stats,
+        _snap_latest_doc,
     )
     from steaminganalysis_spark.streaming.sinks import KVStore
 
@@ -1814,11 +1833,18 @@ def snapshot_cdc_merge_sink(table: str, store_name: str, marker: str):
         store = KVStore.instance(store_name)
         if batch_id <= store.last_applied(marker):
             return  # replayed, already-committed batch: exactly-once
+        _pv, _pdoc = _snap_latest_doc(table)
+        _ptxn = _pdoc.get("txn", {})
+        if int(_ptxn.get(marker, -1)) >= batch_id:
+            # commit-then-crash replay (ADVICE r12): the manifest txn
+            # map shows this batch already merged — advance only.
+            store.apply_batch(batch_id, [], marker)
+            return
         ups = batch_df.filter(F.col("op") == "U").select("event_id", "value")
         ins = batch_df.filter(F.col("op") == "I").select(
             "event_id", "event_type", "value"
         )
-        prev_v, prev_files, prev_stats = _snap_latest_with_stats(table)
+        prev_v, prev_files, prev_stats = _pv, _pdoc["files"], _pdoc.get("stats", {})
         matched: list[str] = []
         new_files: list[str] = []
         new_stats: dict = {}
@@ -1865,7 +1891,11 @@ def snapshot_cdc_merge_sink(table: str, store_name: str, marker: str):
         stats = {f: prev_stats[f] for f in untouched if f in prev_stats}
         stats.update(new_stats)
         if not _snap_commit_cas(
-            table, untouched + new_files, prev_v + 1, stats
+            table,
+            untouched + new_files,
+            prev_v + 1,
+            stats,
+            txn={**_ptxn, marker: batch_id},
         ):
             raise RuntimeError("single-writer CDC merge lost a CAS race")
         store.apply_batch(batch_id, [], marker)

@@ -516,12 +516,36 @@ def test_vacuum_shared_file_safety_and_merge_amplification(spark):
     with _pytest.raises(ValueError, match="uncommitted"):
         snap_expire(table, retain=[1, 7])
 
-    record = snap_expire(table, retain=[1])
+    # writers quiesced in this harness: grace 0.0 sweeps the orphan
+    record = snap_expire(table, retain=[1], orphan_grace_seconds=0.0)
     assert record["manifests_removed"] == [0]
     assert sorted(record["files_removed"]) == sorted(only_old + orphan)
     ddir = os.path.join(table, "data")
     assert all(os.path.exists(os.path.join(ddir, f)) for f in shared)
     assert _snap_read(spark, table).count() == 80  # 50 shared + 30 rewritten
+
+    # (a2) concurrent-writer safety (ADVICE r12): an unreferenced file
+    # younger than the grace period is NOT an orphan yet — it may be
+    # staged by an in-flight optimistic append whose CAS has not
+    # landed. Default grace keeps it; the removal record says so.
+    staged = _snap_add_files(
+        spark.range(3).selectExpr("id", "id AS v"), table, "staged"
+    )
+    record2 = snap_expire(table, retain=[1])  # default grace 600 s
+    assert record2["files_removed"] == []
+    assert record2["unreferenced_kept_in_grace"] == len(staged)
+    assert all(os.path.exists(os.path.join(ddir, f)) for f in staged)
+    # ... and a manifest committed between listing and sweep keeps its
+    # files: commit the staged files, then expire with grace 0 — the
+    # delete-time re-list sees v2 and keeps them even though the
+    # caller's retain list predates it.
+    from steaminganalysis_spark.operators.storage import _snap_latest
+
+    v1, f1 = _snap_latest(table)
+    _snap_commit(table, f1 + staged, v1 + 1)
+    record3 = snap_expire(table, retain=[1], orphan_grace_seconds=0.0)
+    assert record3["files_removed"] == []  # staged now referenced by v2
+    assert all(os.path.exists(os.path.join(ddir, f)) for f in staged)
 
     # (b) range-clustered spans are disjoint -> merge prunes correctly
     from pyspark.sql import functions as F

@@ -1984,6 +1984,98 @@ def test_snapshot_ingest_sink_replay_and_crash_windows(spark):
     KVStore.reset(store_name)
 
 
+def test_snapshot_sinks_commit_then_crash_replay(spark):
+    """ADVICE r12 (exactly-once gap): a crash BETWEEN the manifest
+    commit and the KVStore watermark advance must NOT make the replay
+    re-append/re-merge on top of its own committed result. Both
+    snapshot sinks carry a ``txn`` marker map in the manifest (the
+    Delta txn appId/version pattern); the replay detects its own
+    batch id there and only re-advances the watermark. Simulated
+    faithfully: run the batch to completion, then roll the watermark
+    back to the pre-advance value — exactly the state a crash in that
+    window leaves behind."""
+    import json
+    import os
+    import uuid as _uuid
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_read,
+        _snap_versions,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.queries import (
+        snapshot_cdc_merge_sink,
+        snapshot_ingest_sink,
+    )
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = _uuid.uuid4().hex[:8]
+
+    # --- ingest sink ---
+    table = f"{scratch_dir('ingest_txn')}/t"
+    _snap_commit(
+        table,
+        _snap_add_files(
+            spark.range(100).selectExpr("id", "id * 3 AS v"), table, "txn_base"
+        ),
+        0,
+    )
+    store_name = f"ingest_txn_{run}"
+    marker = f"{KEY_PREFIX}ingest-last-applied:{run}"
+    sink = snapshot_ingest_sink(table, store_name, marker)
+    store = KVStore.instance(store_name)
+    sink(spark.range(100, 150).selectExpr("id", "id * 3 AS v"), 0)
+    sink(spark.range(150, 170).selectExpr("id", "id * 3 AS v"), 1)
+    assert store.last_applied(marker) == 1
+    doc = json.loads(
+        open(os.path.join(table, "manifests", "v2.json")).read()
+    )
+    assert doc["txn"][marker] == 1  # batch id rides the commit
+    versions = sorted(_snap_versions(table))
+    n_data = len(os.listdir(os.path.join(table, "data")))
+    # crash window: commit landed, watermark did not
+    with store._mu:
+        store.kv[marker] = "0"
+    sink(spark.range(150, 170).selectExpr("id", "id * 3 AS v"), 1)  # replay
+    assert sorted(_snap_versions(table)) == versions  # no duplicate commit
+    assert len(os.listdir(os.path.join(table, "data"))) == n_data
+    assert store.last_applied(marker) == 1  # watermark re-advanced
+    got = _snap_read(spark, table)
+    assert got.count() == 170 and got.select("id").distinct().count() == 170
+    KVStore.reset(store_name)
+
+    # --- CDC merge sink ---
+    table2 = f"{scratch_dir('cdc_txn')}/t"
+    base = spark.range(100).selectExpr(
+        "id AS event_id", "'view' AS event_type", "CAST(id AS DOUBLE) AS value"
+    )
+    _snap_commit(table2, _snap_add_files(base, table2, "cdc_txn_base"), 0)
+    store2_name = f"cdc_txn_{run}"
+    marker2 = f"{KEY_PREFIX}cdc-last-applied:{run}"
+    csink = snapshot_cdc_merge_sink(table2, store2_name, marker2)
+    store2 = KVStore.instance(store2_name)
+    batch = spark.range(5).selectExpr(
+        "'I' AS op",
+        "id + 1000 AS event_id",
+        "'click' AS event_type",
+        "CAST(id AS DOUBLE) AS value",
+    )
+    csink(batch, 0)
+    assert _snap_read(spark, table2).count() == 105
+    versions2 = sorted(_snap_versions(table2))
+    with store2._mu:
+        store2.kv[marker2] = "-1"
+    csink(batch, 0)  # commit-then-crash replay
+    assert sorted(_snap_versions(table2)) == versions2
+    assert store2.last_applied(marker2) == 0
+    got2 = _snap_read(spark, table2)
+    assert got2.count() == 105  # no duplicate inserts
+    assert got2.select("event_id").distinct().count() == 105
+    KVStore.reset(store2_name)
+
+
 def test_snapshot_ingest_sink_decoupled_from_batch_ids(spark):
     """ADVICE r11: the sink must resolve the previous snapshot via the
     latest-committed lookup, never v{batch_id} — pinned with both
