@@ -619,6 +619,59 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # pin — and q_geo_nearest_poi (auto-mode POI count cached per
 # sf_dir), swapped in at the tail; the displaced 16th round-5 stamp
 # (q_stream_dedup_within_watermark) rolls to round 13.
+# ROUND-13 WINDOW (composed round 13, executing the plan above):
+# recomputed at composition time there are NO round-6-stamp keys (the
+# round-6 window re-checked round-4 stamps), so after the 2 canaries +
+# the 9 deferred_to_round13 round-12 additions + the 25 oracled
+# round-5-stamp re-checks, the fill is the 13 oldest oracled
+# round-7-stamp re-checks in registration order, PLUS
+# q_stream_table_ingest swapped in at the tail under the standing
+# execution-change rule (its sink gained the manifest txn idempotency
+# guard this round — ADVICE r12 fix; q_stream_table_cdc_merge and
+# q_table_vacuum also changed execution but already sit in the window
+# via the deferred pin). The displaced 14th round-7 stamp
+# (q_observe_metrics) heads the round-14 fill. Round-13 additions go
+# into deferred_to_round14 (tests/test_contract_robustness.py).
+ROUND13_WINDOW = [
+    # Canaries (2): flagship + the HUGEINT-class sentinel.
+    "q_daily_rollup",
+    "q_tpch_q12",
+    # --- the 9 round-12 additions (former deferred_to_round13 pin),
+    # registration order ---
+    "q_table_concurrent_commit",
+    "q_table_vacuum",
+    "q_table_merge_snapshot",
+    "q_table_pruned_read",
+    "q_table_schema_evolution",
+    "q_stream_table_cdc_merge",
+    "q_agg_bloom_portable",
+    "q_dedup_simhash_portable",
+    "q_graph_random_walks",
+    # --- the 25 oracled round-5-stamp re-checks, registration order
+    # (head: q_stream_dedup_within_watermark, displaced from the
+    # round-12 window by the q_geo_nearest_poi execution-change swap) ---
+    "q_stream_dedup_within_watermark", "q_agg_basic", "q_agg_distinct",
+    "q_agg_rollup", "q_agg_cube", "q_agg_collect", "q_agg_theta_sketch",
+    "q_agg_bitmap_distinct", "q_fn_url", "q_fn_csv", "q_fn_xml",
+    "q_fn_collation", "q_fn_mask", "q_dedup_semantic",
+    "q_emb_random_projection", "q_knn_graph", "q_chunk_documents",
+    "q_shuffle_deterministic", "q_index_inverted", "q_dedup_incremental",
+    "q_skew_profile", "q_ngram_lm", "q_quality_lm_score", "q_dsir_score",
+    "q_corpus_select",
+    # --- the 13 oldest oracled round-7-stamp re-checks, registration
+    # order ---
+    "q_join_asof_nearest", "q_window_distribution", "q_window_locf",
+    "q_set_union_by_name", "q_sql_quantified", "q_sql_pivot",
+    "q_sql_dynamic", "q_sql_unpivot", "q_sql_lateral_view",
+    "q_scan_text", "q_scan_csv_malformed", "q_dq_drift",
+    "q_event_transitions",
+    # --- execution-changed-this-round re-check (manifest txn
+    # idempotency guard in the snapshot ingest sink, ADVICE r12) ---
+    "q_stream_table_ingest",
+]
+
+# Retired round-12 window, for the record (50/50 green in
+# CORRECTNESS_r12.json — 49 hash + 1 rows-only q_cluster_incremental):
 ROUND12_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
@@ -940,7 +993,7 @@ ROUND4_WINDOW = [
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every operator module (side effect: registration), then
-    reorder so ROUND12_WINDOW occupies the first 50 registration slots
+    reorder so ROUND13_WINDOW occupies the first 50 registration slots
     — the slice the driver's correctness gate checks this round."""
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import tpch  # noqa: F401  isort: skip
@@ -967,11 +1020,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import curation  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import retrieval  # noqa: F401  isort: skip
 
-    missing = [k for k in ROUND12_WINDOW if k not in QUERIES]
+    missing = [k for k in ROUND13_WINDOW if k not in QUERIES]
     if missing:
-        raise RuntimeError(f"ROUND12_WINDOW names unregistered queries: {missing}")
-    window = set(ROUND12_WINDOW)
-    ordered = ROUND12_WINDOW + [k for k in QUERIES if k not in window]
+        raise RuntimeError(f"ROUND13_WINDOW names unregistered queries: {missing}")
+    window = set(ROUND13_WINDOW)
+    ordered = ROUND13_WINDOW + [k for k in QUERIES if k not in window]
     reordered = {k: QUERIES[k] for k in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -69,13 +69,17 @@ def test_demo_app_accumulates_day_totals(spark):
             assert h["fee_cents"] == 0
 
 
-# Keys registered AFTER the round-12 window froze — exempt from the
-# rotation-closure check below, pinned here so they head the round-13
-# window (the same bookkeeping rounds 2-12 used). Every new @query
-# registration this round MUST be added here. The round-12 window
-# absorbed the ENTIRE former deferred_to_round12 set (the six
-# round-11 additions), so this set restarts from round-12 additions.
-deferred_to_round13: set[str] = {
+# Keys registered AFTER the round-13 window froze — exempt from the
+# rotation-closure check below, pinned here so they head the round-14
+# window (the same bookkeeping rounds 2-13 used). Every new @query
+# registration this round MUST be added here. The round-13 window
+# absorbed the ENTIRE former deferred_to_round13 set (the nine
+# round-12 additions), so this set restarts from round-13 additions.
+deferred_to_round14: set[str] = set()
+
+# Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept
+# for the historical record of what each key pinned).
+_absorbed_round12_additions: set[str] = {
     # round-12 additions (operators/storage.py — optimistic
     # concurrency on the atomic-manifest table: O_EXCL link-based CAS
     # on manifests/v{N+1}.json, loser re-reads and retries; both
@@ -123,30 +127,29 @@ deferred_to_round13: set[str] = {
 }
 
 
-def test_round12_correctness_window_composition():
+def test_round13_correctness_window_composition():
     """The driver verifies the FIRST ~50 registered queries; the
-    round-12 window is the explicit ROUND12_WINDOW key list — the two
-    canaries, the 6 round-11 additions (former deferred_to_round12
-    pin, never driver-checked), the 26 remaining oracled
-    round-4-stamp re-checks in registration order, the 15 oldest
-    oracled round-5-stamp re-checks, and q_geo_nearest_poi (the
-    q_graph_triangles rule: its auto-mode strategy pick changed this
-    round; the other execution-changed keys —
-    q_dedup_minhash_portable, q_stream_rate_source,
-    q_stream_table_ingest — already sit in the window via the
-    deferred pin). Pin it so a stray registration (or an import
-    reorder) cannot silently displace queries out of the checked
-    window before the driver runs. Update deliberately on each
-    round's rotation."""
+    round-13 window is the explicit ROUND13_WINDOW key list — the two
+    canaries, the 9 round-12 additions (former deferred_to_round13
+    pin, never driver-checked), the 25 oracled round-5-stamp
+    re-checks in registration order, the 13 oldest oracled
+    round-7-stamp re-checks (there are no round-6 stamps), and
+    q_stream_table_ingest (the q_graph_triangles rule: its sink
+    gained the manifest txn idempotency guard this round — ADVICE
+    r12; q_stream_table_cdc_merge and q_table_vacuum also changed
+    execution but already sit in the window via the deferred pin).
+    Pin it so a stray registration (or an import reorder) cannot
+    silently displace queries out of the checked window before the
+    driver runs. Update deliberately on each round's rotation."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND12_WINDOW, collect_queries
+    from steaminganalysis_spark.registry import ROUND13_WINDOW, collect_queries
 
     QUERIES, ORACLE = collect_queries()
     first50 = list(QUERIES)[:50]
-    assert len(ROUND12_WINDOW) == 50
-    assert first50 == ROUND12_WINDOW
+    assert len(ROUND13_WINDOW) == 50
+    assert first50 == ROUND13_WINDOW
     # the canaries must sit inside the window
     for k in (
         "q_daily_rollup",
@@ -154,27 +157,25 @@ def test_round12_correctness_window_composition():
     ):
         assert k in first50, k
     # Rotation closure: after this round, every key that existed when
-    # the round-12 window froze has a driver CORRECTNESS row — the
-    # window must cover everything the union of CORRECTNESS_r01..r11
-    # did not, except the pinned new keys in deferred_to_round13.
+    # the round-13 window froze has a driver CORRECTNESS row — the
+    # window must cover everything the union of CORRECTNESS_r01..r12
+    # did not, except the pinned new keys in deferred_to_round14.
     # (Glob is two-digit-safe: r0[1-9] broke at CORRECTNESS_r10.json.)
     checked = set()
     for p in sorted(
         Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")
     ):
         checked |= set(json.loads(p.read_text()))
-    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round13]
+    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round14]
     assert set(never) <= set(first50), sorted(set(never) - set(first50))
-    assert deferred_to_round13 <= set(QUERIES)
-    assert deferred_to_round13.isdisjoint(first50)
-    # every key in the window is registered with an oracle unless it is
-    # one of the documented rows-only keys (physical file layout,
-    # sketch-byte payloads, float-order artifacts — see
-    # test_oracle_parity's list). q_cluster_incremental is rows-only by
-    # design (file-layout op; rewrite amplification and idempotence
-    # pinned in tests/test_storage.py::test_cluster_incremental_invariants).
+    assert deferred_to_round14 <= set(QUERIES)
+    assert deferred_to_round14.isdisjoint(first50)
+    # every key in the round-13 window is registered with an oracle —
+    # the 9 former deferred keys are all oracle-exact by design and the
+    # stamp re-check fills were drawn from the oracled backlog only
+    # (rows-only keys keep their pinned invariant tests instead).
     rows_only_in_window = {k for k in first50 if k not in ORACLE}
-    assert rows_only_in_window == {"q_cluster_incremental"}, rows_only_in_window
+    assert rows_only_in_window == set(), rows_only_in_window
 
 
 def test_bench_previous_extended_reads_driver_wrapped_files():

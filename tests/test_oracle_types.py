@@ -30,23 +30,23 @@ def test_oracle_type_classes_match(spark, duck, name):
     assert not problems, "\n".join(problems)
 
 
-def test_round12_window_oracles_all_audited():
+def test_round13_window_oracles_all_audited():
     """Rotation pre-audit closure (VERDICT r4 order #2's standing
-    pattern): every oracle key in the round-12 driver window is inside
+    pattern): every oracle key in the round-13 driver window is inside
     the parametrized type-class audit above (which covers ALL
-    registered oracles), so none of the 5 first-time-checked oracle
+    registered oracles), so none of the 9 first-time-checked oracle
     keys can hit the driver with an unaudited HUGEINT/DECIMAL
     oracle."""
-    from steaminganalysis_spark.registry import ROUND12_WINDOW
+    from steaminganalysis_spark.registry import ROUND13_WINDOW
 
-    window_oracles = [k for k in ROUND12_WINDOW if k in ORACLE]
-    assert len(window_oracles) == 49  # 50 minus the 1 rows-only key
+    window_oracles = [k for k in ROUND13_WINDOW if k in ORACLE]
+    assert len(window_oracles) == 50  # all-oracled window this round
     assert set(window_oracles) <= set(ORACLE)
 
 
-def test_round13_deferred_oracles_all_audited():
-    """Round-13 rotation pre-audit closure: every key registered after
-    the round-12 window froze (the pinned deferred_to_round13 set — the
+def test_round14_deferred_oracles_all_audited():
+    """Round-14 rotation pre-audit closure: every key registered after
+    the round-13 window froze (the pinned deferred_to_round14 set — the
     next round's window head) that has an oracle is inside the
     parametrized type-class audit above, so none can hit the driver
     with an unaudited HUGEINT/DECIMAL oracle either. (Glob is
@@ -54,9 +54,9 @@ def test_round13_deferred_oracles_all_audited():
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND12_WINDOW
+    from steaminganalysis_spark.registry import ROUND13_WINDOW
 
-    checked = set(ROUND12_WINDOW)
+    checked = set(ROUND13_WINDOW)
     for p in sorted(
         Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")
     ):
