@@ -75,7 +75,13 @@ def test_demo_app_accumulates_day_totals(spark):
 # registration this round MUST be added here. The round-13 window
 # absorbed the ENTIRE former deferred_to_round13 set (the nine
 # round-12 additions), so this set restarts from round-13 additions.
-deferred_to_round14: set[str] = set()
+deferred_to_round14: set[str] = {
+    # round-13 additions (operators/storage.py — partition-aware
+    # manifest: per-file partition tuples + spec ride the manifest, a
+    # partition predicate prunes at manifest grain; spec evolution is
+    # metadata-only and old-spec files are conservatively planned)
+    "q_table_partition_pruning",
+}
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept
 # for the historical record of what each key pinned).

@@ -703,3 +703,50 @@ def test_schema_evolution_commit_validation_and_time_travel(spark):
     # (e) a data-file column absent from the schema never leaks:
     # the rogue file's `extra` column is not in any read surface
     assert "extra" not in cur.columns
+
+
+def test_partition_manifest_tuple_roundtrip_and_superset_safety(spark):
+    """Partition-aware manifest pins: (a) tuples recorded at write
+    time round-trip through the manifest and re-attach as identity
+    columns at read (values equal the data they were derived from);
+    (b) pruning on a column absent from a file's tuple keeps that
+    file (superset safety — the spec-evolution contract); (c) a
+    predicate value with no matching partition raises rather than
+    silently returning an empty plan."""
+    import pytest as _pytest
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files_partitioned,
+        _snap_commit_partitioned,
+        snap_read_partition_pruned,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('parttest')}/t"
+    df = spark.range(100).selectExpr(
+        "id",
+        "CAST(id % 4 AS STRING) AS bucket",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    files, parts = _snap_add_files_partitioned(df, table, "pt", ["bucket"])
+    _snap_commit_partitioned(table, files, 0, ["bucket"], parts)
+    assert {p["bucket"] for p in parts.values()} == {"0", "1", "2", "3"}
+
+    # (a) round-trip: the re-attached literal equals the derivation
+    got, planned, total = snap_read_partition_pruned(
+        spark, table, "bucket", {"1", "3"}
+    )
+    assert total == len(files) and 0 < len(planned) < total
+    rows = got.selectExpr("id", "bucket").collect()
+    assert rows and all(r.bucket == str(r.id % 4) for r in rows)
+    assert {r.bucket for r in rows} == {"1", "3"}
+
+    # (b) superset safety: prune on a column no tuple records
+    _g, planned_all, _t = snap_read_partition_pruned(
+        spark, table, "never_recorded", {"x"}
+    )
+    assert sorted(planned_all) == sorted(files)
+
+    # (c) nothing planned -> loud
+    with _pytest.raises(ValueError, match="no files planned"):
+        snap_read_partition_pruned(spark, table, "bucket", {"9"})
