@@ -81,6 +81,11 @@ deferred_to_round14: set[str] = {
     # partition predicate prunes at manifest grain; spec evolution is
     # metadata-only and old-spec files are conservatively planned)
     "q_table_partition_pruning",
+    # round-13 additions (operators/storage.py — OPTIMIZE racing
+    # appends: disjoint rewrite/append commits commute via CAS retry,
+    # overlapping rewrites conflict loudly and abandon their staged
+    # output)
+    "q_table_optimize_concurrent",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

@@ -750,3 +750,92 @@ def test_partition_manifest_tuple_roundtrip_and_superset_safety(spark):
     # (c) nothing planned -> loud
     with _pytest.raises(ValueError, match="no files planned"):
         snap_read_partition_pruned(spark, table, "bucket", {"9"})
+
+
+def test_optimize_concurrent_thread_race(spark):
+    """OPTIMIZE vs APPEND under a real thread race: an appender
+    committing 5 appends races a compactor collapsing the 4 initial
+    small files; disjoint sources mean the compaction must commute
+    with every append — both writers land, versions stay contiguous,
+    no file is lost, and the final row set is exact. Plus the
+    overlap arm at helper grain: a compactor whose source vanished
+    mid-flight raises SnapCompactConflict and leaves nothing
+    visible."""
+    import threading
+
+    import pytest as _pytest
+
+    from steaminganalysis_spark.operators.storage import (
+        SnapCompactConflict,
+        _snap_add_files,
+        _snap_commit,
+        _snap_latest,
+        _snap_read,
+        snap_append_optimistic,
+        snap_compact_optimistic,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('optrace')}/t"
+    base = _snap_add_files(
+        spark.range(400).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .repartition(4),
+        table,
+        "race_base",
+    )
+    _snap_commit(table, base, 0)
+    # stage everything BEFORE the race so threads only commit
+    compacted = _snap_add_files(
+        _snap_read(spark, table).coalesce(1), table, "race_compact"
+    )
+    appends = [
+        _snap_add_files(
+            spark.range(400 + 50 * i, 450 + 50 * i).selectExpr(
+                "id", "CAST(id AS DOUBLE) AS v"
+            ),
+            table,
+            f"race_app{i}",
+        )
+        for i in range(5)
+    ]
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def appender():
+        barrier.wait()
+        try:
+            for files in appends:
+                snap_append_optimistic(table, files)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    def compactor():
+        barrier.wait()
+        try:
+            snap_compact_optimistic(table, base, compacted)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=appender), threading.Thread(target=compactor)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    v, files = _snap_latest(table)
+    assert v == 6  # v0 + 5 appends + 1 compaction, contiguous
+    assert set(files) == set(compacted) | {f for a in appends for f in a}
+    got = _snap_read(spark, table)
+    assert got.count() == 650
+    assert got.select("id").distinct().count() == 650
+
+    # overlap arm: source vanished -> conflict, nothing visible
+    doomed = _snap_add_files(
+        spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        table,
+        "race_doomed",
+    )
+    with _pytest.raises(SnapCompactConflict):
+        snap_compact_optimistic(table, [base[0]], doomed)
+    v2, files2 = _snap_latest(table)
+    assert v2 == 6 and not set(doomed) & set(files2)
