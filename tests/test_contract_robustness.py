@@ -86,6 +86,12 @@ deferred_to_round14: set[str] = {
     # overlapping rewrites conflict loudly and abandon their staged
     # output)
     "q_table_optimize_concurrent",
+    # round-13 additions (operators/storage.py — merge-on-read
+    # deletion vectors: equality-delete files ride the manifest dv
+    # map with per-file DV-vs-COW selection; reads apply DVs via one
+    # broadcast anti-join, scoped to the file names the manifest
+    # lists)
+    "q_table_merge_dv",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

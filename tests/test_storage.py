@@ -839,3 +839,89 @@ def test_optimize_concurrent_thread_race(spark):
         snap_compact_optimistic(table, [base[0]], doomed)
     v2, files2 = _snap_latest(table)
     assert v2 == 6 and not set(doomed) & set(files2)
+
+
+def test_dv_scoping_reinsert_and_rewrite_compaction(spark):
+    """Merge-on-read DV pins at helper grain: (a) SCOPING — a DV pair
+    applies only to the file name the manifest lists it for, so a
+    later append re-inserting a deleted key in a NEW file survives
+    the MoR read; (b) rewrite-compacts-DV — after a dense delete
+    COWs a file, the replacement physically lacks the file's earlier
+    scattered deletes and the manifest drops the stale scope; (c) a
+    VACUUM keeps DV files referenced by live manifests (resurrection
+    guard)."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files_with_stats,
+        _snap_commit,
+        _snap_latest,
+        _snap_latest_doc,
+        snap_append_optimistic,
+        snap_delete_optimistic,
+        snap_expire,
+        snap_read_mor,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('dvtest')}/t"
+    base_df = spark.range(200).selectExpr(
+        "id AS event_id", "CAST(id AS DOUBLE) AS v"
+    )
+    files, stats = _snap_add_files_with_stats(
+        base_df.repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id"),
+        table,
+        "dvt",
+        ["event_id"],
+    )
+    _snap_commit(table, files, 0, stats=stats)
+
+    # scattered delete (every 13th) -> DV everywhere
+    rec = snap_delete_optimistic(
+        spark, table, base_df.filter("event_id % 13 = 0"), "event_id"
+    )
+    assert not rec["cow_rewritten"] and rec["dv_files"]
+    assert snap_read_mor(spark, table, "event_id").count() == 200 - 16
+
+    # (a) re-insert key 13 in a NEW file: the DV must not apply to it
+    new = _snap_add_files_with_stats(
+        spark.createDataFrame([(13, 999.0)], "event_id long, v double"),
+        table,
+        "dvt_reinsert",
+        ["event_id"],
+    )[0]
+    snap_append_optimistic(table, new)
+    got = snap_read_mor(spark, table, "event_id")
+    assert got.count() == 200 - 16 + 1
+    assert got.filter("event_id = 13").count() == 1  # the re-insert only
+
+    # (b) dense delete on the low file folds its DV into the rewrite
+    rec2 = snap_delete_optimistic(
+        spark, table, base_df.filter("event_id < 25"), "event_id"
+    )
+    assert rec2["cow_rewritten"]
+    import os as _os
+
+    ddir = _os.path.join(table, "data")
+    rep = spark.read.parquet(
+        *[_os.path.join(ddir, f) for f in rec2["cow_new_files"]]
+    )
+    assert rep.filter("event_id % 13 = 0 OR event_id < 25").count() == 0
+    _v, doc = _snap_latest_doc(table)
+    assert all(f not in doc.get("dv", {}) for f in rec2["cow_rewritten"])
+    # below 25: 23 base rows still present (0 and 13 were DV-deleted)
+    # PLUS the re-inserted 13 in its own file — delete #2 correctly
+    # takes it too (its 1-row file is 100% matched -> COW-removed)
+    expect = 200 - 16 + 1 - (25 - 2) - 1
+    assert snap_read_mor(spark, table, "event_id").count() == expect
+    assert (
+        snap_read_mor(spark, table, "event_id")
+        .filter("event_id = 13")
+        .count()
+        == 0
+    )
+
+    # (c) VACUUM keeps referenced DV files
+    v, _f = _snap_latest(table)
+    record = snap_expire(table, retain=[v], orphan_grace_seconds=0.0)
+    assert not set(rec["dv_files"]) & set(record["files_removed"])
+    assert snap_read_mor(spark, table, "event_id").count() == expect
