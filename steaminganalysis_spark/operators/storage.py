@@ -1849,6 +1849,7 @@ def _snap_commit_schema(
     version: int,
     schema: list[tuple[str, str]],
     new_files: list[str] | None = None,
+    txn: dict | None = None,
 ) -> None:
     """Manifest commit carrying the TABLE SCHEMA (ordered
     (column, arrow-type) pairs) — Iceberg's schema-tracking pillar
@@ -1882,14 +1883,14 @@ def _snap_commit_schema(
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".v{version}.json.inprogress")
     with open(tmp, "w") as f:
-        json.dump(
-            {
-                "version": version,
-                "files": sorted(files),
-                "schema": [list(p) for p in schema],
-            },
-            f,
-        )
+        doc = {
+            "version": version,
+            "files": sorted(files),
+            "schema": [list(p) for p in schema],
+        }
+        if txn is not None:
+            doc["txn"] = txn  # writer-marker -> batch id (idempotent replay)
+        json.dump(doc, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(mdir, f"v{version}.json"))

@@ -2052,3 +2052,248 @@ def stream_table_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     KVStore.reset(store_name)
     return out
+
+
+# ------- streaming schema evolution on table ingest (r13)
+
+
+def snapshot_ingest_schema_sink(table: str, store_name: str, marker: str):
+    """foreachBatch sink appending micro-batches to the SCHEMA-TRACKED
+    snapshot table exactly once — the ingest sink's crash algebra
+    (replay guard, files→manifest→watermark ordering, manifest txn
+    map) composed with commit-time schema enforcement: every batch's
+    freshly-written files are footer-validated against the manifest's
+    CURRENT declared schema before the commit — a rogue batch
+    carrying an undeclared or type-conflicting column raises BEFORE
+    any manifest lands (its files stay invisible orphans, the
+    watermark does not advance, and the streaming query surfaces the
+    failure), so a producer deploy that widens the payload cannot
+    tear the table hours later at read time. The batch is validated
+    against whatever schema is COMMITTED when it arrives — evolving
+    the schema between batches (or across a stream restart) is one
+    metadata commit, after which NULL-fill reads serve the
+    pre-evolution batches. Module-level so the rejection/replay pins
+    in tests/test_streaming.py drive it directly."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit_schema,
+        _snap_latest_doc,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        store = KVStore.instance(store_name)
+        if batch_id <= store.last_applied(marker):
+            return  # replayed, already-committed batch: exactly-once
+        prev_v, prev_doc = _snap_latest_doc(table)
+        prev_txn = prev_doc.get("txn", {})
+        if int(prev_txn.get(marker, -1)) >= batch_id:
+            # commit-then-crash replay: the table already holds this
+            # batch — re-advance the watermark only
+            store.apply_batch(batch_id, [], marker)
+            return
+        schema = [tuple(p) for p in prev_doc["schema"]]
+        new_files = _snap_add_files(batch_df, table, f"evoing_b{batch_id}")
+        _snap_commit_schema(  # raises on rogue/conflicting columns
+            table,
+            prev_doc["files"] + new_files,
+            prev_v + 1,
+            schema,
+            new_files=new_files,
+            txn={**prev_txn, marker: batch_id},
+        )
+        store.apply_batch(batch_id, [], marker)
+
+    return sink
+
+
+@query(
+    "q_stream_table_schema_evolution",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(CASE WHEN ts >= TIMESTAMP '{MV_MID} 00:00:00'
+                           THEN 1 END) AS BIGINT) AS n_day_values,
+           MAX(CASE WHEN ts >= TIMESTAMP '{MV_MID} 00:00:00'
+                    THEN strftime(ts, '%Y-%m-%d') END) AS max_day
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MID-STREAM SCHEMA EVOLUTION on snapshot-table ingest (VERDICT
+    r12 order #6) — q_stream_table_ingest composed with
+    q_table_schema_evolution: history lands as schema-tracked v0
+    (event_id, event_type, value); micro-batch 0 streams in under
+    that schema; the table then evolves — ONE metadata commit adds
+    ``day``, no file rewritten — and the stream RESUMES from the same
+    checkpoint with the widened source, so micro-batch 1 commits
+    4-column files under the evolved schema (the
+    producer-redeploy-with-wider-payload lifecycle, exactly-once
+    across the restart). Both rejection fault-injections run LIVE
+    against the real sink: before the evolution, a batch already
+    carrying ``day`` must reject at commit (undeclared column — the
+    footer check, not a read-time surprise), and after it a batch
+    whose ``day`` is typed double must reject (type conflict); each
+    leaves orphan files, no manifest, and an unmoved watermark, and
+    the in-stream failure surfaces through the streaming query. The
+    frame reads the evolved table with NULL-fill (pre-evolution rows
+    have day IS NULL) and rolls up per event type counting and
+    MAX-ing the day values; the oracle states the same from raw
+    events — a dropped pre-evolution batch, a leaked rogue column, a
+    mis-NULL-fill, or a double-committed batch 1 hash-mismatches
+    (stream≡batch).
+
+    Scale shape: evolution is one manifest rename regardless of table
+    size; per-batch validation is O(batch files) footer reads; the
+    read projects the manifest's declared columns so parquet column
+    pruning reaches every file. Rejection and commit-then-crash
+    replay pins in tests/test_streaming.py."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from steaminganalysis_spark.operators.storage import (
+        MV_CUTOFF,
+        _snap_add_files,
+        _snap_commit_schema,
+        _snap_latest_doc,
+        _snap_read_schema,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("stream_evo")
+    table = os.path.join(tmp, "table")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    cut = F.to_timestamp(F.lit(MV_CUTOFF))
+    mid = F.to_timestamp(F.lit(MV_MID))
+    schema_v0 = [
+        ("event_id", "int64"),
+        ("event_type", "string"),
+        ("value", "double"),
+    ]
+    base = _snap_add_files(
+        ev.filter(F.col("ts") < cut).select("event_id", "event_type", "value"),
+        table,
+        "evo_hist",
+    )
+    _snap_commit_schema(table, base, 0, schema_v0, new_files=base)
+
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    store_name = f"stream_evo_{run}"
+    marker = f"{KEY_PREFIX}evoing-last-applied:{run}"
+    sink = snapshot_ingest_schema_sink(table, store_name, marker)
+    ckpt = os.path.join(tmp, f"ckpt_{run}")
+
+    def _drop(df: DataFrame, name: str, i: float) -> None:
+        d = os.path.join(tmp, name)
+        df.coalesce(1).write.parquet(d)
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        now = time.time()
+        os.utime(dst, (now + i, now + i))
+
+    def _segment(read_schema: str) -> None:
+        q = (
+            spark.readStream.schema(read_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            if q.exception():
+                raise RuntimeError(str(q.exception()))
+        finally:
+            q.stop()
+
+    # segment 1: batch 0 under the original schema
+    _drop(
+        ev.filter((F.col("ts") >= cut) & (F.col("ts") < mid)).select(
+            "event_id", "event_type", "value"
+        ),
+        "b0",
+        0.0,
+    )
+    _segment("event_id long, event_type string, value double")
+
+    # rejection #1 (pre-evolution): a batch already carrying `day` —
+    # undeclared column, must fail at commit with nothing visible
+    v_before, doc_before = _snap_latest_doc(table)
+    store = KVStore.instance(store_name)
+    wm_before = store.last_applied(marker)
+    rogue = ev.filter(F.col("ts") >= mid).limit(10).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    try:
+        sink(rogue, wm_before + 1)
+        raise RuntimeError("pre-evolution rogue batch was accepted")
+    except ValueError:
+        pass
+    v_after, _doc = _snap_latest_doc(table)
+    if v_after != v_before or store.last_applied(marker) != wm_before:
+        raise RuntimeError("rejected batch moved the table or watermark")
+
+    # the evolution: ONE metadata commit adds `day`
+    schema_v1 = schema_v0 + [("day", "string")]
+    _snap_commit_schema(
+        table,
+        doc_before["files"],
+        v_before + 1,
+        schema_v1,
+        new_files=[],
+        txn=doc_before.get("txn", {}),
+    )
+
+    # rejection #2 (post-evolution): `day` typed double — type conflict
+    badtype = ev.filter(F.col("ts") >= mid).limit(10).select(
+        "event_id", "event_type", "value", F.lit(1.5).alias("day")
+    )
+    try:
+        sink(badtype, wm_before + 1)
+        raise RuntimeError("type-conflicting batch was accepted")
+    except ValueError:
+        pass
+
+    # segment 2: the stream resumes from the SAME checkpoint with the
+    # widened source; batch 1 commits under the evolved schema
+    _drop(
+        ev.filter(F.col("ts") >= mid).select(
+            "event_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        ),
+        "b1",
+        1.0,
+    )
+    _segment("event_id long, event_type string, value double, day string")
+
+    out = (
+        _snap_read_schema(spark, table)  # evolved read, NULL-filled
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+            F.count("day").cast("long").alias("n_day_values"),
+            F.max("day").alias("max_day"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)  # detach before scratch cleanup
+    )
+    KVStore.reset(store_name)
+    return out

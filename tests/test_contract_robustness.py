@@ -92,6 +92,11 @@ deferred_to_round14: set[str] = {
     # broadcast anti-join, scoped to the file names the manifest
     # lists)
     "q_table_merge_dv",
+    # round-13 additions (streaming/queries.py — mid-stream schema
+    # evolution on snapshot-table ingest: footer-validated per-batch
+    # commits, one-metadata-commit evolution across a checkpoint
+    # restart, rogue/conflicting batches reject with nothing visible)
+    "q_stream_table_schema_evolution",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

@@ -2223,3 +2223,90 @@ def test_cdc_merge_sink_replay_pruning_and_stats_carry(spark):
     # untouched middle files survived batch 1 by name
     assert sum(1 for f in files1 if f in files2) == len(files1) - 1
     KVStore.reset(store_name)
+
+
+def test_snapshot_schema_sink_rejection_and_crash_replay(spark):
+    """Schema-enforcing ingest sink pins, driven directly: (a) a
+    batch with an undeclared column rejects at commit — orphan files
+    only, no manifest, watermark unmoved; (b) a type-conflicting
+    batch after an evolution rejects the same way; (c) the
+    commit-then-crash replay (manifest txn map) re-advances the
+    watermark without a duplicate commit — the ingest sink's algebra
+    preserved under schema validation."""
+    import uuid as _uuid
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit_schema,
+        _snap_latest_doc,
+        _snap_read_schema,
+        _snap_versions,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.queries import (
+        snapshot_ingest_schema_sink,
+    )
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = _uuid.uuid4().hex[:8]
+    table = f"{scratch_dir('evosink')}/t"
+    schema0 = [("id", "int64"), ("v", "double")]
+    base = _snap_add_files(
+        spark.range(50).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        table,
+        "evs_base",
+    )
+    _snap_commit_schema(table, base, 0, schema0, new_files=base)
+    store_name = f"evosink_{run}"
+    marker = f"{KEY_PREFIX}evosink-last-applied:{run}"
+    sink = snapshot_ingest_schema_sink(table, store_name, marker)
+    store = KVStore.instance(store_name)
+
+    # (a) undeclared column
+    import pytest as _pytest
+
+    rogue = spark.range(5).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v", "'x' AS extra"
+    )
+    with _pytest.raises(ValueError, match="not in the table schema"):
+        sink(rogue, 0)
+    assert sorted(_snap_versions(table)) == [0]
+    assert store.last_applied(marker) == -1
+
+    # good batch 0 commits
+    sink(spark.range(50, 80).selectExpr("id", "CAST(id AS DOUBLE) AS v"), 0)
+    assert _snap_read_schema(spark, table).count() == 80
+
+    # evolution adds `tag`, then (b) a conflicting double `tag`
+    v, doc = _snap_latest_doc(table)
+    _snap_commit_schema(
+        table, doc["files"], v + 1, schema0 + [("tag", "string")],
+        new_files=[], txn=doc.get("txn", {}),
+    )
+    bad = spark.range(5).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v", "CAST(1.5 AS DOUBLE) AS tag"
+    )
+    with _pytest.raises(ValueError, match="type-conflicts"):
+        sink(bad, 1)
+    # (c) commit-then-crash replay of batch 1
+    sink(
+        spark.range(80, 90).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v", "'a' AS tag"
+        ),
+        1,
+    )
+    versions = sorted(_snap_versions(table))
+    with store._mu:
+        store.kv[marker] = "0"  # the crash window
+    sink(
+        spark.range(80, 90).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v", "'a' AS tag"
+        ),
+        1,
+    )
+    assert sorted(_snap_versions(table)) == versions
+    assert store.last_applied(marker) == 1
+    got = _snap_read_schema(spark, table)
+    assert got.count() == 90
+    assert got.filter("tag IS NULL").count() == 80  # NULL-fill
+    KVStore.reset(store_name)
