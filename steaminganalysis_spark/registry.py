@@ -664,10 +664,15 @@ ROUND13_WINDOW = [
     "q_set_union_by_name", "q_sql_quantified", "q_sql_pivot",
     "q_sql_dynamic", "q_sql_unpivot", "q_sql_lateral_view",
     "q_scan_text", "q_scan_csv_malformed", "q_dq_drift",
-    "q_event_transitions",
-    # --- execution-changed-this-round re-check (manifest txn
-    # idempotency guard in the snapshot ingest sink, ADVICE r12) ---
+    # --- execution-changed-this-round re-checks (the q_graph_triangles
+    # rule): the snapshot ingest sink gained the manifest txn
+    # idempotency guard (ADVICE r12), and q_stream_hll_daily converted
+    # from rows-only DataSketches state to the oracle-exact portable
+    # register lattice (VERDICT r12 order #7) — each displaces one
+    # round-7 stamp (q_event_transitions, then q_dq_drift's successor
+    # q_observe_metrics, roll to round 14) ---
     "q_stream_table_ingest",
+    "q_stream_hll_daily",
 ]
 
 # Retired round-12 window, for the record (50/50 green in

@@ -245,41 +245,115 @@ def datagen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return order_events_batch(spark, n=1000)
 
 
-@query("q_stream_hll_daily")  # rows-only: HLL estimate has no DuckDB twin
+def _shll_oracle() -> str:
+    from steaminganalysis_spark.operators.aggregates import (
+        HLLP_M,
+        _hllp_estimate_sql,
+        _hllp_hash_sql,
+        _hllp_rank_sql,
+    )
+
+    return f"""
+    WITH hh AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             {_hllp_hash_sql("xor({a}, {b})", '//')} AS h
+      FROM events
+    ),
+    regs AS MATERIALIZED (
+      SELECT day, h % {HLLP_M} AS j,
+             MAX({_hllp_rank_sql('//')}) AS r
+      FROM hh GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT s.day, {_hllp_estimate_sql('s')} AS hll_est_milli
+      FROM regs s GROUP BY s.day
+    ),
+    ex AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT e.day, ex.exact_distinct, e.hll_est_milli
+    FROM est e JOIN ex ON ex.day = e.day
+    ORDER BY e.day
+    """
+
+
+@query("q_stream_hll_daily", oracle=_shll_oracle())
 def stream_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming distinct-users-per-day via a MERGEABLE sketch: the
-    events stream feeds a stateful daily-window aggregate whose state
-    is a DataSketches HLL sketch per day (``hll_sketch_agg`` is a
-    typed-imperative aggregate, so streaming state holds the sketch
-    buffer itself — bounded at 2^lgK registers per day regardless of
-    input volume). This is the production streaming-dashboard shape:
-    exact streaming COUNT(DISTINCT) needs per-key user sets (unbounded
-    state), while sketch state is KBs and the register-max merge makes
-    per-batch accumulation ORDER-INVARIANT — the streamed estimate
-    equals the single-pass batch estimate bit-for-bit, which is the
-    pinned test (stream≡batch sketch equivalence,
-    tests/test_streaming.py::test_stream_hll_daily_equals_batch), plus
-    a ≤5% tolerance vs exact counts. Rows-only: DuckDB's
-    approx_count_distinct is a different sketch."""
+    """Streaming distinct-users-per-day with the streaming STATE being
+    the portable HLL register lattice — the q_agg_hll_portable
+    discipline applied to streaming state (VERDICT r12 order #7),
+    converting this key from rows-only (its previous DataSketches
+    ``hll_sketch_agg`` state was engine-internal bytes) to
+    ORACLE-EXACT: the stateful aggregate is ``groupBy(day, register
+    j) MAX(rank)`` over the shared lowbias32 hash, so the state store
+    holds ≤ m = 256 slim integer rows per day — bounded regardless of
+    input volume, exactly what the sketch buffer held, but in rows
+    both engines can state — and the register-MAX lattice makes
+    micro-batch accumulation order-invariant (stream≡batch,
+    pinned). The estimate (αm²/Σ2^-r with the linear-counting
+    literal table) is folded batch-side from the final register
+    relation with the SAME portable SQL the oracle runs, so the
+    driver hash-checks the streamed ESTIMATE itself; the exact
+    per-day COUNT(DISTINCT) rides along as the accuracy witness.
+
+    Scale shape: streaming state is (days × 256) integer rows total —
+    KBs for years of days — versus unbounded per-key user sets for
+    exact streaming COUNT(DISTINCT); the MAX merge is associative so
+    map-side partial combine does real work every batch, and the
+    update-mode aggregate shuffles only register-grain deltas.
+    Stream-registers≡batch-registers equivalence pinned in
+    tests/test_streaming.py::test_stream_hll_daily_equals_batch."""
+    from steaminganalysis_spark.operators.aggregates import (
+        HLLP_M,
+        _hllp_estimate_sql,
+        _hllp_hash_sql,
+        _hllp_rank_sql,
+    )
+
     name = f"hll_daily_{uuid.uuid4().hex[:8]}"
     stream = events_stream(spark, sf_dir)
-    agg = stream.groupBy(F.window("ts", "1 day").alias("w")).agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias(
-            "est_users"
+    regs = (
+        stream.selectExpr(
+            "date_format(ts, 'yyyy-MM-dd') AS day",
+            f"{_hllp_hash_sql('({a} ^ {b})', 'DIV')} AS h",
         )
+        .selectExpr(
+            "day",
+            f"h % {HLLP_M} AS j",
+            f"{_hllp_rank_sql('DIV')} AS r",
+        )
+        .groupBy("day", "j")
+        .agg(F.max("r").alias("r"))
     )
     q = (
-        agg.writeStream.outputMode("complete")
+        regs.writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
         .start()
     )
     try:
         q.processAllAvailable()
+        if q.exception():
+            raise RuntimeError(str(q.exception()))
     finally:
         q.stop()
-    return spark.table(name).select(
-        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "est_users"
+    est = (
+        spark.table(name)
+        .alias("s")
+        .groupBy("day")
+        .agg(F.expr(_hllp_estimate_sql("s")).alias("hll_est_milli"))
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "day")
+        .select("day", "exact_distinct", "hll_est_milli")
+        .orderBy("day")
     )
 
 

