@@ -2827,3 +2827,226 @@ def table_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------- snapshot diff / change-data-feed (r13) -------------
+
+
+def snap_diff(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int,
+    key_col: str,
+) -> DataFrame:
+    """CHANGE DATA FEED between two committed snapshots, computed from
+    the manifests alone — the Delta CDF / Iceberg changelog read
+    derived AFTER the fact, with no change journal written at commit
+    time: files shared by both manifests cannot contain changes and
+    are never opened; only the file-set difference is read.
+    ``exceptAll`` between the removed-files rows and the added-files
+    rows cancels copy-through rows (a copy-on-write rewrite carries
+    unmatched rows byte-identically), then one full-outer join on
+    ``key_col`` classifies what survives: key on both sides →
+    update_preimage/update_postimage, key only in removed → delete,
+    key only in added → insert.
+
+    Requires ``key_col`` unique among CHANGED rows (real formats use
+    physical row identity; the equality key is this engine's
+    documented reduction — the same contract its MERGE uses). COW
+    tables only: for merge-on-read snapshots, apply DVs first
+    (snap_read_mor) — a DV-only delete changes no file set.
+
+    Scale shape: cost is O(changed files), never O(table) — the
+    shared-file cancellation happens at MANIFEST grain before any
+    read; exceptAll and the classify join shuffle only changed-file
+    rows."""
+    import json
+
+    committed = _snap_versions(table)
+    for v in (v_from, v_to):
+        if v not in committed:
+            raise ValueError(f"snapshot v{v} is not committed")
+    docs = {}
+    for v in (v_from, v_to):
+        docs[v] = json.loads(
+            open(os.path.join(table, "manifests", committed[v])).read()
+        )
+    removed = sorted(set(docs[v_from]["files"]) - set(docs[v_to]["files"]))
+    added = sorted(set(docs[v_to]["files"]) - set(docs[v_from]["files"]))
+    ddir = os.path.join(table, "data")
+    cols = None
+    if not removed and not added:
+        probe = spark.read.parquet(
+            os.path.join(ddir, docs[v_to]["files"][0])
+        ).limit(0)
+        return probe.withColumn("_change_type", F.lit("insert")).limit(0)
+    pre = (
+        spark.read.parquet(*[os.path.join(ddir, f) for f in removed])
+        if removed
+        else None
+    )
+    post = (
+        spark.read.parquet(*[os.path.join(ddir, f) for f in added])
+        if added
+        else None
+    )
+    if pre is None:
+        return post.withColumn("_change_type", F.lit("insert"))
+    if post is None:
+        return pre.withColumn("_change_type", F.lit("delete"))
+    gone = pre.exceptAll(post)  # copy-through rows cancel here
+    new = post.exceptAll(pre)
+    cols = pre.columns
+    g = gone.select(
+        F.col(key_col).alias("_k"),
+        F.struct(*cols).alias("_pre"),
+    )
+    n = new.select(
+        F.col(key_col).alias("_k"),
+        F.struct(*cols).alias("_post"),
+    )
+    j = g.join(n, "_k", "full_outer")
+    pre_rows = j.filter(F.col("_pre").isNotNull()).select(
+        *[F.col(f"_pre.{c}").alias(c) for c in cols],
+        F.when(F.col("_post").isNotNull(), F.lit("update_preimage"))
+        .otherwise(F.lit("delete"))
+        .alias("_change_type"),
+    )
+    post_rows = j.filter(F.col("_post").isNotNull()).select(
+        *[F.col(f"_post.{c}").alias(c) for c in cols],
+        F.when(F.col("_pre").isNotNull(), F.lit("update_postimage"))
+        .otherwise(F.lit("insert"))
+        .alias("_change_type"),
+    )
+    return pre_rows.unionByName(post_rows)
+
+
+DIFF_DEL_MOD = 131  # delete predicate inside the rewritten span
+
+
+@query(
+    "q_table_snapshot_diff",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(event_id) // 4 AS cut FROM events),
+    changes AS (
+      SELECT 'update_preimage' AS change_type, event_type, value
+      FROM events
+      WHERE event_id <= (SELECT cut FROM mx) AND event_id % {DIFF_DEL_MOD} != 0
+      UNION ALL
+      SELECT 'update_postimage', event_type, value + 10.0
+      FROM events
+      WHERE event_id <= (SELECT cut FROM mx) AND event_id % {DIFF_DEL_MOD} != 0
+      UNION ALL
+      SELECT 'delete', event_type, value
+      FROM events
+      WHERE event_id <= (SELECT cut FROM mx) AND event_id % {DIFF_DEL_MOD} = 0
+      UNION ALL
+      SELECT 'insert', event_type, value
+      FROM events WHERE event_id % 97 = 0
+    )
+    SELECT change_type, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value
+    FROM changes GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF (change-data-feed) on the snapshot table — what
+    changed between v0 and v1, stated as
+    insert/delete/update_preimage/update_postimage rows and derived
+    ENTIRELY from the two manifests + the changed files (no change
+    journal was written at commit time): shared files cancel at
+    manifest grain before any read, a COW rewrite's copy-through rows
+    cancel in exceptAll, and a keyed full-outer join classifies the
+    rest. Harness: v0 = events range-clustered into 8 stats-tracked
+    files; v1 = a MERGE that (inside the event_id ≤ max/4 span)
+    updates value += 10 on non-%{DM} keys and DELETES %{DM} keys,
+    rewriting only span-matched files, plus %97 re-keyed inserts as
+    new files. The frame rolls the diff up per (change_type,
+    event_type); the oracle states every change class from the raw
+    table — a copy-through row leaking as a fake update, a missed
+    delete, or a misclassified insert hash-mismatches. Boundary-file
+    rows (id > cut living in a rewritten file) are the live trap:
+    they are rewritten byte-identically and MUST cancel.
+
+    Scale shape: diff cost is O(changed files) — the untouched 6/8 of
+    the table is never opened; exceptAll and the classify join
+    shuffle changed-file rows only. On a 100 TB table where a merge
+    touched 0.1% of files, the CDF read costs 0.1% of a scan.
+    Empty-diff and pure-append/pure-delete arms pinned in
+    tests/test_storage.py."""
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapdiff')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base, bstats = _snap_add_files_with_stats(
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        table,
+        "diff_base",
+        ["event_id"],
+    )
+    _snap_commit(table, base, 0, stats=bstats)
+    cut = int(ev.agg(F.max("event_id")).first()[0]) // 4
+    ddir = os.path.join(table, "data")
+    matched = [
+        f
+        for f in base
+        if bstats[f]["event_id"][0] <= cut
+    ]
+    if not matched or len(matched) == len(base):
+        raise RuntimeError("span must match SOME but not ALL files")
+    rewritten = (
+        spark.read.parquet(*[os.path.join(ddir, f) for f in matched])
+        .filter(
+            ~(
+                (F.col("event_id") <= cut)
+                & (F.col("event_id") % DIFF_DEL_MOD == 0)
+            )
+        )
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") <= cut, F.col("value") + F.lit(10.0))
+            .otherwise(F.col("value")),
+        )
+    )
+    rw, rw_stats = _snap_add_files_with_stats(
+        rewritten, table, "diff_rw", ["event_id"]
+    )
+    ins, ins_stats = _snap_add_files_with_stats(
+        ev.filter(F.expr("event_id % 97 = 0")).select(
+            (F.col("event_id") + F.lit(MERGE_INSERT_OFFSET)).alias("event_id"),
+            "event_type",
+            "value",
+        ),
+        table,
+        "diff_ins",
+        ["event_id"],
+    )
+    untouched = [f for f in base if f not in matched]
+    stats = {f: bstats[f] for f in untouched}
+    stats.update(rw_stats)
+    stats.update(ins_stats)
+    if not _snap_commit_cas(table, untouched + rw + ins, 1, stats=stats):
+        raise RuntimeError("single-writer diff harness lost a CAS race")
+
+    diff = snap_diff(spark, table, 0, 1, "event_id")
+    return (
+        diff.select(
+            F.col("_change_type").alias("change_type"),
+            "event_type",
+            "value",
+        )
+        .groupBy("change_type", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("change_type", "event_type")
+    )
+
+
+table_snapshot_diff.__doc__ = table_snapshot_diff.__doc__.replace(
+    "%{DM}", f"%{DIFF_DEL_MOD}"
+)

@@ -97,6 +97,11 @@ deferred_to_round14: set[str] = {
     # commits, one-metadata-commit evolution across a checkpoint
     # restart, rogue/conflicting batches reject with nothing visible)
     "q_stream_table_schema_evolution",
+    # round-13 additions (operators/storage.py — snapshot diff /
+    # change-data-feed: manifest-grain shared-file cancellation,
+    # exceptAll copy-through cancellation, keyed classification into
+    # insert/delete/update pre+postimage)
+    "q_table_snapshot_diff",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

@@ -925,3 +925,59 @@ def test_dv_scoping_reinsert_and_rewrite_compaction(spark):
     record = snap_expire(table, retain=[v], orphan_grace_seconds=0.0)
     assert not set(rec["dv_files"]) & set(record["files_removed"])
     assert snap_read_mor(spark, table, "event_id").count() == expect
+
+
+def test_snap_diff_degenerate_arms(spark):
+    """snap_diff pins: (a) identical versions -> empty diff with the
+    _change_type column present; (b) pure append -> every row
+    'insert', nothing read from shared files; (c) pure delete (a
+    version that only drops a file) -> every dropped row 'delete';
+    (d) copy-through cancellation — a file rewritten byte-identically
+    under a NEW name produces an EMPTY diff (the boundary-row trap at
+    helper grain); (e) uncommitted version raises."""
+    import pytest as _pytest
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        snap_diff,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('difftest')}/t"
+    a = _snap_add_files(
+        spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        table,
+        "df_a",
+    )
+    b = _snap_add_files(
+        spark.range(100, 160).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        table,
+        "df_b",
+    )
+    _snap_commit(table, a, 0)
+    _snap_commit(table, a + b, 1)  # pure append
+    _snap_commit(table, b, 2)  # pure delete of a's file
+
+    assert snap_diff(spark, table, 1, 1, "id").count() == 0
+    ins = snap_diff(spark, table, 0, 1, "id")
+    assert ins.count() == 60
+    assert {r._change_type for r in ins.collect()} == {"insert"}
+    dels = snap_diff(spark, table, 1, 2, "id")
+    assert dels.count() == 100
+    assert {r._change_type for r in dels.collect()} == {"delete"}
+
+    # (d) byte-equal rewrite under a new name -> empty diff
+    import os as _os
+
+    ddir = _os.path.join(table, "data")
+    rewritten = _snap_add_files(
+        spark.read.parquet(*[_os.path.join(ddir, f) for f in b]),
+        table,
+        "df_rw",
+    )
+    _snap_commit(table, rewritten, 3)
+    assert snap_diff(spark, table, 2, 3, "id").count() == 0
+
+    with _pytest.raises(ValueError, match="not committed"):
+        snap_diff(spark, table, 0, 9, "id")
