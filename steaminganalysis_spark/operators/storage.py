@@ -3050,3 +3050,203 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 table_snapshot_diff.__doc__ = table_snapshot_diff.__doc__.replace(
     "%{DM}", f"%{DIFF_DEL_MOD}"
 )
+
+
+# ------------- write-audit-publish branches (r13) -------------
+
+
+def snap_branch_commit(
+    table: str, name: str, files: list[str], stats: dict | None = None
+) -> None:
+    """Commit a BRANCH snapshot — a full candidate file list under
+    ``manifests/branches/{name}.json`` (same temp+fsync+os.replace
+    protocol), recording the main version it was built from. Branches
+    are invisible to every main reader: the Iceberg audit-branch /
+    Delta WAP staging half. ``files`` must be a superset of the base
+    snapshot's list for publish-rebase to make sense (append-shaped
+    branches)."""
+    import json
+
+    v, doc = _snap_latest_doc(table)
+    bdir = os.path.join(table, "manifests", "branches")
+    os.makedirs(bdir, exist_ok=True)
+    tmp = os.path.join(bdir, f".{name}.json.inprogress")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "name": name,
+                "base_version": v,
+                "base_files": sorted(doc["files"]),
+                "files": sorted(files),
+                "stats": stats or {},
+            },
+            f,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(bdir, f"{name}.json"))
+
+
+def _snap_branch_doc(table: str, name: str) -> dict:
+    import json
+
+    path = os.path.join(table, "manifests", "branches", f"{name}.json")
+    if not os.path.exists(path):
+        raise ValueError(f"no branch {name!r} on {table}")
+    return json.loads(open(path).read())
+
+
+def snap_read_branch(spark: SparkSession, table: str, name: str) -> DataFrame:
+    """Read a branch snapshot — the AUDIT read: exactly the branch's
+    candidate file list, before anything is visible on main."""
+    doc = _snap_branch_doc(table, name)
+    ddir = os.path.join(table, "data")
+    return spark.read.parquet(*[os.path.join(ddir, f) for f in doc["files"]])
+
+
+def snap_branch_drop(table: str, name: str) -> None:
+    """Abandon a branch: remove the ref. Its staged data files become
+    unreferenced orphans — invisible forever, swept by VACUUM after
+    the grace period. Main was never touched (the failed-audit
+    outcome)."""
+    os.remove(os.path.join(table, "manifests", "branches", f"{name}.json"))
+
+
+def snap_branch_publish(table: str, name: str, max_retries: int = 20) -> int:
+    """PUBLISH a branch to main — the fast-forward half of
+    write-audit-publish: successor = latest main ∪ the branch's NEW
+    files (branch minus its recorded base), committed via CAS with
+    append-shaped retries (publish-publish races always merge, like
+    appends). The audited ROWS are exactly what lands — the rebase
+    adds no new rows to the branch's contribution; as in Iceberg WAP,
+    cross-batch invariants audited against a base that has since
+    moved need a re-audit by policy, not by mechanism. The branch ref
+    is removed after the publish."""
+    doc = _snap_branch_doc(table, name)
+    new = [f for f in doc["files"] if f not in set(doc["base_files"])]
+    for _ in range(max_retries):
+        v, main = _snap_latest_doc(table)
+        stats = dict(main.get("stats", {}))
+        stats.update(doc.get("stats", {}))
+        if _snap_commit_cas(
+            table,
+            main["files"] + new,
+            v + 1,
+            stats=stats or None,
+            txn=main.get("txn"),
+            dv=main.get("dv"),
+        ):
+            snap_branch_drop(table, name)
+            return v + 1
+    raise RuntimeError(
+        f"branch publish lost {max_retries} consecutive races on {table}"
+    )
+
+
+@query(
+    "q_table_wap_publish",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value,
+           CAST(COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS BIGINT)
+             AS n_null_type
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on the snapshot table — the Iceberg
+    audit-branch pattern at its load-bearing core (the lakehouse
+    answer to "never let a bad batch reach readers"): every batch
+    lands on an invisible BRANCH first, the audit runs against the
+    branch read, and only a passing batch fast-forwards main (CAS,
+    append-shaped retries — publish-publish races merge like
+    appends). Harness, all outcomes asserted live: main v0 = history;
+    batch A (event_id % 10 == 8) branches, audits clean, publishes →
+    main v1; batch B arrives CORRUPTED (event_type nulled on half its
+    rows) → its branch audit FAILS, the branch drops, and main is
+    byte-untouched (still v1, zero null event_types — the corrupted
+    rows never existed for any main reader); batch B resubmits clean
+    → publishes → main v2 = all events. The frame rolls up the final
+    main read with a null-type witness column; the oracle states it
+    from the raw table — a leaked corrupted row, a lost batch, or a
+    double publish hash-mismatches.
+
+    Scale shape: a branch costs one ref file; the audit reads ONLY
+    the branch (at real layouts: the branch's new files, since the
+    base is already audited); publish is O(1) manifest arithmetic +
+    one link syscall per attempt, and failed audits leave main's
+    plan cache, readers, and files completely untouched — the
+    failure path costs nothing but the orphaned batch. Concurrent
+    publish-publish race and orphan-invisibility pins in
+    tests/test_storage.py."""
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapwap')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = _snap_add_files(ev.filter(F.expr("event_id % 10 < 8")), table, "wap_base")
+    _snap_commit(table, base, 0)
+
+    def audit_clean(name: str) -> bool:
+        bad = (
+            snap_read_branch(spark, table, name)
+            .filter(F.col("event_type").isNull() | F.col("event_id").isNull())
+            .count()
+        )
+        return bad == 0
+
+    # batch A: clean -> publish
+    a_files = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 = 8")), table, "wap_a"
+    )
+    snap_branch_commit(table, "etl_a", base + a_files)
+    if not audit_clean("etl_a"):
+        raise RuntimeError("clean batch failed its audit")
+    if snap_branch_publish(table, "etl_a") != 1:
+        raise RuntimeError("first publish landed off-sequence")
+
+    # batch B, corrupted: audit fails, branch drops, main untouched
+    corrupted = ev.filter(F.expr("event_id % 10 = 9")).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    )
+    b_bad = _snap_add_files(corrupted, table, "wap_bad")
+    v1, files_v1 = _snap_latest(table)
+    snap_branch_commit(table, "etl_b", files_v1 + b_bad)
+    if audit_clean("etl_b"):
+        raise RuntimeError("corrupted batch passed its audit")
+    snap_branch_drop(table, "etl_b")
+    v_after, files_after = _snap_latest(table)
+    if (v_after, files_after) != (v1, files_v1):
+        raise RuntimeError("failed audit perturbed main")
+    leaked = (
+        _snap_read(spark, table).filter(F.col("event_type").isNull()).count()
+    )
+    if leaked:
+        raise RuntimeError(f"{leaked} corrupted rows reached main")
+
+    # batch B resubmitted clean -> publish
+    b_files = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 = 9")), table, "wap_b"
+    )
+    snap_branch_commit(table, "etl_b2", files_v1 + b_files)
+    if not audit_clean("etl_b2"):
+        raise RuntimeError("clean resubmission failed its audit")
+    if snap_branch_publish(table, "etl_b2") != 2:
+        raise RuntimeError("second publish landed off-sequence")
+
+    return (
+        _snap_read(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+            F.count(
+                F.when(F.col("event_type").isNull(), 1)
+            ).cast("long").alias("n_null_type"),
+        )
+        .orderBy("event_type")
+    )

@@ -102,6 +102,11 @@ deferred_to_round14: set[str] = {
     # exceptAll copy-through cancellation, keyed classification into
     # insert/delete/update pre+postimage)
     "q_table_snapshot_diff",
+    # round-13 additions (operators/storage.py — write-audit-publish:
+    # batches land on invisible branches, audits gate the CAS
+    # fast-forward to main, failed audits drop the branch with main
+    # byte-untouched)
+    "q_table_wap_publish",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

@@ -981,3 +981,86 @@ def test_snap_diff_degenerate_arms(spark):
 
     with _pytest.raises(ValueError, match="not committed"):
         snap_diff(spark, table, 0, 9, "id")
+
+
+def test_wap_branch_race_and_orphan_invisibility(spark):
+    """WAP pins: (a) two branches built from the SAME base publish
+    concurrently — publish-publish races are append-shaped, both
+    batches land exactly once, versions contiguous; (b) a dropped
+    branch's staged files stay invisible to main forever and survive
+    only until a grace-expired VACUUM; (c) publishing an unknown
+    branch raises."""
+    import threading
+
+    import pytest as _pytest
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_latest,
+        _snap_read,
+        snap_branch_commit,
+        snap_branch_drop,
+        snap_branch_publish,
+        snap_expire,
+        snap_read_branch,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('waptest')}/t"
+    base = _snap_add_files(
+        spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        table,
+        "wp_base",
+    )
+    _snap_commit(table, base, 0)
+    a = _snap_add_files(
+        spark.range(100, 150).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        table,
+        "wp_a",
+    )
+    b = _snap_add_files(
+        spark.range(150, 180).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        table,
+        "wp_b",
+    )
+    snap_branch_commit(table, "ba", base + a)
+    snap_branch_commit(table, "bb", base + b)
+    assert snap_read_branch(spark, table, "ba").count() == 150
+    assert _snap_read(spark, table).count() == 100  # branches invisible
+
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def pub(name):
+        barrier.wait()
+        try:
+            snap_branch_publish(table, name)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=pub, args=(n,)) for n in ("ba", "bb")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    v, files = _snap_latest(table)
+    assert v == 2 and set(files) == set(base + a + b)
+    assert _snap_read(spark, table).count() == 180
+
+    # (b) dropped branch: orphans invisible, swept only by VACUUM
+    c = _snap_add_files(
+        spark.range(180, 200).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        table,
+        "wp_c",
+    )
+    snap_branch_commit(table, "bc", files + c)
+    snap_branch_drop(table, "bc")
+    assert _snap_read(spark, table).count() == 180
+    record = snap_expire(table, retain=[2], orphan_grace_seconds=0.0)
+    assert set(c) <= set(record["files_removed"])
+
+    # (c)
+    with _pytest.raises(ValueError, match="no branch"):
+        snap_branch_publish(table, "nope")
