@@ -2110,6 +2110,7 @@ def _snap_commit_partitioned(
     version: int,
     spec: list[str],
     partitions: dict,
+    txn: dict | None = None,
 ) -> None:
     """Manifest commit carrying the partition SPEC (ordered partition
     columns) and per-file partition tuples — same atomic
@@ -2125,15 +2126,15 @@ def _snap_commit_partitioned(
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".v{version}.json.inprogress")
     with open(tmp, "w") as f:
-        json.dump(
-            {
-                "version": version,
-                "files": sorted(files),
-                "spec": list(spec),
-                "partitions": partitions,
-            },
-            f,
-        )
+        doc = {
+            "version": version,
+            "files": sorted(files),
+            "spec": list(spec),
+            "partitions": partitions,
+        }
+        if txn is not None:
+            doc["txn"] = txn  # writer-marker -> batch id (idempotent replay)
+        json.dump(doc, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(mdir, f"v{version}.json"))

@@ -2371,3 +2371,195 @@ def stream_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     KVStore.reset(store_name)
     return out
+
+
+# ------- partition-aware streaming table ingest (r13)
+
+from steaminganalysis_spark.operators.storage import (  # noqa: E402
+    MV_CUTOFF as MV_CUTOFF_LIT,
+)
+
+
+def snapshot_ingest_partitioned_sink(
+    table: str, store_name: str, marker: str, spec: list[str]
+):
+    """foreachBatch sink appending micro-batches to the
+    PARTITION-AWARE snapshot table exactly once: each batch writes
+    Hive-partitioned by ``spec``, the new files' partition tuples
+    join the manifest's carried-forward tuple map, and the commit
+    rides the same txn idempotency algebra as the other snapshot
+    sinks (replay guard → files → manifest → watermark). This is the
+    reference's day-bucketed output model (KafkaApp.scala:58-60 keys
+    results by the date substring) elevated to streaming TABLE
+    layout: a dashboard's day-range query prunes at manifest grain
+    against data that arrived seconds ago. Module-level so the
+    replay/tuple-carry pins in tests/test_streaming.py drive it
+    directly."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files_partitioned,
+        _snap_commit_partitioned,
+        _snap_latest_doc,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        store = KVStore.instance(store_name)
+        if batch_id <= store.last_applied(marker):
+            return  # replayed, already-committed batch: exactly-once
+        prev_v, prev_doc = _snap_latest_doc(table)
+        prev_txn = prev_doc.get("txn", {})
+        if int(prev_txn.get(marker, -1)) >= batch_id:
+            store.apply_batch(batch_id, [], marker)
+            return
+        new_files, new_parts = _snap_add_files_partitioned(
+            batch_df, table, f"pingest_b{batch_id}", spec
+        )
+        _snap_commit_partitioned(
+            table,
+            prev_doc["files"] + new_files,
+            prev_v + 1,
+            spec,
+            {**prev_doc.get("partitions", {}), **new_parts},
+            txn={**prev_txn, marker: batch_id},
+        )
+        store.apply_batch(batch_id, [], marker)
+
+    return sink
+
+
+@query(
+    "q_stream_table_partition_ingest",
+    oracle=f"""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') >= '{MV_CUTOFF_LIT}'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_table_partition_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the PARTITION-AWARE snapshot table
+    (r13) — q_stream_table_ingest composed with
+    q_table_partition_pruning: history lands as day-partitioned v0,
+    the delta streams in two micro-batches, and every batch's files
+    enter the manifest WITH their day tuples (one partitioned write +
+    one metadata commit per batch — day-grain ingestion commits only
+    that batch's days). The registered read then answers the
+    dashboard question — the days from the streaming cutoff on — by
+    MANIFEST-grain partition pruning: it must plan exactly the
+    delta's files (every history file prunes away without a listing
+    or a footer read, asserted live) even though those files were
+    committed by a stream seconds earlier. The oracle states the
+    day-range rollup from raw events — a dropped batch, a
+    mis-attached tuple, or an over-pruned file hash-mismatches
+    (stream≡batch).
+
+    Scale shape: per batch, O(batch) write + one manifest rename; the
+    tuple map adds O(files) metadata; the day-range read unions one
+    scan per planned day — bounded by the predicate, not the table's
+    history. The reference's day-bucketed rollup (KafkaApp.scala:
+    58-60), as streaming table layout. Replay idempotence and tuple
+    carry-forward pinned in tests/test_streaming.py."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from steaminganalysis_spark.operators.storage import (
+        MV_CUTOFF,
+        _snap_add_files_partitioned,
+        _snap_commit_partitioned,
+        _snap_latest_doc,
+        snap_read_partition_pruned,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("stream_pingest")
+    table = os.path.join(tmp, "table")
+    spec = ["day"]
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    cut = F.to_timestamp(F.lit(MV_CUTOFF))
+    mid = F.to_timestamp(F.lit(MV_MID))
+    base, base_parts = _snap_add_files_partitioned(
+        ev.filter(F.col("ts") < cut).drop("ts"), table, "pingest_base", spec
+    )
+    _snap_commit_partitioned(table, base, 0, spec, base_parts)
+
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    delta = ev.filter(F.col("ts") >= cut).drop("ts")
+    now = time.time()
+    for i, part in enumerate(
+        (
+            ev.filter((F.col("ts") >= cut) & (F.col("ts") < mid)).drop("ts"),
+            ev.filter(F.col("ts") >= mid).drop("ts"),
+        )
+    ):
+        d = os.path.join(tmp, f"b{i}")
+        part.coalesce(1).write.parquet(d)
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+
+    store_name = f"stream_pingest_{run}"
+    marker = f"{KEY_PREFIX}pingest-last-applied:{run}"
+    sink = snapshot_ingest_partitioned_sink(table, store_name, marker, spec)
+    q = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double, day string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp, f"ckpt_{run}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        if q.exception():
+            raise RuntimeError(str(q.exception()))
+    finally:
+        q.stop()
+
+    # the dashboard read: cutoff-onward days, pruned at manifest grain
+    days = {
+        r[0]
+        for r in delta.select("day").distinct().collect()
+    }
+    got, planned, total = snap_read_partition_pruned(spark, table, "day", days)
+    _v, doc = _snap_latest_doc(table)
+    parts = doc["partitions"]
+    expect = sorted(f for f in doc["files"] if parts[f]["day"] in days)
+    if sorted(planned) != expect:
+        raise RuntimeError(
+            f"pruned plan {len(planned)} files, expected {len(expect)}"
+        )
+    if set(planned) & set(base):
+        raise RuntimeError("a history file survived day pruning")
+    if len(planned) >= total:
+        raise RuntimeError("day predicate failed to prune history")
+
+    out = (
+        got.groupBy("event_type", "day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("event_type", "day")
+        .localCheckpoint(eager=True)  # detach before scratch cleanup
+    )
+    KVStore.reset(store_name)
+    return out
+

@@ -107,6 +107,11 @@ deferred_to_round14: set[str] = {
     # fast-forward to main, failed audits drop the branch with main
     # byte-untouched)
     "q_table_wap_publish",
+    # round-13 additions (streaming/queries.py — partition-aware
+    # streaming ingest: per-batch day-partitioned files enter the
+    # manifest with their tuples, txn-idempotent commits, manifest-
+    # grain day pruning over data committed seconds earlier)
+    "q_stream_table_partition_ingest",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

@@ -2316,3 +2316,68 @@ def test_snapshot_schema_sink_rejection_and_crash_replay(spark):
     assert got.count() == 90
     assert got.filter("tag IS NULL").count() == 80  # NULL-fill
     KVStore.reset(store_name)
+
+
+def test_snapshot_partitioned_sink_replay_and_tuple_carry(spark):
+    """Partition-aware ingest sink pins, driven directly: (a) each
+    batch's commit CARRIES the previous tuple map (batch 1's manifest
+    still resolves batch 0's days); (b) a replayed batch id is a
+    strict no-op; (c) the commit-then-crash replay re-advances the
+    watermark without a duplicate commit (txn map)."""
+    import uuid as _uuid
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files_partitioned,
+        _snap_commit_partitioned,
+        _snap_latest_doc,
+        _snap_versions,
+        snap_read_partition_pruned,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.queries import (
+        snapshot_ingest_partitioned_sink,
+    )
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = _uuid.uuid4().hex[:8]
+    table = f"{scratch_dir('pingest_pin')}/t"
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS bucket"
+    )
+    files, parts = _snap_add_files_partitioned(
+        mk(0, 60), table, "pp_base", ["bucket"]
+    )
+    _snap_commit_partitioned(table, files, 0, ["bucket"], parts)
+    store_name = f"pingest_pin_{run}"
+    marker = f"{KEY_PREFIX}pingest-last-applied:{run}"
+    sink = snapshot_ingest_partitioned_sink(
+        table, store_name, marker, ["bucket"]
+    )
+    store = KVStore.instance(store_name)
+
+    sink(mk(60, 90), 0)
+    sink(mk(90, 120), 1)
+    _v, doc = _snap_latest_doc(table)
+    # (a) tuple carry: EVERY file in the latest manifest has a tuple
+    assert set(doc["files"]) == set(doc["partitions"])
+    got, planned, total = snap_read_partition_pruned(
+        spark, table, "bucket", {"1"}
+    )
+    assert 0 < len(planned) < total
+    assert got.count() == 40  # ids ≡ 1 (mod 3) in [0, 120)
+
+    # (b) replay: strict no-op
+    versions = sorted(_snap_versions(table))
+    n_files = len(doc["files"])
+    sink(mk(90, 120), 1)
+    _v2, doc2 = _snap_latest_doc(table)
+    assert sorted(_snap_versions(table)) == versions
+    assert len(doc2["files"]) == n_files
+
+    # (c) commit-then-crash replay
+    with store._mu:
+        store.kv[marker] = "0"
+    sink(mk(90, 120), 1)
+    assert sorted(_snap_versions(table)) == versions
+    assert store.last_applied(marker) == 1
+    KVStore.reset(store_name)
