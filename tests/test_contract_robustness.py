@@ -112,6 +112,11 @@ deferred_to_round14: set[str] = {
     # manifest with their tuples, txn-idempotent commits, manifest-
     # grain day pruning over data committed seconds earlier)
     "q_stream_table_partition_ingest",
+    # round-13 additions (operators/storage.py — RESTORE as a forward
+    # commit: the successor re-references the target version's doc
+    # under a new number, bad commits stay time-travelable, O(1)
+    # regardless of table size)
+    "q_table_restore",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

@@ -1064,3 +1064,55 @@ def test_wap_branch_race_and_orphan_invisibility(spark):
     # (c)
     with _pytest.raises(ValueError, match="no branch"):
         snap_branch_publish(table, "nope")
+
+
+def test_restore_vacuum_interplay_and_txn_carry(spark):
+    """RESTORE pins: (a) VACUUM after a restore keeps the restored
+    (re-referenced) files and sweeps only the bad commit's — retain
+    the restore version, expire the bad one; (b) restore carries the
+    LATEST txn map, not the target's, so a streaming sink's replayed
+    batch is still recognized after a rollback; (c) restoring an
+    uncommitted version raises."""
+    import pytest as _pytest
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_commit_cas,
+        _snap_latest_doc,
+        _snap_read,
+        snap_expire,
+        snap_restore,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('rsttest')}/t"
+    base = _snap_add_files(
+        spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        table,
+        "rs_base",
+    )
+    _snap_commit(table, base, 0)
+    bad = _snap_add_files(
+        spark.range(100).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v"),
+        table,
+        "rs_bad",
+    )
+    # the bad commit carries a streaming sink's txn watermark
+    assert _snap_commit_cas(table, bad, 1, txn={"m": 7})
+    v2 = snap_restore(table, 0)
+    assert v2 == 2
+    # (b) txn carried from latest (v1), not the target (v0 had none)
+    _v, doc = _snap_latest_doc(table)
+    assert doc.get("txn", {}).get("m") == 7
+    # (a) VACUUM: retain the restore, expire the bad line
+    record = snap_expire(table, retain=[0, 2], orphan_grace_seconds=0.0)
+    assert sorted(record["files_removed"]) == sorted(bad)
+    assert _snap_read(spark, table).count() == 100
+    import os as _os
+
+    ddir = _os.path.join(table, "data")
+    assert all(_os.path.exists(_os.path.join(ddir, f)) for f in base)
+    # (c)
+    with _pytest.raises(ValueError, match="not committed"):
+        snap_restore(table, 9)
