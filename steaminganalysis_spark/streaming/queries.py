@@ -2563,3 +2563,328 @@ def stream_table_partition_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     KVStore.reset(store_name)
     return out
 
+
+
+# ------- streaming CDC with merge-on-read deletes (r13)
+
+
+def snapshot_cdc_dv_sink(table: str, store_name: str, marker: str):
+    """foreachBatch sink applying a FULL CDC micro-batch — op = 'U'
+    update / 'I' insert / 'D' delete — to the snapshot table, with
+    each op taking its economically-correct path in ONE atomic
+    commit: updates copy-on-write only span-matched files (the
+    q_stream_table_cdc_merge algebra — micro-batch side broadcast,
+    stats carried), inserts append as new files, and DELETES take the
+    merge-on-read path (q_table_merge_dv): an O(delete keys)
+    equality-delete file scoped to the untouched files it hits —
+    scattered streaming deletes never trigger rewrites. Cross-op
+    folding keeps the commit consistent: a rewrite folds in BOTH the
+    rewritten files' existing DVs (delete debt compacts) and the SAME
+    batch's deletes hitting those files (a delete and an update of
+    one key in one batch = delete wins, never a resurrected row). The
+    usual exactly-once algebra applies (replay guard, txn map,
+    files → manifest → watermark). Module-level so the fold/replay
+    pins in tests/test_streaming.py drive it directly."""
+    import os
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_add_files_with_stats,
+        _snap_commit_cas,
+        _snap_latest_doc,
+    )
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        store = KVStore.instance(store_name)
+        if batch_id <= store.last_applied(marker):
+            return  # replayed, already-committed batch: exactly-once
+        prev_v, doc = _snap_latest_doc(table)
+        prev_txn = doc.get("txn", {})
+        if int(prev_txn.get(marker, -1)) >= batch_id:
+            store.apply_batch(batch_id, [], marker)
+            return
+        files = doc["files"]
+        stats = doc.get("stats", {})
+        dv_map = {f: list(v) for f, v in doc.get("dv", {}).items()}
+        ddir = os.path.join(table, "data")
+        spark = batch_df.sparkSession
+        fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+
+        ups = batch_df.filter(F.col("op") == "U").select("event_id", "value")
+        ins = batch_df.filter(F.col("op") == "I").select(
+            "event_id", "event_type", "value"
+        )
+        dels = batch_df.filter(F.col("op") == "D").select("event_id").distinct()
+
+        def span_matched(names: list[str], bounds) -> list[str]:
+            if bounds.lo is None:
+                return []
+            return [
+                f
+                for f in names
+                if f not in stats
+                or "event_id" not in stats[f]
+                or (
+                    stats[f]["event_id"][0] <= bounds.hi
+                    and bounds.lo <= stats[f]["event_id"][1]
+                )
+            ]
+
+        ub = ups.agg(
+            F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+        ).first()
+        matched = span_matched(files, ub)
+
+        new_files: list[str] = []
+        new_stats: dict = {}
+        if matched:
+            rewritten = (
+                spark.read.parquet(*[os.path.join(ddir, f) for f in matched])
+                .join(
+                    F.broadcast(ups.withColumnRenamed("value", "_new_value")),
+                    "event_id",
+                    "left",
+                )
+                .select(
+                    "event_id",
+                    "event_type",
+                    F.coalesce("_new_value", "value").alias("value"),
+                )
+                # fold the SAME batch's deletes: delete wins over update
+                .join(F.broadcast(dels), "event_id", "left_anti")
+            )
+            old_dv = sorted({d for f in matched for d in dv_map.get(f, [])})
+            if old_dv:  # fold the rewritten files' existing DVs
+                pairs = (
+                    spark.read.parquet(
+                        *[os.path.join(ddir, d) for d in old_dv]
+                    )
+                    .filter(F.col("target_file").isin(matched))
+                    .select(F.col("key").alias("event_id"))
+                )
+                rewritten = rewritten.join(
+                    F.broadcast(pairs), "event_id", "left_anti"
+                )
+            rw, rw_stats = _snap_add_files_with_stats(
+                rewritten, table, f"cdcdv_rw_b{batch_id}", ["event_id"]
+            )
+            new_files += rw
+            new_stats.update(rw_stats)
+            for f in matched:
+                dv_map.pop(f, None)  # their debt was folded in
+
+        untouched = [f for f in files if f not in matched]
+        db = dels.agg(
+            F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+        ).first()
+        del_targets = span_matched(untouched, db)
+        if del_targets:
+            hits = (
+                spark.read.parquet(
+                    *[os.path.join(ddir, f) for f in del_targets]
+                )
+                .select("event_id")
+                .withColumn("target_file", fname)
+                .join(F.broadcast(dels), "event_id")
+                .select("target_file", F.col("event_id").alias("key"))
+            )
+            dv_files = _snap_add_files(
+                hits.coalesce(1), table, f"cdcdv_dv_b{batch_id}"
+            )
+            if dv_files:
+                covered = {
+                    r.target_file
+                    for r in hits.select("target_file").distinct().collect()
+                }
+                for f in covered:
+                    dv_map[f] = dv_map.get(f, []) + dv_files
+
+        if ins.take(1):
+            ins_files, ins_stats = _snap_add_files_with_stats(
+                ins, table, f"cdcdv_ins_b{batch_id}", ["event_id"]
+            )
+            new_files += ins_files
+            new_stats.update(ins_stats)
+
+        successor_stats = {f: stats[f] for f in untouched if f in stats}
+        successor_stats.update(new_stats)
+        if not _snap_commit_cas(
+            table,
+            untouched + new_files,
+            prev_v + 1,
+            stats=successor_stats,
+            txn={**prev_txn, marker: batch_id},
+            dv=dv_map,
+        ):
+            raise RuntimeError("single-writer CDC-DV merge lost a CAS race")
+        store.apply_batch(batch_id, [], marker)
+
+    return sink
+
+
+CDC_DV_OFFSET = 2_000_000_000  # re-key offset for CDC-DV inserts
+
+
+@query(
+    "q_stream_table_cdc_dv",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+    merged AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id <= (SELECT m // 8 FROM mx)
+                  THEN value + 5.0
+                  WHEN event_id <= (SELECT m // 4 FROM mx)
+                  THEN value + 7.0
+                  ELSE value END AS value
+      FROM events
+      WHERE NOT (event_id > (SELECT m // 4 FROM mx)
+                 AND (event_id % 173 = 0 OR event_id % 191 = 0))
+      UNION ALL
+      SELECT event_id + {CDC_DV_OFFSET}, event_type, value
+      FROM events WHERE event_id % 89 = 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value,
+           CAST(COUNT(CASE WHEN event_id >= {CDC_DV_OFFSET} THEN 1 END)
+                AS BIGINT) AS n_inserted
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_table_cdc_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC with MERGE-ON-READ DELETES — the completion
+    q_stream_table_cdc_merge deliberately deferred ("deletes stay
+    deletion-vector-shaped"): two CDC micro-batches carry U/I/D ops
+    and each op takes its economically-correct path inside ONE atomic
+    commit per batch — updates copy-on-write span-matched files,
+    inserts append, deletes write O(keys) equality-delete files
+    scoped to the untouched files they hit (zero rewrites for
+    scattered deletes, the whole point). Batch 0: +5 on the lowest
+    span, %173 deletes above the update range, even-half inserts;
+    batch 1: +7 on the next span, %191 deletes, odd-half inserts —
+    so the final table interleaves COW rewrites, accumulated DV
+    files, and appends across two commits, and the registered
+    merge-on-read read (one broadcast anti-join) must reproduce the
+    batch-stated MERGE semantics exactly (stream≡batch oracle): a
+    resurrected deleted row, an unapplied second-batch update, a DV
+    applied to the wrong file, or a double-applied replay
+    hash-mismatches.
+
+    Scale shape: per batch — O(matched files) rewrite bounded by the
+    update keys' locality, O(delete keys) DV write with NO rewrite,
+    O(batch) insert write, one CAS rename; the table side never
+    shuffles (both the update and delete sides broadcast at
+    micro-batch size). Same-batch delete-beats-update and
+    DV-fold-into-rewrite pins in tests/test_streaming.py."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files_with_stats,
+        _snap_commit,
+        snap_read_mor,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("stream_cdcdv")
+    table = os.path.join(tmp, "table")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base, bstats = _snap_add_files_with_stats(
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        table,
+        "cdcdv_base",
+        ["event_id"],
+    )
+    _snap_commit(table, base, 0, stats=bstats)
+    m = int(ev.agg(F.max("event_id")).first()[0])
+
+    def cdc_batch(i: int) -> DataFrame:
+        lo, hi, bump, dmod, par = (
+            (-1, m // 8, 5.0, 173, 0)  # lo exclusive: -1 admits id 0
+            if i == 0
+            else (m // 8, m // 4, 7.0, 191, 1)
+        )
+        ups = (
+            ev.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi))
+            .select(
+                F.lit("U").alias("op"),
+                "event_id",
+                "event_type",
+                (F.col("value") + F.lit(bump)).alias("value"),
+            )
+        )
+        dels = (
+            ev.filter(
+                (F.col("event_id") > m // 4)
+                & (F.col("event_id") % dmod == 0)
+            )
+            .select(
+                F.lit("D").alias("op"),
+                "event_id",
+                "event_type",
+                "value",
+            )
+        )
+        ins = (
+            ev.filter(
+                (F.expr("event_id % 89 = 0")) & (F.col("event_id") % 2 == par)
+            )
+            .select(
+                F.lit("I").alias("op"),
+                (F.col("event_id") + F.lit(CDC_DV_OFFSET)).alias("event_id"),
+                "event_type",
+                "value",
+            )
+        )
+        return ups.unionByName(dels).unionByName(ins)
+
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    now = time.time()
+    for i in (0, 1):
+        d = os.path.join(tmp, f"b{i}")
+        cdc_batch(i).coalesce(1).write.parquet(d)
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+
+    store_name = f"stream_cdcdv_{run}"
+    marker = f"{KEY_PREFIX}cdcdv-last-applied:{run}"
+    sink = snapshot_cdc_dv_sink(table, store_name, marker)
+    q = (
+        spark.readStream.schema(
+            "op string, event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp, f"ckpt_{run}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        if q.exception():
+            raise RuntimeError(str(q.exception()))
+    finally:
+        q.stop()
+
+    out = (
+        snap_read_mor(spark, table, "event_id")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+            F.count(
+                F.when(F.col("event_id") >= CDC_DV_OFFSET, 1)
+            ).cast("long").alias("n_inserted"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)  # detach before scratch cleanup
+    )
+    KVStore.reset(store_name)
+    return out

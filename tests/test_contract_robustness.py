@@ -117,6 +117,11 @@ deferred_to_round14: set[str] = {
     # under a new number, bad commits stay time-travelable, O(1)
     # regardless of table size)
     "q_table_restore",
+    # round-13 additions (streaming/queries.py — full-CDC streaming
+    # sink: updates COW span-matched files, inserts append, deletes
+    # take the merge-on-read DV path, all in one atomic commit with
+    # same-batch delete-beats-update and DV-fold-into-rewrite)
+    "q_stream_table_cdc_dv",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

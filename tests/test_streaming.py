@@ -2381,3 +2381,98 @@ def test_snapshot_partitioned_sink_replay_and_tuple_carry(spark):
     assert sorted(_snap_versions(table)) == versions
     assert store.last_applied(marker) == 1
     KVStore.reset(store_name)
+
+
+def test_cdc_dv_sink_fold_semantics(spark):
+    """CDC-DV sink pins, driven directly: (a) a delete and an update
+    of the SAME key in ONE batch — delete wins, the rewrite must not
+    resurrect the row; (b) a later update rewriting a file FOLDS that
+    file's existing DV in (the previously-deleted key stays gone and
+    the rewritten file leaves the dv map); (c) scattered deletes
+    rewrite ZERO data files; (d) replay is a strict no-op."""
+    import os as _os
+    import uuid as _uuid
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files_with_stats,
+        _snap_commit,
+        _snap_latest_doc,
+        snap_read_mor,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.queries import snapshot_cdc_dv_sink
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = _uuid.uuid4().hex[:8]
+    table = f"{scratch_dir('cdcdv_pin')}/t"
+    base_df = spark.range(400).selectExpr(
+        "id AS event_id", "'view' AS event_type", "CAST(id AS DOUBLE) AS value"
+    )
+    files, stats = _snap_add_files_with_stats(
+        base_df.repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id"),
+        table,
+        "cp_base",
+        ["event_id"],
+    )
+    _snap_commit(table, files, 0, stats=stats)
+    store_name = f"cdcdv_pin_{run}"
+    marker = f"{KEY_PREFIX}cdcdv-last-applied:{run}"
+    sink = snapshot_cdc_dv_sink(table, store_name, marker)
+    ddir = _os.path.join(table, "data")
+    meta0 = {
+        f: (_os.path.getsize(_os.path.join(ddir, f)),
+            _os.path.getmtime(_os.path.join(ddir, f)))
+        for f in files
+    }
+
+    # batch 0: update id 5 AND delete id 5 (same batch) + scattered
+    # deletes far from the update span
+    b0 = spark.createDataFrame(
+        [
+            ("U", 5, "view", 999.0),
+            ("D", 5, "view", 0.0),
+            ("D", 300, "view", 0.0),
+            ("D", 350, "view", 0.0),
+        ],
+        "op string, event_id long, event_type string, value double",
+    )
+    sink(b0, 0)
+    got = snap_read_mor(spark, table, "event_id")
+    assert got.count() == 397
+    assert got.filter("event_id IN (5, 300, 350)").count() == 0  # (a)
+    # (c) the high files holding 300/350 were NOT rewritten
+    _v, doc = _snap_latest_doc(table)
+    untouched_alive = [f for f in files if f in doc["files"]]
+    for f in untouched_alive:
+        assert (
+            _os.path.getsize(_os.path.join(ddir, f)),
+            _os.path.getmtime(_os.path.join(ddir, f)),
+        ) == meta0[f]
+    assert doc.get("dv"), "scattered deletes must be DV-shaped"
+
+    # (b) batch 1 updates id 301 -> rewrites the file holding 300's
+    # DV; the fold keeps 300 gone and drops the file from the dv map
+    dv_targets_before = set(doc["dv"])
+    b1 = spark.createDataFrame(
+        [("U", 301, "view", 777.0)],
+        "op string, event_id long, event_type string, value double",
+    )
+    sink(b1, 1)
+    _v2, doc2 = _snap_latest_doc(table)
+    got2 = snap_read_mor(spark, table, "event_id")
+    assert got2.count() == 397
+    assert got2.filter("event_id = 300").count() == 0  # stayed deleted
+    assert got2.filter("event_id = 301").first().value == 777.0
+    rewritten_away = dv_targets_before - set(doc2["files"])
+    assert rewritten_away, "the update should have rewritten a DV'd file"
+    assert all(f not in doc2.get("dv", {}) for f in rewritten_away)
+
+    # (d) replay
+    import json as _json
+
+    before = _json.dumps(doc2, sort_keys=True)
+    sink(b1, 1)
+    _v3, doc3 = _snap_latest_doc(table)
+    assert _json.dumps(doc3, sort_keys=True) == before
+    KVStore.reset(store_name)
