@@ -535,7 +535,35 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_table_schema_evolution (manifest-tracked schema: add-column
 # commits without rewrite, footer-validated appends, old-schema time
 # travel — the table-format story's last pillar).
-# 344 keys / 308 oracles at the round-12 close (count with
+# 344 keys / 308 oracles at the round-12 close.
+# Round-13 additions (all oracle-exact): the table-format completion
+# wave — q_table_partition_pruning (partition-spec manifest: per-file
+# tuples + spec, manifest-grain planning-time pruning, metadata-only
+# spec evolution with conservatively-planned old-spec files),
+# q_table_optimize_concurrent (OPTIMIZE vs append: disjoint commits
+# commute via CAS retry, overlapping rewrites raise
+# SnapCompactConflict and abandon), q_table_merge_dv (merge-on-read
+# equality-delete files in the manifest dv map, per-file DV-vs-COW
+# selection, scoped broadcast anti-join reads, rewrite folds DVs in),
+# q_stream_table_schema_evolution (mid-stream add-column evolution:
+# footer-validated batch commits, exactly-once across the checkpoint
+# restart, live rejection fault-injections),
+# q_table_snapshot_diff (change-data-feed from two manifests:
+# shared-file cancellation at manifest grain, exceptAll copy-through
+# cancellation, keyed 4-class classification), q_table_wap_publish
+# (write-audit-publish branches: invisible staging refs, audit-gated
+# CAS fast-forward, failed audits leave main byte-untouched),
+# q_stream_table_partition_ingest (day-partitioned streaming commits
+# with tuple carry and manifest-grain pruning over just-committed
+# data), q_table_restore (rollback as a forward commit: O(1)
+# re-reference, forensics-preserving, txn-carrying),
+# q_stream_table_cdc_dv (full U/I/D CDC: COW updates, appended
+# inserts, merge-on-read deletes, same-batch delete-beats-update and
+# DV-fold-into-rewrite) — plus the q_stream_hll_daily CONVERSION from
+# rows-only DataSketches state to the oracle-exact portable register
+# lattice (the streaming state is the (day, register) MAX-rank
+# relation, VERDICT r12 order #7).
+# 353 keys / 318 oracles at the round-13 close (count with
 # collect_queries(), never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11
