@@ -2111,6 +2111,7 @@ def _snap_commit_partitioned(
     spec: list[str],
     partitions: dict,
     txn: dict | None = None,
+    stats: dict | None = None,
 ) -> None:
     """Manifest commit carrying the partition SPEC (ordered partition
     columns) and per-file partition tuples — same atomic
@@ -2134,6 +2135,8 @@ def _snap_commit_partitioned(
         }
         if txn is not None:
             doc["txn"] = txn  # writer-marker -> batch id (idempotent replay)
+        if stats is not None:
+            doc["stats"] = stats  # per-file column bounds (two-level skip)
         json.dump(doc, f)
         f.flush()
         os.fsync(f.fileno())
@@ -3380,6 +3383,185 @@ def table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_rows"),
             dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------- two-level pruning: partition ∘ stats (r13) -------------
+
+
+def snap_read_two_level(
+    spark: SparkSession,
+    table: str,
+    part_col: str,
+    part_values: set[str],
+    stats_col: str,
+    lo: int,
+    hi: int,
+    version: int | None = None,
+) -> tuple[DataFrame, list[str], int, int]:
+    """TWO-LEVEL data skipping in one planning pass: partition-tuple
+    pruning first (the coarse, free level — pure manifest
+    arithmetic), then per-file column-stat span pruning WITHIN the
+    surviving partitions (the fine level — footer bounds recorded at
+    commit time). Both levels are superset-safe independently: a file
+    missing the partition column in its tuple survives level 1, a
+    file missing stats survives level 2 — so stats and tuples can be
+    adopted lazily and never become a correctness cliff. Returns
+    (frame, planned, total, after_partition_level) so callers can
+    assert EACH level pruned. The frame re-attaches identity-
+    partition columns from the tuples, exactly like
+    snap_read_partition_pruned."""
+    import json
+    from collections import defaultdict
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    if v not in committed:
+        raise ValueError(f"snapshot v{v} is not committed (have {sorted(committed)})")
+    manifest = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    parts = manifest.get("partitions", {})
+    stats = manifest.get("stats", {})
+    level1 = [
+        f
+        for f in manifest["files"]
+        if part_col not in parts.get(f, {}) or parts[f][part_col] in part_values
+    ]
+    planned = [
+        f
+        for f in level1
+        if f not in stats
+        or stats_col not in stats[f]
+        or (stats[f][stats_col][0] <= hi and lo <= stats[f][stats_col][1])
+    ]
+    groups: dict[tuple, list[str]] = defaultdict(list)
+    for f in planned:
+        groups[tuple(sorted(parts.get(f, {}).items()))].append(f)
+    ddir = os.path.join(table, "data")
+    out: DataFrame | None = None
+    for tup, fnames in sorted(groups.items()):
+        g = spark.read.parquet(*[os.path.join(ddir, f) for f in fnames])
+        for c, val in tup:
+            if c not in g.columns:
+                g = g.withColumn(c, F.lit(val))
+        out = g if out is None else out.unionByName(g, allowMissingColumns=True)
+    if out is None:
+        raise ValueError(
+            f"no files planned for {part_col} in {sorted(part_values)} "
+            f"and {stats_col} in [{lo}, {hi}]"
+        )
+    return out, planned, len(manifest["files"]), len(level1)
+
+
+@query(
+    "q_table_two_level_pruning",
+    oracle=f"""
+    WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d FROM events),
+    ranked AS (
+      SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+             COUNT(*) OVER () AS n
+      FROM days
+    ),
+    sel AS (SELECT d FROM ranked WHERE rn <= GREATEST(n // 2, 1)),
+    mx AS (SELECT MAX(event_id) AS m FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value,
+           CAST(MIN(event_id) AS BIGINT) AS lo_id,
+           CAST(MAX(event_id) AS BIGINT) AS hi_id
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') IN (SELECT d FROM sel)
+      AND event_id BETWEEN (SELECT m // 8 FROM mx) AND (SELECT m * 3 // 8 FROM mx)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_two_level_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL DATA SKIPPING — partition tuples ∘ column stats in
+    one planning pass (the Iceberg partition-spec + Parquet-stats
+    stack, composed): the table is day-partitioned AND each partition
+    writes multiple event_id-range-clustered files whose footer
+    bounds ride the manifest, so a query with BOTH a day predicate
+    and a key range prunes twice before any file opens — level 1
+    drops whole partitions by tuple arithmetic, level 2 drops
+    range-mismatched files INSIDE surviving partitions by span
+    arithmetic. The registered run asserts each level did real work
+    (after_partition < total, planned < after_partition) and that
+    the planned set is exactly the tuple-AND-span-matching files;
+    the oracle states the doubly-filtered rollup from raw events —
+    an over-pruned file at either level hash-mismatches. Each level
+    is superset-safe alone (missing tuple → survives level 1,
+    missing stats → survives level 2), so either skipping layer can
+    be adopted lazily on a live table.
+
+    Scale shape: at 100 TB the two levels multiply — a year-long
+    day-partitioned table with range-clustered keys answers a
+    (week × key-range) query by opening week/52 × range-fraction of
+    its files, all decided in one O(files) in-memory pass; this is
+    the planning stack every lakehouse query rides, spelled
+    explicitly. Per-level superset pins in tests/test_storage.py."""
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snap2lvl')}/table"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    # ~3 range-clustered files per day partition: event_id correlates
+    # with ts in this table (each day owns a contiguous id span), so
+    # ranging at 3× the day count splits every day into ~3 files with
+    # disjoint id sub-spans — the layout a range-clustered ingest
+    # produces naturally
+    m = int(ev.agg(F.max("event_id")).first()[0])
+    days = sorted(r[0] for r in ev.select("day").distinct().collect())
+    df = ev.repartitionByRange(3 * len(days), "event_id").sortWithinPartitions(
+        "day", "event_id"
+    )
+    files, parts = _snap_add_files_partitioned(df, table, "tl_base", ["day"])
+    stats = {
+        f: _parquet_file_stats(os.path.join(table, "data", f), ["event_id"])
+        for f in files
+    }
+    stats = {f: s for f, s in stats.items() if s}
+    _snap_commit_partitioned(table, files, 0, ["day"], parts, stats=stats)
+
+    sel = set(days[: max(len(days) // 2, 1)])
+    lo, hi = m // 8, m * 3 // 8
+
+    got, planned, total, after_part = snap_read_two_level(
+        spark, table, "day", sel, "event_id", lo, hi
+    )
+    expect = sorted(
+        f
+        for f in files
+        if parts[f]["day"] in sel
+        and (
+            f not in stats
+            or (stats[f]["event_id"][0] <= hi and lo <= stats[f]["event_id"][1])
+        )
+    )
+    if sorted(planned) != expect:
+        raise RuntimeError(
+            f"two-level plan {len(planned)} files, expected {len(expect)}"
+        )
+    if len(days) > 1 and not after_part < total:
+        raise RuntimeError("partition level pruned nothing")
+    if not len(planned) < after_part:
+        raise RuntimeError("stats level pruned nothing inside partitions")
+
+    return (
+        got.filter((F.col("event_id") >= lo) & (F.col("event_id") <= hi))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+            F.min("event_id").cast("long").alias("lo_id"),
+            F.max("event_id").cast("long").alias("hi_id"),
         )
         .orderBy("event_type")
     )

@@ -559,11 +559,13 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # re-reference, forensics-preserving, txn-carrying),
 # q_stream_table_cdc_dv (full U/I/D CDC: COW updates, appended
 # inserts, merge-on-read deletes, same-batch delete-beats-update and
-# DV-fold-into-rewrite) — plus the q_stream_hll_daily CONVERSION from
+# DV-fold-into-rewrite), q_table_two_level_pruning (partition tuples
+# ∘ column stats composed in one planning pass, per-level superset
+# safety) — plus the q_stream_hll_daily CONVERSION from
 # rows-only DataSketches state to the oracle-exact portable register
 # lattice (the streaming state is the (day, register) MAX-rank
 # relation, VERDICT r12 order #7).
-# 353 keys / 318 oracles at the round-13 close (count with
+# 354 keys / 319 oracles at the round-13 close (count with
 # collect_queries(), never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11

@@ -122,6 +122,11 @@ deferred_to_round14: set[str] = {
     # take the merge-on-read DV path, all in one atomic commit with
     # same-batch delete-beats-update and DV-fold-into-rewrite)
     "q_stream_table_cdc_dv",
+    # round-13 additions (operators/storage.py — two-level data
+    # skipping: partition-tuple pruning then per-file stat-span
+    # pruning inside surviving partitions, each level independently
+    # superset-safe)
+    "q_table_two_level_pruning",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

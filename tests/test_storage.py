@@ -1116,3 +1116,64 @@ def test_restore_vacuum_interplay_and_txn_carry(spark):
     # (c)
     with _pytest.raises(ValueError, match="not committed"):
         snap_restore(table, 9)
+
+
+def test_two_level_pruning_superset_safety(spark):
+    """Two-level skip pins at helper grain: (a) a file missing its
+    partition tuple survives level 1 AND a file missing stats
+    survives level 2 (independent superset safety — lazy adoption of
+    either layer); (b) the counts nest: planned ⊆ level-1 survivors ⊆
+    total; (c) empty plan is loud."""
+    import pytest as _pytest
+
+    from steaminganalysis_spark.operators.storage import (
+        _parquet_file_stats,
+        _snap_add_files_partitioned,
+        _snap_commit_partitioned,
+        snap_read_two_level,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    import os as _os
+
+    table = f"{scratch_dir('twolevel')}/t"
+    df = spark.range(900).selectExpr(
+        "id",
+        "CAST(id % 3 AS STRING) AS bucket",
+        "CAST(id AS DOUBLE) AS v",
+    ).repartitionByRange(9, "id")
+    files, parts = _snap_add_files_partitioned(df, table, "tl", ["bucket"])
+    stats = {
+        f: _parquet_file_stats(_os.path.join(table, "data", f), ["id"])
+        for f in files
+    }
+    # (a) blind one file at EACH level
+    blind_tuple = sorted(files)[0]
+    blind_stats = sorted(files)[1]
+    parts2 = {f: p for f, p in parts.items() if f != blind_tuple}
+    stats2 = {f: s for f, s in stats.items() if s and f != blind_stats}
+    _snap_commit_partitioned(
+        table, files, 0, ["bucket"], parts2, stats=stats2
+    )
+    want_bucket = parts[blind_tuple]["bucket"]
+    other = {b for b in ("0", "1", "2") if b != want_bucket}
+    # call A: L1 active (bucket predicate EXCLUDING blind_tuple's true
+    # bucket), L2 inert (full range) — the tuple-blind file survives
+    got, planned, total, after_part = snap_read_two_level(
+        spark, table, "bucket", other, "id", 0, 899
+    )
+    assert blind_tuple in planned  # no tuple -> conservatively planned
+    assert after_part < total  # L1 pruned the named-bucket files
+    assert len(planned) == after_part  # L2 inert at full range
+    # call B: L1 inert (all buckets), L2 active (narrow range) — the
+    # stats-blind file survives, some stats-known file prunes
+    _g2, planned2, total2, after2 = snap_read_two_level(
+        spark, table, "bucket", {"0", "1", "2"}, "id", 0, 10
+    )
+    assert blind_stats in planned2  # no stats -> conservatively planned
+    assert after2 == total2  # L1 inert
+    assert len(planned2) < after2  # L2 pruned
+    assert len(planned) <= after_part <= total
+
+    with _pytest.raises(ValueError, match="no files planned"):
+        snap_read_two_level(spark, table, "bucket", {"9"}, "id", 0, 1)
