@@ -649,6 +649,32 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # pin — and q_geo_nearest_poi (auto-mode POI count cached per
 # sf_dir), swapped in at the tail; the displaced 16th round-5 stamp
 # (q_stream_dedup_within_watermark) rolls to round 13.
+# ROUND-14 WINDOW (planned at the round-13 freeze): canaries
+# q_daily_rollup + q_tpch_q12, then deferred_to_round14 (the ten
+# round-13 additions — q_table_partition_pruning,
+# q_table_optimize_concurrent, q_table_merge_dv,
+# q_table_snapshot_diff, q_table_wap_publish, q_table_restore,
+# q_table_two_level_pruning, q_stream_table_schema_evolution,
+# q_stream_table_partition_ingest, q_stream_table_cdc_dv — plus any
+# later round-14 registrations per the standing pin discipline), then
+# the 30 remaining oracled round-7-stamp re-checks in registration
+# order (head: q_event_transitions and q_observe_metrics, both
+# displaced from the round-13 window by the execution-change swaps —
+# then q_merge_with_deletes, q_anonymize_kanon, q_agg_percentile_disc,
+# q_agg_regression, q_agg_weighted_median, q_agg_corr_matrix,
+# q_agg_skewkurt, q_stream_stream_right_join, q_stream_stateful_profile,
+# q_stream_dq_drift, q_fn_string_distance, q_fn_aes,
+# q_dedup_jaccard_prefix, q_text_winnowing, q_text_readability,
+# q_graph_degree, q_copurchase_pairs, q_rfm_segments, q_seq_pattern,
+# q_ts_changepoint, q_ts_seasonal_profile, q_ts_autocorr,
+# q_window_slope, q_window_median, q_ts_outlier_mad, q_geo_radius_join,
+# q_geo_grid_density, q_er_blocked_pairs), then the 8 oldest oracled
+# round-8-stamp re-checks in registration order (q_agg_minmax_by,
+# q_sql_window_clause, q_mv_incremental, q_dq_profile, q_time_buckets,
+# q_agg_salted, q_agg_mode_bool, q_agg_grouping_flags) to fill 50 —
+# recompute at the freeze, prefer oracled over rows-only,
+# implementation-changed keys outrank unchanged re-checks (the
+# q_graph_triangles rule).
 # ROUND-13 WINDOW (composed round 13, executing the plan above):
 # recomputed at composition time there are NO round-6-stamp keys (the
 # round-6 window re-checked round-4 stamps), so after the 2 canaries +
