@@ -3565,3 +3565,156 @@ def table_two_level_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_table_mv_from_cdf",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(event_id) // 4 AS cut FROM events),
+    merged AS (
+      SELECT event_type,
+             CASE WHEN event_id <= (SELECT cut FROM mx)
+                  THEN value + 10.0 ELSE value END AS value
+      FROM events
+      WHERE NOT (event_id <= (SELECT cut FROM mx)
+                 AND event_id % {DIFF_DEL_MOD} = 0)
+      UNION ALL
+      SELECT event_type, value FROM events WHERE event_id % 97 = 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_mv_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MV MAINTENANCE driven by the change-data-feed —
+    the canonical snap_diff CONSUMER (what CDF exists for): a
+    count/sum materialized view over the table is refreshed after a
+    MERGE by applying ONLY the diff — insert and update_postimage
+    rows add (+1, +cents), delete and update_preimage rows subtract
+    (−1, −cents) — never by re-aggregating the table. The signed
+    delta aggregate is exact because the MV's measures are
+    integer-cent monoids (the dsum discipline): refresh cost is
+    O(changed rows), and the refreshed MV must equal the
+    re-aggregated post-merge table EXACTLY — asserted live row for
+    row, and stated by the oracle from raw events (a sign error, a
+    missed preimage, or a double-counted copy-through row
+    hash-mismatches).
+
+    Harness: v0 = events range-clustered (the q_table_snapshot_diff
+    merge: +10 updates and %{DM} deletes inside the ≤ max/4 span,
+    %97 re-keyed inserts); the MV materializes at v0, the merge
+    commits v1, the diff refreshes the MV. Groups can appear (an
+    insert's type new to the MV) and must never linger at zero rows
+    (fully-deleted groups drop — the refresh prunes n_rows = 0).
+
+    Scale shape: at 100 TB the MV refresh reads the merge's footprint
+    (the changed files via snap_diff's manifest-grain cancellation),
+    aggregates O(changed rows) signed deltas with map-side combine,
+    and merges ≤ |groups| delta rows into the MV — the incremental-
+    view-maintenance economics every warehouse MV rides, here exact
+    by integer-cents construction. Equality-vs-reaggregation asserted
+    live in the registered run."""
+    from steaminganalysis_spark.registry import dsum, to_cents
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapmvcdf')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base, bstats = _snap_add_files_with_stats(
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        table,
+        "mvc_base",
+        ["event_id"],
+    )
+    _snap_commit(table, base, 0, stats=bstats)
+
+    # the MV at v0: per-type (n_rows, cents) — integer monoid state
+    mv0 = (
+        _snap_read(spark, table, 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(to_cents(F.col("value"))).cast("long").alias("cents"),
+        )
+    ).localCheckpoint()
+
+    # the merge (the q_table_snapshot_diff write shape), committed v1
+    cut = int(ev.agg(F.max("event_id")).first()[0]) // 4
+    ddir = os.path.join(table, "data")
+    matched = [f for f in base if bstats[f]["event_id"][0] <= cut]
+    rewritten = (
+        spark.read.parquet(*[os.path.join(ddir, f) for f in matched])
+        .filter(
+            ~(
+                (F.col("event_id") <= cut)
+                & (F.col("event_id") % DIFF_DEL_MOD == 0)
+            )
+        )
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") <= cut, F.col("value") + F.lit(10.0))
+            .otherwise(F.col("value")),
+        )
+    )
+    rw, rw_stats = _snap_add_files_with_stats(
+        rewritten, table, "mvc_rw", ["event_id"]
+    )
+    ins, ins_stats = _snap_add_files_with_stats(
+        ev.filter(F.expr("event_id % 97 = 0")).select(
+            (F.col("event_id") + F.lit(MERGE_INSERT_OFFSET)).alias("event_id"),
+            "event_type",
+            "value",
+        ),
+        table,
+        "mvc_ins",
+        ["event_id"],
+    )
+    untouched = [f for f in base if f not in matched]
+    stats = {f: bstats[f] for f in untouched}
+    stats.update(rw_stats)
+    stats.update(ins_stats)
+    if not _snap_commit_cas(table, untouched + rw + ins, 1, stats=stats):
+        raise RuntimeError("single-writer MV harness lost a CAS race")
+
+    # the refresh: signed deltas from the CDF only
+    diff = snap_diff(spark, table, 0, 1, "event_id")
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        diff.groupBy("event_type")
+        .agg(
+            F.sum(sign).cast("long").alias("d_rows"),
+            F.sum(sign * to_cents(F.col("value"))).cast("long").alias("d_cents"),
+        )
+    )
+    mv1 = (
+        mv0.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("d_rows", F.lit(0)))
+            .alias("n_rows"),
+            (F.coalesce("cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0)))
+            .alias("cents"),
+        )
+        .filter(F.col("n_rows") > 0)  # fully-deleted groups drop
+    ).localCheckpoint()
+
+    # the live gate: incremental == re-aggregated, row for row
+    reagg = (
+        _snap_read(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(to_cents(F.col("value"))).cast("long").alias("cents"),
+        )
+    )
+    if mv1.exceptAll(reagg).take(1) or reagg.exceptAll(mv1).take(1):
+        raise RuntimeError("incremental MV diverged from re-aggregation")
+
+    return mv1.select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("cents").cast("double") / 100.0).alias("total_value"),
+    ).orderBy("event_type")

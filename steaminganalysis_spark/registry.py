@@ -565,7 +565,7 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # rows-only DataSketches state to the oracle-exact portable register
 # lattice (the streaming state is the (day, register) MAX-rank
 # relation, VERDICT r12 order #7).
-# 354 keys / 319 oracles at the round-13 close (count with
+# 355 keys / 320 oracles at the round-13 close (count with
 # collect_queries(), never this comment).
 # ROUND-11 WINDOW (this round): canaries q_daily_rollup + q_tpch_q12,
 # then the 12 round-10 additions from deferred_to_round11

@@ -127,6 +127,11 @@ deferred_to_round14: set[str] = {
     # pruning inside surviving partitions, each level independently
     # superset-safe)
     "q_table_two_level_pruning",
+    # round-13 additions (operators/storage.py — CDF-driven
+    # incremental MV refresh: signed per-class deltas from snap_diff,
+    # integer-cent monoids, O(changed rows) refresh equal to
+    # re-aggregation row for row)
+    "q_table_mv_from_cdf",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

@@ -1177,3 +1177,73 @@ def test_two_level_pruning_superset_safety(spark):
 
     with _pytest.raises(ValueError, match="no files planned"):
         snap_read_two_level(spark, table, "bucket", {"9"}, "id", 0, 1)
+
+
+def test_mv_from_cdf_group_lifecycle(spark):
+    """CDF-driven MV refresh edge cases at helper grain: a group that
+    APPEARS only via inserts enters the MV, and a group whose rows
+    are all deleted LEAVES it (no zero-row residue) — exercised by a
+    v0→v1 where one type is fully deleted and a brand-new type is
+    inserted; the refreshed MV equals re-aggregation exactly."""
+    from pyspark.sql import functions as F
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_read,
+        snap_diff,
+    )
+    from steaminganalysis_spark.registry import to_cents
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('mvcdf')}/t"
+    v0_df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        "event_id long, event_type string, value double",
+    )
+    f0 = _snap_add_files(v0_df, table, "mc0")
+    _snap_commit(table, f0, 0)
+    # v1: type b fully deleted, brand-new type c inserted, a kept
+    v1_df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (9, "c", 9.0)],
+        "event_id long, event_type string, value double",
+    )
+    f1 = _snap_add_files(v1_df, table, "mc1")
+    _snap_commit(table, f1, 1)
+
+    mv0 = v0_df.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(to_cents(F.col("value"))).cast("long").alias("cents"),
+    )
+    diff = snap_diff(spark, table, 0, 1, "event_id")
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = diff.groupBy("event_type").agg(
+        F.sum(sign).cast("long").alias("d_rows"),
+        F.sum(sign * to_cents(F.col("value"))).cast("long").alias("d_cents"),
+    )
+    mv1 = (
+        mv0.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("d_rows", F.lit(0)))
+            .alias("n_rows"),
+            (F.coalesce("cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0)))
+            .alias("cents"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    got = {r.event_type: (r.n_rows, r.cents) for r in mv1.collect()}
+    assert got == {"a": (2, 300), "c": (1, 900)}  # b dropped, c appeared
+    reagg = {
+        r.event_type: (r.n_rows, r.cents)
+        for r in _snap_read(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(to_cents(F.col("value"))).cast("long").alias("cents"),
+        )
+        .collect()
+    }
+    assert got == reagg
