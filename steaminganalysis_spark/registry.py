@@ -561,7 +561,9 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # inserts, merge-on-read deletes, same-batch delete-beats-update and
 # DV-fold-into-rewrite), q_table_two_level_pruning (partition tuples
 # ∘ column stats composed in one planning pass, per-level superset
-# safety) — plus the q_stream_hll_daily CONVERSION from
+# safety), q_table_mv_from_cdf (CDF-consuming incremental MV refresh:
+# signed per-class deltas, integer-cent monoids, O(changed rows)
+# refresh equal to re-aggregation row for row) — plus the q_stream_hll_daily CONVERSION from
 # rows-only DataSketches state to the oracle-exact portable register
 # lattice (the streaming state is the (day, register) MAX-rank
 # relation, VERDICT r12 order #7).
@@ -650,11 +652,12 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # sf_dir), swapped in at the tail; the displaced 16th round-5 stamp
 # (q_stream_dedup_within_watermark) rolls to round 13.
 # ROUND-14 WINDOW (planned at the round-13 freeze): canaries
-# q_daily_rollup + q_tpch_q12, then deferred_to_round14 (the ten
+# q_daily_rollup + q_tpch_q12, then deferred_to_round14 (the eleven
 # round-13 additions — q_table_partition_pruning,
 # q_table_optimize_concurrent, q_table_merge_dv,
 # q_table_snapshot_diff, q_table_wap_publish, q_table_restore,
-# q_table_two_level_pruning, q_stream_table_schema_evolution,
+# q_table_two_level_pruning, q_table_mv_from_cdf,
+# q_stream_table_schema_evolution,
 # q_stream_table_partition_ingest, q_stream_table_cdc_dv — plus any
 # later round-14 registrations per the standing pin discipline), then
 # the 30 remaining oracled round-7-stamp re-checks in registration
@@ -668,10 +671,10 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_graph_degree, q_copurchase_pairs, q_rfm_segments, q_seq_pattern,
 # q_ts_changepoint, q_ts_seasonal_profile, q_ts_autocorr,
 # q_window_slope, q_window_median, q_ts_outlier_mad, q_geo_radius_join,
-# q_geo_grid_density, q_er_blocked_pairs), then the 8 oldest oracled
+# q_geo_grid_density, q_er_blocked_pairs), then the 7 oldest oracled
 # round-8-stamp re-checks in registration order (q_agg_minmax_by,
 # q_sql_window_clause, q_mv_incremental, q_dq_profile, q_time_buckets,
-# q_agg_salted, q_agg_mode_bool, q_agg_grouping_flags) to fill 50 —
+# q_agg_salted, q_agg_mode_bool) to fill 50 —
 # recompute at the freeze, prefer oracled over rows-only,
 # implementation-changed keys outrank unchanged re-checks (the
 # q_graph_triangles rule).
