@@ -3718,3 +3718,269 @@ def table_mv_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         (F.col("cents").cast("double") / 100.0).alias("total_value"),
     ).orderBy("event_type")
+
+
+# -------------- ANALYZE TABLE with mergeable sketch stats (r13)
+
+
+def snap_analyze_ndv(
+    spark: SparkSession, table: str, group_col: str, key_expr: str
+) -> int:
+    """ANALYZE TABLE as a METADATA-ONLY commit: one scan computes
+    per-file portable-HLL registers for ``key_expr`` grouped by
+    ``group_col``, and the successor manifest carries them under
+    ``ndv`` — same file list, no data rewritten (the Iceberg
+    puffin-sidecar pattern: statistics ride the snapshot, data files
+    are untouched). Registers are the q_agg_hll_portable lattice
+    (lowbias32 hash, trailing-zero rank, per-register MAX), so stats
+    from independent files MERGE exactly (max is associative) — the
+    property every table-format NDV sketch needs: per-file sketches
+    written once compose into table-, partition-, or version-grain
+    estimates without rescanning data.
+
+    Scale shape: the scan's shuffled state is (file, group, register,
+    max-rank) — ≤ files·groups·m rows regardless of input size, with
+    map-side partial combine doing the heavy reduction; the collect is
+    register-grain (metadata-scale), and on a real cluster each write
+    task would return its file's registers with the commit message
+    (the Iceberg DataFile contract) so ANALYZE is free at write time.
+    Returns the committed version."""
+    import json
+
+    from steaminganalysis_spark.operators.aggregates import (
+        HLLP_M,
+        _hllp_hash_sql,
+        _hllp_rank_sql,
+    )
+
+    v, doc = _snap_latest_doc(table)
+    ddir = os.path.join(table, "data")
+    regs = (
+        spark.read.parquet(*[os.path.join(ddir, f) for f in doc["files"]])
+        .select(
+            F.element_at(
+                F.split(F.input_file_name(), "/"), -1
+            ).alias("_file"),
+            F.col(group_col),
+            F.expr(
+                f"{_hllp_hash_sql('({a} ^ {b})', 'DIV', key_expr)}"
+            ).alias("h"),
+        )
+        .selectExpr(
+            "_file",
+            group_col,
+            f"h % {HLLP_M} AS j",
+            f"{_hllp_rank_sql('DIV')} AS r",
+        )
+        .groupBy("_file", group_col, "j")
+        .agg(F.max("r").alias("r"))
+        .collect()
+    )
+    ndv: dict[str, dict[str, dict[str, int]]] = {}
+    for row in regs:
+        ndv.setdefault(row["_file"], {}).setdefault(
+            str(row[group_col]), {}
+        )[str(row["j"])] = int(row["r"])
+    new_doc = dict(doc)
+    new_doc["ndv"] = {"group_col": group_col, "registers": ndv}
+    new_doc["version"] = v + 1
+    mdir = os.path.join(table, "manifests")
+    tmp = os.path.join(mdir, f".v{v + 1}.json.inprogress")
+    with open(tmp, "w") as f:
+        json.dump(new_doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mdir, f"v{v + 1}.json"))
+    return v + 1
+
+
+def _hllp_estimate_py(regs: dict[int, int]) -> int:
+    """Driver-side mirror of aggregates._hllp_estimate_sql, bit-exact:
+    Σ2^-r is a sum of ≤m dyadics (exact in IEEE doubles, order-free),
+    the αm²/((m−V)+Σ) division is one deterministic double op on
+    identical operands, the linear-counting branch reads the same
+    precomputed literals both engines parse, and FLOOR(est·1000)
+    lands in int before anything else happens. Used by manifest-grain
+    NDV reads, where the registers come from JSON, not a scan."""
+    import math
+
+    from steaminganalysis_spark.operators.aggregates import (
+        _HLLP_ALPHA_M2,
+        _HLLP_LC,
+        HLLP_M,
+    )
+
+    cnt = len(regs)
+    s = 0.0
+    for j in sorted(regs):
+        s += 2.0 ** (-regs[j])
+    raw = float(_HLLP_ALPHA_M2) / (float(HLLP_M) - cnt + s)
+    if raw <= 2.5 * HLLP_M and cnt < HLLP_M:
+        est = float(_HLLP_LC[HLLP_M - cnt])
+    else:
+        est = raw
+    return math.floor(est * 1000.0)
+
+
+def snap_ndv_estimates(table: str, version: int | None = None) -> dict[str, int]:
+    """Per-group NDV milli-estimates from MANIFEST METADATA ALONE — no
+    data file is opened: per-file registers are max-merged across the
+    snapshot's files (the lattice join), then estimated driver-side
+    with the bit-exact Python mirror. This is the payoff of mergeable
+    stats: at 100 TB, "how many distinct users per event type" costs
+    O(files·groups·m) integer maxes over JSON the planner already
+    reads, not a table scan."""
+    import json
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    doc = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    merged: dict[str, dict[int, int]] = {}
+    for per_group in doc["ndv"]["registers"].values():
+        for g, regs in per_group.items():
+            tgt = merged.setdefault(g, {})
+            for j, r in regs.items():
+                ji = int(j)
+                if r > tgt.get(ji, 0):
+                    tgt[ji] = r
+    return {g: _hllp_estimate_py(regs) for g, regs in merged.items()}
+
+
+def _ndv_oracle() -> str:
+    """The q_agg_hll_portable oracle body (same hash, same registers,
+    same estimate literals) with the estimate aliased ``ndv_milli`` —
+    the table's manifest-merged stats must reproduce it exactly."""
+    from steaminganalysis_spark.operators.aggregates import (
+        HLLP_M,
+        _hllp_estimate_sql,
+        _hllp_hash_sql,
+        _hllp_rank_sql,
+    )
+
+    return f"""
+    WITH hh AS (
+      SELECT event_type,
+             {_hllp_hash_sql("xor({a}, {b})", '//')} AS h
+      FROM events
+    ),
+    regs AS MATERIALIZED (
+      SELECT event_type, h % {HLLP_M} AS j,
+             MAX({_hllp_rank_sql('//')}) AS r
+      FROM hh GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT s.event_type, {_hllp_estimate_sql('s')} AS ndv_milli
+      FROM regs s GROUP BY s.event_type
+    ),
+    ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, ex.exact_distinct, e.ndv_milli
+    FROM est e JOIN ex ON ex.event_type = e.event_type
+    ORDER BY e.event_type
+    """
+
+
+@query("q_table_analyze_ndv", oracle=_ndv_oracle())
+def table_analyze_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE → MERGEABLE NDV STATS IN THE MANIFEST, oracle-
+    exact: distinct users per event type estimated WITHOUT scanning
+    the table at read time — per-file portable-HLL registers are
+    collected by one ANALYZE pass, committed as a metadata-only
+    snapshot (file list unchanged), max-merged across files at
+    planning grain, and estimated with the bit-exact driver mirror of
+    the q_agg_hll_portable SQL. Because the register lattice merge is
+    exact, the manifest-derived estimate EQUALS the whole-table
+    estimate — asserted live against a direct Spark recompute, and
+    hash-checked by the oracle (the same portable-HLL SQL over raw
+    events). The exact COUNT(DISTINCT) rides along as the accuracy
+    witness (the q_agg_hll_portable discipline).
+
+    This is the table-format statistics story Iceberg ships as puffin
+    Theta sketches and Delta as collected NDVs: write-time per-file
+    sketches that compose — to the table (here), to any partition
+    subset, to any snapshot diff — powering join-strategy and
+    cardinality decisions at 100 TB for the cost of a manifest read.
+
+    Live gates: (1) the ANALYZE commit is metadata-only (v1 file list
+    == v0's); (2) manifest-merged estimates == direct recompute, per
+    group, exactly. Reference parity: no stats surface in the
+    reference (SURVEY §2 B.1 extension; KafkaApp:58-60's day files
+    would carry these stats at commit time)."""
+    from steaminganalysis_spark.operators.aggregates import (
+        HLLP_M,
+        _hllp_estimate_sql,
+        _hllp_hash_sql,
+        _hllp_rank_sql,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapndv')}/table"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    files, stats = _snap_add_files_with_stats(
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        table,
+        "ndv_base",
+        ["event_id"],
+    )
+    _snap_commit(table, files, 0, stats=stats)
+
+    v1 = snap_analyze_ndv(spark, table, "event_type", "user_id + 1")
+
+    # gate 1: ANALYZE was metadata-only
+    import json as _json
+
+    committed = _snap_versions(table)
+    d0 = _json.loads(open(os.path.join(table, "manifests", committed[0])).read())
+    d1 = _json.loads(open(os.path.join(table, "manifests", committed[v1])).read())
+    if d0["files"] != d1["files"]:
+        raise RuntimeError("ANALYZE commit rewrote data files")
+
+    est = snap_ndv_estimates(table)
+
+    # gate 2: manifest-merged == direct whole-table recompute
+    direct = {
+        r["event_type"]: r["m"]
+        for r in (
+            _snap_read(spark, table)
+            .selectExpr(
+                "event_type",
+                f"{_hllp_hash_sql('({a} ^ {b})', 'DIV', 'user_id + 1')} AS h",
+            )
+            .selectExpr(
+                "event_type",
+                f"h % {HLLP_M} AS j",
+                f"{_hllp_rank_sql('DIV')} AS r",
+            )
+            .groupBy("event_type", "j")
+            .agg(F.max("r").alias("r"))
+            .alias("s")
+            .groupBy("event_type")
+            .agg(F.expr(_hllp_estimate_sql("s")).alias("m"))
+            .collect()
+        )
+    }
+    if direct != est:
+        raise RuntimeError(
+            f"manifest-merged NDV diverged from recompute: {est} vs {direct}"
+        )
+
+    exact = (
+        _snap_read(spark, table)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    est_df = spark.createDataFrame(
+        sorted(est.items()), "event_type string, ndv_milli long"
+    )
+    return (
+        exact.join(F.broadcast(est_df), "event_type")
+        .select("event_type", "exact_distinct", "ndv_milli")
+        .orderBy("event_type")
+    )

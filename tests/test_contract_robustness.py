@@ -132,6 +132,11 @@ deferred_to_round14: set[str] = {
     # integer-cent monoids, O(changed rows) refresh equal to
     # re-aggregation row for row)
     "q_table_mv_from_cdf",
+    # round-13 additions (operators/storage.py — ANALYZE TABLE with
+    # mergeable per-file portable-HLL registers riding the manifest
+    # as a metadata-only commit; manifest-merged NDV estimates equal
+    # the whole-table estimate bit-exactly, hash-checked)
+    "q_table_analyze_ndv",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

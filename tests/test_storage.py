@@ -1247,3 +1247,98 @@ def test_mv_from_cdf_group_lifecycle(spark):
         .collect()
     }
     assert got == reagg
+
+
+def test_analyze_ndv_merge_exactness_and_metadata_only(spark):
+    """q_table_analyze_ndv pins: (1) ANALYZE is a metadata-only commit
+    (same file list, version+1); (2) manifest-merged registers equal
+    the whole-table registers (lattice-merge exactness), including a
+    group present in only ONE file; (3) the Python estimate mirror
+    agrees with the Spark SQL estimate expression register-for-
+    register on a hand-built state."""
+    import json
+    import os
+
+    from steaminganalysis_spark.operators.aggregates import (
+        HLLP_M,
+        _hllp_estimate_sql,
+        _hllp_hash_sql,
+        _hllp_rank_sql,
+    )
+    from steaminganalysis_spark.operators.storage import (
+        _hllp_estimate_py,
+        _snap_add_files,
+        _snap_commit,
+        _snap_read,
+        _snap_versions,
+        snap_analyze_ndv,
+        snap_ndv_estimates,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('ndvpin')}/t"
+    # two deliberately separate files; group "only_f2" lives in file 2
+    f1 = _snap_add_files(
+        spark.createDataFrame(
+            [(i, "both", i % 7) for i in range(200)],
+            "event_id long, event_type string, user_id long",
+        ).coalesce(1),
+        table,
+        "ndv1",
+    )
+    f2 = _snap_add_files(
+        spark.createDataFrame(
+            [(i, "both", 100 + i % 13) for i in range(200)]
+            + [(i, "only_f2", i % 5) for i in range(50)],
+            "event_id long, event_type string, user_id long",
+        ).coalesce(1),
+        table,
+        "ndv2",
+    )
+    _snap_commit(table, f1 + f2, 0)
+    v1 = snap_analyze_ndv(spark, table, "event_type", "user_id + 1")
+
+    committed = _snap_versions(table)
+    d0 = json.loads(open(os.path.join(table, "manifests", committed[0])).read())
+    d1 = json.loads(open(os.path.join(table, "manifests", committed[v1])).read())
+    assert d1["files"] == d0["files"] and v1 == 1  # metadata-only
+    assert set(d1["ndv"]["registers"]) == set(f1 + f2)
+
+    est = snap_ndv_estimates(table)
+    direct = {
+        r["event_type"]: r["m"]
+        for r in (
+            _snap_read(spark, table)
+            .selectExpr(
+                "event_type",
+                f"{_hllp_hash_sql('({a} ^ {b})', 'DIV', 'user_id + 1')} AS h",
+            )
+            .selectExpr(
+                "event_type",
+                f"h % {HLLP_M} AS j",
+                f"{_hllp_rank_sql('DIV')} AS r",
+            )
+            .groupBy("event_type", "j")
+            .agg(F.max("r").alias("r"))
+            .alias("s")
+            .groupBy("event_type")
+            .agg(F.expr(_hllp_estimate_sql("s")).alias("m"))
+            .collect()
+        )
+    }
+    assert est == direct and set(est) == {"both", "only_f2"}
+    # single-file group merges as identity; accuracy sanity (LC regime)
+    assert abs(est["only_f2"] / 1000.0 - 5) <= 2
+    assert abs(est["both"] / 1000.0 - 20) <= 6
+
+    # (3) mirror vs SQL on a hand-built register state incl. rank cap
+    regs = {0: 1, 3: 25, 17: 7, 255: 2}
+    rows = [(j, r) for j, r in regs.items()]
+    sql_val = (
+        spark.createDataFrame(rows, "j int, r int")
+        .alias("s")
+        .groupBy()
+        .agg(F.expr(_hllp_estimate_sql("s")).alias("m"))
+        .first()["m"]
+    )
+    assert _hllp_estimate_py(regs) == sql_val
