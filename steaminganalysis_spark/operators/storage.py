@@ -3984,3 +3984,244 @@ def table_analyze_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "exact_distinct", "ndv_milli")
         .orderBy("event_type")
     )
+
+
+# -------------- Bloom-filter file skipping in the manifest (r13)
+
+
+def _lowbias32_py(v: int) -> int:
+    """Driver-side mirror of aggregates._hllp_hash_sql — the lowbias32
+    avalanche in pure Python ints (>>16 ≡ DIV 65536 on non-negatives,
+    the same two xor-shift-multiply rounds and final fold), used where
+    the PROBE side of a manifest bloom runs at planning time with no
+    cluster involved. Bit-equal to the SQL both engines run."""
+    x = v % 4294967296
+    for _ in range(2):
+        x = (((x >> 16) ^ x) * 73244475) % 4294967296
+    return (x >> 16) ^ x
+
+
+def _bloom_positions_py(key: int) -> list[int]:
+    """The BLP position family (aggregates._blp_pos_sql) in Python:
+    k=BLP_K probes at lowbias32((key mod 2³²) + j·stride) mod BLP_BITS."""
+    from steaminganalysis_spark.operators.aggregates import (
+        BLP_BITS,
+        BLP_K,
+        BLP_SEED,
+    )
+
+    return [
+        _lowbias32_py((key % 4294967296) + j * BLP_SEED) % BLP_BITS
+        for j in range(BLP_K)
+    ]
+
+
+def snap_bloom_build(spark: SparkSession, table: str, col: str) -> int:
+    """Per-file BLOOM FILTERS riding the manifest as a metadata-only
+    commit (the Parquet bloom-filter / Delta bloom-index idea lifted
+    to manifest grain): one scan computes, per data file, a
+    BLP_BITS-wide bloom over crc32(col) — positions from the portable
+    lowbias32 family, 32-bit words folded with bit_or — and the
+    successor manifest carries the sparse word maps. Point lookups on
+    a high-entropy column (where min/max spans cover everything and
+    stats-pruning is useless) then skip files at PLANNING time.
+
+    Scale shape: the shuffled state is (file, word) — ≤ files·512
+    rows regardless of input size, map-side combine does the fold;
+    the collect is O(files·words) metadata. On a cluster each write
+    task returns its file's bloom with the commit message (Iceberg
+    DataFile contract); this is the single-process reduction."""
+    import json
+
+    from steaminganalysis_spark.operators.aggregates import (
+        BLP_K,
+        _blp_pos_sql,
+    )
+
+    v, doc = _snap_latest_doc(table)
+    ddir = os.path.join(table, "data")
+    pos = _blp_pos_sql("({a} ^ {b})", "DIV", "h0")
+    stacked = ", ".join(
+        f"CAST({pos.replace('+ j *', f'+ {j} *')} AS INT)"
+        for j in range(BLP_K)
+    )
+    words = (
+        spark.read.parquet(*[os.path.join(ddir, f) for f in doc["files"]])
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_file"),
+            F.crc32(F.encode(F.col(col), "UTF-8")).alias("h0"),
+        )
+        .selectExpr("_file", f"stack({BLP_K}, {stacked}) AS pos")
+        .selectExpr(
+            "_file",
+            "pos DIV 32 AS w",
+            "CAST(POWER(2, pos % 32) AS BIGINT) AS bitv",
+        )
+        .groupBy("_file", "w")
+        .agg(F.expr("bit_or(bitv)").alias("v"))
+        .collect()
+    )
+    blooms: dict[str, dict[str, int]] = {f: {} for f in doc["files"]}
+    for row in words:
+        blooms[row["_file"]][str(row["w"])] = int(row["v"])
+    new_doc = dict(doc)
+    new_doc["bloom"] = {"col": col, "words": blooms}
+    new_doc["version"] = v + 1
+    mdir = os.path.join(table, "manifests")
+    tmp = os.path.join(mdir, f".v{v + 1}.json.inprogress")
+    with open(tmp, "w") as f:
+        json.dump(new_doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mdir, f"v{v + 1}.json"))
+    return v + 1
+
+
+def snap_read_bloom_pruned(
+    spark: SparkSession, table: str, probe_value: str
+) -> tuple[DataFrame, list[str], int]:
+    """Bloom-pruned snapshot read: plan ONLY files whose manifest
+    bloom has ALL k probe bits set for crc32(probe_value); files
+    without a recorded bloom are always kept (superset safety — the
+    filter can only skip, never lose). Probing is pure planning-time
+    integer arithmetic on JSON the planner already read: zero file
+    opens, zero cluster work. Returns (frame, planned names, total)."""
+    import json
+    import zlib
+
+    committed = _snap_versions(table)
+    v = max(committed)
+    doc = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    blooms = doc.get("bloom", {}).get("words", {})
+    positions = _bloom_positions_py(zlib.crc32(probe_value.encode("utf-8")))
+    planned = []
+    for f in doc["files"]:
+        wmap = blooms.get(f)
+        if wmap is None:
+            planned.append(f)  # no bloom recorded -> must keep
+            continue
+        if all(
+            (wmap.get(str(p // 32), 0) >> (p % 32)) & 1 for p in positions
+        ):
+            planned.append(f)
+    paths = [os.path.join(table, "data", f) for f in planned]
+    if not paths:
+        # every file excluded: the probe value is definitively absent
+        # (blooms have no false negatives) — an empty frame with the
+        # table's schema, zero files opened: the membership-miss win.
+        first = os.path.join(table, "data", doc["files"][0])
+        return (
+            spark.read.parquet(first).filter(F.lit(False)),
+            planned,
+            len(doc["files"]),
+        )
+    return spark.read.parquet(*paths), planned, len(doc["files"])
+
+
+@query(
+    "q_table_bloom_skip",
+    oracle="""
+    WITH probe AS (
+      SELECT text FROM documents
+      WHERE doc_id = (SELECT MIN(doc_id) + 7 FROM documents)
+    )
+    SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d, probe p
+    WHERE d.text = p.text
+    ORDER BY d.doc_id
+    """,
+)
+def table_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER FILE SKIPPING — the pruning dimension min/max
+    stats cannot serve: a point lookup on a HIGH-ENTROPY column
+    (document text) against a table clustered on doc_id. Every file's
+    [min, max] span on text-like columns covers the whole alphabet,
+    so stats-pruning keeps all files; the per-file manifest blooms
+    (built by one ANALYZE-style scan, committed metadata-only) prune
+    to just the file(s) that can contain the probe — exactly what
+    Parquet bloom filters / Delta bloom indexes buy at 100 TB for
+    needle-in-haystack lookups (dedup membership, PK probes) where a
+    full scan is absurd and range stats are blind.
+
+    The probe text is itself fetched by COMPOSED pruning: doc_id =
+    min+7 resolves via the doc_id stats span (one file opened), then
+    the bloom prunes the text lookup. Live gates: (1) the bloom
+    commit is metadata-only; (2) bloom planning skipped at least half
+    the files; (3) superset safety — every file that truly contains
+    the probe text is planned (asserted against a full filename-
+    tagged scan). The returned rows (all docs sharing the probe text
+    — dedup corpora have copies) hash-check against the oracle.
+
+    Reference parity: no skipping surface in the reference (SURVEY §2
+    B.1 extension). See q_table_pruned_read (range stats) and
+    q_table_two_level_pruning (partitions ∘ stats) for the other two
+    skipping dimensions; this completes the trio."""
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapbloom')}/table"
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    files, stats = _snap_add_files_with_stats(
+        docs.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id"),
+        table,
+        "bloom_base",
+        ["doc_id"],
+    )
+    _snap_commit(table, files, 0, stats=stats)
+    v1 = snap_bloom_build(spark, table, "text")
+
+    # gate 1: metadata-only commit
+    import json as _json
+
+    committed = _snap_versions(table)
+    d0 = _json.loads(open(os.path.join(table, "manifests", committed[0])).read())
+    d1 = _json.loads(open(os.path.join(table, "manifests", committed[v1])).read())
+    if d0["files"] != d1["files"]:
+        raise RuntimeError("bloom build rewrote data files")
+
+    # resolve the probe text through doc_id STATS pruning (composed)
+    min_id = min(s["doc_id"][0] for s in d1["stats"].values())
+    probe_df, id_planned, total = snap_read_pruned(
+        spark, table, "doc_id", min_id + 7, min_id + 7
+    )
+    probe = probe_df.filter(F.col("doc_id") == min_id + 7).first()["text"]
+    if len(id_planned) >= total:
+        raise RuntimeError("doc_id stats pruning did no work on the probe")
+
+    scan, planned, total = snap_read_bloom_pruned(spark, table, probe)
+
+    # gate 2: the bloom skipped at least half the files
+    if len(planned) > total // 2:
+        raise RuntimeError(
+            f"bloom pruned too little: {len(planned)}/{total} files planned"
+        )
+    # gate 3: superset safety vs a filename-tagged full scan
+    ddir = os.path.join(table, "data")
+    truth = {
+        r["_file"]
+        for r in spark.read.parquet(
+            *[os.path.join(ddir, f) for f in d1["files"]]
+        )
+        .filter(F.col("text") == probe)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_file")
+        )
+        .distinct()
+        .collect()
+    }
+    if not truth <= set(planned):
+        raise RuntimeError(f"bloom pruning LOST true files: {truth - set(planned)}")
+
+    return (
+        scan.filter(F.col("text") == probe)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )

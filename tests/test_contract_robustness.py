@@ -137,6 +137,12 @@ deferred_to_round14: set[str] = {
     # as a metadata-only commit; manifest-merged NDV estimates equal
     # the whole-table estimate bit-exactly, hash-checked)
     "q_table_analyze_ndv",
+    # round-13 additions (operators/storage.py — bloom-filter file
+    # skipping: per-file BLP blooms over crc32(text) ride the manifest
+    # metadata-only; point lookups on a high-entropy column prune at
+    # planning time where min/max spans are blind; Python probe mirror
+    # pinned bit-equal to the SQL position family)
+    "q_table_bloom_skip",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

@@ -1342,3 +1342,95 @@ def test_analyze_ndv_merge_exactness_and_metadata_only(spark):
         .first()["m"]
     )
     assert _hllp_estimate_py(regs) == sql_val
+
+
+def test_bloom_skip_mirror_superset_and_absent_probe(spark):
+    """q_table_bloom_skip pins: (1) the Python probe mirror computes
+    the SAME positions as the Spark-side SQL position family (the
+    cross-engine hinge — if these drift, pruning silently loses
+    files); (2) membership: every inserted value plans its owning
+    file; (3) an absent value plans ZERO files and reads an empty
+    frame with the table schema (no false negatives, miss = free);
+    (4) a file without a recorded bloom is always planned (superset
+    safety)."""
+    import json
+    import os
+    import zlib
+
+    from steaminganalysis_spark.operators.aggregates import (
+        BLP_K,
+        _blp_pos_sql,
+    )
+    from steaminganalysis_spark.operators.storage import (
+        _bloom_positions_py,
+        _snap_add_files,
+        _snap_commit,
+        _snap_versions,
+        snap_bloom_build,
+        snap_read_bloom_pruned,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    # (1) mirror vs SQL positions on assorted crc values incl. 2^32-1
+    crcs = [0, 1, 73244475, 2654435760, 4294967295, 123456789]
+    pos_sql = _blp_pos_sql("({a} ^ {b})", "DIV", "h0")
+    exprs = [
+        f"CAST({pos_sql.replace('+ j *', f'+ {j} *')} AS INT) AS p{j}"
+        for j in range(BLP_K)
+    ]
+    rows = (
+        spark.createDataFrame([(c,) for c in crcs], "h0 long")
+        .selectExpr("h0", *exprs)
+        .collect()
+    )
+    for r in rows:
+        assert _bloom_positions_py(r["h0"]) == [r[f"p{j}"] for j in range(BLP_K)]
+
+    # (2)-(4) on a two-file table, one file left bloom-less
+    table = f"{scratch_dir('bloompin')}/t"
+    f1 = _snap_add_files(
+        spark.createDataFrame(
+            [(i, f"alpha-{i}") for i in range(40)], "doc_id long, text string"
+        ).coalesce(1),
+        table,
+        "bp1",
+    )
+    f2 = _snap_add_files(
+        spark.createDataFrame(
+            [(i, f"beta-{i}") for i in range(40, 80)],
+            "doc_id long, text string",
+        ).coalesce(1),
+        table,
+        "bp2",
+    )
+    _snap_commit(table, f1 + f2, 0)
+    v1 = snap_bloom_build(spark, table, "text")
+    assert v1 == 1
+
+    for probe, owner in [("alpha-3", f1[0]), ("beta-77", f2[0])]:
+        _, planned, total = snap_read_bloom_pruned(spark, table, probe)
+        assert owner in planned and total == 2  # no false negative
+
+    empty, planned, total = snap_read_bloom_pruned(spark, table, "gamma-nope")
+    assert planned == [] and total == 2
+    assert empty.count() == 0 and set(empty.columns) == {"doc_id", "text"}
+
+    # strip file 2's bloom from the manifest -> it must always plan
+    committed = _snap_versions(table)
+    mpath = os.path.join(table, "manifests", committed[1])
+    doc = json.loads(open(mpath).read())
+    del doc["bloom"]["words"][f2[0]]
+    with open(mpath, "w") as fh:
+        json.dump(doc, fh)
+    _, planned, _ = snap_read_bloom_pruned(spark, table, "alpha-3")
+    assert f2[0] in planned  # bloom-less file conservatively kept
+    _, planned, _ = snap_read_bloom_pruned(spark, table, "gamma-nope")
+    assert planned == [f2[0]]  # absent probe still keeps bloom-less file
+
+    # the crc the build used matches zlib's (same bytes, same poly)
+    got = (
+        spark.createDataFrame([("alpha-3",)], "text string")
+        .select(F.crc32(F.encode("text", "UTF-8")).alias("c"))
+        .first()["c"]
+    )
+    assert got == zlib.crc32(b"alpha-3")
