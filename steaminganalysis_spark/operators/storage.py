@@ -4225,3 +4225,220 @@ def table_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -------------- OPTIMIZE ZORDER on the snapshot table (r13)
+
+
+def snap_read_pruned_multi(
+    spark: SparkSession,
+    table: str,
+    preds: dict[str, tuple[int, int]],
+    version: int | None = None,
+) -> tuple[DataFrame, list[str], int]:
+    """Multi-column stats-pruned snapshot read: a file is planned only
+    if EVERY predicate column's recorded [min, max] span intersects
+    its range (missing stats for a column keep the file — superset
+    safety per dimension, same contract as snap_read_pruned). This is
+    the planner that makes z-order clustering pay: after the rewrite,
+    per-file spans are tight in ALL clustered dimensions, so each
+    predicate prunes independently and their conjunction multiplies."""
+    import json
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    if v not in committed:
+        raise ValueError(f"snapshot v{v} is not committed (have {sorted(committed)})")
+    manifest = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    stats = manifest.get("stats", {})
+    planned = [
+        f
+        for f in manifest["files"]
+        if all(
+            f not in stats
+            or c not in stats[f]
+            or (stats[f][c][0] <= hi and lo <= stats[f][c][1])
+            for c, (lo, hi) in preds.items()
+        )
+    ]
+    paths = [os.path.join(table, "data", f) for f in planned]
+    return spark.read.parquet(*paths), planned, len(manifest["files"])
+
+
+def snap_optimize_zorder(
+    spark: SparkSession,
+    table: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    max_retries: int = 20,
+) -> int:
+    """OPTIMIZE ZORDER as an optimistic table commit (Delta's OPTIMIZE
+    ZORDER BY on the snapshot-table substrate): rewrite ALL current
+    data files clustered by the Morton interleave of the two columns
+    (each first normalized to 16 bits by integer scaling against its
+    manifest-stats global max — metadata, no extra scan), stage the
+    new files with fresh two-column footer stats, and swap them in
+    via snap_compact_optimistic's conflict algebra — concurrent
+    appends to other files commute, overlapping rewrites conflict.
+    Stats for the new files ride the commit; the z-sort gives every
+    file a tight span in BOTH dimensions, so single-column predicates
+    on EITHER column prune (the one-dimensional range layout serves
+    only its own sort key).
+
+    Scale shape: one range exchange on the z-value (the same cost as
+    any clustered rewrite), footer stats from metadata, one CAS link.
+    At 100 TB this runs incrementally over file subsets (compose with
+    snap_compact_optimistic's source selection); rewriting everything
+    here keeps the harness deterministic. Returns committed version."""
+    v, doc = _snap_latest_doc(table)
+    stats = doc.get("stats", {})
+    cur = _snap_read(spark, table, v)
+    with_a = [s[col_a][1] for s in stats.values() if col_a in s]
+    with_b = [s[col_b][1] for s in stats.values() if col_b in s]
+    if len(with_a) == len(doc["files"]) and len(with_b) == len(doc["files"]):
+        ga, gb = max(with_a), max(with_b)  # metadata only — no scan
+    else:
+        # stats missing for some file (e.g. a stats-less compaction
+        # preceded us): one 2-column max aggregate — still O(scan of
+        # the two columns), never wrong
+        ga, gb = cur.agg(F.max(col_a), F.max(col_b)).first()
+    na = (F.col(col_a).cast("long") * F.lit(65535) / F.lit(max(ga, 1))).cast(
+        "long"
+    )
+    nb = (F.col(col_b).cast("long") * F.lit(65535) / F.lit(max(gb, 1))).cast(
+        "long"
+    )
+    z = _zvalue(na, nb)
+    staged = (
+        cur.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    new_files, new_stats = _snap_add_files_with_stats(
+        staged, table, "zopt", [col_a, col_b]
+    )
+    srcs = set(doc["files"])
+    for _ in range(max_retries):
+        lv, ldoc = _snap_latest_doc(table)
+        lfiles = ldoc["files"]
+        if not srcs <= set(lfiles):
+            raise SnapCompactConflict(
+                f"zorder sources left the manifest: "
+                f"{sorted(srcs - set(lfiles))}"
+            )
+        survivors = [f for f in lfiles if f not in srcs]
+        lstats = ldoc.get("stats", {})
+        merged = {f: lstats[f] for f in survivors if f in lstats}
+        merged.update(new_stats)
+        if _snap_commit_cas(
+            table,
+            survivors + new_files,
+            lv + 1,
+            stats=merged,
+            txn=ldoc.get("txn"),
+            dv=ldoc.get("dv"),
+        ):
+            return lv + 1
+    raise RuntimeError(
+        f"zorder optimize lost {max_retries} consecutive races on {table}"
+    )
+
+
+@query(
+    "q_table_optimize_zorder",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(user_id) AS u, MAX(event_id) AS m FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value,
+           CAST(COUNT(CASE WHEN event_id
+                BETWEEN (SELECT m // 8 FROM mx) AND (SELECT m * 3 // 8 FROM mx)
+                THEN 1 END) AS BIGINT) AS n_box
+    FROM events
+    WHERE user_id <= (SELECT u // 4 FROM mx)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER — multi-dimensional clustering as a TABLE
+    COMMIT, closing the layout story the standalone q_zorder_layout
+    (file-level rewrite demo) opened: the snapshot table starts
+    range-clustered on event_id (the layout that serves ONLY event_id
+    predicates), then one OPTIMIZE ZORDER(event_id, user_id) commit
+    rewrites it Morton-clustered with fresh two-column stats riding
+    the manifest. A user_id predicate that previously pruned NOTHING
+    (every range file spans all users — asserted live) afterwards
+    prunes at least half the files (asserted live), because the
+    z-sort's top bits partition files into quad-tree cells with tight
+    spans in BOTH dimensions. The registered result reads the
+    user-quarter slice THROUGH the multi-column pruned planner on the
+    optimized snapshot, with an event_id box count riding along so
+    the hash also witnesses the second dimension; rows hash-check
+    against raw events (layout changes must never change content —
+    the oracle IS the no-data-change proof).
+
+    100 TB: this is the difference between "queries on the sort key
+    are fast" and "queries on either of two keys are fast" — the
+    multiplicative pruning every lakehouse OPTIMIZE ZORDER sells,
+    here with the planner, the stats carry, and the CAS conflict
+    algebra all exercised in one key. Reference parity: no layout
+    surface in the reference (SURVEY §2 B.1 extension)."""
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapzorder')}/table"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    files, stats = _snap_add_files_with_stats(
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        table,
+        "zo_base",
+        ["event_id", "user_id"],
+    )
+    _snap_commit(table, files, 0, stats=stats)
+
+    u_max = max(s["user_id"][1] for s in stats.values())
+    m_max = max(s["event_id"][1] for s in stats.values())
+    user_pred = {"user_id": (0, u_max // 4)}
+
+    _, planned_before, total_before = snap_read_pruned_multi(
+        spark, table, user_pred
+    )
+    if len(planned_before) < total_before:
+        raise RuntimeError(
+            "harness broke: the range layout should not prune on user_id"
+        )
+
+    v1 = snap_optimize_zorder(spark, table, "event_id", "user_id")
+
+    scan, planned_after, total_after = snap_read_pruned_multi(
+        spark, table, user_pred, version=v1
+    )
+    if len(planned_after) > total_after // 2:
+        raise RuntimeError(
+            f"zorder pruned too little on user_id: "
+            f"{len(planned_after)}/{total_after} files planned"
+        )
+
+    from steaminganalysis_spark.registry import dsum
+
+    return (
+        scan.filter(F.col("user_id") <= u_max // 4)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+            F.count(
+                F.when(
+                    F.col("event_id").between(m_max // 8, m_max * 3 // 8), 1
+                )
+            )
+            .cast("long")
+            .alias("n_box"),
+        )
+        .orderBy("event_type")
+    )

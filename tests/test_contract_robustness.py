@@ -143,6 +143,12 @@ deferred_to_round14: set[str] = {
     # planning time where min/max spans are blind; Python probe mirror
     # pinned bit-equal to the SQL position family)
     "q_table_bloom_skip",
+    # round-13 additions (operators/storage.py — OPTIMIZE ZORDER as a
+    # table commit: Morton-clustered rewrite with fresh two-column
+    # stats riding the CAS successor, multi-column pruned planner;
+    # user_id predicates prune where the range layout was blind;
+    # conflict algebra pinned with mid-window fault injections)
+    "q_table_optimize_zorder",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

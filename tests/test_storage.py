@@ -1434,3 +1434,116 @@ def test_bloom_skip_mirror_superset_and_absent_probe(spark):
         .first()["c"]
     )
     assert got == zlib.crc32(b"alpha-3")
+
+
+def test_optimize_zorder_conflicts_stats_carry_and_tight_spans(spark):
+    """q_table_optimize_zorder pins: (1) a concurrent DISJOINT append
+    commutes with the zorder rewrite (both land, stats of all three
+    parties survive the commit); (2) an overlapping rewrite that
+    removed a source file conflicts loudly; (3) post-zorder per-file
+    spans are tight in BOTH dimensions (each file's user span < the
+    global span — the quad-cell property the planner exploits)."""
+    import json
+    import os
+
+    from steaminganalysis_spark.operators.storage import (
+        SnapCompactConflict,
+        _snap_add_files_with_stats,
+        _snap_commit,
+        _snap_latest_doc,
+        _snap_read,
+        _snap_versions,
+        snap_append_optimistic,
+        snap_compact_optimistic,
+        snap_optimize_zorder,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    def mk(spark, n0, n1, tag, table):
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 199, float(i)) for i in range(n0, n1)],
+            "event_id long, user_id long, value double",
+        ).coalesce(1)
+        return _snap_add_files_with_stats(
+            df, table, tag, ["event_id", "user_id"]
+        )
+
+    # (1) zorder + disjoint append commute: the append is injected
+    # INSIDE the staging->CAS window (deterministic interleave via a
+    # staging shim), so the zorder CAS loses v1, re-reads, and must
+    # carry the appended file through its successor.
+    import steaminganalysis_spark.operators.storage as st
+
+    table = f"{scratch_dir('zopin1')}/t"
+    f0, s0 = mk(spark, 0, 400, "z0", table)
+    _snap_commit(table, f0, 0, stats=s0)
+    fa, sa = mk(spark, 400, 500, "za", table)
+
+    real_stage = st._snap_add_files_with_stats
+    fired = []
+
+    def stage_then_append(df, tbl, tag, cols):
+        out = real_stage(df, tbl, tag, cols)
+        if tag == "zopt" and not fired:
+            fired.append(True)
+            snap_append_optimistic(table, fa)  # lands mid-window
+        return out
+
+    st._snap_add_files_with_stats = stage_then_append
+    try:
+        v = snap_optimize_zorder(
+            spark, table, "event_id", "user_id", n_files=4
+        )
+    finally:
+        st._snap_add_files_with_stats = real_stage
+    assert fired  # the injection actually ran
+    lv, doc = _snap_latest_doc(table)
+    assert lv == v and set(fa) <= set(doc["files"])  # append survived
+    assert not (set(f0) & set(doc["files"]))  # sources replaced
+    assert _snap_read(spark, table).count() == 500  # both visible
+    # appended file entered stats-less (superset-safe); zorder files
+    # carry fresh two-column stats
+    zfiles = [f for f in doc["files"] if f not in fa]
+    assert all(
+        "event_id" in doc["stats"][f] and "user_id" in doc["stats"][f]
+        for f in zfiles
+    )
+
+    # (3) tight spans in both dims on the zordered files
+    g_lo = min(doc["stats"][f]["user_id"][0] for f in zfiles)
+    g_hi = max(doc["stats"][f]["user_id"][1] for f in zfiles)
+    spans = [
+        doc["stats"][f]["user_id"][1] - doc["stats"][f]["user_id"][0]
+        for f in zfiles
+    ]
+    assert min(spans) < (g_hi - g_lo)  # at least one strictly tighter
+    assert sorted(spans)[len(spans) // 2] <= (g_hi - g_lo) * 3 // 4
+
+    # (2) an overlapping rewrite landing INSIDE the window conflicts
+    table2 = f"{scratch_dir('zopin2')}/t"
+    f0, s0 = mk(spark, 0, 300, "z2", table2)
+    _snap_commit(table2, f0, 0, stats=s0)
+    rw, _ = mk(spark, 0, 300, "z2rw", table2)
+
+    fired2 = []
+
+    def stage_then_rewrite(df, tbl, tag, cols):
+        out = real_stage(df, tbl, tag, cols)
+        if tag == "zopt" and not fired2:
+            fired2.append(True)
+            # someone rewrites one of OUR sources mid-window
+            snap_compact_optimistic(table2, [f0[0]], rw)
+        return out
+
+    st._snap_add_files_with_stats = stage_then_rewrite
+    try:
+        snap_optimize_zorder(spark, table2, "event_id", "user_id")
+        raise AssertionError("zorder retried through an overlapping rewrite")
+    except SnapCompactConflict:
+        pass
+    finally:
+        st._snap_add_files_with_stats = real_stage
+    assert fired2
+    # nothing from the failed zorder is visible
+    _, doc2 = _snap_latest_doc(table2)
+    assert set(doc2["files"]) == (set(f0) - {f0[0]}) | set(rw)
