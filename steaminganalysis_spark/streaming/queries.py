@@ -2888,3 +2888,287 @@ def stream_table_cdc_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     KVStore.reset(store_name)
     return out
+
+
+# ---------- the snapshot table as a STREAMING SOURCE (CDF, r13)
+
+
+def table_cdf_consumer_step(
+    spark: SparkSession,
+    src_table: str,
+    mv_table: str,
+    version: int,
+    key_col: str,
+    store_name: str,
+    marker: str,
+    crash_before_watermark: bool = False,
+) -> str:
+    """Consume ONE committed source version as one micro-batch — the
+    Delta/Iceberg "table as streaming source" contract (one batch per
+    commit, offsets = snapshot versions) — applying its change-data
+    -feed to a downstream MV table exactly once. The consumer-side
+    crash algebra mirrors snapshot_ingest_sink's (ADVICE r12), one
+    level up the pipeline: (1) the KVStore watermark guard skips
+    versions already fully consumed; (2) the MV table's own manifest
+    ``txn`` marker detects a crash that landed BETWEEN the MV commit
+    and the watermark advance — the replay re-advances the watermark
+    WITHOUT committing a duplicate MV successor (double-applying a
+    signed delta is silent data corruption, not just extra rows);
+    (3) the signed-delta application itself is the q_table_mv_from_cdf
+    refresh (insert/update_postimage add, delete/update_preimage
+    subtract — integer-cent monoids, exact); (4) the watermark
+    advances LAST. Returns which arm ran ('applied' /
+    'skipped-watermark' / 'skipped-txn') so harnesses and pins can
+    assert the exact path. ``crash_before_watermark`` injects the
+    crash window.
+
+    Scale shape: each step reads O(changed files) via snap_diff's
+    manifest-grain cancellation, aggregates O(changed rows) deltas
+    with map-side combine, and commits an O(groups) MV — a 100 TB
+    source table whose commit touched 0.1% of files costs the
+    consumer 0.1% of a scan, forever, with no change journal written
+    by the producer."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_latest_doc,
+        _snap_read,
+        snap_diff,
+    )
+    from steaminganalysis_spark.registry import to_cents
+    from steaminganalysis_spark.streaming.sinks import KVStore
+
+    store = KVStore.instance(store_name)
+    if version <= store.last_applied(marker):
+        return "skipped-watermark"
+    mv_v, mv_doc = _snap_latest_doc(mv_table)
+    mv_txn = mv_doc.get("txn", {})
+    if int(mv_txn.get(marker, -1)) >= version:
+        # crash landed between the MV commit and the watermark
+        # advance: the MV already holds this version's delta
+        store.apply_batch(version, [], marker)
+        return "skipped-txn"
+
+    diff = snap_diff(spark, src_table, version - 1, version, key_col)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = diff.groupBy("event_type").agg(
+        F.sum(sign).cast("long").alias("d_rows"),
+        F.sum(sign * to_cents(F.col("value"))).cast("long").alias("d_cents"),
+    )
+    mv1 = (
+        _snap_read(spark, mv_table, mv_v)
+        .join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("d_rows", F.lit(0)))
+            .alias("n_rows"),
+            (F.coalesce("cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0)))
+            .alias("cents"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .coalesce(1)
+    )
+    files = _snap_add_files(mv1, mv_table, f"cdf_v{version}")
+    _snap_commit(
+        mv_table, files, mv_v + 1, txn={**mv_txn, marker: version}
+    )
+    if crash_before_watermark:
+        return "applied"  # harness-injected crash: watermark NOT advanced
+    store.apply_batch(version, [], marker)
+    return "applied"
+
+
+@query(
+    "q_stream_from_table_cdf",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(event_id) // 4 AS cut FROM events),
+    final AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id <= (SELECT cut FROM mx)
+                  THEN value + 10.0 ELSE value END AS value
+      FROM events
+      WHERE NOT (event_id <= (SELECT cut FROM mx)
+                 AND event_id % 131 = 0)
+      UNION ALL
+      SELECT event_id + 1000000000, event_type, value
+      FROM events WHERE event_id % 97 = 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_from_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE SNAPSHOT TABLE AS A STREAMING SOURCE — the read-side twin
+    of q_stream_table_ingest, completing the table-format streaming
+    loop: a producer commits v0 (history) → v1 (an append) → v2 (a
+    COW merge with updates AND deletes), and a downstream consumer
+    treats each committed version as ONE micro-batch (offsets =
+    snapshot versions — exactly Delta's streaming-source contract),
+    deriving the change-data-feed from the manifests alone (no
+    journal) and folding signed deltas into an exactly-once MV table.
+
+    The harness drives the full crash algebra live: v1 consumes
+    normally; v2's consumption CRASHES between the MV commit and the
+    watermark advance; the restart replays v2 and must take the
+    manifest-txn skip arm (asserted — a re-apply would double the
+    deltas and silently corrupt), leaving exactly three MV commits
+    (asserted). Final gates: the MV equals the re-aggregated source
+    head row-for-row (exceptAll both ways), and the oracle states the
+    post-merge content from raw events — a sign error, a double-
+    applied replay, or a missed delete all hash-mismatch.
+
+    Scale: consumer cost per batch is O(changed files + changed rows)
+    via manifest-grain diff cancellation — the economics that make
+    "stream from the lakehouse table" viable at 100 TB where tailing
+    a journal or rescanning snapshots is not. Reference parity: the
+    reference's Kafka→rollup pipeline (KafkaApp:44-80) re-expressed
+    with the TABLE as the transport."""
+    import os
+
+    from steaminganalysis_spark.operators.storage import (
+        DIFF_DEL_MOD,
+        MERGE_INSERT_OFFSET,
+        _snap_add_files,
+        _snap_add_files_with_stats,
+        _snap_commit,
+        _snap_commit_cas,
+        _snap_read,
+        _snap_versions,
+    )
+    from steaminganalysis_spark.registry import to_cents
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("stream_cdf_src")
+    src = os.path.join(tmp, "src_table")
+    mv = os.path.join(tmp, "mv_table")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    # producer: v0 = history, range-clustered with stats
+    base, bstats = _snap_add_files_with_stats(
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        src,
+        "cdfsrc_base",
+        ["event_id"],
+    )
+    _snap_commit(src, base, 0, stats=bstats)
+
+    # v1 = append (%97 re-keyed inserts land as new files)
+    ins, ins_stats = _snap_add_files_with_stats(
+        ev.filter(F.expr("event_id % 97 = 0")).select(
+            (F.col("event_id") + F.lit(MERGE_INSERT_OFFSET)).alias("event_id"),
+            "event_type",
+            "value",
+        ),
+        src,
+        "cdfsrc_ins",
+        ["event_id"],
+    )
+    s1 = dict(bstats)
+    s1.update(ins_stats)
+    if not _snap_commit_cas(src, base + ins, 1, stats=s1):
+        raise RuntimeError("single-writer CDF harness lost a CAS race (v1)")
+
+    # v2 = COW merge: inside the <= max/4 span, +10 updates and
+    # %DIFF_DEL_MOD deletes; only span-matched files rewrite
+    cut = int(ev.agg(F.max("event_id")).first()[0]) // 4
+    ddir = os.path.join(src, "data")
+    matched = [f for f in base if bstats[f]["event_id"][0] <= cut]
+    rewritten = (
+        spark.read.parquet(*[os.path.join(ddir, f) for f in matched])
+        .filter(
+            ~(
+                (F.col("event_id") <= cut)
+                & (F.col("event_id") % DIFF_DEL_MOD == 0)
+            )
+        )
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") <= cut, F.col("value") + F.lit(10.0))
+            .otherwise(F.col("value")),
+        )
+    )
+    rw, rw_stats = _snap_add_files_with_stats(
+        rewritten, src, "cdfsrc_rw", ["event_id"]
+    )
+    untouched = [f for f in base if f not in matched]
+    s2 = {f: s1[f] for f in untouched + ins}
+    s2.update(rw_stats)
+    if not _snap_commit_cas(src, untouched + ins + rw, 2, stats=s2):
+        raise RuntimeError("single-writer CDF harness lost a CAS race (v2)")
+
+    # consumer bootstrap: MV v0 materialized from source v0
+    marker = f"{KEY_PREFIX}cdf-consumer:{run}"
+    store_name = f"stream_cdf_{run}"
+    mv0 = (
+        _snap_read(spark, src, 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(to_cents(F.col("value"))).cast("long").alias("cents"),
+        )
+        .coalesce(1)
+    )
+    _snap_commit(mv, _snap_add_files(mv0, mv, "cdfmv_base"), 0, txn={marker: 0})
+    KVStore.instance(store_name).apply_batch(0, [], marker)
+
+    # consume v1 normally; v2 crashes between MV commit and watermark
+    arms = [
+        table_cdf_consumer_step(
+            spark, src, mv, 1, "event_id", store_name, marker
+        ),
+        table_cdf_consumer_step(
+            spark,
+            src,
+            mv,
+            2,
+            "event_id",
+            store_name,
+            marker,
+            crash_before_watermark=True,
+        ),
+    ]
+    # restart: the watermark still says 1, so v2 replays — and must
+    # take the manifest-txn skip arm instead of double-applying
+    arms.append(
+        table_cdf_consumer_step(
+            spark, src, mv, 2, "event_id", store_name, marker
+        )
+    )
+    if arms != ["applied", "applied", "skipped-txn"]:
+        raise RuntimeError(f"consumer crash algebra took wrong arms: {arms}")
+    if KVStore.instance(store_name).last_applied(marker) != 2:
+        raise RuntimeError("replay did not re-advance the watermark")
+    if sorted(_snap_versions(mv)) != [0, 1, 2]:
+        raise RuntimeError("duplicate or missing MV commit after replay")
+
+    # stream≡batch: the MV equals the re-aggregated source head
+    final = _snap_read(spark, mv).localCheckpoint(eager=True)
+    reagg = (
+        _snap_read(spark, src)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(to_cents(F.col("value"))).cast("long").alias("cents"),
+        )
+    )
+    if final.exceptAll(reagg).take(1) or reagg.exceptAll(final).take(1):
+        raise RuntimeError("consumer MV diverged from source re-aggregation")
+
+    out = (
+        final.select(
+            "event_type",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("cents").cast("double") / 100.0).alias("total_value"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)  # detach before scratch cleanup
+    )
+    KVStore.reset(store_name)
+    return out
+

@@ -149,6 +149,12 @@ deferred_to_round14: set[str] = {
     # user_id predicates prune where the range layout was blind;
     # conflict algebra pinned with mid-window fault injections)
     "q_table_optimize_zorder",
+    # round-13 additions (streaming/queries.py — the snapshot table as
+    # a STREAMING SOURCE: one micro-batch per committed version,
+    # offsets = snapshot versions, CDF from manifests alone; consumer-
+    # side commit/watermark crash window closed by the MV table's own
+    # txn marker; stream≡batch and oracle hash-checked)
+    "q_stream_from_table_cdf",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

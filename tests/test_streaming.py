@@ -2476,3 +2476,68 @@ def test_cdc_dv_sink_fold_semantics(spark):
     _v3, doc3 = _snap_latest_doc(table)
     assert _json.dumps(doc3, sort_keys=True) == before
     KVStore.reset(store_name)
+
+
+def test_table_cdf_consumer_crash_arms_and_group_lifecycle(spark):
+    """q_stream_from_table_cdf pins, driving table_cdf_consumer_step
+    directly: (1) the three arms fire in the right order across a
+    commit-then-crash replay (applied -> skipped-txn -> skipped-
+    watermark), with exactly one MV commit for the crashed version;
+    (2) a group deleted to zero rows DROPS from the MV (never lingers
+    at 0); (3) a group born in a later version appears."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_read,
+        _snap_versions,
+    )
+    from steaminganalysis_spark.registry import to_cents
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.queries import (
+        table_cdf_consumer_step,
+    )
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    src = f"{scratch_dir('cdfpin')}/src"
+    mv = f"{scratch_dir('cdfpin')}/mv"
+    v0 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        "event_id long, event_type string, value double",
+    )
+    _snap_commit(src, _snap_add_files(v0, src, "c0"), 0)
+    # v1: b fully deleted, c born, a untouched
+    v1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (9, "c", 9.0)],
+        "event_id long, event_type string, value double",
+    )
+    _snap_commit(src, _snap_add_files(v1, src, "c1"), 1)
+
+    marker = f"{KEY_PREFIX}cdfpin:x"
+    store_name = "cdfpin_store"
+    mv0 = v0.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(to_cents(F.col("value"))).cast("long").alias("cents"),
+    )
+    _snap_commit(mv, _snap_add_files(mv0, mv, "m0"), 0, txn={marker: 0})
+    KVStore.instance(store_name).apply_batch(0, [], marker)
+
+    arms = [
+        table_cdf_consumer_step(
+            spark, src, mv, 1, "event_id", store_name, marker,
+            crash_before_watermark=True,
+        ),
+        table_cdf_consumer_step(
+            spark, src, mv, 1, "event_id", store_name, marker
+        ),
+        table_cdf_consumer_step(
+            spark, src, mv, 1, "event_id", store_name, marker
+        ),
+    ]
+    assert arms == ["applied", "skipped-txn", "skipped-watermark"]
+    assert sorted(_snap_versions(mv)) == [0, 1]  # exactly one v1 commit
+    got = {
+        r.event_type: (r.n_rows, r.cents)
+        for r in _snap_read(spark, mv).collect()
+    }
+    assert got == {"a": (2, 300), "c": (1, 900)}  # b dropped, c born
+    KVStore.reset(store_name)
