@@ -4442,3 +4442,156 @@ def table_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -------------- DESCRIBE HISTORY metadata relation (r13)
+
+
+def snap_history(spark: SparkSession, table: str) -> DataFrame:
+    """The table's HISTORY as a queryable relation (Delta's DESCRIBE
+    HISTORY / Iceberg's snapshots metadata table), computed from
+    manifests + parquet FOOTER metadata only — no data page is read:
+    per committed version, the file count, the exact row count (sum
+    of footer num_rows over listed files), files added/removed vs the
+    predecessor, and the operation CLASS derived from the file-set
+    algebra (append ⊇ predecessor; metadata-only = same files;
+    rewrite otherwise). Row counts from footers are exact — parquet
+    writers record them — so the history table is hash-checkable, not
+    just descriptive.
+
+    Scale: O(versions · files) name-set arithmetic plus one footer
+    metadata read per distinct file (cached across versions that share
+    files); on a real deployment the row counts ride the manifest at
+    commit time (the Iceberg snapshot summary) and even the footer
+    reads disappear."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    committed = _snap_versions(table)
+    ddir = os.path.join(table, "data")
+    rows_cache: dict[str, int] = {}
+
+    def nrows(f: str) -> int:
+        if f not in rows_cache:
+            rows_cache[f] = pq.ParquetFile(
+                os.path.join(ddir, f)
+            ).metadata.num_rows
+        return rows_cache[f]
+
+    out = []
+    prev: set[str] = set()
+    for v in sorted(committed):
+        doc = json.loads(
+            open(os.path.join(table, "manifests", committed[v])).read()
+        )
+        cur = set(doc["files"])
+        added, removed = cur - prev, prev - cur
+        if v == sorted(committed)[0]:
+            op = "create"
+        elif cur == prev:
+            op = "metadata-only"
+        elif cur >= prev:
+            op = "append"
+        elif cur <= prev:
+            op = "delete"
+        else:
+            op = "rewrite"
+        out.append(
+            (
+                v,
+                op,
+                len(cur),
+                sum(nrows(f) for f in cur),
+                len(added),
+                len(removed),
+            )
+        )
+        prev = cur
+    return spark.createDataFrame(
+        out,
+        "version long, operation string, n_files long, n_rows long,"
+        " n_added_files long, n_removed_files long",
+    )
+
+
+@query(
+    "q_table_history",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(COUNT(CASE WHEN event_id % 10 < 8 THEN 1 END) AS BIGINT)
+               AS v0_rows,
+             CAST(COUNT(*) AS BIGINT) AS all_rows
+      FROM events
+    )
+    SELECT 0 AS version, 'create' AS operation, CAST(4 AS BIGINT) AS n_files,
+           v0_rows AS n_rows, CAST(4 AS BIGINT) AS n_added_files,
+           CAST(0 AS BIGINT) AS n_removed_files FROM c
+    UNION ALL
+    SELECT 1, 'append', 5, all_rows, 1, 0 FROM c
+    UNION ALL
+    SELECT 2, 'metadata-only', 5, all_rows, 0, 0 FROM c
+    UNION ALL
+    SELECT 3, 'rewrite', 2, all_rows, 2, 5 FROM c
+    ORDER BY 1
+    """,
+)
+def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY — the operational metadata relation every
+    lakehouse ships (Delta DESCRIBE HISTORY, Iceberg snapshots/
+    manifests metadata tables), here computed from manifests + footer
+    metadata ALONE and returned as a DataFrame you can join, filter,
+    and alert on. The harness commits the four operation classes —
+    create (4 range files), append (+1 file), metadata-only (an
+    ANALYZE NDV commit — same file list), rewrite (a 2-file
+    compaction replacing all 5) — and the relation must state, per
+    version, the operation class derived from file-set algebra, the
+    file counts, the added/removed counts, and the EXACT row count
+    from parquet footers. Every number is deterministic, so the
+    oracle hash-checks what is normally a described-not-verified
+    surface: a wrong footer sum, a misclassified operation, or a
+    missed removal all mismatch.
+
+    Scale: the relation costs O(versions · files) metadata arithmetic
+    — the observability query a 100 TB table answers without touching
+    a data page. Reference parity: no history surface in the
+    reference (SURVEY §2 B.1 extension)."""
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snaphist')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    # v0 create: 4 range-clustered files over the %10<8 history slice
+    base, bstats = _snap_add_files_with_stats(
+        ev.filter(F.expr("event_id % 10 < 8"))
+        .repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id"),
+        table,
+        "hist_base",
+        ["event_id"],
+    )
+    if len(base) != 4:
+        raise RuntimeError(f"harness expected 4 base files, got {len(base)}")
+    _snap_commit(table, base, 0, stats=bstats)
+
+    # v1 append: the %10>=8 delta as one file
+    delta = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 >= 8")).coalesce(1), table, "hist_d"
+    )
+    if len(delta) != 1:
+        raise RuntimeError("harness expected 1 delta file")
+    snap_append_optimistic(table, delta)
+
+    # v2 metadata-only: an ANALYZE NDV commit (same file list)
+    snap_analyze_ndv(spark, table, "event_type", "event_id + 1")
+
+    # v3 rewrite: compact everything into 2 files
+    v2, doc2 = _snap_latest_doc(table)
+    staged = _snap_add_files(
+        _snap_read(spark, table, v2).repartition(2), table, "hist_c"
+    )
+    if len(staged) != 2:
+        raise RuntimeError("harness expected 2 compacted files")
+    snap_compact_optimistic(table, doc2["files"], staged)
+
+    return snap_history(spark, table).orderBy("version")

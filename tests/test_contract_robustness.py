@@ -155,6 +155,11 @@ deferred_to_round14: set[str] = {
     # side commit/watermark crash window closed by the MV table's own
     # txn marker; stream≡batch and oracle hash-checked)
     "q_stream_from_table_cdf",
+    # round-13 additions (operators/storage.py — DESCRIBE HISTORY as a
+    # queryable relation from manifests + footer metadata alone: five
+    # operation classes by file-set algebra, exact footer row counts,
+    # added/removed file counts — hash-checked, not just described)
+    "q_table_history",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

@@ -1547,3 +1547,48 @@ def test_optimize_zorder_conflicts_stats_carry_and_tight_spans(spark):
     # nothing from the failed zorder is visible
     _, doc2 = _snap_latest_doc(table2)
     assert set(doc2["files"]) == (set(f0) - {f0[0]}) | set(rw)
+
+
+def test_snap_history_operation_classes_and_footer_rows(spark):
+    """q_table_history pins: the file-set algebra classifies all five
+    operation classes (create / append / metadata-only / delete /
+    rewrite) and the footer row counts are exact per version,
+    including across a delete commit (rows shrink) and a rewrite
+    (files replaced, rows preserved)."""
+    import json
+    import os
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_latest_doc,
+        snap_history,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('histpin')}/t"
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "event_id long, value double"
+    )
+    a = _snap_add_files(df.filter("event_id < 60").coalesce(1), table, "h0")
+    b = _snap_add_files(df.filter("event_id >= 60").coalesce(1), table, "h1")
+    _snap_commit(table, a, 0)                      # create: 60 rows
+    _snap_commit(table, a + b, 1)                  # append: 100 rows
+    doc1 = json.loads(
+        open(os.path.join(table, "manifests", "v1.json")).read()
+    )
+    doc1["note"] = "stats refresh"
+    doc1["version"] = 2
+    with open(os.path.join(table, "manifests", "v2.json"), "w") as fh:
+        json.dump(doc1, fh)                        # metadata-only
+    _snap_commit(table, a, 3)                      # delete: b dropped
+    c = _snap_add_files(df.filter("event_id < 60").repartition(2), table, "h2")
+    _snap_commit(table, c, 4)                      # rewrite: a -> c
+
+    hist = {r.version: r for r in snap_history(spark, table).collect()}
+    assert [hist[v].operation for v in range(5)] == [
+        "create", "append", "metadata-only", "delete", "rewrite"
+    ]
+    assert [hist[v].n_rows for v in range(5)] == [60, 100, 100, 60, 60]
+    assert (hist[4].n_added_files, hist[4].n_removed_files) == (2, 1)
+    assert (hist[3].n_added_files, hist[3].n_removed_files) == (0, 1)
