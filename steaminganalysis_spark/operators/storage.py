@@ -4595,3 +4595,166 @@ def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap_compact_optimistic(table, doc2["files"], staged)
 
     return snap_history(spark, table).orderBy("version")
+
+
+# ---------- corpus curation as audited table commits (r13)
+
+CURATE_MIN_CHARS = 120  # quality floor
+CURATE_FP_LEN = 50  # prefix-fingerprint length for exact-head dedup
+
+
+@query(
+    "q_corpus_curation_commits",
+    oracle=f"""
+    WITH cls AS (
+      SELECT *, MIN(CASE WHEN n_chars >= {CURATE_MIN_CHARS}
+                         THEN doc_id END)
+                OVER (PARTITION BY SUBSTR(text, 1, {CURATE_FP_LEN})) AS m
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(CASE WHEN n_chars >= {CURATE_MIN_CHARS}
+                AND doc_id = m THEN 1 END) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars >= {CURATE_MIN_CHARS}
+                AND doc_id = m THEN n_chars ELSE 0 END) AS BIGINT)
+             AS sum_chars,
+           CAST(COUNT(CASE WHEN n_chars < {CURATE_MIN_CHARS} THEN 1 END)
+             AS BIGINT) AS n_dropped_quality,
+           CAST(COUNT(CASE WHEN n_chars >= {CURATE_MIN_CHARS}
+                AND doc_id != m THEN 1 END) AS BIGINT) AS n_dropped_dup
+    FROM cls GROUP BY 1 ORDER BY 1
+    """,
+)
+def corpus_curation_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS CURATION AS AUDITED TABLE COMMITS — the LLM-pipeline
+    dedup/quality stack composed with the table format, because at
+    100 TB "filter the corpus" is not a DataFrame you forget — it is
+    a COMMIT you can time-travel, diff, and account for: the raw
+    documents land as snapshot v0; ONE curation pass classifies every
+    doc (quality floor n_chars ≥ {Q}; prefix-fingerprint dedup — keep
+    the lowest doc_id per {L}-char head among quality-passing docs,
+    the reason precedence real pipelines use); and the removals
+    commit as MERGE-ON-READ equality deletes (q_table_merge_dv's
+    machinery) — scattered single-document deletes are exactly the
+    case where copy-on-write rewrites the whole corpus for nothing,
+    and the live gate asserts the commit rewrote ZERO data files
+    (pure-DV, asserted from the decision record AND the unchanged
+    file list). Readers apply the DVs via one broadcast anti-join.
+
+    Audit trail: raw v0 stays time-travelable; the removal relation
+    carries a per-row REASON; and the reconciliation gate ties them
+    to the table (v0 count − MoR count == removals). The returned
+    per-language accounting (kept docs/chars + drops by reason)
+    hash-checks against the oracle stating the same policy from raw
+    documents — a wrong keep-choice, a double-removal, or a DV leak
+    all mismatch. Reference parity: no curation surface in the
+    reference (SURVEY §2 B.9 extension; composes q_dedup_exact /
+    q_quality_score semantics with the snapshot table)."""
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapcurate')}/table"
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    files, stats = _snap_add_files_with_stats(
+        docs.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id"),
+        table,
+        "curate_base",
+        ["doc_id"],
+    )
+    _snap_commit(table, files, 0, stats=stats)
+
+    # one classification pass: quality floor, then fingerprint dedup
+    # among survivors (window over the prefix — one shuffle)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.substring("text", 1, CURATE_FP_LEN))
+    cls = _snap_read(spark, table, 0).withColumn(
+        "m",
+        F.min(
+            F.when(
+                F.col("n_chars") >= CURATE_MIN_CHARS, F.col("doc_id")
+            )
+        ).over(w),
+    )
+    removals = (
+        cls.filter(
+            (F.col("n_chars") < CURATE_MIN_CHARS)
+            | (F.col("doc_id") != F.col("m"))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("n_chars") < CURATE_MIN_CHARS, F.lit("low_quality")
+            )
+            .otherwise(F.lit("duplicate"))
+            .alias("reason"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    decision = snap_delete_optimistic(
+        spark, table, removals.select("doc_id"), "doc_id", dv_threshold=0.5
+    )
+    # gate 1: scattered deletes took the PURE-DV path — no rewrite,
+    # and the DV write actually targeted files (a vacuous decision
+    # record would mean the deletes never reached the table)
+    if decision["cow_rewritten"]:
+        raise RuntimeError(
+            f"curation deletes rewrote files: {decision['cow_rewritten']}"
+        )
+    if not decision["dv_targets"]:
+        raise RuntimeError("curation commit recorded no DV targets")
+    _, doc1 = _snap_latest_doc(table)
+    if sorted(doc1["files"]) != sorted(files):
+        raise RuntimeError("pure-DV commit changed the data file list")
+
+    kept = snap_read_mor(spark, table, "doc_id")
+    # gate 2: reconciliation — raw minus curated == removals
+    n_raw = _snap_read(spark, table, 0).count()
+    n_kept = kept.count()
+    n_rm = removals.count()
+    if n_raw - n_kept != n_rm:
+        raise RuntimeError(
+            f"audit mismatch: {n_raw} raw - {n_kept} kept != {n_rm} removals"
+        )
+
+    kept_agg = kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    drop_agg = (
+        removals.groupBy("lang")
+        .pivot("reason", ["low_quality", "duplicate"])
+        .count()
+        .select(
+            "lang",
+            F.coalesce("low_quality", F.lit(0))
+            .cast("long")
+            .alias("n_dropped_quality"),
+            F.coalesce("duplicate", F.lit(0))
+            .cast("long")
+            .alias("n_dropped_dup"),
+        )
+    )
+    return (
+        kept_agg.join(drop_agg, "lang", "full_outer")
+        .select(
+            "lang",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("sum_chars", F.lit(0)).cast("long").alias("sum_chars"),
+            F.coalesce("n_dropped_quality", F.lit(0))
+            .cast("long")
+            .alias("n_dropped_quality"),
+            F.coalesce("n_dropped_dup", F.lit(0))
+            .cast("long")
+            .alias("n_dropped_dup"),
+        )
+        .orderBy("lang")
+    )
+
+
+corpus_curation_commits.__doc__ = corpus_curation_commits.__doc__.replace(
+    "{Q}", str(CURATE_MIN_CHARS)
+).replace("{L}", str(CURATE_FP_LEN))

@@ -160,6 +160,12 @@ deferred_to_round14: set[str] = {
     # operation classes by file-set algebra, exact footer row counts,
     # added/removed file counts — hash-checked, not just described)
     "q_table_history",
+    # round-13 additions (operators/storage.py — corpus curation as
+    # audited table commits: quality floor + prefix-fingerprint dedup
+    # classified in one window pass, removals committed as pure-DV
+    # merge-on-read deletes (zero rewrite asserted), raw v0 stays
+    # time-travelable, per-language accounting hash-checked)
+    "q_corpus_curation_commits",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

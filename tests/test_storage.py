@@ -1592,3 +1592,69 @@ def test_snap_history_operation_classes_and_footer_rows(spark):
     assert [hist[v].n_rows for v in range(5)] == [60, 100, 100, 60, 60]
     assert (hist[4].n_added_files, hist[4].n_removed_files) == (2, 1)
     assert (hist[3].n_added_files, hist[3].n_removed_files) == (0, 1)
+
+
+def test_curation_reason_precedence_and_time_travel_audit(spark):
+    """q_corpus_curation_commits pins on a hand-built corpus: (1) when
+    the LOWEST doc_id of a fingerprint group fails the quality floor,
+    the keep goes to the lowest QUALITY-PASSING id (the min-over-CASE
+    window, easy to get wrong as plain min); (2) a doc failing
+    quality inside a dup group is reason='low_quality', never
+    'duplicate'; (3) raw v0 stays time-travelable after the curation
+    commit (audit trail)."""
+    from steaminganalysis_spark.operators.storage import (
+        CURATE_FP_LEN,
+        CURATE_MIN_CHARS,
+        _snap_add_files_with_stats,
+        _snap_commit,
+        _snap_read,
+        snap_delete_optimistic,
+        snap_read_mor,
+    )
+    from pyspark.sql import Window
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    head = "x" * CURATE_FP_LEN
+    lo = CURATE_MIN_CHARS - 1
+    hi = CURATE_MIN_CHARS + 50
+    rows = [
+        (1, head + " short", "en", lo),   # dup-group head but low quality
+        (2, head + " longer a", "en", hi),  # the rightful keep
+        (3, head + " longer b", "en", hi),  # duplicate of 2
+        (4, "y" * CURATE_FP_LEN, "de", hi),  # unique, kept
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    table = f"{scratch_dir('curpin')}/t"
+    f, s = _snap_add_files_with_stats(
+        docs.coalesce(2), table, "cp", ["doc_id"]
+    )
+    _snap_commit(table, f, 0, stats=s)
+
+    w = Window.partitionBy(F.substring("text", 1, CURATE_FP_LEN))
+    cls = _snap_read(spark, table, 0).withColumn(
+        "m",
+        F.min(
+            F.when(F.col("n_chars") >= CURATE_MIN_CHARS, F.col("doc_id"))
+        ).over(w),
+    )
+    removals = cls.filter(
+        (F.col("n_chars") < CURATE_MIN_CHARS) | (F.col("doc_id") != F.col("m"))
+    ).select(
+        "doc_id",
+        F.when(F.col("n_chars") < CURATE_MIN_CHARS, F.lit("low_quality"))
+        .otherwise(F.lit("duplicate"))
+        .alias("reason"),
+    )
+    got = {r.doc_id: r.reason for r in removals.collect()}
+    assert got == {1: "low_quality", 3: "duplicate"}  # (1) and (2)
+
+    snap_delete_optimistic(
+        spark, table, removals.select("doc_id"), "doc_id", dv_threshold=0.9
+    )
+    assert sorted(
+        r.doc_id for r in snap_read_mor(spark, table, "doc_id").collect()
+    ) == [2, 4]
+    # (3) raw v0 still fully readable — the audit trail survives
+    assert _snap_read(spark, table, 0).count() == 4
