@@ -4001,48 +4001,91 @@ def _lowbias32_py(v: int) -> int:
     return (x >> 16) ^ x
 
 
-def _bloom_positions_py(key: int) -> list[int]:
+def _bloom_positions_py(key: int, m_bits: int | None = None) -> list[int]:
     """The BLP position family (aggregates._blp_pos_sql) in Python:
-    k=BLP_K probes at lowbias32((key mod 2³²) + j·stride) mod BLP_BITS."""
+    k=BLP_K probes at lowbias32((key mod 2³²) + j·stride) mod m_bits
+    (default BLP_BITS — the fixed-width sketch family's width)."""
     from steaminganalysis_spark.operators.aggregates import (
         BLP_BITS,
         BLP_K,
         BLP_SEED,
     )
 
+    m = BLP_BITS if m_bits is None else m_bits
     return [
-        _lowbias32_py((key % 4294967296) + j * BLP_SEED) % BLP_BITS
+        _lowbias32_py((key % 4294967296) + j * BLP_SEED) % m
         for j in range(BLP_K)
     ]
+
+
+# adaptive per-file bloom sizing: ~10 bits/key keeps FPR ≈ 1% at k=4;
+# the r13b probe measured the fixed 16-Kbit width SATURATING at 25 k
+# rows/file (planned 8/8 — zero pruning), which is why real formats
+# size blooms to per-file cardinality.
+BLOOM_BITS_PER_KEY = 10
+BLOOM_MIN_BITS = 1 << 14
+BLOOM_MAX_BITS = 1 << 24
+
+
+def _bloom_width(n_rows: int) -> int:
+    """Per-file bloom width: next power of two ≥ bits-per-key·rows,
+    clamped to [2^14, 2^24] (2 KiB – 2 MiB of bitset per file)."""
+    need = max(BLOOM_MIN_BITS, BLOOM_BITS_PER_KEY * max(n_rows, 1))
+    m = BLOOM_MIN_BITS
+    while m < need and m < BLOOM_MAX_BITS:
+        m <<= 1
+    return m
 
 
 def snap_bloom_build(spark: SparkSession, table: str, col: str) -> int:
     """Per-file BLOOM FILTERS riding the manifest as a metadata-only
     commit (the Parquet bloom-filter / Delta bloom-index idea lifted
-    to manifest grain): one scan computes, per data file, a
-    BLP_BITS-wide bloom over crc32(col) — positions from the portable
-    lowbias32 family, 32-bit words folded with bit_or — and the
-    successor manifest carries the sparse word maps. Point lookups on
-    a high-entropy column (where min/max spans cover everything and
-    stats-pruning is useless) then skip files at PLANNING time.
+    to manifest grain): one scan computes, per data file, a bloom over
+    crc32(col) — positions from the portable lowbias32 family, 32-bit
+    words folded with bit_or — and the successor manifest carries the
+    sparse word maps. Each file's width is sized to ITS cardinality
+    (_bloom_width: ~10 bits per footer row, power of two, clamped) —
+    the r13b probe measured a fixed width saturating at 25 k rows/file
+    (zero pruning), the failure mode real formats avoid by sizing to
+    the file. Point lookups on a high-entropy column (where min/max
+    spans cover everything and stats-pruning is useless) then skip
+    files at PLANNING time.
 
-    Scale shape: the shuffled state is (file, word) — ≤ files·512
-    rows regardless of input size, map-side combine does the fold;
-    the collect is O(files·words) metadata. On a cluster each write
-    task returns its file's bloom with the commit message (Iceberg
+    Scale shape: the shuffled state is (file, word) — bounded by
+    files·(width/32) rows with map-side combine doing the fold; the
+    collect is O(files·words) metadata. On a cluster each write task
+    returns its file's bloom with the commit message (Iceberg
     DataFile contract); this is the single-process reduction."""
     import json
 
+    import pyarrow.parquet as pq
+
     from steaminganalysis_spark.operators.aggregates import (
         BLP_K,
-        _blp_pos_sql,
+        BLP_SEED,
+    )
+    from steaminganalysis_spark.operators.aggregates import (
+        _hllp_hash_sql,
     )
 
     v, doc = _snap_latest_doc(table)
     ddir = os.path.join(table, "data")
-    pos = _blp_pos_sql("({a} ^ {b})", "DIV", "h0")
+    m_map = {
+        f: _bloom_width(
+            pq.ParquetFile(os.path.join(ddir, f)).metadata.num_rows
+        )
+        for f in doc["files"]
+    }
+    m_df = F.broadcast(
+        spark.createDataFrame(
+            sorted(m_map.items()), "_file string, _m long"
+        )
+    )
+    low = _hllp_hash_sql(
+        "({a} ^ {b})", "DIV", f"(h0 % 4294967296) + j * {BLP_SEED}"
+    )
     stacked = ", ".join(
-        f"CAST({pos.replace('+ j *', f'+ {j} *')} AS INT)"
+        f"CAST(({low.replace('j *', f'{j} *')}) % _m AS INT)"
         for j in range(BLP_K)
     )
     words = (
@@ -4051,6 +4094,7 @@ def snap_bloom_build(spark: SparkSession, table: str, col: str) -> int:
             F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_file"),
             F.crc32(F.encode(F.col(col), "UTF-8")).alias("h0"),
         )
+        .join(m_df, "_file")
         .selectExpr("_file", f"stack({BLP_K}, {stacked}) AS pos")
         .selectExpr(
             "_file",
@@ -4065,7 +4109,7 @@ def snap_bloom_build(spark: SparkSession, table: str, col: str) -> int:
     for row in words:
         blooms[row["_file"]][str(row["w"])] = int(row["v"])
     new_doc = dict(doc)
-    new_doc["bloom"] = {"col": col, "words": blooms}
+    new_doc["bloom"] = {"col": col, "m": m_map, "words": blooms}
     new_doc["version"] = v + 1
     mdir = os.path.join(table, "manifests")
     tmp = os.path.join(mdir, f".v{v + 1}.json.inprogress")
@@ -4094,14 +4138,17 @@ def snap_read_bloom_pruned(
     doc = json.loads(
         open(os.path.join(table, "manifests", committed[v])).read()
     )
-    blooms = doc.get("bloom", {}).get("words", {})
-    positions = _bloom_positions_py(zlib.crc32(probe_value.encode("utf-8")))
+    bloom = doc.get("bloom", {})
+    blooms = bloom.get("words", {})
+    m_map = bloom.get("m", {})
+    crc = zlib.crc32(probe_value.encode("utf-8"))
     planned = []
     for f in doc["files"]:
         wmap = blooms.get(f)
-        if wmap is None:
-            planned.append(f)  # no bloom recorded -> must keep
+        if wmap is None or f not in m_map:
+            planned.append(f)  # no (sized) bloom recorded -> must keep
             continue
+        positions = _bloom_positions_py(crc, int(m_map[f]))
         if all(
             (wmap.get(str(p // 32), 0) >> (p % 32)) & 1 for p in positions
         ):
