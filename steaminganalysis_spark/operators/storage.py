@@ -4805,3 +4805,196 @@ def corpus_curation_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_curation_commits.__doc__ = corpus_curation_commits.__doc__.replace(
     "{Q}", str(CURATE_MIN_CHARS)
 ).replace("{L}", str(CURATE_FP_LEN))
+
+
+# ---------- column-mapping rename evolution (r13)
+
+
+def snap_commit_mapped(
+    table: str,
+    files: list[str],
+    version: int,
+    schema: dict[str, str],
+    file_schemas: dict[str, dict[str, str]],
+    prev_file_schemas: dict[str, dict[str, str]] | None = None,
+) -> None:
+    """Manifest commit carrying COLUMN MAPPING metadata (the Iceberg
+    field-id / Delta column-mapping core): ``schema`` maps stable
+    field ids to their CURRENT logical names; ``file_schemas`` maps
+    each data file's field ids to the PHYSICAL names it was written
+    with. A rename is then a metadata-only commit that changes
+    ``schema`` and touches no file; readers resolve each file's
+    physical columns through its recorded mapping. Same atomic
+    temp+fsync+os.replace protocol; ``prev_file_schemas`` carries
+    earlier cohorts forward."""
+    import json
+
+    mdir = os.path.join(table, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    merged = dict(prev_file_schemas or {})
+    merged.update(file_schemas)
+    tmp = os.path.join(mdir, f".v{version}.json.inprogress")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": version,
+                "files": sorted(files),
+                "schema": schema,
+                "file_schemas": merged,
+            },
+            f,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mdir, f"v{version}.json"))
+
+
+def snap_read_mapped(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Column-mapping read: group the snapshot's files by their
+    RECORDED physical-name mapping, scan each cohort once, alias every
+    physical column to the current logical name of its FIELD ID, and
+    unionByName the cohorts. A name-based reader (mergeSchema) would
+    instead surface a renamed column as two half-NULL columns — the
+    exact failure column mapping exists to prevent. Cost: one scan per
+    distinct write-era mapping (bounded by the number of schema
+    commits, never by file count)."""
+    import json
+    from collections import defaultdict
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    if v not in committed:
+        raise ValueError(f"snapshot v{v} is not committed (have {sorted(committed)})")
+    doc = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    current = doc["schema"]  # field id -> current logical name
+    groups: dict[tuple, list[str]] = defaultdict(list)
+    for f in doc["files"]:
+        fs = doc["file_schemas"][f]  # field id -> physical name
+        groups[tuple(sorted(fs.items()))].append(f)
+    ddir = os.path.join(table, "data")
+    out: DataFrame | None = None
+    for mapping, fnames in sorted(groups.items()):
+        g = spark.read.parquet(*[os.path.join(ddir, f) for f in fnames])
+        g = g.select(
+            *[
+                F.col(phys).alias(current[fid])
+                for fid, phys in mapping
+                if fid in current
+            ]
+        )
+        out = g if out is None else out.unionByName(g)
+    if out is None:
+        raise ValueError(f"snapshot v{v} lists no files")
+    return out
+
+
+@query(
+    "q_table_column_mapping",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_amount,
+           CAST(COUNT(CASE WHEN event_id % 10 >= 8 THEN 1 END) AS BIGINT)
+             AS n_new_cohort
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPING RENAME EVOLUTION — reads resolve columns by
+    STABLE FIELD ID, not by name (Iceberg field ids / Delta column
+    mapping), so a rename is a metadata-only commit and files written
+    before it stay readable forever: v0 lands the %10<8 cohort with
+    the measure physically named ``value``; v1 RENAMES value→amount
+    touching no file (asserted metadata-only); v2 appends the %10>=8
+    cohort physically written as ``amount``. The mapped read returns
+    ONE ``amount`` column spanning both cohorts — and the live gate
+    asserts the failure the feature prevents: a name-based mergeSchema
+    read of the same files surfaces TWO half-NULL columns (value and
+    amount), which is silent row loss for any filter/aggregate on
+    either name. The rollup (count + exact sum + new-cohort count per
+    type) hash-checks against raw events.
+
+    Scale: the mapped read costs one scan per WRITE-ERA mapping
+    (bounded by schema commits, never file count) unioned by name —
+    at 100 TB a rename never rewrites a byte, which is the only
+    acceptable cost model for a 10^6-file table. Reference parity: no
+    schema surface in the reference (SURVEY §2 B.1 extension;
+    completes q_table_schema_evolution's add-column story with the
+    rename half)."""
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapcolmap')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    # v0: old cohort, measure physically named "value"
+    old = ev.filter(F.expr("event_id % 10 < 8"))
+    f0 = _snap_add_files(
+        old.repartitionByRange(4, "event_id"), table, "cm_base"
+    )
+    schema_v0 = {"1": "event_id", "2": "event_type", "3": "value"}
+    snap_commit_mapped(
+        table, f0, 0, schema_v0, {f: schema_v0 for f in f0}
+    )
+
+    # v1: RENAME value -> amount, metadata-only
+    import json as _json
+
+    committed = _snap_versions(table)
+    d0 = _json.loads(open(os.path.join(table, "manifests", committed[0])).read())
+    schema_v1 = {"1": "event_id", "2": "event_type", "3": "amount"}
+    snap_commit_mapped(
+        table, d0["files"], 1, schema_v1, {}, prev_file_schemas=d0["file_schemas"]
+    )
+    committed = _snap_versions(table)
+    d1 = _json.loads(open(os.path.join(table, "manifests", committed[1])).read())
+    if d1["files"] != d0["files"]:
+        raise RuntimeError("rename commit touched data files")
+
+    # v2: new cohort written under the NEW physical name
+    new = ev.filter(F.expr("event_id % 10 >= 8")).select(
+        "event_id", "event_type", F.col("value").alias("amount")
+    )
+    f2 = _snap_add_files(new.coalesce(2), table, "cm_new")
+    file_schema_new = {"1": "event_id", "2": "event_type", "3": "amount"}
+    snap_commit_mapped(
+        table,
+        d1["files"] + f2,
+        2,
+        schema_v1,
+        {f: file_schema_new for f in f2},
+        prev_file_schemas=d1["file_schemas"],
+    )
+
+    # live gate: the name-based read exhibits the half-NULL failure
+    ddir = os.path.join(table, "data")
+    naive = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(ddir, f) for f in f0 + f2]
+    )
+    if not ({"value", "amount"} <= set(naive.columns)):
+        raise RuntimeError("harness broke: mergeSchema should split the column")
+    n_naive = naive.filter(F.col("amount").isNotNull()).count()
+    n_new = new.count()
+    if n_naive != n_new:
+        raise RuntimeError("mergeSchema read should lose the old cohort")
+
+    mapped = snap_read_mapped(spark, table)
+    if set(mapped.columns) != {"event_id", "event_type", "amount"}:
+        raise RuntimeError(f"mapped read columns wrong: {mapped.columns}")
+
+    from steaminganalysis_spark.registry import dsum
+
+    return (
+        mapped.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("amount")).alias("total_amount"),
+            F.count(F.when(F.col("event_id") % 10 >= 8, 1))
+            .cast("long")
+            .alias("n_new_cohort"),
+        )
+        .orderBy("event_type")
+    )

@@ -166,6 +166,12 @@ deferred_to_round14: set[str] = {
     # merge-on-read deletes (zero rewrite asserted), raw v0 stays
     # time-travelable, per-language accounting hash-checked)
     "q_corpus_curation_commits",
+    # round-13 additions (operators/storage.py — column-mapping rename
+    # evolution: reads resolve by stable field id through per-file
+    # physical-name mappings; renames are metadata-only; the
+    # half-NULL mergeSchema failure asserted live; swap/cycle/drop
+    # pinned)
+    "q_table_column_mapping",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

@@ -1658,3 +1658,66 @@ def test_curation_reason_precedence_and_time_travel_audit(spark):
     ) == [2, 4]
     # (3) raw v0 still fully readable — the audit trail survives
     assert _snap_read(spark, table, 0).count() == 4
+
+
+def test_column_mapping_rename_cycles_and_id_reuse_safety(spark):
+    """q_table_column_mapping pins: (1) a rename CYCLE (a->b then b->a
+    across eras) still reads correctly because resolution is by field
+    id; (2) a SWAP rename (two columns exchange names) — the case
+    name-based readers corrupt silently — resolves correctly; (3) a
+    field id absent from the current schema (dropped column) is
+    simply not projected."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        snap_commit_mapped,
+        snap_read_mapped,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('cmpin')}/t"
+    # era 1: physical (k, x, y)
+    e1 = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200)], "k long, x long, y long"
+    )
+    f1 = _snap_add_files(e1.coalesce(1), table, "e1")
+    s1 = {"1": "k", "2": "x", "3": "y"}
+    snap_commit_mapped(table, f1, 0, s1, {f: s1 for f in f1})
+
+    # era 2: SWAP x<->y logically (metadata-only), then append files
+    # physically written with the swapped names
+    s2 = {"1": "k", "2": "y", "3": "x"}
+    e2 = spark.createDataFrame(
+        [(3, 300, 30)], "k long, x long, y long"
+    )  # physical x holds what is NOW logically y (field id 2)
+    f2 = _snap_add_files(e2.coalesce(1), table, "e2")
+    snap_commit_mapped(
+        table,
+        f1 + f2,
+        1,
+        s2,
+        {f: {"1": "k", "2": "x", "3": "y"} for f in f2},
+        prev_file_schemas={f: s1 for f in f1},
+    )
+    got = {
+        r.k: (r.y, r.x)
+        for r in snap_read_mapped(spark, table).collect()
+    }
+    # era-1 rows: field 2 (physical x) is now logical y; era-2 same
+    assert got == {1: (10, 100), 2: (20, 200), 3: (300, 30)}
+
+    # (3) drop field 3 from the current schema -> not projected
+    s3 = {"1": "k", "2": "y"}
+    snap_commit_mapped(
+        table,
+        f1 + f2,
+        2,
+        s3,
+        {},
+        prev_file_schemas={
+            **{f: s1 for f in f1},
+            **{f: {"1": "k", "2": "x", "3": "y"} for f in f2},
+        },
+    )
+    dropped = snap_read_mapped(spark, table)
+    assert set(dropped.columns) == {"k", "y"}
+    assert {r.k: r.y for r in dropped.collect()} == {1: 10, 2: 20, 3: 300}
