@@ -4998,3 +4998,195 @@ def table_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------- sharded manifests / manifest list (r13)
+
+
+def snap_commit_sharded(
+    table: str,
+    files_by_part: dict[str, list[str]],
+    version: int,
+    stats_by_part: dict[str, dict] | None = None,
+    part_col: str = "day",
+) -> None:
+    """Manifest-LIST commit (the Iceberg metadata pyramid reduced to
+    its load-bearing two levels): one shard document per partition
+    value — carrying that partition's file list and per-file stats —
+    written first under uuid names (invisible: nothing references
+    them), then ONE atomic list-document rename that maps partition
+    values to shard files. Planning for a partition predicate then
+    reads the list (O(partitions) tuples) plus ONLY the matching
+    shards — metadata I/O proportional to the QUERY's partitions, not
+    the table's files. This is what keeps planning sane at 10^6 files:
+    a monolithic manifest re-parses every file's entry for every
+    query; shards localize both reads AND future commits (an append
+    to one partition rewrites one shard + the list)."""
+    import json
+    import uuid as _uuid
+
+    mdir = os.path.join(table, "manifests")
+    sdir = os.path.join(mdir, "shards")
+    os.makedirs(sdir, exist_ok=True)
+    shard_names: dict[str, str] = {}
+    for part, files in sorted(files_by_part.items()):
+        name = f"s-{_uuid.uuid4().hex[:12]}.json"
+        doc = {"part": part, "files": sorted(files)}
+        if stats_by_part and part in stats_by_part:
+            doc["stats"] = stats_by_part[part]
+        tmp = os.path.join(sdir, f".{name}.inprogress")
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(sdir, name))
+        shard_names[part] = name
+    tmp = os.path.join(mdir, f".v{version}.json.inprogress")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": version,
+                "format": "manifest-list",
+                "part_col": part_col,
+                "shards": shard_names,
+                # a flat file list rides along so every existing
+                # full-table reader (_snap_read, history, vacuum)
+                # keeps working — the list is the PLANNING shortcut
+                "files": sorted(
+                    f for fs in files_by_part.values() for f in fs
+                ),
+            },
+            f,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mdir, f"v{version}.json"))
+
+
+def snap_read_manifest_list(
+    spark: SparkSession,
+    table: str,
+    part_values: list[str],
+    version: int | None = None,
+) -> tuple[DataFrame, int, int, list[str]]:
+    """Manifest-list planned read: open the list document, then ONLY
+    the shards whose partition value is requested — metadata cost
+    O(matching shards); partition values absent from the list plan
+    nothing (they cannot exist). Returns (frame, shards_read,
+    total_shards, planned_files); the frame carries the partition
+    value as a literal column (the partition-identity projection the
+    partitioned-table reads use)."""
+    import json
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    doc = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    if doc.get("format") != "manifest-list":
+        raise ValueError(f"snapshot v{v} is not a manifest-list commit")
+    sdir = os.path.join(table, "manifests", "shards")
+    ddir = os.path.join(table, "data")
+    part_col = doc["part_col"]
+    out: DataFrame | None = None
+    planned: list[str] = []
+    shards_read = 0
+    for part in sorted(set(part_values)):
+        shard_name = doc["shards"].get(part)
+        if shard_name is None:
+            continue  # partition provably absent — zero I/O
+        shard = json.loads(open(os.path.join(sdir, shard_name)).read())
+        shards_read += 1
+        planned.extend(shard["files"])
+        g = spark.read.parquet(
+            *[os.path.join(ddir, f) for f in shard["files"]]
+        ).withColumn(part_col, F.lit(part))
+        out = g if out is None else out.unionByName(g)
+    if out is None:
+        raise ValueError(f"no requested partition exists in v{v}")
+    return out, shards_read, len(doc["shards"]), planned
+
+
+@query(
+    "q_table_manifest_list",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d FROM events
+    ),
+    ranked AS (
+      SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM days
+    ),
+    sel AS (SELECT d FROM ranked WHERE rn <= 3)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value,
+           CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT)
+             AS n_days
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') IN (SELECT d FROM sel)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_manifest_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARDED MANIFESTS UNDER A MANIFEST LIST — the metadata-scaling
+    layer (Iceberg's manifest-list/manifest pyramid): the
+    day-partitioned events table commits one shard document per day
+    plus ONE atomic list commit; a 3-day query then opens the list and
+    EXACTLY THREE shard documents (asserted live), never the other
+    days' metadata — planning I/O proportional to the query's
+    partitions, not the table's files. A monolithic manifest re-parses
+    every file's entry for every query, which is the actual bottleneck
+    at 10^6 files on an object store; shards also localize commits (an
+    append to one day rewrites one shard + the list). Requested
+    partitions absent from the list plan ZERO I/O (they provably do
+    not exist). The flat file list rides the list document so every
+    existing full-table reader keeps working. The 3-day rollup
+    hash-checks against raw events; shards_read == 3 < total_shards
+    and the planned files exactly covering the selected days are both
+    asserted live. Reference parity: elevates the reference's
+    day-bucketed output model (KafkaApp:58-60) to scalable metadata.
+    SURVEY §2 B.1 extension."""
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapmlist')}/table"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    days = [r["day"] for r in ev.select("day").distinct().orderBy("day").collect()]
+    files_by_part: dict[str, list[str]] = {}
+    for d in days:
+        files_by_part[d] = _snap_add_files(
+            ev.filter(F.col("day") == d).drop("day").coalesce(1),
+            table,
+            f"ml_{d}",
+        )
+    snap_commit_sharded(table, files_by_part, 0)
+
+    want = days[:3]
+    scan, shards_read, total_shards, planned = snap_read_manifest_list(
+        spark, table, want + ["1999-12-31"]  # the absent partition
+    )
+    if shards_read != len(want):
+        raise RuntimeError(
+            f"planned {shards_read} shards for {len(want)} existing days"
+        )
+    if total_shards <= len(want):
+        raise RuntimeError("harness broke: need more days than selected")
+    expect = sorted(f for d in want for f in files_by_part[d])
+    if sorted(planned) != expect:
+        raise RuntimeError("planned files do not match the selected shards")
+
+    return (
+        scan.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("day").cast("long").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

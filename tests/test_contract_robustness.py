@@ -172,6 +172,12 @@ deferred_to_round14: set[str] = {
     # half-NULL mergeSchema failure asserted live; swap/cycle/drop
     # pinned)
     "q_table_column_mapping",
+    # round-13 additions (operators/storage.py — sharded manifests
+    # under a manifest list: planning opens the list + ONLY matching
+    # shard docs, absent partitions plan zero I/O, shards are
+    # invisible until the atomic list rename, commits localize to one
+    # shard + the list)
+    "q_table_manifest_list",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

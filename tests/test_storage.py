@@ -1721,3 +1721,59 @@ def test_column_mapping_rename_cycles_and_id_reuse_safety(spark):
     dropped = snap_read_mapped(spark, table)
     assert set(dropped.columns) == {"k", "y"}
     assert {r.k: r.y for r in dropped.collect()} == {1: 10, 2: 20, 3: 300}
+
+
+def test_manifest_list_shard_invisibility_and_localized_commit(spark):
+    """q_table_manifest_list pins: (1) shard documents written before
+    the list commit are INVISIBLE (a crash between shard writes and
+    the list rename leaves readers on the previous version); (2) a
+    localized v1 commit (one partition's shard replaced, others
+    re-referenced by name) changes only that partition's read; (3) a
+    requested partition absent from the list plans zero shards."""
+    import json
+    import os
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        snap_commit_sharded,
+        snap_read_manifest_list,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('mlpin')}/t"
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, float(i)) for i in range(lo, hi)], "event_id long, value double"
+    ).coalesce(1)
+    parts0 = {
+        "2024-01-01": _snap_add_files(mk(0, 10), table, "p1"),
+        "2024-01-02": _snap_add_files(mk(10, 30), table, "p2"),
+    }
+    snap_commit_sharded(table, parts0, 0)
+
+    # (1) stage orphan shard docs with NO list commit -> invisible
+    sdir = os.path.join(table, "manifests", "shards")
+    with open(os.path.join(sdir, "s-orphan.json"), "w") as fh:
+        json.dump({"part": "2024-01-03", "files": ["nope.parquet"]}, fh)
+    df, shards_read, total, planned = snap_read_manifest_list(
+        spark, table, ["2024-01-01", "2024-01-02", "2024-01-03"]
+    )
+    assert shards_read == 2 and total == 2  # orphan shard invisible
+    assert df.count() == 30
+
+    # (2) localized commit: day 2 compacted, day 1 re-referenced
+    parts1 = dict(parts0)
+    parts1["2024-01-02"] = _snap_add_files(mk(10, 30), table, "p2b")
+    snap_commit_sharded(table, parts1, 1)
+    df1, _, _, planned1 = snap_read_manifest_list(spark, table, ["2024-01-01"])
+    assert planned1 == parts0["2024-01-01"]  # day-1 files unchanged
+    df2, _, _, planned2 = snap_read_manifest_list(spark, table, ["2024-01-02"])
+    assert planned2 == parts1["2024-01-02"] != parts0["2024-01-02"]
+    assert df2.count() == 20
+
+    # (3) absent partition alone -> error (nothing exists), absent +
+    # present -> zero extra shard reads
+    try:
+        snap_read_manifest_list(spark, table, ["1999-01-01"])
+        raise AssertionError("absent-only request should raise")
+    except ValueError:
+        pass
