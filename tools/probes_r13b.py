@@ -175,6 +175,71 @@ def main() -> None:
         f"(rows identical {n_b:,d})"
     )
 
+    # ---- probe 4: manifest-list planning vs monolithic (metadata
+    # only — synthetic file entries, no data files; what is measured
+    # is exactly the planner's JSON I/O + parse + match work)
+    print("== planning: monolithic manifest vs manifest list ==")
+    import json
+
+    for n_parts in (256, 1024, 4096):
+        tdir = f"{scratch_dir('pb_ml')}/t{n_parts}"
+        parts = {
+            f"2024-{1 + i // 31:02d}-{1 + i % 31:02d}x{i}": [
+                f"f{i}-{j}.parquet" for j in range(4)
+            ]
+            for i in range(n_parts)
+        }
+        # monolithic: one doc, every file entry with its tuple
+        mono = {
+            "files": [f for fs in parts.values() for f in fs],
+            "partitions": {
+                f: {"day": p} for p, fs in parts.items() for f in fs
+            },
+        }
+        mdir = os.path.join(tdir, "mono")
+        os.makedirs(mdir)
+        with open(os.path.join(mdir, "v0.json"), "w") as fh:
+            json.dump(mono, fh)
+        # sharded: one doc per partition + the list
+        sdir = os.path.join(tdir, "shards")
+        os.makedirs(sdir)
+        shard_names = {}
+        for p, fs in parts.items():
+            name = f"s-{p}.json"
+            with open(os.path.join(sdir, name), "w") as fh:
+                json.dump({"part": p, "files": fs}, fh)
+            shard_names[p] = name
+        with open(os.path.join(tdir, "list.json"), "w") as fh:
+            json.dump({"shards": shard_names}, fh)
+
+        want = set(list(parts)[:3])
+
+        def plan_mono():
+            doc = json.load(open(os.path.join(mdir, "v0.json")))
+            return [
+                f
+                for f in doc["files"]
+                if doc["partitions"][f]["day"] in want
+            ]
+
+        def plan_sharded():
+            doc = json.load(open(os.path.join(tdir, "list.json")))
+            out = []
+            for p in want:
+                shard = json.load(
+                    open(os.path.join(sdir, doc["shards"][p]))
+                )
+                out.extend(shard["files"])
+            return out
+
+        t_mono, a = best3(plan_mono)
+        t_shard, b = best3(plan_sharded)
+        assert sorted(a) == sorted(b) and len(a) == 12
+        print(
+            f"parts={n_parts:5d} plan(monolithic)={t_mono*1000:8.3f}ms "
+            f"plan(list+3 shards)={t_shard*1000:8.3f}ms"
+        )
+
     spark.stop()
 
 
