@@ -3755,32 +3755,50 @@ def snap_analyze_ndv(
 
     v, doc = _snap_latest_doc(table)
     ddir = os.path.join(table, "data")
-    regs = (
-        spark.read.parquet(*[os.path.join(ddir, f) for f in doc["files"]])
-        .select(
-            F.element_at(
-                F.split(F.input_file_name(), "/"), -1
-            ).alias("_file"),
-            F.col(group_col),
-            F.expr(
-                f"{_hllp_hash_sql('({a} ^ {b})', 'DIV', key_expr)}"
-            ).alias("h"),
-        )
-        .selectExpr(
-            "_file",
-            group_col,
-            f"h % {HLLP_M} AS j",
-            f"{_hllp_rank_sql('DIV')} AS r",
-        )
-        .groupBy("_file", group_col, "j")
-        .agg(F.max("r").alias("r"))
-        .collect()
+    # INCREMENTAL: files whose registers already ride the latest
+    # manifest (same group_col) keep them untouched — ANALYZE after an
+    # append scans ONLY the new files, never the table. Per-file
+    # registers are immutable once computed (files are immutable), so
+    # the carried-forward entries are exactly what a rescan would
+    # produce.
+    prev = doc.get("ndv", {})
+    carried: dict[str, dict[str, dict[str, int]]] = (
+        {
+            f: regs
+            for f, regs in prev.get("registers", {}).items()
+            if f in set(doc["files"])
+        }
+        if prev.get("group_col") == group_col
+        else {}
     )
-    ndv: dict[str, dict[str, dict[str, int]]] = {}
-    for row in regs:
-        ndv.setdefault(row["_file"], {}).setdefault(
-            str(row[group_col]), {}
-        )[str(row["j"])] = int(row["r"])
+    todo = [f for f in doc["files"] if f not in carried]
+    ndv: dict[str, dict[str, dict[str, int]]] = dict(carried)
+    if todo:
+        regs = (
+            spark.read.parquet(*[os.path.join(ddir, f) for f in todo])
+            .select(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("_file"),
+                F.col(group_col),
+                F.expr(
+                    f"{_hllp_hash_sql('({a} ^ {b})', 'DIV', key_expr)}"
+                ).alias("h"),
+            )
+            .selectExpr(
+                "_file",
+                group_col,
+                f"h % {HLLP_M} AS j",
+                f"{_hllp_rank_sql('DIV')} AS r",
+            )
+            .groupBy("_file", group_col, "j")
+            .agg(F.max("r").alias("r"))
+            .collect()
+        )
+        for row in regs:
+            ndv.setdefault(row["_file"], {}).setdefault(
+                str(row[group_col]), {}
+            )[str(row["j"])] = int(row["r"])
     new_doc = dict(doc)
     new_doc["ndv"] = {"group_col": group_col, "registers": ndv}
     new_doc["version"] = v + 1

@@ -1777,3 +1777,79 @@ def test_manifest_list_shard_invisibility_and_localized_commit(spark):
         raise AssertionError("absent-only request should raise")
     except ValueError:
         pass
+
+
+def test_analyze_ndv_incremental_scans_only_new_files(spark):
+    """ANALYZE after an append must scan ONLY the new files: existing
+    per-file registers carry forward untouched (files are immutable,
+    so carried == rescanned), the merged estimate still equals the
+    full recompute, and a DIFFERENT group_col triggers a full rescan
+    (carried entries keyed by the old grouping are unusable)."""
+    import json
+    import os
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_versions,
+        snap_analyze_ndv,
+        snap_append_optimistic,
+        snap_ndv_estimates,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('ndvinc')}/t"
+    f1 = _snap_add_files(
+        spark.createDataFrame(
+            [(i, "a", i % 11) for i in range(200)],
+            "event_id long, event_type string, user_id long",
+        ).coalesce(1),
+        table,
+        "ni1",
+    )
+    _snap_commit(table, f1, 0)
+    snap_analyze_ndv(spark, table, "event_type", "user_id + 1")
+    est1 = snap_ndv_estimates(table)
+
+    committed = _snap_versions(table)
+    doc1 = json.loads(
+        open(os.path.join(table, "manifests", committed[max(committed)])).read()
+    )
+    regs_f1_before = json.dumps(
+        doc1["ndv"]["registers"][f1[0]], sort_keys=True
+    )
+
+    f2 = _snap_add_files(
+        spark.createDataFrame(
+            [(i, "a", 100 + i % 23) for i in range(100)],
+            "event_id long, event_type string, user_id long",
+        ).coalesce(1),
+        table,
+        "ni2",
+    )
+    snap_append_optimistic(table, f2)
+    snap_analyze_ndv(spark, table, "event_type", "user_id + 1")
+
+    committed = _snap_versions(table)
+    doc2 = json.loads(
+        open(os.path.join(table, "manifests", committed[max(committed)])).read()
+    )
+    # f1's registers carried forward byte-identically; f2's are new
+    assert (
+        json.dumps(doc2["ndv"]["registers"][f1[0]], sort_keys=True)
+        == regs_f1_before
+    )
+    assert f2[0] in doc2["ndv"]["registers"]
+    # merged estimate reflects BOTH cohorts (34 distinct > est1's 11)
+    est2 = snap_ndv_estimates(table)
+    assert est2["a"] > est1["a"]
+    assert abs(est2["a"] / 1000.0 - 34) <= 5
+
+    # different group_col -> carried entries unusable, full rescan
+    v = snap_analyze_ndv(spark, table, "event_id", "user_id + 1")
+    committed = _snap_versions(table)
+    doc3 = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    assert doc3["ndv"]["group_col"] == "event_id"
+    assert set(doc3["ndv"]["registers"]) == set(f1 + f2)
