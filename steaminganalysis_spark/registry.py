@@ -681,6 +681,13 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_agg_salted, q_agg_mode_bool) to fill 50 — with nineteen deferred
 # round-13 additions the arithmetic is 2 canaries + 19 deferred + 29
 # round-7 stamps = 50 (the 30th round-7 stamp rolls to round 15);
+# execution-changed this round (the q_graph_triangles rule):
+# q_stream_table_ingest (sink commit upgraded from os.replace to
+# CAS-with-retry so concurrent maintenance commits commute) must
+# enter the window ahead of unchanged re-checks, displacing the
+# last fill slot; q_table_analyze_ndv's incremental carry and
+# q_table_bloom_skip's per-file sizing changed before their first
+# driver row and already sit in the deferred pin;
 # recompute at the freeze,
 # prefer oracled over rows-only, implementation-changed keys outrank
 # unchanged re-checks (the q_graph_triangles rule).

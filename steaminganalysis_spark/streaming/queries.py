@@ -1727,28 +1727,49 @@ def snapshot_ingest_sink(table: str, store_name: str, marker: str):
     from steaminganalysis_spark.streaming.sinks import KVStore
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from steaminganalysis_spark.operators.storage import _snap_commit_cas
+
         store = KVStore.instance(store_name)
         if batch_id <= store.last_applied(marker):
             return  # replayed, already-committed batch: exactly-once
-        # Resolve the previous snapshot via the latest-committed lookup
-        # (never v{batch_id}: batch ids restart at 0 on a fresh
-        # checkpoint, and a pre-loaded table may hold several
-        # committed snapshots before ingestion starts).
-        prev_v, prev_doc = _snap_latest_doc(table)
-        prev_txn = prev_doc.get("txn", {})
-        if int(prev_txn.get(marker, -1)) >= batch_id:
-            # Crash landed between the manifest commit and the
-            # watermark advance: the table already holds this batch.
-            store.apply_batch(batch_id, [], marker)
-            return
-        new_files = _snap_add_files(batch_df, table, f"ingest_b{batch_id}")
-        _snap_commit(
-            table,
-            prev_doc["files"] + new_files,
-            prev_v + 1,
-            txn={**prev_txn, marker: batch_id},
+        # Commit via CAS with a retry loop (r13): the sink used plain
+        # os.replace, which CLOBBERS (or is clobbered by) a concurrent
+        # maintenance commit — an OPTIMIZE landing mid-batch would
+        # silently lose one side. Append-vs-rewrite commits always
+        # COMMUTE (the retry re-reads the compacted file list and adds
+        # our files on top), so the loser retries, never aborts. The
+        # batch is staged ONCE outside the loop — a lost race costs one
+        # manifest read + one link syscall, no data rewrite.
+        new_files: list | None = None
+        for _ in range(20):
+            # Resolve the previous snapshot via the latest-committed
+            # lookup (never v{batch_id}: batch ids restart at 0 on a
+            # fresh checkpoint, and a pre-loaded table may hold several
+            # committed snapshots before ingestion starts).
+            prev_v, prev_doc = _snap_latest_doc(table)
+            prev_txn = prev_doc.get("txn", {})
+            if int(prev_txn.get(marker, -1)) >= batch_id:
+                # Crash landed between the manifest commit and the
+                # watermark advance: the table already holds this batch.
+                store.apply_batch(batch_id, [], marker)
+                return
+            if new_files is None:
+                new_files = _snap_add_files(
+                    batch_df, table, f"ingest_b{batch_id}"
+                )
+            if _snap_commit_cas(
+                table,
+                prev_doc["files"] + new_files,
+                prev_v + 1,
+                stats=prev_doc.get("stats"),
+                txn={**prev_txn, marker: batch_id},
+                dv=prev_doc.get("dv"),
+            ):
+                store.apply_batch(batch_id, [], marker)
+                return
+        raise RuntimeError(
+            f"ingest sink lost 20 consecutive commit races on {table}"
         )
-        store.apply_batch(batch_id, [], marker)
 
     return sink
 
@@ -2930,7 +2951,7 @@ def table_cdf_consumer_step(
     by the producer."""
     from steaminganalysis_spark.operators.storage import (
         _snap_add_files,
-        _snap_commit,
+        _snap_commit_cas,
         _snap_latest_doc,
         _snap_read,
         snap_diff,
@@ -2971,9 +2992,15 @@ def table_cdf_consumer_step(
         .coalesce(1)
     )
     files = _snap_add_files(mv1, mv_table, f"cdf_v{version}")
-    _snap_commit(
+    # CAS, not os.replace: the MV table has exactly one writer (this
+    # consumer), so a lost race means a misconfigured second consumer
+    # — fail loudly rather than clobber its commit.
+    if not _snap_commit_cas(
         mv_table, files, mv_v + 1, txn={**mv_txn, marker: version}
-    )
+    ):
+        raise RuntimeError(
+            f"MV table {mv_table} has a concurrent writer (CAS lost)"
+        )
     if crash_before_watermark:
         return "applied"  # harness-injected crash: watermark NOT advanced
     store.apply_batch(version, [], marker)

@@ -2541,3 +2541,72 @@ def test_table_cdf_consumer_crash_arms_and_group_lifecycle(spark):
     }
     assert got == {"a": (2, 300), "c": (1, 900)}  # b dropped, c born
     KVStore.reset(store_name)
+
+
+def test_ingest_sink_commutes_with_concurrent_compaction(spark):
+    """r13 hardening pin: an OPTIMIZE (compaction) commit landing
+    INSIDE the ingest sink's stage->commit window must COMMUTE — the
+    sink's CAS retry re-reads the compacted file list and lands the
+    batch on top; both the compaction and the batch survive, and
+    nothing is clobbered (the plain os.replace commit the sink used
+    before r13 would silently lose one side)."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_latest_doc,
+        _snap_read,
+        snap_compact_optimistic,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.queries import snapshot_ingest_sink
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    table = f"{scratch_dir('ingrace')}/t"
+    base = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(100)],
+        "event_id long, event_type string, value double",
+    )
+    f0 = _snap_add_files(base.repartition(4), table, "ig0")
+    _snap_commit(table, f0, 0)
+
+    store_name = "ingrace_store"
+    marker = f"{KEY_PREFIX}ingrace:x"
+
+    import steaminganalysis_spark.operators.storage as st
+
+    real_stage = st._snap_add_files
+    fired = []
+
+    def stage_then_compact(df, tbl, tag, *a, **kw):
+        out = real_stage(df, tbl, tag, *a, **kw)
+        if tag.startswith("ingest_b") and not fired:
+            fired.append(True)
+            # maintenance rewrites the 4 base files into 1 mid-window
+            staged = real_stage(
+                _snap_read(spark, table, 0).coalesce(1), table, "igc"
+            )
+            snap_compact_optimistic(table, f0, staged)
+        return out
+
+    # patch BEFORE building the sink: the factory imports
+    # _snap_add_files into its closure when called
+    st._snap_add_files = stage_then_compact
+    try:
+        sink = snapshot_ingest_sink(table, store_name, marker)
+        batch = spark.createDataFrame(
+            [(1000, "b", 7.0), (1001, "b", 8.0)],
+            "event_id long, event_type string, value double",
+        )
+        sink(batch, 0)
+    finally:
+        st._snap_add_files = real_stage
+    assert fired
+
+    v, doc = _snap_latest_doc(table)
+    assert v == 2  # compaction v1 + batch v2 — nothing clobbered
+    got = _snap_read(spark, table)
+    assert got.count() == 102  # both the compacted base and the batch
+    assert got.filter("event_type = 'b'").count() == 2
+    assert not (set(f0) & set(doc["files"]))  # compaction survived
+    assert int(doc["txn"][marker]) == 0  # the batch marker rode the CAS
+    KVStore.reset(store_name)
