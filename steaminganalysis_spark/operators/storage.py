@@ -5208,3 +5208,152 @@ def table_manifest_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------- aggregate pushdown to manifest stats (r13)
+
+
+def snap_agg_pushdown(
+    table: str, cols: list[str], version: int | None = None
+) -> dict | None:
+    """MIN/MAX/COUNT answered from MANIFEST METADATA ALONE — the
+    Iceberg aggregate-pushdown optimization: per-file [min, max]
+    bounds fold with min/max (exact — file bounds are real values
+    present in the data), and COUNT(*) is the sum of parquet footer
+    row counts. Zero data pages read, no Spark job. Returns None when
+    any listed file lacks stats for any requested column (the scan
+    fallback is then MANDATORY — stats-less pushdown would be wrong,
+    not just slow) or when the table is empty (MIN/MAX of nothing is
+    NULL — let the engine path state that). DV-carrying manifests also
+    return None: deleted-but-unrewritten rows are invisible to reads
+    but present in footers, so pushdown would overcount."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    doc = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    if not doc["files"] or doc.get("dv"):
+        return None
+    stats = doc.get("stats", {})
+    ddir = os.path.join(table, "data")
+    out: dict = {"n_rows": 0}
+    for f in doc["files"]:
+        if f not in stats or any(c not in stats[f] for c in cols):
+            return None  # pushdown ineligible — caller must scan
+        out["n_rows"] += pq.ParquetFile(
+            os.path.join(ddir, f)
+        ).metadata.num_rows
+        for c in cols:
+            lo, hi = stats[f][c]
+            out[f"min_{c}"] = (
+                lo if f"min_{c}" not in out else min(out[f"min_{c}"], lo)
+            )
+            out[f"max_{c}"] = (
+                hi if f"max_{c}" not in out else max(out[f"max_{c}"], hi)
+            )
+    return out
+
+
+@query(
+    "q_table_agg_pushdown",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+           CAST(MIN(user_id) AS BIGINT) AS min_user_id,
+           CAST(MAX(user_id) AS BIGINT) AS max_user_id
+    FROM events
+    """,
+)
+def table_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATE PUSHDOWN TO MANIFEST STATS — MIN/MAX/COUNT over the
+    snapshot table answered with ZERO data pages read (the Iceberg
+    aggregate-pushdown path): per-file manifest bounds fold exactly
+    (a file's min/max are real values present in it), COUNT(*) sums
+    parquet footer row counts, and no Spark job runs for the answer.
+    The live gates assert (1) the metadata answer equals a real scan
+    aggregate value-for-value, and (2) the eligibility guard: a file
+    stripped of its stats makes pushdown REFUSE (return None) rather
+    than silently answer from partial bounds — correctness never
+    depends on stats coverage. DV-carrying and empty manifests also
+    refuse (deleted-but-unrewritten rows sit in footers; MIN/MAX of
+    nothing is NULL). At 100 TB this is the difference between a
+    dashboard's COUNT(*) costing a manifest read and costing a
+    cluster-hour. Reference parity: no stats surface in the reference
+    (SURVEY §2 B.1 extension)."""
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapaggpd')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    files, stats = _snap_add_files_with_stats(
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        table,
+        "apd_base",
+        ["event_id", "user_id"],
+    )
+    _snap_commit(table, files, 0, stats=stats)
+
+    pushed = snap_agg_pushdown(table, ["event_id", "user_id"])
+    if pushed is None:
+        raise RuntimeError("pushdown refused on a fully-statted table")
+
+    # gate 1: metadata answer == real scan aggregate
+    scanned = (
+        _snap_read(spark, table)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("event_id").cast("long").alias("min_event_id"),
+            F.max("event_id").cast("long").alias("max_event_id"),
+            F.min("user_id").cast("long").alias("min_user_id"),
+            F.max("user_id").cast("long").alias("max_user_id"),
+        )
+        .first()
+        .asDict()
+    )
+    got = {
+        "n_rows": pushed["n_rows"],
+        "min_event_id": pushed["min_event_id"],
+        "max_event_id": pushed["max_event_id"],
+        "min_user_id": pushed["min_user_id"],
+        "max_user_id": pushed["max_user_id"],
+    }
+    if {k: int(v) for k, v in got.items()} != {
+        k: int(v) for k, v in scanned.items()
+    }:
+        raise RuntimeError(f"pushdown diverged from scan: {got} vs {scanned}")
+
+    # gate 2: eligibility — strip one file's stats, pushdown refuses
+    import json as _json
+
+    committed = _snap_versions(table)
+    mpath = os.path.join(table, "manifests", committed[0])
+    doc = _json.loads(open(mpath).read())
+    holed = dict(doc)
+    holed_stats = dict(doc["stats"])
+    del holed_stats[files[0]]
+    holed["stats"] = holed_stats
+    holed["version"] = 1
+    tmp = os.path.join(table, "manifests", ".v1.json.inprogress")
+    with open(tmp, "w") as fh:
+        _json.dump(holed, fh)
+    os.replace(tmp, os.path.join(table, "manifests", "v1.json"))
+    if snap_agg_pushdown(table, ["event_id", "user_id"], version=1) is not None:
+        raise RuntimeError("pushdown answered from partial stats")
+
+    return spark.createDataFrame(
+        [
+            (
+                int(got["n_rows"]),
+                int(got["min_event_id"]),
+                int(got["max_event_id"]),
+                int(got["min_user_id"]),
+                int(got["max_user_id"]),
+            )
+        ],
+        "n_rows long, min_event_id long, max_event_id long,"
+        " min_user_id long, max_user_id long",
+    )

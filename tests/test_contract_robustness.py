@@ -178,6 +178,11 @@ deferred_to_round14: set[str] = {
     # invisible until the atomic list rename, commits localize to one
     # shard + the list)
     "q_table_manifest_list",
+    # round-13 additions (operators/storage.py — aggregate pushdown to
+    # manifest stats: MIN/MAX/COUNT from per-file bounds + footer row
+    # counts with zero data pages and no Spark job; refuses on partial
+    # stats, DV-carrying manifests, and empty tables)
+    "q_table_agg_pushdown",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

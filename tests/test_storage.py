@@ -1853,3 +1853,53 @@ def test_analyze_ndv_incremental_scans_only_new_files(spark):
     )
     assert doc3["ndv"]["group_col"] == "event_id"
     assert set(doc3["ndv"]["registers"]) == set(f1 + f2)
+
+
+def test_agg_pushdown_dv_and_empty_refusal(spark):
+    """q_table_agg_pushdown pins: (1) a DV-carrying manifest REFUSES
+    pushdown (deleted-but-unrewritten rows sit in footers — answering
+    would overcount); (2) an empty table refuses (MIN/MAX of nothing
+    is NULL, the engine path must state it); (3) after the DVs are
+    folded away by a rewrite, pushdown works again and reflects the
+    deletes."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files_with_stats,
+        _snap_commit,
+        snap_agg_pushdown,
+        snap_delete_optimistic,
+        snap_read_mor,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('apdpin')}/t"
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "event_id long, value double"
+    )
+    f, s = _snap_add_files_with_stats(
+        df.coalesce(2), table, "ap", ["event_id"]
+    )
+    _snap_commit(table, f, 0, stats=s)
+    assert snap_agg_pushdown(table, ["event_id"]) == {
+        "n_rows": 100,
+        "min_event_id": 0,
+        "max_event_id": 99,
+    }
+
+    # (1) DV delete -> refusal
+    keys = spark.createDataFrame([(5,), (50,)], "event_id long")
+    snap_delete_optimistic(spark, table, keys, "event_id", dv_threshold=0.9)
+    assert snap_agg_pushdown(table, ["event_id"]) is None
+
+    # (3) rewrite folds the DVs -> eligible again, deletes reflected
+    kept = snap_read_mor(spark, table, "event_id")
+    f2, s2 = _snap_add_files_with_stats(
+        kept.coalesce(1), table, "ap2", ["event_id"]
+    )
+    _snap_commit(table, f2, 99, stats=s2)
+    got = snap_agg_pushdown(table, ["event_id"])
+    assert got == {"n_rows": 98, "min_event_id": 0, "max_event_id": 99}
+
+    # (2) empty table -> refusal
+    t2 = f"{scratch_dir('apdpin2')}/t"
+    _snap_commit(t2, [], 0, stats={})
+    assert snap_agg_pushdown(t2, ["event_id"]) is None
