@@ -5357,3 +5357,132 @@ def table_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, min_event_id long, max_event_id long,"
         " min_user_id long, max_user_id long",
     )
+
+
+# ---------- incremental scan between versions (r13)
+
+
+def snap_read_incremental(
+    spark: SparkSession, table: str, from_v: int, to_v: int
+) -> tuple[DataFrame, str]:
+    """INCREMENTAL SCAN between two committed versions (Iceberg's
+    incremental read): when EVERY step in (from_v, to_v] is
+    append-shaped or metadata-only (decided by the same file-set
+    algebra snap_history uses — pure manifest arithmetic), the change
+    set is exactly the files added along the way, so the read plans
+    (files(to) − files(from)) directly: zero diff work, zero reads of
+    pre-existing data, every returned row an insert. Any rewrite or
+    delete step in the range makes file arithmetic unsound (rewritten
+    files mix copied-through and changed rows), so the reader falls
+    back to snap_diff's full CDF classification and returns its
+    insert rows. Returns (frame, 'appends-fast-path' | 'diff-fallback')
+    so callers and pins can assert which strategy ran.
+
+    Scale: the fast path is the common case for ingest-style tables —
+    a day's catch-up read over a 100 TB table plans only the appended
+    files, with strategy selection costing O(versions·files) name-set
+    arithmetic on manifests the planner already reads."""
+    import json
+
+    committed = _snap_versions(table)
+    if from_v not in committed or to_v not in committed or from_v > to_v:
+        raise ValueError(f"bad version range [{from_v}, {to_v}]")
+    docs = {
+        v: json.loads(
+            open(os.path.join(table, "manifests", committed[v])).read()
+        )
+        for v in sorted(committed)
+        if from_v <= v <= to_v
+    }
+    append_only = True
+    prev = set(docs[from_v]["files"])
+    for v in sorted(docs):
+        if v == from_v:
+            continue
+        cur = set(docs[v]["files"])
+        if not (cur >= prev):
+            append_only = False
+            break
+        prev = cur
+    ddir = os.path.join(table, "data")
+    if append_only:
+        added = sorted(
+            set(docs[to_v]["files"]) - set(docs[from_v]["files"])
+        )
+        if not added:
+            first = os.path.join(ddir, docs[to_v]["files"][0])
+            return (
+                spark.read.parquet(first).filter(F.lit(False)),
+                "appends-fast-path",
+            )
+        return (
+            spark.read.parquet(*[os.path.join(ddir, f) for f in added]),
+            "appends-fast-path",
+        )
+    key_col = "event_id"
+    diff = snap_diff(spark, table, from_v, to_v, key_col)
+    return (
+        diff.filter(F.col("_change_type") == "insert").drop("_change_type"),
+        "diff-fallback",
+    )
+
+
+@query(
+    "q_table_incremental_read",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value
+    FROM events
+    WHERE event_id % 10 >= 8
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL READ BETWEEN VERSIONS — the catch-up consumer's
+    batch API (Iceberg incremental scan): v0 lands the %10<8 history,
+    v1 and v2 append the %10>=8 delta in two slices (with a
+    metadata-only ANALYZE commit between them to prove metadata steps
+    don't break the algebra); the incremental read v0→v3 must take the
+    APPENDS FAST PATH (asserted live) — file-set arithmetic plans
+    exactly the appended files, no diff classification, no read of
+    pre-existing data — and its rows hash-check against the raw delta
+    slice. The strategy dispatch is the point: append-only ranges are
+    the common case for ingest tables and cost O(added files); any
+    rewrite in the range flips to the snap_diff fallback (pinned in
+    tests with a COW step). Reference parity: the reference's restart
+    catch-up (ZkApp offset restore) elevated to table versions.
+    SURVEY §2 B.1 extension."""
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapincr')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 < 8")).repartitionByRange(4, "event_id"),
+        table,
+        "ir_base",
+    )
+    _snap_commit(table, base, 0)
+    d1 = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 = 8")).coalesce(1), table, "ir_d1"
+    )
+    snap_append_optimistic(table, d1)
+    snap_analyze_ndv(spark, table, "event_type", "event_id + 1")  # metadata-only
+    d2 = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 = 9")).coalesce(1), table, "ir_d2"
+    )
+    snap_append_optimistic(table, d2)
+
+    frame, strategy = snap_read_incremental(spark, table, 0, 3)
+    if strategy != "appends-fast-path":
+        raise RuntimeError(f"append-only range took {strategy}")
+
+    return (
+        frame.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

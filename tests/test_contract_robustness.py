@@ -183,6 +183,11 @@ deferred_to_round14: set[str] = {
     # counts with zero data pages and no Spark job; refuses on partial
     # stats, DV-carrying manifests, and empty tables)
     "q_table_agg_pushdown",
+    # round-13 additions (operators/storage.py — incremental scan
+    # between versions: append-only ranges take a file-arithmetic fast
+    # path planning exactly the added files; any rewrite in the range
+    # falls back to snap_diff's insert class; strategy asserted)
+    "q_table_incremental_read",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

@@ -1903,3 +1903,45 @@ def test_agg_pushdown_dv_and_empty_refusal(spark):
     t2 = f"{scratch_dir('apdpin2')}/t"
     _snap_commit(t2, [], 0, stats={})
     assert snap_agg_pushdown(t2, ["event_id"]) is None
+
+
+def test_incremental_read_fallback_on_rewrite_and_empty_range(spark):
+    """q_table_incremental_read pins: (1) a REWRITE step inside the
+    range flips the strategy to the snap_diff fallback, whose insert
+    rows match the true inserts (copied-through rows never leak);
+    (2) an empty append-only range returns an empty typed frame on
+    the fast path; (3) same-version range is empty."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        snap_compact_optimistic,
+        snap_read_incremental,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('irpin')}/t"
+    base = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(50)],
+        "event_id long, event_type string, value double",
+    )
+    f0 = _snap_add_files(base.repartition(2), table, "ir0")
+    _snap_commit(table, f0, 0)
+
+    # (3)/(2): same-version and append-only-but-empty ranges
+    empty, strat = snap_read_incremental(spark, table, 0, 0)
+    assert strat == "appends-fast-path" and empty.count() == 0
+    assert set(empty.columns) == {"event_id", "event_type", "value"}
+
+    # v1: rewrite (compaction) + v2: append
+    rw = _snap_add_files(base.coalesce(1), table, "irrw")
+    snap_compact_optimistic(table, f0, rw)
+    ins = spark.createDataFrame(
+        [(100, "b", 1.0), (101, "b", 2.0)],
+        "event_id long, event_type string, value double",
+    )
+    f2 = _snap_add_files(ins.coalesce(1), table, "ir2")
+    _snap_commit(table, rw + f2, 2)
+
+    got, strat = snap_read_incremental(spark, table, 0, 2)
+    assert strat == "diff-fallback"  # rewrite inside the range
+    assert sorted(r.event_id for r in got.collect()) == [100, 101]
