@@ -3199,3 +3199,202 @@ def stream_from_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     KVStore.reset(store_name)
     return out
 
+
+
+# ---------- table-to-table replication via CDF (r13)
+
+
+@query(
+    "q_stream_table_replicate",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(event_id) // 4 AS cut FROM events),
+    final AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id <= (SELECT cut FROM mx)
+                  THEN value + 10.0 ELSE value END AS value
+      FROM events
+      WHERE event_id % 131 != 0
+      UNION ALL
+      SELECT event_id + 1000000000, event_type, value
+      FROM events WHERE event_id % 97 = 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value,
+           CAST(MIN(event_id) AS BIGINT) AS lo_id,
+           CAST(MAX(event_id) AS BIGINT) AS hi_id
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_table_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-TO-TABLE REPLICATION VIA THE CHANGE-DATA-FEED — the
+    composition the last two table-format waves were building toward:
+    the CDF comes OUT of the source through snap_diff (no journal —
+    q_table_snapshot_diff's manifest-grain derivation), maps 1:1 onto
+    CDC ops (insert→I, update_postimage→U, delete→D; preimages drop),
+    and goes INTO the replica through the full-CDC DV sink
+    (q_stream_table_cdc_dv's apply: updates COW span-matched files,
+    inserts append, deletes take the merge-on-read path) — each source
+    version one exactly-once replica commit, version = batch id, the
+    sink's replay guard + txn map unchanged. This is lakehouse
+    replication (Delta deep-clone-by-CDF / Fivetran-style table sync)
+    built ENTIRELY from already-pinned components, which is the point:
+    the crash algebra, pruning economics, and write-amplification
+    behavior were each proven separately and compose without new
+    machinery.
+
+    Live gates: (1) after consuming both versions the replica's
+    merge-on-read content equals the source head ROW FOR ROW
+    (exceptAll both ways — the replication invariant); (2) a replay of
+    the last version leaves the replica manifest byte-identical;
+    (3) the replica carries a dv map (the scattered source deletes
+    took the DV path — zero rewrite amplification on the replica,
+    asserted). The per-type rollup (with id bounds witnessing the
+    re-keyed inserts and deletes) hash-checks against the oracle
+    stating the source's post-merge content from raw events.
+
+    Scale: per version the replica pays O(diff rows) + O(span-matched
+    replica files) — a 100 TB source whose merge touched 0.1% of keys
+    replicates for 0.1% of a scan on each side. Reference parity: the
+    reference's Kafka relay re-expressed as table→table transport
+    (SURVEY §2 B.8 extension)."""
+    import json
+    import os
+
+    from steaminganalysis_spark.operators.storage import (
+        DIFF_DEL_MOD,
+        MERGE_INSERT_OFFSET,
+        _snap_add_files_with_stats,
+        _snap_commit,
+        _snap_commit_cas,
+        _snap_latest_doc,
+        _snap_read,
+        snap_diff,
+        snap_read_mor,
+    )
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("stream_replicate")
+    src = os.path.join(tmp, "src")
+    rep = os.path.join(tmp, "replica")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    # source history: v0 base / v1 append / v2 COW merge (the
+    # q_stream_from_table_cdf producer shape)
+    base, bstats = _snap_add_files_with_stats(
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        src,
+        "rep_base",
+        ["event_id"],
+    )
+    _snap_commit(src, base, 0, stats=bstats)
+    ins, ins_stats = _snap_add_files_with_stats(
+        ev.filter(F.expr("event_id % 97 = 0")).select(
+            (F.col("event_id") + F.lit(MERGE_INSERT_OFFSET)).alias("event_id"),
+            "event_type",
+            "value",
+        ),
+        src,
+        "rep_ins",
+        ["event_id"],
+    )
+    s1 = dict(bstats)
+    s1.update(ins_stats)
+    if not _snap_commit_cas(src, base + ins, 1, stats=s1):
+        raise RuntimeError("single-writer replicate harness lost a CAS race")
+    cut = int(ev.agg(F.max("event_id")).first()[0]) // 4
+    ddir = os.path.join(src, "data")
+    # the source v2 merge deletes %DIFF_DEL_MOD keys across the WHOLE
+    # base range (so the replica sees deletes both inside and outside
+    # its update span — the out-of-span ones must take its DV path)
+    # and updates +10 inside the <= cut span; every base file rewrites
+    rewritten = (
+        spark.read.parquet(*[os.path.join(ddir, f) for f in base])
+        .filter(~(F.col("event_id") % DIFF_DEL_MOD == 0))
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") <= cut, F.col("value") + F.lit(10.0))
+            .otherwise(F.col("value")),
+        )
+    )
+    rw, rw_stats = _snap_add_files_with_stats(
+        rewritten, src, "rep_rw", ["event_id"]
+    )
+    s2 = {f: s1[f] for f in ins}
+    s2.update(rw_stats)
+    if not _snap_commit_cas(src, ins + rw, 2, stats=s2):
+        raise RuntimeError("single-writer replicate harness lost a CAS race")
+
+    # replica bootstrap = source v0 content in its OWN files
+    rfiles, rstats = _snap_add_files_with_stats(
+        _snap_read(spark, src, 0)
+        .repartitionByRange(8, "event_id")
+        .sortWithinPartitions("event_id"),
+        rep,
+        "rep_boot",
+        ["event_id"],
+    )
+    _snap_commit(rep, rfiles, 0, stats=rstats)
+
+    # replicate: CDF out of the source, full-CDC into the replica
+    marker = f"{KEY_PREFIX}replicate:{run}"
+    store_name = f"replicate_{run}"
+    sink = snapshot_cdc_dv_sink(rep, store_name, marker)
+    for v in (1, 2):
+        diff = snap_diff(spark, src, v - 1, v, "event_id")
+        batch = diff.filter(F.col("_change_type") != "update_preimage").select(
+            F.when(F.col("_change_type") == "insert", F.lit("I"))
+            .when(F.col("_change_type") == "update_postimage", F.lit("U"))
+            .otherwise(F.lit("D"))
+            .alias("op"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+        sink(batch, v)
+
+    # gate 2: replaying the last version leaves the manifest identical
+    rv, rdoc = _snap_latest_doc(rep)
+    before = json.dumps(rdoc, sort_keys=True)
+    diff2 = snap_diff(spark, src, 1, 2, "event_id")
+    sink(
+        diff2.filter(F.col("_change_type") != "update_preimage").select(
+            F.when(F.col("_change_type") == "insert", F.lit("I"))
+            .when(F.col("_change_type") == "update_postimage", F.lit("U"))
+            .otherwise(F.lit("D"))
+            .alias("op"),
+            "event_id",
+            "event_type",
+            "value",
+        ),
+        2,
+    )
+    rv2, rdoc2 = _snap_latest_doc(rep)
+    if json.dumps(rdoc2, sort_keys=True) != before:
+        raise RuntimeError("replay mutated the replica manifest")
+    # gate 3: the scattered deletes took the DV path on the replica
+    if not rdoc2.get("dv"):
+        raise RuntimeError("replica deletes did not take the DV path")
+
+    # gate 1: the replication invariant — replica == source head
+    replica = snap_read_mor(spark, rep, "event_id").localCheckpoint(eager=True)
+    head = _snap_read(spark, src)
+    if replica.exceptAll(head).take(1) or head.exceptAll(replica).take(1):
+        raise RuntimeError("replica diverged from the source head")
+
+    out = (
+        replica.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+            F.min("event_id").cast("long").alias("lo_id"),
+            F.max("event_id").cast("long").alias("hi_id"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)  # detach before scratch cleanup
+    )
+    KVStore.reset(store_name)
+    return out

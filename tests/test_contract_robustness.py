@@ -188,6 +188,12 @@ deferred_to_round14: set[str] = {
     # path planning exactly the added files; any rewrite in the range
     # falls back to snap_diff's insert class; strategy asserted)
     "q_table_incremental_read",
+    # round-13 additions (streaming/queries.py — table-to-table
+    # replication: CDF out of the source via snap_diff, full-CDC into
+    # the replica via the DV sink, one exactly-once commit per source
+    # version; replica == source head row-for-row, replay
+    # byte-identical, scattered deletes take the replica's DV path)
+    "q_stream_table_replicate",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

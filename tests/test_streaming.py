@@ -2610,3 +2610,47 @@ def test_ingest_sink_commutes_with_concurrent_compaction(spark):
     assert not (set(f0) & set(doc["files"]))  # compaction survived
     assert int(doc["txn"][marker]) == 0  # the batch marker rode the CAS
     KVStore.reset(store_name)
+
+
+def test_replicate_out_of_order_version_is_noop(spark):
+    """q_stream_table_replicate pin: feeding an OLDER source version
+    to the replica sink after a newer one already applied is a no-op
+    (the monotonic batch-id guard), never a partial re-apply — the
+    consumer loop owns ordering, the sink owns idempotence."""
+    import json
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files_with_stats,
+        _snap_commit,
+        _snap_latest_doc,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.queries import snapshot_cdc_dv_sink
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    rep = f"{scratch_dir('reppin')}/t"
+    base = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(50)],
+        "event_id long, event_type string, value double",
+    )
+    f, s = _snap_add_files_with_stats(
+        base.coalesce(2), rep, "rp", ["event_id"]
+    )
+    _snap_commit(rep, f, 0, stats=s)
+    store_name = "reppin_store"
+    marker = f"{KEY_PREFIX}reppin:x"
+    sink = snapshot_cdc_dv_sink(rep, store_name, marker)
+
+    b2 = spark.createDataFrame(
+        [("I", 100, "b", 1.0)], "op string, event_id long, event_type string, value double"
+    )
+    sink(b2, 2)  # newer version applies
+    _, doc = _snap_latest_doc(rep)
+    before = json.dumps(doc, sort_keys=True)
+    b1 = spark.createDataFrame(
+        [("D", 3, "a", 0.0)], "op string, event_id long, event_type string, value double"
+    )
+    sink(b1, 1)  # stale version: must be a no-op
+    _, doc2 = _snap_latest_doc(rep)
+    assert json.dumps(doc2, sort_keys=True) == before
+    KVStore.reset(store_name)
