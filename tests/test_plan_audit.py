@@ -524,3 +524,96 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_curation_mor_read_is_broadcast_anti_join(spark):
+    """q_corpus_curation_commits' read path: the DV application must
+    be a BROADCAST anti-join (the removal relation is O(removals)),
+    never a sort-merge — at 100 TB a shuffle of the corpus to apply a
+    0.1% delete set is the anti-pattern DVs exist to avoid."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files_with_stats,
+        _snap_commit,
+        snap_delete_optimistic,
+        snap_read_mor,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('plancur')}/t"
+    df = spark.range(2000).selectExpr(
+        "id AS event_id", "CAST(id AS DOUBLE) AS value"
+    )
+    f, s = _snap_add_files_with_stats(
+        df.coalesce(2), table, "pc", ["event_id"]
+    )
+    _snap_commit(table, f, 0, stats=s)
+    keys = spark.createDataFrame([(7,), (1500,)], "event_id long")
+    snap_delete_optimistic(spark, table, keys, "event_id", dv_threshold=0.9)
+    plan = physical_plan(snap_read_mor(spark, table, "event_id"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_and_manifest_list_reads_scan_only_planned_files(spark):
+    """Planned-file honesty for the two new planners: the frame
+    returned by a bloom-pruned read and by a manifest-list read must
+    report inputFiles exactly matching the planner's file list — the
+    pruning claim is about what the SCAN reads, not what a filter
+    drops later."""
+    import os
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        snap_bloom_build,
+        snap_commit_sharded,
+        snap_read_bloom_pruned,
+        snap_read_manifest_list,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    t1 = f"{scratch_dir('planbl')}/t"
+    fa = _snap_add_files(
+        spark.createDataFrame(
+            [(i, f"alpha-{i}") for i in range(50)], "doc_id long, text string"
+        ).coalesce(1),
+        t1,
+        "pb1",
+    )
+    fb = _snap_add_files(
+        spark.createDataFrame(
+            [(i, f"beta-{i}") for i in range(50, 100)],
+            "doc_id long, text string",
+        ).coalesce(1),
+        t1,
+        "pb2",
+    )
+    _snap_commit(t1, fa + fb, 0)
+    snap_bloom_build(spark, t1, "text")
+    scan, planned, _ = snap_read_bloom_pruned(spark, t1, "alpha-3")
+    got = sorted(os.path.basename(p) for p in scan.inputFiles())
+    assert got == sorted(planned) and fb[0] not in got
+
+    t2 = f"{scratch_dir('planml')}/t"
+    parts = {
+        "d1": _snap_add_files(
+            spark.createDataFrame([(1,)], "x long").coalesce(1), t2, "m1"
+        ),
+        "d2": _snap_add_files(
+            spark.createDataFrame([(2,)], "x long").coalesce(1), t2, "m2"
+        ),
+    }
+    snap_commit_sharded(t2, parts, 0)
+    frame, _, _, planned2 = snap_read_manifest_list(spark, t2, ["d1"])
+    got2 = sorted(os.path.basename(p) for p in frame.inputFiles())
+    assert got2 == sorted(planned2) == sorted(parts["d1"])
+
+
+def test_zorder_read_single_exchange(spark):
+    """q_table_optimize_zorder's registered read: planned-file scan →
+    row filter → per-type HashAggregate should cost exactly ONE
+    exchange (the rollup); the pruning happens at planning time, not
+    as a shuffle."""
+    df = QUERIES["q_table_optimize_zorder"](spark, SF)
+    assert count_exchanges(df) <= 2  # rollup + orderBy range exchange
+    assert_no_cartesian(df)
