@@ -5486,3 +5486,195 @@ def table_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------- CHECK constraints at commit time (r13)
+
+
+class SnapConstraintViolation(RuntimeError):
+    """A commit's data violates a table CHECK constraint — the commit
+    is rejected atomically: no manifest references the staged files,
+    so readers never see a single violating row."""
+
+
+def snap_commit_checked(
+    spark: SparkSession,
+    table: str,
+    new_files: list[str],
+    new_stats: dict,
+    check_col: str,
+    lo: float,
+    hi: float,
+    max_retries: int = 20,
+) -> tuple[int, str]:
+    """Append commit gated by a CHECK constraint ``lo <= col <= hi``
+    (the Delta CONSTRAINT core) with the stats-proof fast path: when
+    every new file's footer [min, max] for the column sits INSIDE the
+    bounds, the constraint is PROVEN from metadata — zero rows read.
+    Only files whose bounds poke outside get scanned, and only those
+    files (stats are conservative: out-of-bounds bounds do not imply
+    out-of-bounds rows). Any actual violation rejects the WHOLE commit
+    before a manifest exists — atomicity is inherited from invisible
+    staging, nothing to roll back. Returns (version,
+    'stats-proven' | 'scan-verified') so harnesses can assert which
+    path ran; the accepted commit lands via the CAS retry loop
+    (concurrent appends commute).
+
+    Scale: the proof is O(new files) metadata arithmetic; the
+    fallback scans only the unproven files — on a healthy pipeline
+    the constraint costs nothing, which is why engines can afford to
+    enforce it on every commit of a 100 TB table."""
+    ddir = os.path.join(table, "data")
+    unproven = [
+        f
+        for f in new_files
+        if f not in new_stats
+        or check_col not in new_stats[f]
+        or not (
+            lo <= new_stats[f][check_col][0]
+            and new_stats[f][check_col][1] <= hi
+        )
+    ]
+    mode = "stats-proven"
+    if unproven:
+        mode = "scan-verified"
+        bad = (
+            spark.read.parquet(*[os.path.join(ddir, f) for f in unproven])
+            .filter(
+                (F.col(check_col) < F.lit(lo))
+                | (F.col(check_col) > F.lit(hi))
+                | F.col(check_col).isNull()
+            )
+            .take(1)
+        )
+        if bad:
+            raise SnapConstraintViolation(
+                f"CHECK {lo} <= {check_col} <= {hi} violated by staged "
+                f"commit (example row: {bad[0]})"
+            )
+    for _ in range(max_retries):
+        v, doc = _snap_latest_doc(table)
+        merged = dict(doc.get("stats", {}))
+        merged.update(new_stats)
+        if _snap_commit_cas(
+            table,
+            doc["files"] + new_files,
+            v + 1,
+            stats=merged,
+            txn=doc.get("txn"),
+            dv=doc.get("dv"),
+        ):
+            return v + 1, mode
+    raise RuntimeError(
+        f"checked append lost {max_retries} consecutive races on {table}"
+    )
+
+
+@query(
+    "q_table_constraint_commit",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value,
+           CAST(MIN(event_id) AS BIGINT) AS lo_id
+    FROM (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id % 10 < 8
+      UNION ALL
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id % 10 = 8
+    )
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_constraint_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK CONSTRAINTS ENFORCED AT COMMIT TIME — the write-side
+    contract every warehouse table needs (Delta CONSTRAINT / NOT
+    NULL): the table declares ``0 <= value <= 10^6``, and three
+    commits exercise all three enforcement paths, each asserted live:
+    (1) the %10<8 history commits STATS-PROVEN — every file's footer
+    bounds sit inside the constraint, zero rows read for the proof;
+    (2) a %10=8 batch committed WITHOUT stats cannot be proven from
+    metadata, so it takes the SCAN-VERIFIED path and still lands
+    (stats absence — or conservative bounds — must degrade to a scan,
+    never to a false rejection or a blind accept); (3) a corrupted
+    %10=9 batch (values negated) is REJECTED atomically — the staged
+    files never enter any manifest and the final read proves zero
+    corrupt rows leaked. The final rollup over the two accepted
+    slices hash-checks against raw events.
+
+    Scale: the healthy path costs O(new files) metadata arithmetic —
+    this is why engines can enforce constraints on every commit of a
+    100 TB table. Reference parity: no constraint surface in the
+    reference (SURVEY §2 B.1 extension; composes the schema-evolution
+    footer-validation discipline with row-domain rules)."""
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapcheck')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    LO, HI = 0.0, 1e6
+
+    base, bstats = _snap_add_files_with_stats(
+        ev.filter(F.expr("event_id % 10 < 8"))
+        .repartitionByRange(4, "event_id"),
+        table,
+        "ck_base",
+        ["event_id", "value"],
+    )
+    _snap_commit(table, [], 0, stats={})  # declare the (empty) table
+    v1, mode1 = snap_commit_checked(
+        spark, table, base, bstats, "value", LO, HI
+    )
+    if mode1 != "stats-proven":
+        raise RuntimeError(f"healthy history took {mode1}")
+
+    # an in-bounds batch whose STATS are conservative: value bounds
+    # inside, but we strip its stats so the proof cannot run — the
+    # scan-verified path must accept it
+    d8, d8_stats = _snap_add_files_with_stats(
+        ev.filter(F.expr("event_id % 10 = 8")).coalesce(1),
+        table,
+        "ck_d8",
+        ["event_id", "value"],
+    )
+    v2, mode2 = snap_commit_checked(
+        spark, table, d8, {}, "value", LO, HI
+    )
+    if mode2 != "scan-verified":
+        raise RuntimeError(f"stats-less batch took {mode2}")
+
+    # the corrupted batch: values negated -> atomic rejection
+    d9 = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 = 9")).select(
+            "event_id", "event_type", (-F.col("value")).alias("value")
+        ),
+        table,
+        "ck_d9",
+    )
+    rejected = False
+    try:
+        snap_commit_checked(spark, table, d9, {}, "value", LO, HI)
+    except SnapConstraintViolation:
+        rejected = True
+    if not rejected:
+        raise RuntimeError("corrupted batch was not rejected")
+    v, doc = _snap_latest_doc(table)
+    if v != v2 or set(d9) & set(doc["files"]):
+        raise RuntimeError("rejected commit left staged files visible")
+
+    out = _snap_read(spark, table)
+    if out.filter(
+        (F.col("value") < LO) | (F.col("value") > HI)
+    ).take(1):
+        raise RuntimeError("a constraint-violating row leaked")
+
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+            F.min("event_id").cast("long").alias("lo_id"),
+        )
+        .orderBy("event_type")
+    )

@@ -194,6 +194,11 @@ deferred_to_round14: set[str] = {
     # version; replica == source head row-for-row, replay
     # byte-identical, scattered deletes take the replica's DV path)
     "q_stream_table_replicate",
+    # round-13 additions (operators/storage.py — CHECK constraints at
+    # commit: stats-proof fast path (zero rows read when footer bounds
+    # sit inside), scan of only unproven files, atomic rejection with
+    # nothing visible; NULLs reject; edge bounds prove)
+    "q_table_constraint_commit",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

@@ -1945,3 +1945,75 @@ def test_incremental_read_fallback_on_rewrite_and_empty_range(spark):
     got, strat = snap_read_incremental(spark, table, 0, 2)
     assert strat == "diff-fallback"  # rewrite inside the range
     assert sorted(r.event_id for r in got.collect()) == [100, 101]
+
+
+def test_constraint_commit_edge_bounds_and_null_rejection(spark):
+    """q_table_constraint_commit pins: (1) bounds EXACTLY on the
+    constraint edge stats-prove (closed interval, no off-by-one
+    rejection); (2) a file whose bounds poke outside but whose ROWS
+    are all inside scan-verifies and lands (conservative stats never
+    falsely reject)... exercised via a mixed commit where only the
+    unproven file is scanned; (3) NULLs in the checked column reject
+    (a CHECK constraint is also NOT NULL on its column); (4) a
+    rejected commit leaves the version counter untouched."""
+    from steaminganalysis_spark.operators.storage import (
+        SnapConstraintViolation,
+        _snap_add_files,
+        _snap_add_files_with_stats,
+        _snap_commit,
+        _snap_latest_doc,
+        snap_commit_checked,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('ckpin')}/t"
+    _snap_commit(table, [], 0, stats={})
+
+    # (1) edge bounds: min == lo, max == hi
+    f1, s1 = _snap_add_files_with_stats(
+        spark.createDataFrame(
+            [(1, 0.0), (2, 100.0)], "event_id long, value double"
+        ).coalesce(1),
+        table,
+        "ck1",
+        ["value"],
+    )
+    v, mode = snap_commit_checked(spark, table, f1, s1, "value", 0.0, 100.0)
+    assert mode == "stats-proven" and v == 1
+
+    # (2) mixed commit: one proven file + one stats-less in-bounds
+    # file -> scan-verified overall, both land
+    f2a, s2a = _snap_add_files_with_stats(
+        spark.createDataFrame([(3, 50.0)], "event_id long, value double")
+        .coalesce(1),
+        table,
+        "ck2a",
+        ["value"],
+    )
+    f2b = _snap_add_files(
+        spark.createDataFrame([(4, 60.0)], "event_id long, value double")
+        .coalesce(1),
+        table,
+        "ck2b",
+    )
+    v, mode = snap_commit_checked(
+        spark, table, f2a + f2b, s2a, "value", 0.0, 100.0
+    )
+    assert mode == "scan-verified" and v == 2
+
+    # (3) a NULL in the checked column rejects
+    f3 = _snap_add_files(
+        spark.createDataFrame(
+            [(5, None)], "event_id long, value double"
+        ).coalesce(1),
+        table,
+        "ck3",
+    )
+    try:
+        snap_commit_checked(spark, table, f3, {}, "value", 0.0, 100.0)
+        raise AssertionError("NULL passed the CHECK constraint")
+    except SnapConstraintViolation:
+        pass
+    # (4) version counter untouched by the rejection
+    v4, doc = _snap_latest_doc(table)
+    assert v4 == 2 and not (set(f3) & set(doc["files"]))
