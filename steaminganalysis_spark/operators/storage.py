@@ -5678,3 +5678,193 @@ def table_constraint_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------- null-count stats and IS NULL pruning (r13)
+
+
+def _parquet_file_nulls(path: str, cols: list[str]) -> dict:
+    """Per-file null counts for ``cols`` from the parquet FOOTER
+    (pyarrow statistics — no data pages): the third skipping dimension
+    after min/max spans and blooms. Returns {} when any requested
+    column lacks null statistics (the reader must then keep the
+    file)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    if md.num_rows == 0:
+        return {}
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for c in cols:
+        n = 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or st.null_count is None:
+                return {}
+            n += st.null_count
+        out[c] = n
+    return out
+
+
+def snap_commit_with_nulls(
+    df: DataFrame,
+    table: str,
+    tag: str,
+    version: int,
+    null_cols: list[str],
+    prev_files: list[str] | None = None,
+    prev_nulls: dict | None = None,
+) -> tuple[list[str], dict]:
+    """Stage ``df`` and commit (previous files +) the new files with
+    per-file null counts AND row counts riding the manifest under
+    ``nulls``: {file: {"rows": n, <col>: null_count}}. Null-count
+    stats power two prunings min/max cannot: ``IS NULL`` plans only
+    files with null_count > 0, and ``IS NOT NULL`` (the sparse-column
+    scan) plans only files with null_count < rows."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    names = _snap_add_files(df, table, tag)
+    ddir = os.path.join(table, "data")
+    nulls = dict(prev_nulls or {})
+    kept = []
+    for f in names:
+        path = os.path.join(ddir, f)
+        md = pq.ParquetFile(path).metadata
+        if md.num_rows == 0:
+            os.remove(path)
+            continue
+        kept.append(f)
+        n = _parquet_file_nulls(path, null_cols)
+        if n:
+            nulls[f] = {"rows": md.num_rows, **n}
+    files = sorted((prev_files or []) + kept)
+    mdir = os.path.join(table, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{version}.json.inprogress")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "files": files, "nulls": nulls}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(mdir, f"v{version}.json"))
+    return kept, nulls
+
+
+def snap_read_null_pruned(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    want_null: bool,
+    version: int | None = None,
+) -> tuple[DataFrame, list[str], int]:
+    """Null-stat pruned read: for ``IS NULL`` keep files whose
+    recorded null_count > 0; for ``IS NOT NULL`` keep files whose
+    null_count < rows. Files without recorded null stats are always
+    kept (superset safety). The frame still needs the row-level
+    predicate — pruning is at FILE grain."""
+    import json
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    doc = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    nulls = doc.get("nulls", {})
+    planned = []
+    for f in doc["files"]:
+        rec = nulls.get(f)
+        if rec is None or col not in rec:
+            planned.append(f)  # no stats -> must keep
+        elif want_null and rec[col] > 0:
+            planned.append(f)
+        elif not want_null and rec[col] < rec["rows"]:
+            planned.append(f)
+    paths = [os.path.join(table, "data", f) for f in planned]
+    if not paths:
+        first = os.path.join(table, "data", doc["files"][0])
+        return (
+            spark.read.parquet(first).filter(F.lit(False)),
+            planned,
+            len(doc["files"]),
+        )
+    return spark.read.parquet(*paths), planned, len(doc["files"])
+
+
+@query(
+    "q_table_null_pruning",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS lo_id,
+           CAST(MAX(event_id) AS BIGINT) AS hi_id
+    FROM events
+    WHERE event_id % 10 >= 8 AND event_id % 13 = 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_null_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-COUNT STATS → IS NULL PRUNING — the third skipping
+    dimension (after min/max spans and blooms), and the one that
+    serves SPARSE columns: a column populated only in recent cohorts
+    (backfills, late-added fields, optional features — the norm in
+    training-data schemas) makes ``IS NULL`` / ``IS NOT NULL``
+    queries scan everything under span stats, because null presence
+    is invisible to min/max. Here the old cohort (%10<8, value fully
+    populated, 4 files) and the new cohort (%10>=8 with value NULLed
+    on %13 keys, 2 files) commit with per-file null counts from the
+    parquet footers; the ``value IS NULL`` read plans ONLY the new
+    cohort's files (asserted live: every old file pruned, planning is
+    manifest arithmetic), then applies the row predicate. Superset
+    safety: files without recorded null stats always plan (pinned).
+    The rollup of the null rows hash-checks against raw events.
+
+    Scale: footer null counts are free at write time (the writer
+    already produced them); the pruning turns a sparse-column audit
+    on a 100 TB table from a full scan into a scan of the cohort that
+    can match. Reference parity: no stats surface in the reference
+    (SURVEY §2 B.1 extension)."""
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapnull')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    old = ev.filter(F.expr("event_id % 10 < 8"))
+    f_old, nulls = snap_commit_with_nulls(
+        old.repartitionByRange(4, "event_id"), table, "nl_old", 0, ["value"]
+    )
+    new = ev.filter(F.expr("event_id % 10 >= 8")).withColumn(
+        "value",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    f_new, nulls = snap_commit_with_nulls(
+        new.repartition(2),
+        table,
+        "nl_new",
+        1,
+        ["value"],
+        prev_files=f_old,
+        prev_nulls=nulls,
+    )
+
+    scan, planned, total = snap_read_null_pruned(spark, table, "value", True)
+    if set(planned) & set(f_old):
+        raise RuntimeError("IS NULL planning kept a fully-populated file")
+    if not set(planned) <= set(f_new):
+        raise RuntimeError("IS NULL planning kept unknown files")
+    if total != len(f_old) + len(f_new):
+        raise RuntimeError("manifest lost files")
+
+    return (
+        scan.filter(F.col("value").isNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("event_id").cast("long").alias("lo_id"),
+            F.max("event_id").cast("long").alias("hi_id"),
+        )
+        .orderBy("event_type")
+    )

@@ -652,7 +652,7 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # sf_dir), swapped in at the tail; the displaced 16th round-5 stamp
 # (q_stream_dedup_within_watermark) rolls to round 13.
 # ROUND-14 WINDOW (planned at the round-13 freeze): canaries
-# q_daily_rollup + q_tpch_q12, then deferred_to_round14 (the twenty-three
+# q_daily_rollup + q_tpch_q12, then deferred_to_round14 (the twenty-four
 # round-13 additions — q_table_partition_pruning,
 # q_table_optimize_concurrent, q_table_merge_dv,
 # q_table_snapshot_diff, q_table_wap_publish, q_table_restore,
@@ -664,7 +664,7 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # q_corpus_curation_commits, q_table_column_mapping,
 # q_table_manifest_list, q_table_agg_pushdown,
 # q_table_incremental_read, q_stream_table_replicate,
-# q_table_constraint_commit — plus any
+# q_table_constraint_commit, q_table_null_pruning — plus any
 # later round-14 registrations per the standing pin discipline), then
 # the 30 remaining oracled round-7-stamp re-checks in registration
 # order (head: q_event_transitions and q_observe_metrics, both
@@ -681,8 +681,8 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # round-8-stamp re-checks in registration order (head: q_agg_minmax_by,
 # q_sql_window_clause, q_mv_incremental, q_dq_profile, q_time_buckets,
 # q_agg_salted, q_agg_mode_bool) to fill 50 — with nineteen deferred
-# round-13 additions the arithmetic is 2 canaries + 23 deferred + 25
-# round-7 stamps = 50 (the 26th-30th round-7 stamps roll to round 15);
+# round-13 additions the arithmetic is 2 canaries + 24 deferred + 24
+# round-7 stamps = 50 (the 25th-30th round-7 stamps roll to round 15);
 # execution-changed this round (the q_graph_triangles rule):
 # q_stream_table_ingest (sink commit upgraded from os.replace to
 # CAS-with-retry so concurrent maintenance commits commute) must

@@ -199,6 +199,11 @@ deferred_to_round14: set[str] = {
     # sit inside), scan of only unproven files, atomic rejection with
     # nothing visible; NULLs reject; edge bounds prove)
     "q_table_constraint_commit",
+    # round-13 additions (operators/storage.py — null-count stats:
+    # per-file footer null counts ride the manifest; IS NULL plans
+    # only files with nulls, IS NOT NULL prunes all-null files; the
+    # sparse-column skipping dimension min/max cannot serve)
+    "q_table_null_pruning",
 }
 
 # Retired: the round-12 additions, absorbed into ROUND13_WINDOW (kept

@@ -2017,3 +2017,61 @@ def test_constraint_commit_edge_bounds_and_null_rejection(spark):
     # (4) version counter untouched by the rejection
     v4, doc = _snap_latest_doc(table)
     assert v4 == 2 and not (set(f3) & set(doc["files"]))
+
+
+def test_null_pruning_not_null_arm_and_superset_safety(spark):
+    """q_table_null_pruning pins: (1) the IS NOT NULL arm prunes an
+    ALL-NULL file (the sparse-column complement); (2) a file without
+    recorded null stats is kept by BOTH arms (superset safety); (3) a
+    fully-null + fully-populated pair partitions cleanly between the
+    two arms; (4) IS NULL with zero matching files returns an empty
+    typed frame."""
+    from steaminganalysis_spark.operators.storage import (
+        snap_commit_with_nulls,
+        snap_read_null_pruned,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('nullpin')}/t"
+    full = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "event_id long, value double"
+    )
+    allnull = spark.createDataFrame(
+        [(3, None), (4, None)], "event_id long, value double"
+    )
+    f_full, nulls = snap_commit_with_nulls(
+        full.coalesce(1), table, "np1", 0, ["value"]
+    )
+    f_null, nulls = snap_commit_with_nulls(
+        allnull.coalesce(1),
+        table,
+        "np2",
+        1,
+        ["value"],
+        prev_files=f_full,
+        prev_nulls=nulls,
+    )
+
+    _, planned_null, _ = snap_read_null_pruned(spark, table, "value", True)
+    _, planned_notnull, _ = snap_read_null_pruned(spark, table, "value", False)
+    assert planned_null == f_null and planned_notnull == f_full  # (1)(3)
+
+    # (2) strip one file's null record -> kept by both arms
+    import json
+    import os
+
+    mpath = os.path.join(table, "manifests", "v1.json")
+    doc = json.loads(open(mpath).read())
+    del doc["nulls"][f_full[0]]
+    with open(mpath, "w") as fh:
+        json.dump(doc, fh)
+    _, planned_null2, _ = snap_read_null_pruned(spark, table, "value", True)
+    _, planned_notnull2, _ = snap_read_null_pruned(spark, table, "value", False)
+    assert f_full[0] in planned_null2 and f_full[0] in planned_notnull2
+
+    # (4) a table with no nulls at all: IS NULL plans zero files
+    t2 = f"{scratch_dir('nullpin2')}/t"
+    f2, _ = snap_commit_with_nulls(full.coalesce(1), t2, "np3", 0, ["value"])
+    empty, planned, total = snap_read_null_pruned(spark, t2, "value", True)
+    assert planned == [] and total == 1 and empty.count() == 0
+    assert set(empty.columns) == {"event_id", "value"}
