@@ -80,6 +80,11 @@ HEADLINE_EXTENDED = [
     # (~12M wedge rows at sf0.1) is the kind of self-join volume that
     # regresses silently, so it joins the tracked set (~4.7 s drained)
     "q_graph_butterfly",
+    # round-13: the table-format representative — two-level skipping
+    # exercises the whole manifest stack (partitioned commit with
+    # footer stats, tuple + span planning, identity-projected scans),
+    # so a regression anywhere in the commit/planning path shows here
+    "q_table_two_level_pruning",
 ]
 
 
