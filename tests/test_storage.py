@@ -1175,8 +1175,13 @@ def test_two_level_pruning_superset_safety(spark):
     assert len(planned2) < after2  # L2 pruned
     assert len(planned) <= after_part <= total
 
+    # the id range must be DISJOINT from all data ([0, 899]): the
+    # tuple-blind file always survives L1, so an in-data range can
+    # plan it whenever the uuid-random blind pick lands on a low-range
+    # file (a ~1-in-9 flake, observed in the r13 freeze suite) — only
+    # L2 can prune it, via a span no file intersects
     with _pytest.raises(ValueError, match="no files planned"):
-        snap_read_two_level(spark, table, "bucket", {"9"}, "id", 0, 1)
+        snap_read_two_level(spark, table, "bucket", {"9"}, "id", 1000, 2000)
 
 
 def test_mv_from_cdf_group_lifecycle(spark):
