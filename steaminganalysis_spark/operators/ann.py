@@ -727,3 +727,198 @@ def compact_ivf_index(
     shutil.rmtree(os.path.join(index_dir, old_base), ignore_errors=True)
     for b in range(compacted + 1, cur + 1):
         shutil.rmtree(os.path.join(index_dir, f"delta-v{b}"), ignore_errors=True)
+
+
+# ---------- ANN index maintenance as snapshot-table commits (r14)
+
+
+def snap_ann_index_update(
+    spark: SparkSession,
+    corpus_table: str,
+    index_table: str,
+    index_dir: str,
+    max_retries: int = 20,
+) -> dict:
+    """Advance the committed IVF index to the corpus table's latest
+    version (VERDICT r13 order #6): resolve the index manifest's
+    ``covers_corpus_version`` marker, plan the corpus delta with
+    snap_read_incremental — on an append-shaped range that is the
+    APPENDS FAST PATH, touching ONLY the added corpus files — assign
+    just those rows against the frozen quantizer, and CAS-append the
+    new assignment shards with the marker advanced to the covered
+    version. Returns the decision record: {"strategy", "from", "to",
+    "delta_files" (the corpus files actually read), "index_version"}.
+
+    Crash/replay: the marker and the shard list ride the SAME
+    manifest commit, so an index version either covers a corpus
+    version completely or doesn't exist — the Delta txn pattern the
+    streaming ingest sink uses, applied to index maintenance. A
+    rebuild after one day's append to a 100 TB corpus costs one
+    assignment pass over that day's files; everything else is
+    manifest arithmetic."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit_cas,
+        _snap_latest_doc,
+        _snap_versions,
+        snap_read_incremental,
+    )
+
+    corpus_latest = max(_snap_versions(corpus_table))
+    iv, idoc = _snap_latest_doc(index_table)
+    covered = idoc["covers_corpus_version"]
+    if corpus_latest == covered:
+        return {
+            "strategy": "noop",
+            "from": covered,
+            "to": covered,
+            "delta_files": [],
+            "index_version": iv,
+        }
+    delta, strategy = snap_read_incremental(
+        spark, corpus_table, covered, corpus_latest, key_col="vec_id"
+    )
+    # the decision record's "touched files" is only meaningful on the
+    # fast path (the diff fallback is a multi-source classification
+    # plan — input_file_name is undefined over it, and "touches only
+    # added files" is exactly the property the fallback cannot claim)
+    touched = (
+        sorted(
+            r.f
+            for r in delta.select(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                    "f"
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        if strategy == "appends-fast-path"
+        else []
+    )
+    cdf = spark.read.parquet(f"{index_dir}/centroids")
+    assigned = _assign(delta, cdf, keep=1).select(
+        "vec_id", F.col("cid").alias("list_id")
+    )
+    shards = _snap_add_files(assigned.coalesce(1), index_table, "annix_shard")
+    for _ in range(max_retries):
+        v, doc = _snap_latest_doc(index_table)
+        if doc["covers_corpus_version"] >= corpus_latest:
+            return {  # a concurrent updater already covered it
+                "strategy": "lost-race",
+                "from": covered,
+                "to": doc["covers_corpus_version"],
+                "delta_files": touched,
+                "index_version": v,
+            }
+        if _snap_commit_cas(
+            index_table,
+            doc["files"] + shards,
+            v + 1,
+            extra={"covers_corpus_version": corpus_latest},
+        ):
+            return {
+                "strategy": strategy,
+                "from": covered,
+                "to": corpus_latest,
+                "delta_files": touched,
+                "index_version": v + 1,
+            }
+    raise RuntimeError(f"index update lost {max_retries} races")
+
+
+@query("q_table_ann_index_commits")  # rows-only: float-centroid assignments
+def table_ann_index_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INDEX MAINTENANCE AS TABLE COMMITS (VERDICT r13 order #6)
+    — the streamed IVF index's LSM discipline re-based onto the
+    snapshot table, composing three existing pieces: the corpus is a
+    snapshot TABLE (v0 = vec_id % 4 < 2, v1 appends the rest), the
+    index is a second snapshot table whose manifest carries a
+    ``covers_corpus_version`` marker alongside its shard list (one
+    commit = one covered corpus version, the txn-marker pattern), and
+    the incremental update plans the corpus delta through
+    snap_read_incremental's APPENDS FAST PATH. Asserted live from the
+    decision record: the update strategy IS the fast path and the
+    corpus files it read are EXACTLY v1's appended files — an index
+    rebuild after an append touches only added data. Stream≡batch:
+    the incrementally-maintained index equals a from-scratch
+    assignment of the full corpus under the same frozen quantizer,
+    row for row (asserted live); a second update call is a committed
+    no-op (idempotence, asserted). Rows-only for the driver: the
+    assignment depends on Lloyd-iterated float centroids no portable
+    SQL restates — the live full-rebuild equality is the
+    certificate (the q_stream_ann_index discipline).
+
+    100 TB: a day's corpus append costs one assignment pass over that
+    day's files + one manifest CAS; the index never rebuilds from
+    scratch and readers always see an index state that covers a
+    committed corpus version exactly. Reference parity: none (engine
+    extension; SURVEY §2 B.9 scale path)."""
+    import os
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit_cas,
+        _snap_latest_doc,
+        _snap_read,
+        snap_append_optimistic,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    tmp = scratch_dir("annix_root")
+    corpus_table = os.path.join(tmp, "corpus")
+    index_table = os.path.join(tmp, "index")
+    index_dir = os.path.join(tmp, "model")
+
+    base = _emb_double(spark, sf_dir)
+    initial = base.filter(F.col("vec_id") % 4 < 2)
+    f0 = _snap_add_files(initial.repartition(2), corpus_table, "cx0")
+    _snap_commit_cas(corpus_table, f0, 0)
+
+    # frozen quantizer trained on the committed v0 read
+    cents = train_ivf(spark, _snap_read(spark, corpus_table, 0))
+    _centroids_df(spark, cents).write.mode("overwrite").parquet(
+        f"{index_dir}/centroids"
+    )
+    cdf = spark.read.parquet(f"{index_dir}/centroids")
+    seed = _assign(_snap_read(spark, corpus_table, 0), cdf, keep=1).select(
+        "vec_id", F.col("cid").alias("list_id")
+    )
+    s0 = _snap_add_files(seed.coalesce(1), index_table, "ix0")
+    _snap_commit_cas(index_table, s0, 0, extra={"covers_corpus_version": 0})
+
+    # corpus append -> incremental index update
+    fd = _snap_add_files(
+        base.filter(F.col("vec_id") % 4 >= 2).repartition(2),
+        corpus_table,
+        "cxd",
+    )
+    snap_append_optimistic(corpus_table, fd)
+    rec = snap_ann_index_update(spark, corpus_table, index_table, index_dir)
+    if rec["strategy"] != "appends-fast-path":
+        raise RuntimeError(f"index update took {rec['strategy']}")
+    if rec["delta_files"] != sorted(fd):
+        raise RuntimeError(
+            f"update read {rec['delta_files']}, not the appended {sorted(fd)}"
+        )
+
+    # idempotence: a second update is a committed no-op
+    rec2 = snap_ann_index_update(spark, corpus_table, index_table, index_dir)
+    if rec2["strategy"] != "noop" or rec2["index_version"] != rec["index_version"]:
+        raise RuntimeError(f"re-update was not a no-op: {rec2}")
+
+    # stream≡batch: incremental index == full rebuild under the same model
+    ix = _snap_read(spark, index_table).select(
+        "vec_id", F.col("list_id").cast("int").alias("list_id")
+    )
+    full = _assign(_snap_read(spark, corpus_table), cdf, keep=1).select(
+        "vec_id", F.col("cid").cast("int").alias("list_id")
+    )
+    if ix.count() != full.count() or ix.exceptAll(full).count() != 0:
+        raise RuntimeError("incremental index diverged from full rebuild")
+
+    _, idoc = _snap_latest_doc(index_table)
+    if idoc["covers_corpus_version"] != 1:
+        raise RuntimeError("index manifest marker did not advance")
+
+    return ix.orderBy("vec_id").localCheckpoint()

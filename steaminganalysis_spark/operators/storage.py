@@ -1181,6 +1181,7 @@ def _snap_commit_cas(
     stats: dict | None = None,
     txn: dict | None = None,
     dv: dict | None = None,
+    extra: dict | None = None,
 ) -> bool:
     """Compare-and-swap manifest commit — Iceberg's commit-conflict
     model reduced to its load-bearing core: write the complete file
@@ -1189,14 +1190,17 @@ def _snap_commit_cas(
     is already taken, atomically — so exactly one of two racing
     committers wins and the loser learns it lost without ever making
     a torn or clobbered manifest visible. Returns True iff this
-    committer created v{N}."""
+    committer created v{N}. ``extra`` carries any further manifest
+    keys (ndv, bloom, nulls, refs, ...) a metadata-only successor
+    must preserve or publish; the explicit params win on collision."""
     import json
     import uuid as _uuid
 
     mdir = os.path.join(table, "manifests")
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".v{version}.{_uuid.uuid4().hex[:8]}.inprogress")
-    doc = {"version": version, "files": sorted(files)}
+    doc = dict(extra or {})
+    doc.update({"version": version, "files": sorted(files)})
     if stats is not None:
         doc["stats"] = stats  # per-file column bounds ride the commit
     if txn is not None:
@@ -1230,9 +1234,13 @@ def snap_append_optimistic(
     maps forward untouched (r13): dropping the dv map would
     resurrect merge-on-read deletes, dropping stats degrades pruning
     to full scans — the carry-forward discipline the CDC merge pinned
-    for stats, applied to every metadata family. The appended files
-    themselves enter stats-less (conservatively planned — superset
-    safe)."""
+    for stats, applied to every metadata family. Since r14 ALL other
+    manifest keys (ndv, bloom, nulls, ...) carry too: an append never
+    removes files, so per-file metadata stays valid and readers treat
+    the appended files' missing entries superset-safely — without the
+    carry, one append silently threw away every ANALYZE/bloom commit.
+    The appended files themselves enter stats-less (conservatively
+    planned — superset safe)."""
     for _ in range(max_retries):
         v, doc = _snap_latest_doc(table)
         if _snap_commit_cas(
@@ -1242,6 +1250,11 @@ def snap_append_optimistic(
             stats=doc.get("stats"),
             txn=doc.get("txn"),
             dv=doc.get("dv"),
+            extra={
+                k: val
+                for k, val in doc.items()
+                if k not in ("version", "files", "stats", "txn", "dv")
+            },
         ):
             return v + 1
     raise RuntimeError(
@@ -1285,11 +1298,23 @@ def snap_expire(
     missing = set(retain) - set(committed)
     if missing:
         raise ValueError(f"cannot retain uncommitted versions {sorted(missing)}")
+    # Named refs are retention (r14): every tag/branch head pins its
+    # version — VACUUM counts ref heads alongside the caller's list,
+    # so "keep raw_v0 forever" never depends on every VACUUM caller
+    # remembering it. A dangling ref (head already expired) is state
+    # corruption worth failing loudly on, not sweeping past.
+    ref_heads = {r["version"] for r in _snap_refs(table).values()}
+    dangling = ref_heads - set(committed)
+    if dangling:
+        raise ValueError(
+            f"refs point at uncommitted/expired versions {sorted(dangling)}"
+        )
+    retain_eff = set(retain) | ref_heads
     # Never expire versions NEWER than the newest retained one: a
     # successor committed after the caller chose ``retain`` (the
     # concurrent-writer race) is the current table, not history.
     removed_manifests = sorted(
-        v for v in committed if v not in retain and v < max(retain)
+        v for v in committed if v not in retain_eff and v < max(retain)
     )
     for v in removed_manifests:
         os.remove(os.path.join(table, "manifests", committed[v]))
@@ -3256,6 +3281,208 @@ def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------- named refs: tags + branch heads (r14) -------------
+
+
+def _snap_refs(table: str) -> dict[str, dict]:
+    """All named refs: {name: {"kind": "tag"|"branch", "version": N}}.
+    Refs live under manifests/refs/ as one JSON file each (same
+    temp+fsync+rename protocol as manifests); in-progress temps are
+    invisible by the dot-prefix rule."""
+    import json
+
+    rdir = os.path.join(table, "manifests", "refs")
+    if not os.path.isdir(rdir):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(rdir)):
+        if f.startswith(".") or not f.endswith(".json"):
+            continue
+        doc = json.loads(open(os.path.join(rdir, f)).read())
+        out[doc["name"]] = doc
+    return out
+
+
+def _snap_ref_write(table: str, doc: dict) -> None:
+    import json
+
+    rdir = os.path.join(table, "manifests", "refs")
+    os.makedirs(rdir, exist_ok=True)
+    tmp = os.path.join(rdir, f".{doc['name']}.json.inprogress")
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(rdir, f"{doc['name']}.json"))
+
+
+def snap_ref_create(
+    table: str, name: str, kind: str = "tag", version: int | None = None
+) -> int:
+    """Create a NAMED REF to a committed snapshot (Iceberg tags and
+    branch heads, VERDICT r13 order #5): ``tag`` refs are immutable
+    bookmarks (re-creating an existing tag refuses — a tag that can
+    move is just a branch with a misleading name); ``branch`` refs
+    are movable heads advanced with snap_ref_advance. Both make the
+    target snapshot VACUUM-durable: snap_expire counts ref heads as
+    retained, so "keep the audited raw corpus forever as raw_v0"
+    costs one JSON file, not a retention-policy exemption. Returns
+    the pinned version."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"unknown ref kind {kind!r}")
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    if v not in committed:
+        raise ValueError(f"cannot ref uncommitted version {v}")
+    existing = _snap_refs(table)
+    if name in existing and existing[name]["kind"] == "tag":
+        raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+    if name in existing and kind == "tag":
+        raise ValueError(f"ref {name!r} exists as a branch")
+    _snap_ref_write(table, {"name": name, "kind": kind, "version": v})
+    return v
+
+
+def snap_ref_advance(table: str, name: str, version: int | None = None) -> int:
+    """Advance a BRANCH ref to ``version`` (default: latest main).
+    Tags refuse — immutability is the point of a tag."""
+    refs = _snap_refs(table)
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} on {table}")
+    if refs[name]["kind"] != "branch":
+        raise ValueError(f"ref {name!r} is a tag (immutable)")
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    if v not in committed:
+        raise ValueError(f"cannot advance to uncommitted version {v}")
+    _snap_ref_write(table, {"name": name, "kind": "branch", "version": v})
+    return v
+
+
+def snap_ref_drop(table: str, name: str) -> None:
+    """Drop a ref. The snapshot it pinned becomes expirable by the
+    next VACUUM (unless retained for another reason)."""
+    refs = _snap_refs(table)
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} on {table}")
+    os.remove(os.path.join(table, "manifests", "refs", f"{name}.json"))
+
+
+def snap_read_ref(
+    spark: SparkSession, table: str, name: str
+) -> DataFrame:
+    """TIME-TRAVEL BY REF NAME — resolve the ref to its pinned
+    version and read that snapshot (`SELECT ... VERSION AS OF
+    'raw_v0'`)."""
+    refs = _snap_refs(table)
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} on {table}")
+    return _snap_read(spark, table, refs[name]["version"])
+
+
+@query(
+    "q_table_refs",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN event_id % 10 < 8 THEN 1 END) AS BIGINT)
+             AS tag_rows,
+           CAST(COUNT(*) AS BIGINT) AS branch_rows,
+           {SQL_DSUM("value")} AS branch_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED REFS — tags and branch heads with VACUUM ref-counting
+    (VERDICT r13 order #5, generalizing q_table_wap_publish's single
+    staging branch): v0 (the %10<8 history) is tagged ``raw_v0``; a
+    ``nightly`` branch head is created at v0 and advanced to v1 after
+    the append. A VACUUM retaining ONLY the latest version then runs
+    with zero grace — and the tag must keep v0 alive: asserted live
+    that v0's manifest survives, that reading BY TAG NAME still
+    returns exactly the v0 content after the sweep, that re-creating
+    the tag refuses (immutability), and that advancing the tag
+    refuses while advancing the branch succeeds. Dropping the tag and
+    re-VACUUMing must then actually expire v0 (the ref was the only
+    thing keeping it — asserted on the manifest listing; v0's data
+    files survive via v1's reference counts, the shared-file rule).
+    The frame reads the tag AND the advanced branch head and
+    hash-checks both against raw events — a tag that silently moved,
+    a VACUUM that broke the pinned snapshot, or a branch head left
+    behind all mismatch.
+
+    100 TB: refs are one JSON file each — "keep the audited corpus
+    as raw_v0 forever" and "serve training from the nightly head"
+    become metadata operations with independent retention, the
+    Iceberg branch/tag contract. Reference parity: none (SURVEY §2
+    B.1 extension)."""
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snaprefs')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    base, bstats = _snap_add_files_with_stats(
+        ev.filter(F.expr("event_id % 10 < 8")).repartitionByRange(
+            4, "event_id"
+        ),
+        table,
+        "ref_base",
+        ["event_id"],
+    )
+    _snap_commit(table, base, 0, stats=bstats)
+    snap_ref_create(table, "raw_v0", "tag")
+    snap_ref_create(table, "nightly", "branch", version=0)
+
+    delta = _snap_add_files(
+        ev.filter(F.expr("event_id % 10 >= 8")).coalesce(1), table, "ref_d"
+    )
+    v1 = snap_append_optimistic(table, delta)
+    snap_ref_advance(table, "nightly", v1)
+
+    # immutability / kind rules
+    for bad in (
+        lambda: snap_ref_create(table, "raw_v0", "tag"),
+        lambda: snap_ref_advance(table, "raw_v0"),
+    ):
+        try:
+            bad()
+            raise RuntimeError("tag mutability rule failed")
+        except ValueError:
+            pass
+
+    # VACUUM retaining only v1 — the tag must keep v0 alive
+    snap_expire(table, [v1], orphan_grace_seconds=0.0)
+    if 0 not in _snap_versions(table):
+        raise RuntimeError("VACUUM expired a tagged snapshot")
+    tag_read = snap_read_ref(spark, table, "raw_v0")
+
+    # drop the tag -> v0 becomes expirable (files survive via v1)
+    agg_tag = (
+        tag_read.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("tag_rows"))
+    )
+    branch_read = snap_read_ref(spark, table, "nightly")
+    agg_branch = branch_read.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("branch_rows"),
+        dsum(F.col("value")).alias("branch_value"),
+    )
+    out = (
+        agg_tag.join(agg_branch, "event_type")
+        .select("event_type", "tag_rows", "branch_rows", "branch_value")
+        .orderBy("event_type")
+        .localCheckpoint()  # materialize BEFORE v0 is expired below
+    )
+
+    snap_ref_drop(table, "raw_v0")
+    snap_expire(table, [v1], orphan_grace_seconds=0.0)
+    if 0 in _snap_versions(table):
+        raise RuntimeError("dropped tag still pins v0")
+    if snap_read_ref(spark, table, "nightly").count() != branch_read.count():
+        raise RuntimeError("expiry broke the branch head")
+
+    return out
+
+
 # ------------- RESTORE / rollback-as-commit (r13) -------------
 
 
@@ -3745,71 +3972,92 @@ def snap_analyze_ndv(
     task would return its file's registers with the commit message
     (the Iceberg DataFile contract) so ANALYZE is free at write time.
     Returns the committed version."""
-    import json
-
     from steaminganalysis_spark.operators.aggregates import (
         HLLP_M,
         _hllp_hash_sql,
         _hllp_rank_sql,
     )
 
-    v, doc = _snap_latest_doc(table)
     ddir = os.path.join(table, "data")
-    # INCREMENTAL: files whose registers already ride the latest
-    # manifest (same group_col) keep them untouched — ANALYZE after an
-    # append scans ONLY the new files, never the table. Per-file
-    # registers are immutable once computed (files are immutable), so
-    # the carried-forward entries are exactly what a rescan would
-    # produce.
-    prev = doc.get("ndv", {})
-    carried: dict[str, dict[str, dict[str, int]]] = (
-        {
-            f: regs
-            for f, regs in prev.get("registers", {}).items()
-            if f in set(doc["files"])
-        }
-        if prev.get("group_col") == group_col
-        else {}
-    )
-    todo = [f for f in doc["files"] if f not in carried]
-    ndv: dict[str, dict[str, dict[str, int]]] = dict(carried)
-    if todo:
-        regs = (
-            spark.read.parquet(*[os.path.join(ddir, f) for f in todo])
-            .select(
-                F.element_at(
-                    F.split(F.input_file_name(), "/"), -1
-                ).alias("_file"),
-                F.col(group_col),
-                F.expr(
-                    f"{_hllp_hash_sql('({a} ^ {b})', 'DIV', key_expr)}"
-                ).alias("h"),
-            )
-            .selectExpr(
-                "_file",
-                group_col,
-                f"h % {HLLP_M} AS j",
-                f"{_hllp_rank_sql('DIV')} AS r",
-            )
-            .groupBy("_file", group_col, "j")
-            .agg(F.max("r").alias("r"))
-            .collect()
+    # Registers computed this call, keyed by file — reused across CAS
+    # retries so a lost race never rescans a file twice.
+    known: dict[str, dict[str, dict[str, int]]] = {}
+    for _ in range(20):
+        v, doc = _snap_latest_doc(table)
+        # INCREMENTAL: files whose registers already ride the latest
+        # manifest (same group_col AND same key_expr — a different key
+        # expression makes old registers meaningless, so the carry is
+        # invalidated, never merged) keep them untouched — ANALYZE
+        # after an append scans ONLY the new files, never the table.
+        # Per-file registers are immutable once computed (files are
+        # immutable), so carried entries equal what a rescan produces.
+        prev = doc.get("ndv", {})
+        carried: dict[str, dict[str, dict[str, int]]] = (
+            {
+                f: regs
+                for f, regs in prev.get("registers", {}).items()
+                if f in set(doc["files"])
+            }
+            if prev.get("group_col") == group_col
+            and prev.get("key_expr") == key_expr
+            else {}
         )
-        for row in regs:
-            ndv.setdefault(row["_file"], {}).setdefault(
-                str(row[group_col]), {}
-            )[str(row["j"])] = int(row["r"])
-    new_doc = dict(doc)
-    new_doc["ndv"] = {"group_col": group_col, "registers": ndv}
-    new_doc["version"] = v + 1
-    mdir = os.path.join(table, "manifests")
-    tmp = os.path.join(mdir, f".v{v + 1}.json.inprogress")
-    with open(tmp, "w") as f:
-        json.dump(new_doc, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(mdir, f"v{v + 1}.json"))
-    return v + 1
+        ndv: dict[str, dict[str, dict[str, int]]] = {
+            f: carried.get(f) or known[f]
+            for f in doc["files"]
+            if f in carried or f in known
+        }
+        todo = [f for f in doc["files"] if f not in ndv]
+        if todo:
+            regs = (
+                spark.read.parquet(*[os.path.join(ddir, f) for f in todo])
+                .select(
+                    F.element_at(
+                        F.split(F.input_file_name(), "/"), -1
+                    ).alias("_file"),
+                    F.col(group_col),
+                    F.expr(
+                        f"{_hllp_hash_sql('({a} ^ {b})', 'DIV', key_expr)}"
+                    ).alias("h"),
+                )
+                .selectExpr(
+                    "_file",
+                    group_col,
+                    f"h % {HLLP_M} AS j",
+                    f"{_hllp_rank_sql('DIV')} AS r",
+                )
+                .groupBy("_file", group_col, "j")
+                .agg(F.max("r").alias("r"))
+                .collect()
+            )
+            for row in regs:
+                ndv.setdefault(row["_file"], {}).setdefault(
+                    str(row[group_col]), {}
+                )[str(row["j"])] = int(row["r"])
+            for f in todo:
+                if f in ndv:
+                    known[f] = ndv[f]
+        extra = {
+            k: val
+            for k, val in doc.items()
+            if k not in ("version", "files", "stats", "txn", "dv")
+        }
+        extra["ndv"] = {
+            "group_col": group_col,
+            "key_expr": key_expr,
+            "registers": ndv,
+        }
+        if _snap_commit_cas(
+            table,
+            doc["files"],
+            v + 1,
+            stats=doc.get("stats"),
+            txn=doc.get("txn"),
+            dv=doc.get("dv"),
+            extra=extra,
+        ):
+            return v + 1
+    raise RuntimeError(f"ANALYZE lost 20 consecutive races on {table}")
 
 
 def _hllp_estimate_py(regs: dict[int, int]) -> int:
@@ -4074,8 +4322,6 @@ def snap_bloom_build(spark: SparkSession, table: str, col: str) -> int:
     collect is O(files·words) metadata. On a cluster each write task
     returns its file's bloom with the commit message (Iceberg
     DataFile contract); this is the single-process reduction."""
-    import json
-
     import pyarrow.parquet as pq
 
     from steaminganalysis_spark.operators.aggregates import (
@@ -4086,57 +4332,83 @@ def snap_bloom_build(spark: SparkSession, table: str, col: str) -> int:
         _hllp_hash_sql,
     )
 
-    v, doc = _snap_latest_doc(table)
     ddir = os.path.join(table, "data")
-    m_map = {
-        f: _bloom_width(
-            pq.ParquetFile(os.path.join(ddir, f)).metadata.num_rows
-        )
-        for f in doc["files"]
-    }
-    m_df = F.broadcast(
-        spark.createDataFrame(
-            sorted(m_map.items()), "_file string, _m long"
-        )
-    )
     low = _hllp_hash_sql(
         "({a} ^ {b})", "DIV", f"(h0 % 4294967296) + j * {BLP_SEED}"
     )
-    stacked = ", ".join(
-        f"CAST(({low.replace('j *', f'{j} *')}) % _m AS INT)"
-        for j in range(BLP_K)
-    )
-    words = (
-        spark.read.parquet(*[os.path.join(ddir, f) for f in doc["files"]])
-        .select(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_file"),
-            F.crc32(F.encode(F.col(col), "UTF-8")).alias("h0"),
-        )
-        .join(m_df, "_file")
-        .selectExpr("_file", f"stack({BLP_K}, {stacked}) AS pos")
-        .selectExpr(
-            "_file",
-            "pos DIV 32 AS w",
-            "CAST(POWER(2, pos % 32) AS BIGINT) AS bitv",
-        )
-        .groupBy("_file", "w")
-        .agg(F.expr("bit_or(bitv)").alias("v"))
-        .collect()
-    )
-    blooms: dict[str, dict[str, int]] = {f: {} for f in doc["files"]}
-    for row in words:
-        blooms[row["_file"]][str(row["w"])] = int(row["v"])
-    new_doc = dict(doc)
-    new_doc["bloom"] = {"col": col, "m": m_map, "words": blooms}
-    new_doc["version"] = v + 1
-    mdir = os.path.join(table, "manifests")
-    tmp = os.path.join(mdir, f".v{v + 1}.json.inprogress")
-    with open(tmp, "w") as f:
-        json.dump(new_doc, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(mdir, f"v{v + 1}.json"))
-    return v + 1
+    # Per-file widths and words computed this call — reused across CAS
+    # retries so a lost race never rescans a file twice (per-file
+    # blooms are immutable once computed, like the NDV registers).
+    known_m: dict[str, int] = {}
+    known_words: dict[str, dict[str, int]] = {}
+    for _ in range(20):
+        v, doc = _snap_latest_doc(table)
+        prev = doc.get("bloom", {})
+        if prev.get("col") == col:
+            for f in doc["files"]:
+                if f in prev.get("words", {}) and f not in known_words:
+                    known_words[f] = prev["words"][f]
+                    known_m[f] = prev["m"][f]
+        todo = [f for f in doc["files"] if f not in known_words]
+        if todo:
+            for f in todo:
+                known_m[f] = _bloom_width(
+                    pq.ParquetFile(os.path.join(ddir, f)).metadata.num_rows
+                )
+            m_df = F.broadcast(
+                spark.createDataFrame(
+                    sorted((f, known_m[f]) for f in todo),
+                    "_file string, _m long",
+                )
+            )
+            stacked = ", ".join(
+                f"CAST(({low.replace('j *', f'{j} *')}) % _m AS INT)"
+                for j in range(BLP_K)
+            )
+            words = (
+                spark.read.parquet(*[os.path.join(ddir, f) for f in todo])
+                .select(
+                    F.element_at(
+                        F.split(F.input_file_name(), "/"), -1
+                    ).alias("_file"),
+                    F.crc32(F.encode(F.col(col), "UTF-8")).alias("h0"),
+                )
+                .join(m_df, "_file")
+                .selectExpr("_file", f"stack({BLP_K}, {stacked}) AS pos")
+                .selectExpr(
+                    "_file",
+                    "pos DIV 32 AS w",
+                    "CAST(POWER(2, pos % 32) AS BIGINT) AS bitv",
+                )
+                .groupBy("_file", "w")
+                .agg(F.expr("bit_or(bitv)").alias("v"))
+                .collect()
+            )
+            for f in todo:
+                known_words.setdefault(f, {})
+            for row in words:
+                known_words[row["_file"]][str(row["w"])] = int(row["v"])
+        extra = {
+            k: val
+            for k, val in doc.items()
+            if k not in ("version", "files", "stats", "txn", "dv")
+        }
+        extra["bloom"] = {
+            "col": col,
+            "m": {f: known_m[f] for f in doc["files"]},
+            "words": {f: known_words[f] for f in doc["files"]},
+        }
+        if _snap_commit_cas(
+            table,
+            doc["files"],
+            v + 1,
+            stats=doc.get("stats"),
+            txn=doc.get("txn"),
+            dv=doc.get("dv"),
+            extra=extra,
+        ):
+            return v + 1
+    raise RuntimeError(f"bloom build lost 20 consecutive races on {table}")
 
 
 def snap_read_bloom_pruned(
@@ -4339,6 +4611,7 @@ def snap_optimize_zorder(
     col_b: str,
     n_files: int = 8,
     max_retries: int = 20,
+    key_col: str | None = None,
 ) -> int:
     """OPTIMIZE ZORDER as an optimistic table commit (Delta's OPTIMIZE
     ZORDER BY on the snapshot-table substrate): rewrite ALL current
@@ -4357,10 +4630,34 @@ def snap_optimize_zorder(
     any clustered rewrite), footer stats from metadata, one CAS link.
     At 100 TB this runs incrementally over file subsets (compose with
     snap_compact_optimistic's source selection); rewriting everything
-    here keeps the harness deterministic. Returns committed version."""
+    here keeps the harness deterministic. Returns committed version.
+
+    Deletion vectors: a rewrite PHYSICALIZES merge-on-read deletes —
+    the input must be read through snap_read_mor (applying the DVs)
+    and the successor manifest must DROP dv entries keyed by the
+    rewritten files, or deleted rows silently resurrect in the new
+    layout. Applying equality-delete DVs needs the table's key
+    column, so on a DV-carrying table the caller must pass
+    ``key_col`` (refused otherwise), and a CONCURRENT DV commit
+    landing between our read and the CAS raises SnapCompactConflict:
+    those deletes targeted rows we already re-wrote, and carrying
+    the entry forward would point at a file that no longer exists."""
     v, doc = _snap_latest_doc(table)
     stats = doc.get("stats", {})
-    cur = _snap_read(spark, table, v)
+    dv_seen = {
+        f: sorted(dvs) for f, dvs in (doc.get("dv") or {}).items()
+    }
+    if dv_seen and key_col is None:
+        raise SnapCompactConflict(
+            "zorder optimize on a DV-carrying table needs key_col to "
+            "apply the merge-on-read deletes before rewriting "
+            f"(dv entries: {sorted(dv_seen)})"
+        )
+    cur = (
+        snap_read_mor(spark, table, key_col, v)
+        if dv_seen
+        else _snap_read(spark, table, v)
+    )
     with_a = [s[col_a][1] for s in stats.values() if col_a in s]
     with_b = [s[col_b][1] for s in stats.values() if col_b in s]
     if len(with_a) == len(doc["files"]) and len(with_b) == len(doc["files"]):
@@ -4396,6 +4693,17 @@ def snap_optimize_zorder(
                 f"{sorted(srcs - set(lfiles))}"
             )
         survivors = [f for f in lfiles if f not in srcs]
+        ldv = {
+            f: sorted(dvs) for f, dvs in (ldoc.get("dv") or {}).items()
+        }
+        if {f: d for f, d in ldv.items() if f in srcs} != dv_seen:
+            raise SnapCompactConflict(
+                "deletion vectors changed on zorder source files "
+                "mid-rewrite — the rewrite would resurrect those rows"
+            )
+        # the rewrite applied (physicalized) the sources' DVs, so the
+        # successor drops those entries; DVs on untouched files carry
+        surviving_dv = {f: d for f, d in ldv.items() if f not in srcs}
         lstats = ldoc.get("stats", {})
         merged = {f: lstats[f] for f in survivors if f in lstats}
         merged.update(new_stats)
@@ -4405,7 +4713,7 @@ def snap_optimize_zorder(
             lv + 1,
             stats=merged,
             txn=ldoc.get("txn"),
-            dv=ldoc.get("dv"),
+            dv=surviving_dv or None,
         ):
             return lv + 1
     raise RuntimeError(
@@ -4660,6 +4968,203 @@ def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap_compact_optimistic(table, doc2["files"], staged)
 
     return snap_history(spark, table).orderBy("version")
+
+
+# ---------- files / partitions metadata relations (r14)
+
+
+def snap_metadata_files(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    span_col: str | None = None,
+) -> DataFrame:
+    """The ``files`` metadata relation (Iceberg's ``files`` table /
+    Delta's DESCRIBE DETAIL at file grain, VERDICT r13 order #4): one
+    row per live data file of the resolved snapshot — name, partition
+    tuple (canonical sorted-key JSON, ``{}`` for unpartitioned
+    files), EXACT footer row count, on-disk size, and (when
+    ``span_col`` is given) that column's recorded manifest span
+    (NULLs when the file has no recorded stats — consumers must treat
+    missing spans superset-safely, exactly like the planner).
+
+    Built from manifests + parquet footers only, O(files) metadata —
+    this is pure manifest arithmetic the planner already performs,
+    exposed as a frame you can join, filter, and alert on (small-file
+    audits, skew hunts, partition health)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    doc = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    parts = doc.get("partitions", {})
+    stats = doc.get("stats", {})
+    ddir = os.path.join(table, "data")
+    rows = []
+    for f in doc["files"]:
+        path = os.path.join(ddir, f)
+        span = stats.get(f, {}).get(span_col) if span_col else None
+        rows.append(
+            (
+                f,
+                json.dumps(dict(sorted(parts.get(f, {}).items()))),
+                int(pq.ParquetFile(path).metadata.num_rows),
+                int(os.path.getsize(path)),
+                float(span[0]) if span is not None else None,
+                float(span[1]) if span is not None else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file string, partition string, row_count long, size_bytes long,"
+        " span_lo double, span_hi double",
+    )
+
+
+def snap_metadata_partitions(
+    spark: SparkSession,
+    table: str,
+    part_col: str,
+    version: int | None = None,
+    span_col: str | None = None,
+) -> DataFrame:
+    """The ``partitions`` metadata relation: per distinct recorded
+    value of ``part_col``, the file count, footer-exact row count,
+    total bytes, and the MERGED span of ``span_col`` — NULL-poisoned:
+    if ANY contributing file lacks a recorded span the partition's
+    merged span is NULL rather than a silent understatement (the same
+    conservatism the planner applies). Files whose tuple does not
+    record ``part_col`` group under NULL. Derived from the ``files``
+    relation by one metadata-grain groupBy."""
+    f = snap_metadata_files(spark, table, version=version, span_col=span_col)
+    val = F.get_json_object(F.col("partition"), f"$.{part_col}")
+    all_spans = F.count(F.col("span_lo")) == F.count(F.lit(1))
+    return (
+        f.withColumn("_pv", val)
+        .groupBy(F.col("_pv").alias(part_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("row_count").cast("long").alias("n_rows"),
+            F.sum("size_bytes").cast("long").alias("size_bytes"),
+            F.when(all_spans, F.min("span_lo")).alias("span_lo"),
+            F.when(all_spans, F.max("span_hi")).alias("span_hi"),
+        )
+    )
+
+
+@query(
+    "q_table_metadata_tables",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILES / PARTITIONS / SNAPSHOTS METADATA RELATIONS (VERDICT r13
+    order #4) — the DESCRIBE DETAIL surface every lakehouse user hits
+    weekly, answered WITHOUT reading a data page: the harness builds
+    a day-partitioned snapshot table (partition tuples + per-file
+    event_id spans riding the manifest), then queries the
+    ``partitions`` relation — per-day file counts, footer-exact row
+    counts, byte sizes, and merged stat spans — and hash-checks
+    (day, n_rows, min/max event_id) against raw events: a footer
+    miscount, a dropped partition, or a wrong span merge mismatches.
+    Asserted live: the ``files`` relation covers every manifest file
+    exactly once with positive sizes and singleton {day} tuples; the
+    ``partitions`` rollup reconciles with ``files`` on both counts
+    and bytes; the ``snapshots`` relation (snap_history) states the
+    create with the right file count; and a file stripped of its
+    stats NULL-poisons its partition's merged span rather than
+    silently narrowing it.
+
+    100 TB: these relations are O(files) manifest arithmetic — the
+    small-file audit, skew hunt, and partition-health dashboard all
+    become metadata queries. Reference parity: no metadata-table
+    surface in the reference (SURVEY §2 B.1 extension)."""
+    import json as _json
+
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapmeta')}/table"
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .select("event_id", "event_type", "day")
+    )
+    files, parts = _snap_add_files_partitioned(
+        ev.repartition(F.col("day")), table, "meta_stage", ["day"]
+    )
+    stats = {
+        f: _parquet_file_stats(os.path.join(table, "data", f), ["event_id"])
+        for f in files
+    }
+    stats = {f: s for f, s in stats.items() if s}
+    _snap_commit_partitioned(table, files, 0, ["day"], parts, stats=stats)
+
+    frel = snap_metadata_files(spark, table, span_col="event_id")
+    frows = frel.collect()
+    if sorted(r.file for r in frows) != sorted(files):
+        raise RuntimeError("files relation lost or invented files")
+    if any(r.size_bytes <= 0 or r.row_count <= 0 for r in frows):
+        raise RuntimeError("files relation carries non-positive sizes")
+    if any(set(_json.loads(r.partition)) != {"day"} for r in frows):
+        raise RuntimeError("files relation tuple is not the {day} spec")
+
+    prel = snap_metadata_partitions(
+        spark, table, "day", span_col="event_id"
+    )
+    pr = {r.day: r for r in prel.collect()}
+    if sum(r.n_files for r in pr.values()) != len(files) or sum(
+        r.size_bytes for r in pr.values()
+    ) != sum(r.size_bytes for r in frows):
+        raise RuntimeError("partitions rollup does not reconcile with files")
+
+    hist = snap_history(spark, table).collect()
+    if len(hist) != 1 or hist[0].n_files != len(files):
+        raise RuntimeError(f"snapshots relation wrong: {hist}")
+
+    # NULL-poisoning: strip one file's stats in a successor commit
+    v0doc = _json.loads(
+        open(
+            os.path.join(table, "manifests", _snap_versions(table)[0])
+        ).read()
+    )
+    holed = dict(v0doc.get("stats", {}))
+    victim = next(iter(holed))
+    vday = parts[victim]["day"]
+    del holed[victim]
+    _snap_commit_partitioned(
+        table, files, 1, ["day"], parts, stats=holed
+    )
+    poisoned = {
+        r.day: r
+        for r in snap_metadata_partitions(
+            spark, table, "day", version=1, span_col="event_id"
+        ).collect()
+    }
+    if poisoned[vday].span_lo is not None or any(
+        d != vday and poisoned[d].span_lo is None for d in poisoned
+    ):
+        raise RuntimeError("span NULL-poisoning misfired")
+
+    return (
+        prel.select(
+            "day",
+            "n_rows",
+            F.col("span_lo").cast("long").alias("min_event_id"),
+            F.col("span_hi").cast("long").alias("max_event_id"),
+        )
+        .orderBy("day")
+    )
 
 
 # ---------- corpus curation as audited table commits (r13)
@@ -5258,6 +5763,90 @@ def snap_agg_pushdown(
     return out
 
 
+def snap_agg_pushdown_dv(
+    table: str, cols: list[str], version: int | None = None
+) -> dict | None:
+    """DV-AWARE aggregate pushdown (VERDICT r13 order #3) — the
+    Iceberg-v2 refinement of snap_agg_pushdown's blanket DV refusal:
+
+    - COUNT(*) = Σ parquet footer rows − Σ manifest-scoped DV pair
+      rows. The DV write path (snap_delete_optimistic) records ONE
+      pair per deleted ROW present in the target file at write time
+      and rows are immutable afterwards, so scoped pair counts are
+      exact deleted-row counts — UNLESS two DV files scoped to the
+      same data file overlap on a key (a double delete would double-
+      count): that case refuses (returns None) rather than guessing.
+    - MIN/MAX for a column is provable exactly when some DV-FREE file
+      attains the global bound (its extreme row cannot have been
+      deleted, and no surviving row anywhere beats the global bound);
+      when every file attaining the bound carries DVs, the deleted
+      rows could include the extreme, so that aggregate is OMITTED
+      from the result (per-aggregate refusal, not per-table).
+
+    Like the plain path, any file lacking stats for any requested
+    column refuses outright, as does an empty table. DV reads are
+    pyarrow, driver-side, O(deleted keys) — delete metadata, not data
+    pages; at 100 TB this keeps dashboard COUNTs on actively-deleted
+    tables at manifest cost."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    doc = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    if not doc["files"]:
+        return None
+    stats = doc.get("stats", {})
+    if any(
+        f not in stats or any(c not in stats[f] for c in cols)
+        for f in doc["files"]
+    ):
+        return None
+    ddir = os.path.join(table, "data")
+    dv_map = {
+        f: dvs for f, dvs in doc.get("dv", {}).items() if f in set(doc["files"])
+    }
+    n_rows = sum(
+        pq.ParquetFile(os.path.join(ddir, f)).metadata.num_rows
+        for f in doc["files"]
+    )
+    deleted = 0
+    for f, dvs in dv_map.items():
+        keys_seen: set = set()
+        for d in dict.fromkeys(dvs):  # a dv file scopes once per target
+            t = pq.read_table(
+                os.path.join(ddir, d), columns=["target_file", "key"]
+            )
+            ks = [
+                k
+                for tf, k in zip(
+                    t.column("target_file").to_pylist(),
+                    t.column("key").to_pylist(),
+                )
+                if tf == f
+            ]
+            if keys_seen & set(ks):
+                return None  # overlapping double delete — refuse
+            keys_seen |= set(ks)
+            deleted += len(ks)
+    out: dict = {"n_rows": n_rows - deleted}
+    for c in cols:
+        glo = min(stats[f][c][0] for f in doc["files"])
+        ghi = max(stats[f][c][1] for f in doc["files"])
+        if any(
+            stats[f][c][0] == glo and f not in dv_map for f in doc["files"]
+        ):
+            out[f"min_{c}"] = glo
+        if any(
+            stats[f][c][1] == ghi and f not in dv_map for f in doc["files"]
+        ):
+            out[f"max_{c}"] = ghi
+    return out
+
+
 @query(
     "q_table_agg_pushdown",
     oracle="""
@@ -5359,11 +5948,113 @@ def table_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_table_agg_pushdown_dv",
+    oracle="""
+    WITH mx AS (
+      SELECT MAX(event_id) AS m FROM events
+    ),
+    kept AS (
+      SELECT event_id FROM events
+      WHERE NOT (event_id % 13 = 5 AND event_id > (SELECT m // 2 FROM mx))
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM kept
+    """,
+)
+def table_agg_pushdown_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-AWARE AGGREGATE PUSHDOWN (VERDICT r13 order #3) — COUNT(*)
+    on a deletion-vector-carrying table answered from metadata:
+    footer rows minus manifest-scoped DV pair rows (the write path
+    records one pair per deleted row, so the subtraction is exact),
+    with MIN/MAX decided PER AGGREGATE: the harness deletes only keys
+    strictly above the argmin file's span, so MIN is still PROVABLE
+    (a DV-free file attains the global bound — asserted live) while
+    MAX must REFUSE (every file attaining the bound carries DVs —
+    deleted rows could include the extreme; asserted live) and is
+    answered by the merge-on-read scan instead. The blanket-refusing
+    plain pushdown is asserted to still return None on this table —
+    the DV-aware path is a refinement, not a replacement. The
+    returned (metadata COUNT, metadata MIN, scanned MAX) row
+    hash-checks against raw events with the deletes stated in SQL —
+    an over- or under-subtracted DV cardinality mismatches.
+
+    100 TB: dashboards COUNT actively-deleted tables constantly;
+    blanket refusal sends every one to a cluster-scale scan, while
+    this path reads O(deleted keys) delete metadata driver-side.
+    Iceberg v2 scan-planning shape. SURVEY §2 B.1 extension."""
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapaggdv')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id")
+    files, stats = _snap_add_files_with_stats(
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        table,
+        "apdv_base",
+        ["event_id"],
+    )
+    _snap_commit(table, files, 0, stats=stats)
+
+    glo = min(stats[f]["event_id"][0] for f in files)
+    ghi = max(stats[f]["event_id"][1] for f in files)
+    argmin_f = next(f for f in files if stats[f]["event_id"][0] == glo)
+    # delete only above the median id: the argmin file (~12.5th id
+    # percentile under range clustering) stays DV-free, so MIN stays
+    # provable while MAX's file takes DVs — both asserted below
+    cut = int(ghi) // 2
+    keys = ev.filter(
+        (F.col("event_id") % 13 == 5) & (F.col("event_id") > cut)
+    ).distinct()
+    snap_delete_optimistic(spark, table, keys, "event_id")
+
+    _, doc = _snap_latest_doc(table)
+    dv_map = doc.get("dv", {})
+    if not dv_map or argmin_f in dv_map:
+        raise RuntimeError(f"harness broke: dv placement {sorted(dv_map)}")
+    argmax_files = {
+        f for f in doc["files"] if doc["stats"][f]["event_id"][1] == ghi
+    }
+    if not argmax_files <= set(dv_map):
+        raise RuntimeError("harness broke: an argmax file is DV-free")
+
+    if snap_agg_pushdown(table, ["event_id"]) is not None:
+        raise RuntimeError("plain pushdown answered on a DV table")
+    pushed = snap_agg_pushdown_dv(table, ["event_id"])
+    if pushed is None or "min_event_id" not in pushed:
+        raise RuntimeError(f"DV-aware pushdown under-delivered: {pushed}")
+    if "max_event_id" in pushed:
+        raise RuntimeError("MAX proven from a DV-carrying argmax file")
+
+    mor = snap_read_mor(spark, table, "event_id")
+    scanned = mor.agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    ).first()
+    if int(pushed["n_rows"]) != int(scanned.n) or int(
+        pushed["min_event_id"]
+    ) != int(scanned.lo):
+        raise RuntimeError(
+            f"metadata answer diverged from MoR scan: {pushed} vs {scanned}"
+        )
+
+    return spark.createDataFrame(
+        [(int(pushed["n_rows"]), int(pushed["min_event_id"]), int(scanned.hi))],
+        "n_rows long, min_event_id long, max_event_id long",
+    )
+
+
 # ---------- incremental scan between versions (r13)
 
 
 def snap_read_incremental(
-    spark: SparkSession, table: str, from_v: int, to_v: int
+    spark: SparkSession,
+    table: str,
+    from_v: int,
+    to_v: int,
+    key_col: str | None = None,
 ) -> tuple[DataFrame, str]:
     """INCREMENTAL SCAN between two committed versions (Iceberg's
     incremental read): when EVERY step in (from_v, to_v] is
@@ -5419,7 +6110,12 @@ def snap_read_incremental(
             spark.read.parquet(*[os.path.join(ddir, f) for f in added]),
             "appends-fast-path",
         )
-    key_col = "event_id"
+    if key_col is None:
+        raise ValueError(
+            f"version range [{from_v}, {to_v}] contains a rewrite/delete "
+            "step; pass key_col so the snap_diff fallback can classify "
+            "changes (file arithmetic alone is unsound here)"
+        )
     diff = snap_diff(spark, table, from_v, to_v, key_col)
     return (
         diff.filter(F.col("_change_type") == "insert").drop("_change_type"),
@@ -5525,16 +6221,20 @@ def snap_commit_checked(
     the constraint costs nothing, which is why engines can afford to
     enforce it on every commit of a 100 TB table."""
     ddir = os.path.join(table, "data")
-    unproven = [
-        f
-        for f in new_files
-        if f not in new_stats
-        or check_col not in new_stats[f]
-        or not (
-            lo <= new_stats[f][check_col][0]
-            and new_stats[f][check_col][1] <= hi
-        )
-    ]
+    # A file stats-proves only when (a) its footer [min, max] sits
+    # inside the bounds AND (b) its footer null_count for the column
+    # is zero — parquet min/max EXCLUDE nulls, so bounds alone would
+    # blind-accept a file of in-bounds values plus NULLs that the
+    # scan path's isNull() clause rejects. Absent null stats degrade
+    # to the scan, never to a blind accept.
+    def _stats_proven(f: str) -> bool:
+        s = new_stats.get(f, {}).get(check_col)
+        if s is None or not (lo <= s[0] and s[1] <= hi):
+            return False
+        n = _parquet_file_nulls(os.path.join(ddir, f), [check_col])
+        return bool(n) and n[check_col] == 0
+
+    unproven = [f for f in new_files if not _stats_proven(f)]
     mode = "stats-proven"
     if unproven:
         mode = "scan-verified"
@@ -5711,24 +6411,24 @@ def snap_commit_with_nulls(
     df: DataFrame,
     table: str,
     tag: str,
-    version: int,
     null_cols: list[str],
-    prev_files: list[str] | None = None,
-    prev_nulls: dict | None = None,
+    max_retries: int = 20,
 ) -> tuple[list[str], dict]:
-    """Stage ``df`` and commit (previous files +) the new files with
-    per-file null counts AND row counts riding the manifest under
-    ``nulls``: {file: {"rows": n, <col>: null_count}}. Null-count
-    stats power two prunings min/max cannot: ``IS NULL`` plans only
-    files with null_count > 0, and ``IS NOT NULL`` (the sparse-column
-    scan) plans only files with null_count < rows."""
-    import json
-
+    """Stage ``df`` and append-commit the new files with per-file null
+    counts AND row counts riding the manifest under ``nulls``:
+    {file: {"rows": n, <col>: null_count}}. Null-count stats power two
+    prunings min/max cannot: ``IS NULL`` plans only files with
+    null_count > 0, and ``IS NOT NULL`` (the sparse-column scan) plans
+    only files with null_count < rows. The commit goes through the
+    standard read-stage-CAS retry loop (prior files, stats, and null
+    records carried forward from whatever manifest is latest at CAS
+    time — a concurrent append/maintenance commit commutes instead of
+    being clobbered); the first commit on a fresh table CASes v0."""
     import pyarrow.parquet as pq
 
     names = _snap_add_files(df, table, tag)
     ddir = os.path.join(table, "data")
-    nulls = dict(prev_nulls or {})
+    new_nulls = {}
     kept = []
     for f in names:
         path = os.path.join(ddir, f)
@@ -5739,17 +6439,33 @@ def snap_commit_with_nulls(
         kept.append(f)
         n = _parquet_file_nulls(path, null_cols)
         if n:
-            nulls[f] = {"rows": md.num_rows, **n}
-    files = sorted((prev_files or []) + kept)
-    mdir = os.path.join(table, "manifests")
-    os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".v{version}.json.inprogress")
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": files, "nulls": nulls}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, os.path.join(mdir, f"v{version}.json"))
-    return kept, nulls
+            new_nulls[f] = {"rows": md.num_rows, **n}
+    for _ in range(max_retries):
+        has_manifest = os.path.isdir(
+            os.path.join(table, "manifests")
+        ) and _snap_versions(table)
+        v, doc = _snap_latest_doc(table) if has_manifest else (-1, {"files": []})
+        extra = {
+            k: val
+            for k, val in doc.items()
+            if k not in ("version", "files", "stats", "txn", "dv")
+        }
+        nulls = dict(doc.get("nulls", {}))
+        nulls.update(new_nulls)
+        extra["nulls"] = nulls
+        if _snap_commit_cas(
+            table,
+            doc["files"] + kept,
+            v + 1,
+            stats=doc.get("stats"),
+            txn=doc.get("txn"),
+            dv=doc.get("dv"),
+            extra=extra,
+        ):
+            return kept, nulls
+    raise RuntimeError(
+        f"null-stats append lost {max_retries} consecutive races on {table}"
+    )
 
 
 def snap_read_null_pruned(
@@ -5832,7 +6548,7 @@ def table_null_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     old = ev.filter(F.expr("event_id % 10 < 8"))
     f_old, nulls = snap_commit_with_nulls(
-        old.repartitionByRange(4, "event_id"), table, "nl_old", 0, ["value"]
+        old.repartitionByRange(4, "event_id"), table, "nl_old", ["value"]
     )
     new = ev.filter(F.expr("event_id % 10 >= 8")).withColumn(
         "value",
@@ -5841,13 +6557,7 @@ def table_null_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     f_new, nulls = snap_commit_with_nulls(
-        new.repartition(2),
-        table,
-        "nl_new",
-        1,
-        ["value"],
-        prev_files=f_old,
-        prev_nulls=nulls,
+        new.repartition(2), table, "nl_new", ["value"]
     )
 
     scan, planned, total = snap_read_null_pruned(spark, table, "value", True)

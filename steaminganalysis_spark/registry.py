@@ -706,6 +706,65 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # via the deferred pin). The displaced 14th round-7 stamp
 # (q_observe_metrics) heads the round-14 fill. Round-13 additions go
 # into deferred_to_round14 (tests/test_contract_robustness.py).
+ROUND14_WINDOW = [
+    # Canaries (2): flagship + the HUGEINT-class sentinel.
+    "q_daily_rollup",
+    "q_tpch_q12",
+    # --- the 24 round-13 additions (former deferred_to_round14 pin,
+    # never driver-checked; judge-verified oracle-exact in the r13
+    # VERDICT), plan order ---
+    "q_table_partition_pruning",
+    "q_table_optimize_concurrent",
+    "q_table_merge_dv",
+    "q_table_snapshot_diff",
+    "q_table_wap_publish",
+    "q_table_restore",
+    "q_table_two_level_pruning",
+    "q_table_mv_from_cdf",
+    "q_stream_table_schema_evolution",
+    "q_stream_table_partition_ingest",
+    "q_stream_table_cdc_dv",
+    "q_table_analyze_ndv",
+    "q_table_bloom_skip",
+    "q_table_optimize_zorder",
+    "q_stream_from_table_cdf",
+    "q_table_history",
+    "q_corpus_curation_commits",
+    "q_table_column_mapping",
+    "q_table_manifest_list",
+    "q_table_agg_pushdown",
+    "q_table_incremental_read",
+    "q_stream_table_replicate",
+    "q_table_constraint_commit",
+    "q_table_null_pruning",
+    # --- execution-changed-this-round re-checks (the
+    # q_graph_triangles rule), each displacing one unchanged round-7
+    # fill: the snapshot ingest sink's commit upgraded from os.replace
+    # to CAS-with-retry (planned at the r13 freeze); snap_expire
+    # gained ref-head retention counting (r14 named refs); and
+    # snap_append_optimistic now carries ALL manifest keys (ndv,
+    # bloom, nulls) forward, changing every append-path key —
+    # q_table_concurrent_commit is its oldest-stamped representative
+    # not already in this window ---
+    "q_stream_table_ingest",
+    "q_table_vacuum",
+    "q_table_concurrent_commit",
+    # --- the 21 oldest oracled round-7-stamp re-checks, registration
+    # order (head: q_event_transitions + q_observe_metrics, displaced
+    # from the round-13 window; q_ts_changepoint onward roll to
+    # round 15) ---
+    "q_event_transitions", "q_observe_metrics", "q_merge_with_deletes",
+    "q_anonymize_kanon", "q_agg_percentile_disc", "q_agg_regression",
+    "q_agg_weighted_median", "q_agg_corr_matrix", "q_agg_skewkurt",
+    "q_stream_stream_right_join", "q_stream_stateful_profile",
+    "q_stream_dq_drift", "q_fn_string_distance", "q_fn_aes",
+    "q_dedup_jaccard_prefix", "q_text_winnowing", "q_text_readability",
+    "q_graph_degree", "q_copurchase_pairs", "q_rfm_segments",
+    "q_seq_pattern",
+]
+
+# Retired round-13 window, for the record (50/50 green in
+# CORRECTNESS_r13.json):
 ROUND13_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
@@ -1072,7 +1131,7 @@ ROUND4_WINDOW = [
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every operator module (side effect: registration), then
-    reorder so ROUND13_WINDOW occupies the first 50 registration slots
+    reorder so ROUND14_WINDOW occupies the first 50 registration slots
     — the slice the driver's correctness gate checks this round."""
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import tpch  # noqa: F401  isort: skip
@@ -1099,11 +1158,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import curation  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import retrieval  # noqa: F401  isort: skip
 
-    missing = [k for k in ROUND13_WINDOW if k not in QUERIES]
+    missing = [k for k in ROUND14_WINDOW if k not in QUERIES]
     if missing:
-        raise RuntimeError(f"ROUND13_WINDOW names unregistered queries: {missing}")
-    window = set(ROUND13_WINDOW)
-    ordered = ROUND13_WINDOW + [k for k in QUERIES if k not in window]
+        raise RuntimeError(f"ROUND14_WINDOW names unregistered queries: {missing}")
+    window = set(ROUND14_WINDOW)
+    ordered = ROUND14_WINDOW + [k for k in QUERIES if k not in window]
     reordered = {k: QUERIES[k] for k in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -69,13 +69,43 @@ def test_demo_app_accumulates_day_totals(spark):
             assert h["fee_cents"] == 0
 
 
-# Keys registered AFTER the round-13 window froze — exempt from the
-# rotation-closure check below, pinned here so they head the round-14
-# window (the same bookkeeping rounds 2-13 used). Every new @query
-# registration this round MUST be added here. The round-13 window
-# absorbed the ENTIRE former deferred_to_round13 set (the nine
-# round-12 additions), so this set restarts from round-13 additions.
-deferred_to_round14: set[str] = {
+# Keys registered AFTER the round-14 window froze — exempt from the
+# rotation-closure check below, pinned here so they head the round-15
+# window (the same bookkeeping rounds 2-14 used). Every new @query
+# registration this round MUST be added here. The round-14 window
+# absorbed the ENTIRE former deferred_to_round14 set (the 24
+# round-13 additions), so this set restarts from round-14 additions.
+deferred_to_round15: set[str] = {
+    # round-14 additions (operators/storage.py — DV-aware aggregate
+    # pushdown: COUNT(*) = footer rows − manifest-scoped DV pair rows
+    # (one pair per deleted row, exact), per-aggregate MIN/MAX proof
+    # from DV-free bound-attaining files, overlap-double-delete and
+    # partial-stats refusals)
+    "q_table_agg_pushdown_dv",
+    # round-14 additions (operators/storage.py — files/partitions
+    # metadata relations: per-file partition tuple + footer rows +
+    # size + stat span, per-partition rollups with NULL-poisoned
+    # span merges, reconciled live against the manifest and
+    # hash-checked against raw data)
+    "q_table_metadata_tables",
+    # round-14 additions (operators/storage.py — named refs: immutable
+    # tags + movable branch heads as one-JSON-file refs; VACUUM counts
+    # ref heads as retained so tagged snapshots survive retention;
+    # time-travel by ref name; drop-then-expire actually expires)
+    "q_table_refs",
+    # round-14 additions (operators/ann.py — ANN index maintenance as
+    # table commits: the index manifest carries covers_corpus_version
+    # alongside its shard list, incremental updates plan the corpus
+    # delta via snap_read_incremental's appends fast path and assign
+    # only added files; rows-only — Lloyd float centroids — with the
+    # full-rebuild equality asserted live and crash/rewrite paths
+    # pinned in tests/test_storage.py)
+    "q_table_ann_index_commits",
+}
+
+# Retired: the round-13 additions, absorbed into ROUND14_WINDOW (kept
+# for the historical record of what each key pinned).
+_absorbed_round13_additions: set[str] = {
     # round-13 additions (operators/storage.py — partition-aware
     # manifest: per-file partition tuples + spec ride the manifest, a
     # partition predicate prunes at manifest grain; spec evolution is
@@ -256,32 +286,31 @@ _absorbed_round12_additions: set[str] = {
 }
 
 
-def test_round13_correctness_window_composition():
+def test_round14_correctness_window_composition():
     """The driver verifies the FIRST ~50 registered queries; the
-    round-13 window is the explicit ROUND13_WINDOW key list — the two
-    canaries, the 9 round-12 additions (former deferred_to_round13
-    pin, never driver-checked), the 25 oracled round-5-stamp
-    re-checks in registration order, the 12 oldest oracled
-    round-7-stamp re-checks (there are no round-6 stamps), and two
-    execution-changed keys under the q_graph_triangles rule:
-    q_stream_table_ingest (its sink gained the manifest txn
-    idempotency guard — ADVICE r12) and q_stream_hll_daily (converted
-    from rows-only DataSketches state to the oracle-exact portable
-    register lattice — VERDICT r12 order #7);
-    q_stream_table_cdc_merge and q_table_vacuum also changed
-    execution but already sit in the window via the deferred pin.
-    Pin it so a stray registration (or an import reorder) cannot
-    silently displace queries out of the checked window before the
-    driver runs. Update deliberately on each round's rotation."""
+    round-14 window is the explicit ROUND14_WINDOW key list — the two
+    canaries, ALL 24 round-13 additions (former deferred_to_round14
+    pin, never driver-checked; judge-verified oracle-exact in the r13
+    VERDICT — converting those to driver rows is VERDICT r13 order
+    #1), three execution-changed re-checks under the
+    q_graph_triangles rule (q_stream_table_ingest: sink commit
+    upgraded to CAS-with-retry; q_table_vacuum: snap_expire gained
+    ref-head retention; q_table_concurrent_commit: the oldest-stamped
+    representative of snap_append_optimistic's new carry-all-keys
+    behavior), and the 21 oldest oracled round-7-stamp re-checks in
+    registration order. Pin it so a stray registration (or an import
+    reorder) cannot silently displace queries out of the checked
+    window before the driver runs. Update deliberately on each
+    round's rotation."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND13_WINDOW, collect_queries
+    from steaminganalysis_spark.registry import ROUND14_WINDOW, collect_queries
 
     QUERIES, ORACLE = collect_queries()
     first50 = list(QUERIES)[:50]
-    assert len(ROUND13_WINDOW) == 50
-    assert first50 == ROUND13_WINDOW
+    assert len(ROUND14_WINDOW) == 50
+    assert first50 == ROUND14_WINDOW
     # the canaries must sit inside the window
     for k in (
         "q_daily_rollup",
@@ -289,23 +318,23 @@ def test_round13_correctness_window_composition():
     ):
         assert k in first50, k
     # Rotation closure: after this round, every key that existed when
-    # the round-13 window froze has a driver CORRECTNESS row — the
-    # window must cover everything the union of CORRECTNESS_r01..r12
-    # did not, except the pinned new keys in deferred_to_round14.
+    # the round-14 window froze has a driver CORRECTNESS row — the
+    # window must cover everything the union of CORRECTNESS_r01..r13
+    # did not, except the pinned new keys in deferred_to_round15.
     # (Glob is two-digit-safe: r0[1-9] broke at CORRECTNESS_r10.json.)
     checked = set()
     for p in sorted(
         Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")
     ):
         checked |= set(json.loads(p.read_text()))
-    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round14]
+    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round15]
     assert set(never) <= set(first50), sorted(set(never) - set(first50))
-    assert deferred_to_round14 <= set(QUERIES)
-    assert deferred_to_round14.isdisjoint(first50)
-    # every key in the round-13 window is registered with an oracle —
-    # the 9 former deferred keys are all oracle-exact by design and the
-    # stamp re-check fills were drawn from the oracled backlog only
-    # (rows-only keys keep their pinned invariant tests instead).
+    assert deferred_to_round15 <= set(QUERIES)
+    assert deferred_to_round15.isdisjoint(first50)
+    # every key in the round-14 window is registered with an oracle —
+    # the 24 former deferred keys are all oracle-exact by design and
+    # the stamp re-check fills were drawn from the oracled backlog
+    # only (rows-only keys keep their pinned invariant tests instead).
     rows_only_in_window = {k for k in first50 if k not in ORACLE}
     assert rows_only_in_window == set(), rows_only_in_window
 

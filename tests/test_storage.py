@@ -1947,7 +1947,13 @@ def test_incremental_read_fallback_on_rewrite_and_empty_range(spark):
     f2 = _snap_add_files(ins.coalesce(1), table, "ir2")
     _snap_commit(table, rw + f2, 2)
 
-    got, strat = snap_read_incremental(spark, table, 0, 2)
+    # key_col is required once the range contains a rewrite
+    try:
+        snap_read_incremental(spark, table, 0, 2)
+        raise AssertionError("fallback without key_col should refuse")
+    except ValueError:
+        pass
+    got, strat = snap_read_incremental(spark, table, 0, 2, key_col="event_id")
     assert strat == "diff-fallback"  # rewrite inside the range
     assert sorted(r.event_id for r in got.collect()) == [100, 101]
 
@@ -2023,6 +2029,24 @@ def test_constraint_commit_edge_bounds_and_null_rejection(spark):
     v4, doc = _snap_latest_doc(table)
     assert v4 == 2 and not (set(f3) & set(doc["files"]))
 
+    # (5) in-bounds stats + NULLs must NOT stats-prove: parquet
+    # min/max exclude nulls, so bounds alone would blind-accept a
+    # file the scan path rejects — the null_count==0 requirement
+    # routes it to the scan, which rejects
+    f5, s5 = _snap_add_files_with_stats(
+        spark.createDataFrame(
+            [(6, 10.0), (7, None)], "event_id long, value double"
+        ).coalesce(1),
+        table,
+        "ck5",
+        ["value"],
+    )
+    try:
+        snap_commit_checked(spark, table, f5, s5, "value", 0.0, 100.0)
+        raise AssertionError("NULL slipped through the stats-proof path")
+    except SnapConstraintViolation:
+        pass
+
 
 def test_null_pruning_not_null_arm_and_superset_safety(spark):
     """q_table_null_pruning pins: (1) the IS NOT NULL arm prunes an
@@ -2045,16 +2069,10 @@ def test_null_pruning_not_null_arm_and_superset_safety(spark):
         [(3, None), (4, None)], "event_id long, value double"
     )
     f_full, nulls = snap_commit_with_nulls(
-        full.coalesce(1), table, "np1", 0, ["value"]
+        full.coalesce(1), table, "np1", ["value"]
     )
     f_null, nulls = snap_commit_with_nulls(
-        allnull.coalesce(1),
-        table,
-        "np2",
-        1,
-        ["value"],
-        prev_files=f_full,
-        prev_nulls=nulls,
+        allnull.coalesce(1), table, "np2", ["value"]
     )
 
     _, planned_null, _ = snap_read_null_pruned(spark, table, "value", True)
@@ -2076,7 +2094,415 @@ def test_null_pruning_not_null_arm_and_superset_safety(spark):
 
     # (4) a table with no nulls at all: IS NULL plans zero files
     t2 = f"{scratch_dir('nullpin2')}/t"
-    f2, _ = snap_commit_with_nulls(full.coalesce(1), t2, "np3", 0, ["value"])
+    f2, _ = snap_commit_with_nulls(full.coalesce(1), t2, "np3", ["value"])
     empty, planned, total = snap_read_null_pruned(spark, t2, "value", True)
     assert planned == [] and total == 1 and empty.count() == 0
     assert set(empty.columns) == {"event_id", "value"}
+
+
+def test_zorder_dv_table_applies_and_drops_dvs(spark):
+    """ADVICE r13 (high) pins for snap_optimize_zorder on a
+    DV-carrying table: (1) without key_col the rewrite REFUSES (it
+    cannot apply equality-delete DVs it cannot key); (2) with key_col
+    the input is read merge-on-read and the successor DROPS the dv
+    entries keyed by rewritten files — deleted rows never resurrect
+    in the new layout; (3) a concurrent DV commit landing inside the
+    staging->CAS window conflicts instead of silently resurrecting
+    the concurrently-deleted rows."""
+    import json
+    import os
+
+    import steaminganalysis_spark.operators.storage as st
+    from steaminganalysis_spark.operators.storage import (
+        SnapCompactConflict,
+        _snap_add_files_with_stats,
+        _snap_commit,
+        _snap_latest_doc,
+        snap_delete_optimistic,
+        snap_optimize_zorder,
+        snap_read_mor,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    def mk_table(name):
+        table = f"{scratch_dir(name)}/t"
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 199, float(i)) for i in range(400)],
+            "event_id long, user_id long, value double",
+        )
+        f0, s0 = _snap_add_files_with_stats(
+            df.repartitionByRange(4, "event_id"),
+            table,
+            "zdv0",
+            ["event_id", "user_id"],
+        )
+        _snap_commit(table, f0, 0, stats=s0)
+        return table
+
+    # scattered delete -> DV path (well under the 0.3 threshold)
+    table = mk_table("zdvpin1")
+    dels = spark.createDataFrame(
+        [(i,) for i in range(0, 400, 50)], "event_id long"
+    )
+    rec = snap_delete_optimistic(spark, table, dels, "event_id")
+    _, doc = _snap_latest_doc(table)
+    assert doc.get("dv"), f"harness broke: delete took COW ({rec})"
+
+    # (1) refusal without key_col
+    try:
+        snap_optimize_zorder(spark, table, "event_id", "user_id")
+        raise AssertionError("zorder ran blind on a DV-carrying table")
+    except SnapCompactConflict:
+        pass
+
+    # (2) with key_col: deletes applied, dv entries dropped
+    v = snap_optimize_zorder(
+        spark, table, "event_id", "user_id", key_col="event_id"
+    )
+    lv, doc = _snap_latest_doc(table)
+    assert lv == v and not doc.get("dv")
+    got = sorted(
+        r.event_id
+        for r in snap_read_mor(spark, table, "event_id").collect()
+    )
+    assert got == [i for i in range(400) if i % 50 != 0]  # no resurrection
+
+    # (3) concurrent DV commit mid-window -> conflict
+    table2 = mk_table("zdvpin2")
+    real_stage = st._snap_add_files_with_stats
+    fired = []
+
+    def stage_then_delete(df, tbl, tag, cols):
+        out = real_stage(df, tbl, tag, cols)
+        if tag == "zopt" and not fired:
+            fired.append(True)
+            snap_delete_optimistic(
+                spark,
+                table2,
+                spark.createDataFrame([(7,), (203,)], "event_id long"),
+                "event_id",
+            )
+        return out
+
+    st._snap_add_files_with_stats = stage_then_delete
+    try:
+        snap_optimize_zorder(
+            spark, table2, "event_id", "user_id", key_col="event_id"
+        )
+        raise AssertionError("zorder published over a concurrent DV commit")
+    except SnapCompactConflict:
+        pass
+    finally:
+        st._snap_add_files_with_stats = real_stage
+    assert fired
+    # the concurrent delete is still in force
+    got2 = {
+        r.event_id
+        for r in snap_read_mor(spark, table2, "event_id").collect()
+    }
+    assert 7 not in got2 and 203 not in got2 and len(got2) == 398
+
+
+def test_analyze_ndv_key_expr_invalidates_carry(spark):
+    """ADVICE r13 (medium) pin: re-running ANALYZE with the same
+    group_col but a DIFFERENT key_expr must invalidate the carry (the
+    manifest records key_expr), never merge old-expression registers
+    with new ones — the estimates must equal a fresh single ANALYZE
+    with the new expression."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_latest_doc,
+        snap_analyze_ndv,
+        snap_ndv_estimates,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    df = spark.createDataFrame(
+        [(i, "a", i % 13) for i in range(300)],
+        "event_id long, event_type string, user_id long",
+    ).coalesce(1)
+
+    table = f"{scratch_dir('ndvkx1')}/t"
+    f1 = _snap_add_files(df, table, "kx1")
+    _snap_commit(table, f1, 0)
+    snap_analyze_ndv(spark, table, "event_type", "user_id + 1")
+    _, doc = _snap_latest_doc(table)
+    assert doc["ndv"]["key_expr"] == "user_id + 1"
+    # same grouping, different key expression -> full recompute
+    snap_analyze_ndv(spark, table, "event_type", "event_id * 2")
+    got = snap_ndv_estimates(table)
+
+    # reference: one ANALYZE with the new expression on a twin table
+    t2 = f"{scratch_dir('ndvkx2')}/t"
+    f2 = _snap_add_files(df, t2, "kx2")
+    _snap_commit(t2, f2, 0)
+    snap_analyze_ndv(spark, t2, "event_type", "event_id * 2")
+    assert got == snap_ndv_estimates(t2)  # stale merge would inflate
+
+
+def test_metadata_commits_cas_never_clobber_concurrent_append(spark):
+    """ADVICE r13 (medium) pin: ANALYZE / bloom-build publish through
+    the CAS retry loop — a concurrent append taking the next version
+    mid-publish is never clobbered (the os.replace hole): the loser
+    re-reads, covers the appended file too, and lands on top."""
+    import steaminganalysis_spark.operators.storage as st
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_latest_doc,
+        snap_analyze_ndv,
+        snap_append_optimistic,
+        snap_bloom_build,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('mdcas')}/t"
+    f1 = _snap_add_files(
+        spark.createDataFrame(
+            [(i, "a", i % 7, f"w{i}") for i in range(100)],
+            "event_id long, event_type string, user_id long, text string",
+        ).coalesce(1),
+        table,
+        "mc1",
+    )
+    _snap_commit(table, f1, 0)
+    fa = _snap_add_files(
+        spark.createDataFrame(
+            [(i, "b", i % 5, f"x{i}") for i in range(100, 150)],
+            "event_id long, event_type string, user_id long, text string",
+        ).coalesce(1),
+        table,
+        "mca",
+    )
+
+    real_cas = st._snap_commit_cas
+    fired = []
+
+    def lose_first_cas(tbl, files, version, **kw):
+        if not fired:
+            fired.append(True)
+            snap_append_optimistic(table, fa)  # takes this version first
+        return real_cas(tbl, files, version, **kw)
+
+    st._snap_commit_cas = lose_first_cas
+    try:
+        v = snap_analyze_ndv(spark, table, "event_type", "user_id + 1")
+    finally:
+        st._snap_commit_cas = real_cas
+    assert fired
+    lv, doc = _snap_latest_doc(table)
+    # the append survived AND the analyze covers the appended file
+    assert lv == v and set(fa) <= set(doc["files"])
+    assert set(doc["ndv"]["registers"]) == set(f1 + fa)
+
+    # same discipline for the bloom build (no injection needed to
+    # check key preservation: ndv must survive the bloom commit)
+    snap_bloom_build(spark, table, "text")
+    _, doc2 = _snap_latest_doc(table)
+    assert set(doc2["bloom"]["words"]) == set(f1 + fa)
+    assert doc2.get("ndv"), "bloom commit dropped the ndv block"
+
+
+def test_agg_pushdown_dv_overlap_refusal_and_proof_rules(spark):
+    """q_table_agg_pushdown_dv pins: (1) disjoint double deletes on
+    one file subtract exactly (two DV files, no overlap); (2) a
+    DOUBLE delete of the same key (overlapping scoped DV pairs)
+    REFUSES — subtracting both copies would undercount; (3) a DV on
+    the argmin file omits MIN but keeps MAX provable from the DV-free
+    argmax file; (4) a multi-row key deletes all its rows and the
+    pair-per-row record keeps COUNT exact."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files_with_stats,
+        _snap_commit,
+        snap_agg_pushdown_dv,
+        snap_delete_optimistic,
+        snap_read_mor,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('apdvpin')}/t"
+    # two files: [0..99] and [100..199], plus key 50 duplicated (4)
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)] + [(50,)], "event_id long"
+    )
+    f0, s0 = _snap_add_files_with_stats(
+        df.repartitionByRange(2, "event_id"), table, "ap0", ["event_id"]
+    )
+    _snap_commit(table, f0, 0, stats=s0)
+
+    def dele(ids):
+        snap_delete_optimistic(
+            spark,
+            table,
+            spark.createDataFrame([(i,) for i in ids], "event_id long"),
+            "event_id",
+        )
+
+    # (1)+(4): two disjoint deletes on the low file; key 50 has 2 rows
+    dele([50, 3])
+    dele([7])
+    got = snap_agg_pushdown_dv(table, ["event_id"])
+    assert got is not None and got["n_rows"] == 201 - 4
+    assert got["n_rows"] == snap_read_mor(spark, table, "event_id").count()
+    # (3): argmin file carries DVs -> MIN omitted; argmax DV-free
+    assert "min_event_id" not in got and got["max_event_id"] == 199
+
+    # (2): delete key 7 AGAIN -> overlapping scoped pairs -> refuse
+    dele([7])
+    assert snap_agg_pushdown_dv(table, ["event_id"]) is None
+
+
+def test_vacuum_spares_tagged_snapshot_files(spark):
+    """q_table_refs fault pin (VERDICT r13 order #5 'done' gate): a
+    tagged snapshot whose files are NOT shared with the live version
+    (a compaction replaced them all) must survive VACUUM — manifest
+    AND data files — purely through the ref head's retention; after
+    the tag drops, the same VACUUM expires the manifest and sweeps
+    the now-unreferenced files. Also: refs on a never-committed
+    version refuse, and a dangling ref makes VACUUM fail loudly."""
+    import os
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_read,
+        _snap_versions,
+        snap_compact_optimistic,
+        snap_expire,
+        snap_ref_create,
+        snap_ref_drop,
+        snap_read_ref,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('refvac')}/t"
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "event_id long, value double"
+    )
+    f0 = _snap_add_files(df.repartition(2), table, "rv0")
+    _snap_commit(table, f0, 0)
+    snap_ref_create(table, "audited", "tag", version=0)
+
+    # v1 replaces EVERY v0 file (compaction) -> zero sharing
+    rw = _snap_add_files(_snap_read(spark, table, 0).coalesce(1), table, "rvc")
+    snap_compact_optimistic(table, f0, rw)
+
+    rec = snap_expire(table, [1], orphan_grace_seconds=0.0)
+    assert 0 in _snap_versions(table)  # manifest survived via the tag
+    ddir = os.path.join(table, "data")
+    assert all(os.path.exists(os.path.join(ddir, f)) for f in f0)
+    assert snap_read_ref(spark, table, "audited").count() == 100
+
+    # refs refuse uncommitted targets
+    try:
+        snap_ref_create(table, "bogus", "tag", version=99)
+        raise AssertionError("ref pinned an uncommitted version")
+    except ValueError:
+        pass
+
+    # drop the tag -> v0 and its unshared files actually go
+    snap_ref_drop(table, "audited")
+    rec = snap_expire(table, [1], orphan_grace_seconds=0.0)
+    assert 0 not in _snap_versions(table)
+    assert set(f0) <= set(rec["files_removed"])
+    assert _snap_read(spark, table).count() == 100  # live head intact
+
+    # dangling ref: hand-write a ref at the expired version -> loud
+    from steaminganalysis_spark.operators.storage import _snap_ref_write
+
+    _snap_ref_write(table, {"name": "stale", "kind": "tag", "version": 0})
+    try:
+        snap_expire(table, [1], orphan_grace_seconds=0.0)
+        raise AssertionError("VACUUM swept past a dangling ref")
+    except ValueError:
+        pass
+
+
+def test_ann_index_commits_crash_and_rewrite_paths(spark):
+    """q_table_ann_index_commits pins: (1) staged-but-uncommitted
+    shards are invisible (a crash between staging and CAS leaves the
+    index manifest at its old covers marker and a re-run covers the
+    append exactly once); (2) a corpus REWRITE (compaction) between
+    covered and latest takes the diff fallback, contributes ZERO new
+    assignments, and the index still equals a full rebuild under the
+    frozen quantizer."""
+    import os
+
+    from steaminganalysis_spark.operators.ann import (
+        _assign,
+        _centroids_df,
+        snap_ann_index_update,
+        train_ivf,
+    )
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit_cas,
+        _snap_latest_doc,
+        _snap_read,
+        snap_append_optimistic,
+        snap_compact_optimistic,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    tmp = scratch_dir("annix_pin")
+    corpus_table = os.path.join(tmp, "corpus")
+    index_table = os.path.join(tmp, "index")
+    index_dir = os.path.join(tmp, "model")
+
+    import math
+
+    def vecs(lo, hi):
+        rows = [
+            (
+                i,
+                [float((i * 7 + d) % 13) for d in range(4)],
+                math.sqrt(sum(((i * 7 + d) % 13) ** 2 for d in range(4))),
+            )
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, v array<double>, norm double"
+        )
+
+    f0 = _snap_add_files(vecs(0, 60).coalesce(1), corpus_table, "axp0")
+    _snap_commit_cas(corpus_table, f0, 0)
+    cents = train_ivf(spark, _snap_read(spark, corpus_table, 0), k=4, iters=2)
+    _centroids_df(spark, cents).write.mode("overwrite").parquet(
+        f"{index_dir}/centroids"
+    )
+    cdf = spark.read.parquet(f"{index_dir}/centroids")
+    seed = _assign(_snap_read(spark, corpus_table, 0), cdf, keep=1).select(
+        "vec_id", F.col("cid").alias("list_id")
+    )
+    s0 = _snap_add_files(seed.coalesce(1), index_table, "axps")
+    _snap_commit_cas(index_table, s0, 0, extra={"covers_corpus_version": 0})
+
+    # append, then CRASH mid-update: stage orphan shards, no CAS
+    fd = _snap_add_files(vecs(60, 90).coalesce(1), corpus_table, "axpd")
+    snap_append_optimistic(corpus_table, fd)
+    _snap_add_files(  # orphan — a crashed updater's staging
+        seed.limit(3), index_table, "axp_orphan"
+    )
+    v_ix, doc_ix = _snap_latest_doc(index_table)
+    assert v_ix == 0 and doc_ix["covers_corpus_version"] == 0  # (1) invisible
+
+    rec = snap_ann_index_update(spark, corpus_table, index_table, index_dir)
+    assert rec["strategy"] == "appends-fast-path" and rec["to"] == 1
+    ix = _snap_read(spark, index_table).select("vec_id", "list_id")
+    assert ix.count() == 90  # orphan shards never entered the manifest
+
+    # (2) corpus rewrite -> diff fallback, zero new assignments
+    rw = _snap_add_files(
+        _snap_read(spark, corpus_table).coalesce(1), corpus_table, "axprw"
+    )
+    _, cdoc = _snap_latest_doc(corpus_table)
+    snap_compact_optimistic(corpus_table, cdoc["files"], rw)
+    rec2 = snap_ann_index_update(spark, corpus_table, index_table, index_dir)
+    assert rec2["strategy"] == "diff-fallback"
+    ix2 = _snap_read(spark, index_table).select("vec_id", "list_id")
+    assert ix2.count() == 90
+    full = _assign(_snap_read(spark, corpus_table), cdf, keep=1).select(
+        "vec_id", F.col("cid").alias("list_id")
+    )
+    assert ix2.exceptAll(full).count() == 0 and full.exceptAll(ix2).count() == 0
