@@ -922,3 +922,185 @@ def table_ann_index_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("index manifest marker did not advance")
 
     return ix.orderBy("vec_id").localCheckpoint()
+
+
+# ---------- fixed-point portable k-means (r14)
+
+KMFX_Q = 4096.0  # 2^12 quantization scale (power of two — IEEE-exact)
+KMFX_K = 8
+KMFX_ITERS = 3
+
+
+def _kmfx_oracle() -> str:
+    """Chained-MATERIALIZED-CTE restatement of fixed-point Lloyd:
+    quantize FLOOR(x·2^12), seed centroids from the K lowest vec_ids,
+    then per round assign by integer squared distance (ties to the
+    lowest cluster id) and update each centroid as the FLOOR-mean of
+    its members (non-negative divisions only; empty clusters keep
+    their previous centroid). Every step is integer-exact, so the
+    final membership rollup hash-checks across engines."""
+    cte = [
+        f"""e AS MATERIALIZED (
+      SELECT vec_id, t.d,
+             CAST(FLOOR(CAST(embedding[t.d + 1] AS DOUBLE) * {KMFX_Q}) AS BIGINT) AS q
+      FROM embeddings, range(64) t(d)
+    )""",
+        f"""seed AS MATERIALIZED (
+      SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS k
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            ORDER BY vec_id LIMIT {KMFX_K})
+    )""",
+        """cent0 AS MATERIALIZED (
+      SELECT s.k, e.d, e.q AS m FROM e JOIN seed s USING (vec_id)
+    )""",
+    ]
+    for t in range(KMFX_ITERS):
+        cte.append(
+            f"""dist{t} AS MATERIALIZED (
+      SELECT e.vec_id, c.k,
+             CAST(SUM((e.q - c.m) * (e.q - c.m)) AS BIGINT) AS d2
+      FROM e JOIN cent{t} c ON e.d = c.d GROUP BY 1, 2
+    )"""
+        )
+        cte.append(
+            f"""asg{t} AS MATERIALIZED (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+        FROM dist{t}
+      ) WHERE rn = 1
+    )"""
+        )
+        cte.append(
+            f"""cent{t + 1} AS MATERIALIZED (
+      SELECT c.k, c.d,
+             COALESCE(
+               CAST(CASE WHEN u.s >= 0 THEN u.s // u.n
+                         ELSE -((-u.s + u.n - 1) // u.n) END AS BIGINT),
+               c.m) AS m
+      FROM cent{t} c
+      LEFT JOIN (
+        SELECT a.k, e.d, SUM(e.q) AS s, COUNT(*) AS n
+        FROM e JOIN asg{t} a USING (vec_id) GROUP BY 1, 2
+      ) u ON u.k = c.k AND u.d = c.d
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+    SELECT CAST(k AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+    FROM asg{KMFX_ITERS - 1} GROUP BY 1 ORDER BY 1"""
+    )
+
+
+@query("q_cluster_kmeans_portable", oracle=_kmfx_oracle())
+def cluster_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT K-MEANS (VERDICT r13 order #9, the second
+    portable-discipline conversion after q_emb_pca_power_portable):
+    Lloyd's loop re-expressed in pure int64 arithmetic so both engines
+    compute the IDENTICAL memberships — embeddings quantize by
+    FLOOR(x·2^12) (power-of-two scale, IEEE-exact), distances are
+    integer squared-distance sums (exact, order-free), the argmin
+    breaks ties toward the lowest cluster id, and the centroid update
+    is the FLOOR-mean (integer division on non-negative operands only,
+    where truncation equals floor on both engines; empty clusters keep
+    their previous centroid). The float version (q_cluster_kmeans)
+    stays rows-only for the reasons documented there; this key proves
+    the ALGORITHM cross-engine by hash-checking the per-cluster
+    membership rollup after 3 rounds from the deterministic
+    first-K-vec_ids seeding. The pinned test certifies the fixed-point
+    memberships agree overwhelmingly with float Lloyd from the same
+    seeds (so exactness is not bought with meaninglessness) and that
+    every intermediate fits int64 with headroom.
+
+    Bounds: |q−m| ≤ 2^14, squared ≤ 2^28, ×64 dims ≤ 2^34 per
+    distance; centroid sums ≤ n·2^13 — int64-safe at any realistic n.
+
+    Scale shape: per round, one equi-join of the exploded quantized
+    relation against the K×dim centroid relation (broadcast-sized) +
+    two hash aggregates with map-side combine; only K×dim integers
+    reach the driver per round — Lloyd economics unchanged."""
+    from pyspark.sql import Window
+
+    base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from steaminganalysis_spark.functions import to_double_array
+    from steaminganalysis_spark.staging import stage
+
+    q = stage(
+        base.select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    to_double_array("embedding"),
+                    lambda x: F.floor(x * F.lit(KMFX_Q)).cast("long"),
+                )
+            ).alias("d", "q"),
+        ),
+        "kmfx_emb",
+    )
+    dim = 64
+    seed_ids = [
+        r.vec_id
+        for r in base.select("vec_id").distinct().orderBy("vec_id").limit(
+            KMFX_K
+        ).collect()
+    ]
+    cent = {
+        (k, r["d"]): int(r["q"])
+        for k, vid in enumerate(seed_ids)
+        for r in q.filter(F.col("vec_id") == vid).collect()
+    }
+    asg = None
+    for _ in range(KMFX_ITERS):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(k, d, cent[(k, d)]) for k in range(KMFX_K) for d in range(dim)],
+                "k int, d int, m long",
+            )
+        )
+        dist = (
+            q.join(cdf, "d")
+            .groupBy("vec_id", "k")
+            .agg(
+                F.sum((F.col("q") - F.col("m")) * (F.col("q") - F.col("m"))).alias(
+                    "d2"
+                )
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "k")
+        asg = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "k")
+            .localCheckpoint()
+        )
+        upd = {
+            (r["k"], r["d"]): (int(r["s"]), int(r["n"]))
+            for r in q.join(asg, "vec_id")
+            .groupBy("k", "d")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        cent = {
+            (k, d): (
+                upd[(k, d)][0] // upd[(k, d)][1]  # Python // IS floor
+                if (k, d) in upd
+                else cent[(k, d)]
+            )
+            for k in range(KMFX_K)
+            for d in range(dim)
+        }
+    return (
+        asg.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+            F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        )
+        .select(F.col("k").cast("int").alias("k"), "n_members", "min_vec_id", "sum_vec_id")
+        .orderBy("k")
+    )

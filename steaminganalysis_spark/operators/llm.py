@@ -1879,6 +1879,156 @@ def emb_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 emb_pca_topk.__doc__ = emb_pca_topk.__doc__.replace("{K}", str(PCA_TOPK))
 
 
+# ---------- fixed-point portable power iteration (r14)
+
+PCAFX_Q = 4096.0  # 2^12: quantization scale — power of two, so the
+# double multiply is an exponent shift (IEEE-exact on both engines)
+PCAFX_V = 1024  # 2^10: iterate magnitude after each rescale
+PCAFX_ITERS = 8
+
+
+def _pcafx_oracle() -> str:
+    """Chained-MATERIALIZED-CTE restatement of the fixed-point power
+    iteration: quantize (FLOOR(x·2^12), exact), floor-mean center
+    (only non-negative integer divisions, so truncating and floor
+    division agree on both engines), then {T} rounds of
+    s = Cᵀ·v / w = C·s / v' = sign(w)·(|w|·2^10 // max|w|) — every
+    operation integer-exact, so the final iterate hash-checks."""
+    cte = [
+        f"""e AS MATERIALIZED (
+      SELECT vec_id, t.d,
+             CAST(FLOOR(CAST(embedding[t.d + 1] AS DOUBLE) * {PCAFX_Q}) AS BIGINT) AS q
+      FROM embeddings, range(64) t(d)
+    )""",
+        """mu AS MATERIALIZED (
+      SELECT d, CAST(CASE WHEN s >= 0 THEN s // n
+                          ELSE -((-s + n - 1) // n) END AS BIGINT) AS m
+      FROM (SELECT d, SUM(q) AS s, COUNT(*) AS n FROM e GROUP BY 1)
+    )""",
+        """c AS MATERIALIZED (
+      SELECT e.vec_id, e.d, e.q - mu.m AS cx FROM e JOIN mu USING (d)
+    )""",
+        f"""v0(d, val) AS MATERIALIZED (
+      SELECT d, CASE WHEN d = 0 THEN {PCAFX_V} ELSE 0 END FROM range(64) t(d)
+    )""",
+    ]
+    for t in range(PCAFX_ITERS):
+        cte.append(
+            f"""s{t} AS MATERIALIZED (
+      SELECT c.vec_id, CAST(SUM(c.cx * v.val) AS BIGINT) AS s
+      FROM c JOIN v{t} v ON c.d = v.d GROUP BY 1
+    )"""
+        )
+        cte.append(
+            f"""w{t} AS MATERIALIZED (
+      SELECT c.d, CAST(SUM(c.cx * s.s) AS BIGINT) AS w
+      FROM c JOIN s{t} s ON c.vec_id = s.vec_id GROUP BY 1
+    )"""
+        )
+        cte.append(
+            f"""v{t + 1}(d, val) AS MATERIALIZED (
+      SELECT d, CAST(SIGN(w) AS BIGINT)
+                * CAST((ABS(w) * {PCAFX_V})
+                       // (SELECT MAX(ABS(w2.w)) FROM w{t} w2) AS BIGINT)
+      FROM w{t}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+    SELECT CAST(d AS INT) AS d, CAST(val AS BIGINT) AS component_fixed
+    FROM v{PCAFX_ITERS} ORDER BY d"""
+    )
+
+
+@query("q_emb_pca_power_portable", oracle=_pcafx_oracle())
+def emb_pca_power_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT top principal component (VERDICT r13 order #9 —
+    the portable-discipline conversion of q_emb_pca_power's rows-only
+    float iteration, following the q_agg_hll_portable playbook):
+    embeddings quantize to integers by FLOOR(x·2^12) (the scale is a
+    power of two, so the double multiply only shifts the exponent —
+    bit-exact on both engines), centering subtracts the FLOOR-mean
+    (integer division on non-negative operands only, where truncation
+    and floor agree everywhere), and each of the 8 power rounds is
+    pure int64 arithmetic: s = Cᵀv and w = Cs are integer sums (exact
+    and order-free), and the normalization is the integer rescale
+    v' = sign(w)·(|w|·2^10 // max|w|) instead of a float norm. Every
+    engine computes the IDENTICAL integer iterate, so the driver
+    hash-checks a result the float version could only cosine-pin —
+    and the pinned test certifies the fixed-point direction agrees
+    with the float power iteration (|cos| ≥ 0.999), so exactness was
+    not bought with meaninglessness.
+
+    Overflow discipline (documented bound, asserted in the pinned
+    test): |cx| ≤ 2^13, |s| ≤ 64·2^13·2^10 < 2^29, |w| ≤ n·2^13·2^29,
+    and the rescale multiplies by 2^10 — int64-safe through n ≈ 2^20
+    rows; larger corpora lower PCAFX_V one bit per doubling (the
+    lattice stays exact at any scale choice).
+
+    Scale shape: identical to q_emb_pca_power — the quantized
+    exploded relation is staged once and scanned 2×8 times; every
+    reduce is a dim- or row-keyed integer SUM with map-side combine;
+    only the 64-int iterate reaches the driver per round."""
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = stage(
+        base.select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    "v", lambda x: F.floor(x * F.lit(PCAFX_Q)).cast("long")
+                )
+            ).alias("d", "q"),
+        ),
+        "pcafx_emb",
+    )
+    dim = 64
+    mu_rows = (
+        q.groupBy("d")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .orderBy("d")
+        .collect()
+    )
+    # floor-mean in exact Python ints (// is floor division)
+    mu = {r["d"]: r["s"] // r["n"] for r in mu_rows}
+    mu_arr = F.array(*[F.lit(int(mu[d])) for d in range(dim)])
+    c = stage(
+        q.select(
+            "vec_id",
+            "d",
+            (F.col("q") - F.element_at(mu_arr, F.col("d") + 1)).alias("cx"),
+        ),
+        "pcafx_c",
+    )
+    v = [PCAFX_V if d == 0 else 0 for d in range(dim)]
+    for _ in range(PCAFX_ITERS):
+        v_arr = F.array(*[F.lit(int(x)) for x in v])
+        s = c.groupBy("vec_id").agg(
+            F.sum(F.col("cx") * F.element_at(v_arr, F.col("d") + 1)).alias(
+                "s"
+            )
+        )
+        w_rows = (
+            c.join(s, "vec_id")
+            .groupBy("d")
+            .agg(F.sum(F.col("cx") * F.col("s")).alias("w"))
+            .collect()
+        )
+        w = {r["d"]: int(r["w"]) for r in w_rows}
+        m = max(abs(x) for x in w.values())
+        v = [
+            (1 if w[d] >= 0 else -1) * (abs(w[d]) * PCAFX_V // m)
+            for d in range(dim)
+        ]
+    return spark.createDataFrame(
+        [(d, int(v[d])) for d in range(dim)],
+        "d int, component_fixed long",
+    )
+
+
 _WIN_K = 3  # words per k-gram
 _WIN_W = 4  # winnowing window (k-gram positions per window)
 

@@ -101,6 +101,19 @@ deferred_to_round15: set[str] = {
     # full-rebuild equality asserted live and crash/rewrite paths
     # pinned in tests/test_storage.py)
     "q_table_ann_index_commits",
+    # round-14 additions (operators/llm.py — ORACLE-EXACT top
+    # principal component: FLOOR(x·2^12) quantization (power-of-two
+    # scale, IEEE-exact), floor-mean centering, 8 integer power
+    # rounds with sign·(|w|·2^10 // max|w|) rescale — the portable
+    # conversion of rows-only q_emb_pca_power (VERDICT r13 order #9);
+    # float-alignment |cos| ≥ 0.999 + int64 headroom pinned)
+    "q_emb_pca_power_portable",
+    # round-14 additions (operators/ann.py — ORACLE-EXACT k-means:
+    # fixed-point Lloyd, integer squared distances with lowest-k
+    # ties, floor-mean centroid updates, empty clusters keep their
+    # centroid; membership rollup hash-checks; ≥95% agreement with
+    # float Euclidean Lloyd from the same seeds pinned)
+    "q_cluster_kmeans_portable",
 }
 
 # Retired: the round-13 additions, absorbed into ROUND14_WINDOW (kept

@@ -704,3 +704,119 @@ def test_text_chunk_coverage_reconstruction_and_pure_map(spark):
         assert rebuilt == docs[doc_id], doc_id
     plan = physical_plan(df)
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_pca_power_portable_aligns_with_float_and_fits_int64(spark):
+    """q_emb_pca_power_portable: exactness must not be bought with
+    meaninglessness — the fixed-point iterate must agree with the
+    float power iteration's direction (|cos| ≥ 0.999), and the
+    documented overflow bound must hold live: every per-row dot and
+    per-dim reduce in the final round fits int64 with ≥ 8 bits of
+    headroom (so a 256× larger corpus at this scale choice is still
+    exact)."""
+    import numpy as np
+
+    from steaminganalysis_spark.operators.llm import (
+        PCAFX_Q,
+        PCAFX_V,
+        emb_pca_power,
+        emb_pca_power_portable,
+    )
+
+    fixed = {
+        r["d"]: r["component_fixed"]
+        for r in emb_pca_power_portable(spark, SF).collect()
+    }
+    fx = np.array([float(fixed[d]) for d in range(64)])
+    fl = {
+        r["dim"]: r["component"] for r in emb_pca_power(spark, SF).collect()
+    }
+    fv = np.array([fl[d] for d in range(64)])
+    cos = abs(fx @ fv) / (np.linalg.norm(fx) * np.linalg.norm(fv))
+    assert cos >= 0.999, cos
+
+    # live overflow headroom: recompute the final round's intermediates
+    from steaminganalysis_spark.sources import load
+    from steaminganalysis_spark.functions import to_double_array
+    from pyspark.sql import functions as F
+
+    e = load(spark, SF, "embeddings").select(
+        to_double_array("embedding").alias("v")
+    )
+    rows = e.collect()
+    C = np.floor(np.array([r["v"] for r in rows]) * PCAFX_Q).astype(np.int64)
+    mu = np.array([int(s) // len(C) for s in C.sum(axis=0)])
+    C = C - mu
+    vint = np.array([fixed[d] for d in range(64)], dtype=np.int64)
+    s = C @ vint
+    w = C.T @ s
+    assert int(np.abs(s).max()) < 2**55
+    assert int(np.abs(w).max()) * PCAFX_V < 2**55
+
+
+def test_kmeans_portable_aligns_with_float_lloyd(spark):
+    """q_cluster_kmeans_portable: the fixed-point memberships must
+    agree with FLOAT Euclidean Lloyd run from the same seeds for the
+    same 3 rounds (numpy reference) on ≥ 95% of vectors — quantization
+    at 2^12 only moves points near cluster boundaries — and the
+    integer intermediates must fit int64 with headroom."""
+    import numpy as np
+
+    from steaminganalysis_spark.functions import to_double_array
+    from steaminganalysis_spark.operators.ann import (
+        KMFX_ITERS,
+        KMFX_K,
+        KMFX_Q,
+        cluster_kmeans_portable,
+    )
+    from steaminganalysis_spark.sources import load
+    from pyspark.sql import functions as F
+
+    rows = (
+        load(spark, SF, "embeddings")
+        .select("vec_id", to_double_array("embedding").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["v"] for r in rows])
+
+    # float Euclidean Lloyd, same seeding discipline
+    C = X[:KMFX_K].copy()
+    for _ in range(KMFX_ITERS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)  # argmin ties -> lowest k, same rule
+        for k in range(KMFX_K):
+            if (a == k).any():
+                C[k] = X[a == k].mean(axis=0)
+    float_members = {int(i): int(k) for i, k in zip(ids, a)}
+
+    # fixed-point memberships via the integer reference
+    Xi = np.floor(X * KMFX_Q).astype(np.int64)
+    Ci = Xi[:KMFX_K].copy()
+    for _ in range(KMFX_ITERS):
+        d2 = ((Xi[:, None, :] - Ci[None, :, :]) ** 2).sum(axis=2)
+        assert int(d2.max()) < 2**55  # headroom
+        af = d2.argmin(axis=1)
+        for k in range(KMFX_K):
+            if (af == k).any():
+                s = Xi[af == k].sum(axis=0)
+                n = int((af == k).sum())
+                Ci[k] = np.floor_divide(s, n)
+    fixed_members = {int(i): int(k) for i, k in zip(ids, af)}
+
+    agree = sum(
+        1 for i in fixed_members if fixed_members[i] == float_members[i]
+    ) / len(fixed_members)
+    assert agree >= 0.95, agree
+
+    # and the Spark key's rollup equals the integer reference's rollup
+    got = {
+        r["k"]: (r["n_members"], r["min_vec_id"], r["sum_vec_id"])
+        for r in cluster_kmeans_portable(spark, SF).collect()
+    }
+    ref = {}
+    for i, k in fixed_members.items():
+        n, mn, sm = ref.get(k, (0, None, 0))
+        ref[k] = (n + 1, i if mn is None else min(mn, i), sm + i)
+    assert got == ref
