@@ -447,6 +447,85 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_sim_topk_filtered",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) AS nrm
+      FROM e
+    ), pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+               / (a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id AND b.label = a.label
+      WHERE a.vec_id < 50
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY round(cosine, 6) DESC, neighbor_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (r14) — top-5 cosine neighbors SHARING
+    the query's metadata label, the canonical filtered-ANN shape every
+    RAG deployment runs (tenant / language / license filters): the
+    predicate is applied as a JOIN CONDITION, i.e. PRE-FILTERING —
+    candidates are restricted before ranking, so top-k is exact under
+    the filter (post-filtering a fixed-k result famously returns
+    <k or misses matches when the filter is selective; the join-
+    condition form cannot). Same broadcast query-side plan as
+    q_sim_topk: the corpus streams map-side past the 50 broadcast
+    queries, the equality condition prunes pairs inside the join, and
+    only filtered candidates reach the per-query window.
+
+    100 TB: pre-filtering in the join condition is what composes with
+    every physical layout — the label equality becomes a bucket/
+    partition co-location key at scale (compose with
+    q_table_partition_transforms' hidden bucketing); the top-k stays
+    exact regardless of filter selectivity. Reference parity: none
+    (engine extension; SURVEY §2 B.9)."""
+    base = _emb_double(spark, sf_dir)
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    corpus = base.join(labels, "vec_id")
+    q = corpus.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = corpus.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") == F.col("qlabel")),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
 LSH_BITS = 4  # hyperplanes per table
 LSH_TABLES = 8  # independent tables (multi-probe recall)
 

@@ -2137,6 +2137,7 @@ def _snap_commit_partitioned(
     partitions: dict,
     txn: dict | None = None,
     stats: dict | None = None,
+    transforms: dict | None = None,
 ) -> None:
     """Manifest commit carrying the partition SPEC (ordered partition
     columns) and per-file partition tuples — same atomic
@@ -2145,7 +2146,10 @@ def _snap_commit_partitioned(
     files keep whatever tuple (possibly from an OLDER spec) they were
     committed under: spec evolution is metadata-only and never
     rewrites or re-tags existing files (the Iceberg spec-evolution
-    contract)."""
+    contract). ``transforms`` (r14) records HIDDEN-partitioning
+    derivations {partition_field: {"kind", "source", "arg"}} so the
+    planner can convert source-column predicates to partition values
+    itself — queries never mention the partition fields."""
     import json
 
     mdir = os.path.join(table, "manifests")
@@ -2158,6 +2162,8 @@ def _snap_commit_partitioned(
             "spec": list(spec),
             "partitions": partitions,
         }
+        if transforms is not None:
+            doc["transforms"] = transforms
         if txn is not None:
             doc["txn"] = txn  # writer-marker -> batch id (idempotent replay)
         if stats is not None:
@@ -2345,6 +2351,245 @@ def table_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------- hidden partitioning: transform specs (r14) -------------
+
+
+def _transform_col(kind: str, source: str, arg: int | None):
+    """The write-side Spark expression for a partition transform —
+    Iceberg's transform family on the snapshot table: bucket[n]
+    (crc32 of the decimal string, mod n — zlib.crc32 in the planner
+    computes the identical value), truncate[w] (floor-to-width for
+    non-negative ints), and day (date string from a timestamp)."""
+    if kind == "bucket":
+        return (
+            F.crc32(F.encode(F.col(source).cast("string"), "UTF-8"))
+            % F.lit(arg)
+        ).cast("long")
+    if kind == "truncate":
+        return (F.col(source) - (F.col(source) % F.lit(arg))).cast("long")
+    if kind == "day":
+        return F.date_format(F.col(source), "yyyy-MM-dd")
+    raise ValueError(f"unknown transform {kind!r}")
+
+
+def _transform_apply_py(kind: str, arg: int | None, value) -> str:
+    """Planner-side mirror of _transform_col for a single predicate
+    value — returns the PARTITION VALUE STRING the write path would
+    have produced (partition tuples parse from Hive dir names, so
+    everything is a string)."""
+    import zlib
+
+    if kind == "bucket":
+        return str(zlib.crc32(str(value).encode("utf-8")) % arg)
+    if kind == "truncate":
+        return str(int(value) - (int(value) % arg))
+    if kind == "day":
+        return str(value)
+    raise ValueError(f"unknown transform {kind!r}")
+
+
+def snap_add_files_transform_partitioned(
+    df: DataFrame, table: str, tmp_tag: str, transforms: dict
+) -> tuple[list[str], dict]:
+    """Stage ``df`` HIDDEN-partitioned: each transform field is
+    computed from its source column, used as the Hive partition key
+    (and therefore projected out of the data files), while the SOURCE
+    columns stay in the data — queries keep filtering on user_id/ts,
+    never on the derived fields (the Iceberg hidden-partitioning
+    contract that kills the 'forgot to filter on the partition
+    column' class of full scans). ``transforms`` =
+    {field: {"kind": ..., "source": ..., "arg": ...}}."""
+    staged = df
+    for field, t in transforms.items():
+        staged = staged.withColumn(
+            field, _transform_col(t["kind"], t["source"], t.get("arg"))
+        )
+    return _snap_add_files_partitioned(
+        staged, table, tmp_tag, list(transforms)
+    )
+
+
+def snap_read_transform_pruned(
+    spark: SparkSession,
+    table: str,
+    eq: dict | None = None,
+    ranges: dict | None = None,
+    version: int | None = None,
+) -> tuple[DataFrame, list[str], int]:
+    """Transform-aware partition pruning: predicates arrive on SOURCE
+    columns (``eq`` = {col: value}, ``ranges`` = {col: (lo, hi)} for
+    truncate fields); the planner converts each through the manifest's
+    recorded transform — bucket(value), the truncate bands
+    intersecting [lo, hi] — and keeps files whose tuple matches every
+    convertible predicate. Files lacking a field are always kept, and
+    a source column with no transform in the spec prunes nothing
+    (superset safety both ways); the row-level predicate must still be
+    applied by the caller on the returned frame, exactly like every
+    other pruning reader."""
+    import json
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    doc = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    transforms = doc.get("transforms", {})
+    parts = doc.get("partitions", {})
+    by_source: dict[str, list[tuple[str, dict]]] = {}
+    for field, t in transforms.items():
+        by_source.setdefault(t["source"], []).append((field, t))
+
+    wanted: dict[str, set[str]] = {}
+    for col, val in (eq or {}).items():
+        for field, t in by_source.get(col, []):
+            wanted.setdefault(field, set()).add(
+                _transform_apply_py(t["kind"], t.get("arg"), val)
+            )
+    for col, (lo, hi) in (ranges or {}).items():
+        for field, t in by_source.get(col, []):
+            if t["kind"] != "truncate":
+                continue  # only band transforms convert ranges
+            w = t["arg"]
+            band = int(lo) - (int(lo) % w)
+            vals = set()
+            while band <= int(hi):
+                vals.add(str(band))
+                band += w
+            wanted.setdefault(field, set()).update(vals)
+
+    planned = [
+        f
+        for f in doc["files"]
+        if all(
+            field not in parts.get(f, {}) or parts[f][field] in vals
+            for field, vals in wanted.items()
+        )
+    ]
+    ddir = os.path.join(table, "data")
+    if not planned:
+        first = os.path.join(ddir, doc["files"][0])
+        return (
+            spark.read.parquet(first).filter(F.lit(False)),
+            planned,
+            len(doc["files"]),
+        )
+    return (
+        spark.read.parquet(*[os.path.join(ddir, f) for f in planned]),
+        planned,
+        len(doc["files"]),
+    )
+
+
+@query(
+    "q_table_partition_transforms",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MIN(user_id) AS u, MAX(event_id) AS m FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value,
+           CAST(MIN(event_id) AS BIGINT) AS lo_id
+    FROM events
+    WHERE user_id = (SELECT u FROM mx)
+      AND event_id BETWEEN (SELECT m // 4 FROM mx)
+                       AND (SELECT m // 2 FROM mx)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING WITH TRANSFORM SPECS (r14) — the Iceberg
+    partition-transform family on the snapshot table, completing the
+    identity-only spec of q_table_partition_pruning: the table is
+    written under spec [user_bucket = bucket[8](user_id), id_band =
+    truncate[m//4+1](event_id)] — BOTH fields DERIVED, both projected
+    out of the data files, both invisible to queries. The probe query
+    filters on the SOURCE columns only (user_id = min user, event_id
+    in the second quarter-band) and the planner converts the
+    predicates through the recorded transforms: the bucket keeps
+    ~1/8 of files, the band keeps ~2/4, multiplicatively (asserted
+    live: planned < total/4 and every planned file's tuple matches
+    the converted values; a same-bucket different-user probe asserts
+    bucket pruning keeps superset semantics — same bucket plans the
+    same files). zlib.crc32 in the planner reproduces Spark's crc32
+    bit-exactly, so write-side and plan-side bucketing can never
+    drift. The rollup hash-checks against raw events — pruning that
+    dropped a matching row, or bucket arithmetic that diverged,
+    mismatches.
+
+    100 TB: hidden partitioning is what makes partition pruning
+    ROBUST at scale — the query says WHERE user_id = ?, never
+    WHERE user_bucket = crc32(...)%8, so no analyst can forget the
+    partition filter or get its arithmetic wrong; a point lookup on a
+    bucketed key plans 1/n of the files before any stats are read.
+    Reference parity: none (SURVEY §2 B.1 extension)."""
+    import zlib
+
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snaptransf')}/table"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    u0, m = ev.agg(F.min("user_id"), F.max("event_id")).first()
+    band_w = int(m) // 4 + 1
+    transforms = {
+        "user_bucket": {"kind": "bucket", "source": "user_id", "arg": 8},
+        "id_band": {"kind": "truncate", "source": "event_id", "arg": band_w},
+    }
+    files, parts = snap_add_files_transform_partitioned(
+        ev, table, "transf_stage", transforms
+    )
+    _snap_commit_partitioned(
+        table, files, 0, list(transforms), parts, transforms=transforms
+    )
+
+    lo, hi = int(m) // 4, int(m) // 2
+    scan, planned, total = snap_read_transform_pruned(
+        spark, table, eq={"user_id": int(u0)}, ranges={"event_id": (lo, hi)}
+    )
+    if len(planned) >= total // 4 + 1:
+        raise RuntimeError(
+            f"transform pruning too weak: {len(planned)}/{total}"
+        )
+    want_bucket = str(zlib.crc32(str(int(u0)).encode()) % 8)
+    bad = [
+        f
+        for f in planned
+        if parts[f]["user_bucket"] != want_bucket
+        or not (lo - band_w < int(parts[f]["id_band"]) <= hi)
+    ]
+    if bad:
+        raise RuntimeError(f"planned files outside converted values: {bad}")
+    # superset semantics: another user in the SAME bucket plans the
+    # same file set (bucket pruning is bucket-grain, never row-grain)
+    probe = None
+    for cand in range(int(u0) + 1, int(u0) + 10_000):
+        if zlib.crc32(str(cand).encode()) % 8 == int(want_bucket):
+            probe = cand
+            break
+    _, planned2, _ = snap_read_transform_pruned(
+        spark, table, eq={"user_id": probe}, ranges={"event_id": (lo, hi)}
+    )
+    if planned2 != planned:
+        raise RuntimeError("same-bucket probe planned a different file set")
+
+    return (
+        scan.filter(
+            (F.col("user_id") == int(u0))
+            & F.col("event_id").between(lo, hi)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+            F.min("event_id").cast("long").alias("lo_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ------------- concurrent OPTIMIZE vs append (r13) -------------
 
 
@@ -2375,17 +2620,50 @@ def snap_compact_optimistic(
       pre-rewrite copy.
 
     Data files are never re-read or re-written on a lost race — the
-    loser's retry is one manifest read + one link syscall."""
+    loser's retry is one manifest read + one link syscall.
+
+    Metadata carry (r14, the zorder-DV lesson applied here): the
+    successor keeps survivors' stats, the txn map, and dv entries on
+    UNTOUCHED files; the staged files enter stats-less (superset-
+    safe). A source file carrying DV entries REFUSES outright — the
+    staged rewrite was produced from a raw read, so replacing the
+    file would resurrect its merge-on-read deletes, and dropping the
+    entries would lose them; callers on DV tables must stage through
+    snap_read_mor (see snap_optimize_zorder) or fold DVs the way
+    snap_delete_optimistic's COW path does."""
     srcs = set(sources)
     for _ in range(max_retries):
-        v, files = _snap_latest(table)
+        v, doc = _snap_latest_doc(table)
+        files = doc["files"]
         if not srcs <= set(files):
             raise SnapCompactConflict(
                 f"compaction sources left the manifest: "
                 f"{sorted(srcs - set(files))}"
             )
-        successor = [f for f in files if f not in srcs] + new_files
-        if _snap_commit_cas(table, successor, v + 1):
+        dv = doc.get("dv") or {}
+        dv_on_srcs = sorted(set(dv) & srcs)
+        if dv_on_srcs:
+            raise SnapCompactConflict(
+                f"compaction sources carry deletion vectors "
+                f"{dv_on_srcs}: a raw-read rewrite would resurrect "
+                "their deletes"
+            )
+        survivors = [f for f in files if f not in srcs]
+        stats = doc.get("stats")
+        kept_stats = (
+            {f: stats[f] for f in survivors if f in stats}
+            if stats is not None
+            else None
+        )
+        kept_dv = {f: d for f, d in dv.items() if f not in srcs}
+        if _snap_commit_cas(
+            table,
+            survivors + new_files,
+            v + 1,
+            stats=kept_stats,
+            txn=doc.get("txn"),
+            dv=kept_dv or None,
+        ):
             return v + 1
     raise RuntimeError(
         f"optimistic compaction lost {max_retries} consecutive races on {table}"
@@ -5164,6 +5442,163 @@ def table_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("span_hi").cast("long").alias("max_event_id"),
         )
         .orderBy("day")
+    )
+
+
+def snap_auto_optimize(
+    spark: SparkSession,
+    table: str,
+    small_rows: int,
+    target_rows: int,
+) -> dict:
+    """POLICY-DRIVEN OPTIMIZE (r14): decide WHAT to compact from the
+    ``files`` metadata relation — files whose footer row count is
+    under ``small_rows`` — and rewrite only those into
+    ceil(Σrows / target_rows) right-sized files via the standard
+    compaction commit (conflict algebra, metadata carry, and DV
+    refusal all inherited from snap_compact_optimistic). Well-sized
+    files are never touched: the decision is pure metadata, the
+    rewrite cost is O(small files), and the return value is the
+    decision record {selected, n_out, version} so harnesses can
+    assert the policy, not just the outcome. Returns
+    {"selected": [], "n_out": 0, "version": current} when nothing
+    qualifies (a no-op policy run must not commit).
+
+    This is the maintenance loop every lakehouse schedules (Delta
+    OPTIMIZE / Iceberg rewrite_data_files with a small-file filter),
+    composed from this repo's own metadata relation — the observability
+    surface and the maintenance action sharing one source of truth."""
+    import math
+
+    rel = snap_metadata_files(spark, table).collect()
+    selected = sorted(r.file for r in rel if r.row_count < small_rows)
+    v = max(_snap_versions(table))
+    if not selected:
+        return {"selected": [], "n_out": 0, "version": v}
+    total = sum(r.row_count for r in rel if r.file in set(selected))
+    n_out = max(1, math.ceil(total / target_rows))
+    ddir = os.path.join(table, "data")
+    staged = _snap_add_files(
+        spark.read.parquet(*[os.path.join(ddir, f) for f in selected])
+        .repartition(n_out),
+        table,
+        "autoopt",
+    )
+    nv = snap_compact_optimistic(table, selected, staged)
+    return {"selected": selected, "n_out": len(staged), "version": nv}
+
+
+@query(
+    "q_table_auto_optimize",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_auto_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-OPTIMIZE: METADATA-DRIVEN SMALL-FILE COMPACTION (r14) —
+    the maintenance decision made FROM the files metadata relation
+    (q_table_metadata_tables) and executed as one standard compaction
+    commit: the harness commits 2 right-sized history files plus a
+    drip of 10 tiny ingest files (the streaming small-file problem),
+    then one snap_auto_optimize pass must (all asserted live) select
+    EXACTLY the tiny files from footer row counts, leave both big
+    files byte-identical on disk (size+mtime — well-sized data is
+    never rewritten), replace the drip with the right-sized file
+    count from the policy arithmetic, and commit exactly one new
+    version; a second policy run is a committed NO-OP (nothing
+    qualifies — maintenance must converge, not oscillate). The final
+    rollup hash-checks against raw events: compaction moves bytes,
+    never truth.
+
+    100 TB: the decision is O(files) manifest metadata; the rewrite
+    is O(small files) — the maintenance loop that keeps planning
+    costs flat as streaming ingest drips files in. Reference parity:
+    none (SURVEY §2 B.1 extension; composes r14 metadata relations
+    with the r13 compaction algebra)."""
+    from steaminganalysis_spark.registry import dsum
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapautoopt')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    big = _snap_add_files(
+        ev.filter(F.expr("event_id % 12 < 10")).repartitionByRange(
+            2, "event_id"
+        ),
+        table,
+        "ao_big",
+    )
+    _snap_commit(table, big, 0)
+    # ten tiny files exactly covering the %12 in {10, 11} complement
+    for i in range(10):
+        snap_append_optimistic(
+            table,
+            _snap_add_files(
+                ev.filter(
+                    F.expr(
+                        f"event_id % 120 IN ({10 + 12 * i}, {11 + 12 * i})"
+                    )
+                ).coalesce(1),
+                table,
+                f"ao_drip{i}",
+            ),
+        )
+
+    ddir = os.path.join(table, "data")
+    meta_before = {
+        f: (os.path.getsize(os.path.join(ddir, f)),
+            os.path.getmtime(os.path.join(ddir, f)))
+        for f in big
+    }
+    _, doc = _snap_latest_doc(table)
+    drip = sorted(set(doc["files"]) - set(big))
+    import pyarrow.parquet as pq
+
+    drip_rows = sum(
+        pq.ParquetFile(os.path.join(ddir, f)).metadata.num_rows for f in drip
+    )
+    # threshold between a single drip file (~drip_rows/10) and the
+    # merged output (drip_rows) — so the first run selects the drip,
+    # the second finds nothing, and the big files never qualify
+    small_cut = max(drip_rows // 2, 2)
+    rec = snap_auto_optimize(
+        spark, table, small_rows=small_cut, target_rows=drip_rows + 1
+    )
+    if rec["selected"] != drip:
+        raise RuntimeError(
+            f"policy selected {rec['selected']}, expected the drip {drip}"
+        )
+    if rec["n_out"] != 1:
+        raise RuntimeError(f"policy wrote {rec['n_out']} files, wanted 1")
+    meta_after = {
+        f: (os.path.getsize(os.path.join(ddir, f)),
+            os.path.getmtime(os.path.join(ddir, f)))
+        for f in big
+    }
+    if meta_before != meta_after:
+        raise RuntimeError("auto-optimize touched a well-sized file")
+    _, doc2 = _snap_latest_doc(table)
+    if len(doc2["files"]) != len(big) + 1:
+        raise RuntimeError(f"unexpected file count: {len(doc2['files'])}")
+
+    rec2 = snap_auto_optimize(
+        spark, table, small_rows=small_cut, target_rows=drip_rows + 1
+    )
+    if rec2["selected"] or rec2["version"] != rec["version"]:
+        raise RuntimeError(f"auto-optimize did not converge: {rec2}")
+
+    return (
+        _snap_read(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("event_id").cast("long").alias("n_ids"),
+        )
+        .orderBy("event_type")
     )
 
 

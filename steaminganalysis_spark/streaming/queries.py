@@ -3398,3 +3398,173 @@ def stream_table_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     KVStore.reset(store_name)
     return out
+
+
+@query(
+    "q_stream_table_maintenance",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {SQL_DSUM("value")} AS total_value,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
+    FROM events
+    WHERE event_id % 10 >= 5
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INGEST × AUTO-OPTIMIZE (r14) — the lifecycle a real
+    lakehouse table actually lives: streaming ingestion drips one
+    small file per micro-batch into the snapshot table
+    (snapshot_ingest_sink, exactly-once), and the metadata-driven
+    maintenance pass (snap_auto_optimize, selection from footer row
+    counts in the files relation) runs BETWEEN ingest epochs —
+    including across a checkpoint RESTART, the interleaving that
+    breaks naive version addressing. Asserted live: after epoch 1
+    (five drip files) maintenance folds them into one right-sized
+    file; epoch 2 restarts the SAME checkpoint, drips five more, and
+    the second maintenance pass selects exactly those five (the
+    epoch-1 compacted file is now well-sized and byte-untouched —
+    size+mtime); a third pass is a committed no-op (convergence); the
+    final table holds 2 compacted files. The rollup hash-checks
+    against the raw slice — ingest batching, compaction, and restarts
+    must never change content (stream≡batch), and the CAS commit
+    algebra (ingest commits commute with maintenance commits — pinned
+    since r13) is what makes running them concurrently safe at scale.
+
+    100 TB: this is the operational answer to the streaming
+    small-file problem — O(batch) ingest commits forever, O(small
+    files) maintenance on a metadata-decided cadence, planning costs
+    flat. Reference parity: the reference's restart story (ZkApp
+    offset restore) composed with maintenance no engine in the
+    reference had. SURVEY §2 streaming×table composition."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_latest_doc,
+        _snap_read,
+        snap_auto_optimize,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    from steaminganalysis_spark.operators.storage import _snap_commit
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("stream_maint")
+    table = os.path.join(tmp, "table")
+    _snap_commit(table, [], 0)  # the table exists before ingestion starts
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    now = time.time()
+
+    def drip(i: int) -> None:
+        # slice i: last digit 5 + i%5, tens-digit parity i//5 — the
+        # ten slices are disjoint and union to event_id % 10 >= 5
+        d = os.path.join(tmp, f"b{i}")
+        ev.filter(
+            F.expr(
+                f"event_id % 10 = {5 + i % 5}"
+                f" AND (event_id DIV 10) % 2 = {i // 5}"
+            )
+        ).coalesce(1).write.parquet(d)
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+
+    store_name = f"stream_maint_{run}"
+    marker = f"{KEY_PREFIX}maint-last-applied:{run}"
+    sink = snapshot_ingest_sink(table, store_name, marker)
+    ckpt = os.path.join(tmp, f"ckpt_{run}")
+
+    def run_epoch() -> None:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # epoch 1: batches 0-4 land five files covering %10 in [5, 9]
+    for i in range(5):
+        drip(i)
+    run_epoch()
+    _, doc1 = _snap_latest_doc(table)
+    if len(doc1["files"]) != 5:
+        raise RuntimeError(f"epoch 1 landed {len(doc1['files'])} files")
+    import pyarrow.parquet as pq
+
+    total1 = sum(
+        pq.ParquetFile(os.path.join(table, "data", f)).metadata.num_rows
+        for f in doc1["files"]
+    )
+    rec1 = snap_auto_optimize(
+        spark, table, small_rows=total1, target_rows=total1 + 1
+    )
+    if sorted(rec1["selected"]) != doc1["files"] or rec1["n_out"] != 1:
+        raise RuntimeError(f"epoch-1 maintenance misfired: {rec1}")
+    _, doc1b = _snap_latest_doc(table)
+    merged1 = doc1b["files"][0]
+    ddir = os.path.join(table, "data")
+    meta1 = (
+        os.path.getsize(os.path.join(ddir, merged1)),
+        os.path.getmtime(os.path.join(ddir, merged1)),
+    )
+
+    # epoch 2: the other tens-digit parity of the same last digits
+    for i in range(5, 10):
+        drip(i)
+    run_epoch()
+    _, doc2 = _snap_latest_doc(table)
+    new_small = sorted(set(doc2["files"]) - {merged1})
+    if len(new_small) != 5:
+        raise RuntimeError(f"epoch 2 landed {sorted(doc2['files'])}")
+    rec2 = snap_auto_optimize(
+        spark, table, small_rows=total1, target_rows=total1 * 2
+    )
+    if sorted(rec2["selected"]) != new_small:
+        raise RuntimeError(f"epoch-2 maintenance selected {rec2['selected']}")
+    meta1_after = (
+        os.path.getsize(os.path.join(ddir, merged1)),
+        os.path.getmtime(os.path.join(ddir, merged1)),
+    )
+    if meta1 != meta1_after:
+        raise RuntimeError("maintenance rewrote the well-sized file")
+    rec3 = snap_auto_optimize(
+        spark, table, small_rows=total1, target_rows=total1 * 2
+    )
+    if rec3["selected"] or rec3["version"] != rec2["version"]:
+        raise RuntimeError(f"maintenance did not converge: {rec3}")
+    _, doc3 = _snap_latest_doc(table)
+    if len(doc3["files"]) != 2:
+        raise RuntimeError(f"expected 2 files, got {len(doc3['files'])}")
+
+    out = (
+        _snap_read(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("event_id").cast("long").alias("n_ids"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)
+    )
+    KVStore.reset(store_name)
+    return out

@@ -114,6 +114,31 @@ deferred_to_round15: set[str] = {
     # centroid; membership rollup hash-checks; ≥95% agreement with
     # float Euclidean Lloyd from the same seeds pinned)
     "q_cluster_kmeans_portable",
+    # round-14 additions (operators/storage.py — HIDDEN partitioning:
+    # transform specs (bucket[n] via crc32, truncate[w], day) recorded
+    # in the manifest; queries filter on SOURCE columns and the
+    # planner converts predicates through the transforms — bucket and
+    # band pruning multiply, zlib.crc32 mirrors Spark's crc32
+    # bit-exactly, same-bucket probes plan identical file sets)
+    "q_table_partition_transforms",
+    # round-14 additions (operators/storage.py — auto-OPTIMIZE: the
+    # compaction decision made FROM the files metadata relation
+    # (footer row counts under threshold), executed as one standard
+    # compaction commit; well-sized files byte-untouched, second run
+    # is a committed no-op — maintenance converges)
+    "q_table_auto_optimize",
+    # round-14 additions (operators/llm.py — filtered vector search:
+    # top-k cosine under a metadata predicate applied as a JOIN
+    # CONDITION (pre-filtering — exact top-k under the filter, never
+    # the post-filter <k failure); same broadcast query-side plan as
+    # q_sim_topk)
+    "q_sim_topk_filtered",
+    # round-14 additions (streaming/queries.py — streaming ingest ×
+    # auto-optimize: drip-file ingestion with metadata-driven
+    # maintenance between epochs and across a checkpoint restart;
+    # well-sized files byte-untouched, convergence to a no-op, final
+    # content hash-checks — the streaming small-file lifecycle)
+    "q_stream_table_maintenance",
 }
 
 # Retired: the round-13 additions, absorbed into ROUND14_WINDOW (kept

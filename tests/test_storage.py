@@ -2506,3 +2506,72 @@ def test_ann_index_commits_crash_and_rewrite_paths(spark):
         "vec_id", F.col("cid").alias("list_id")
     )
     assert ix2.exceptAll(full).count() == 0 and full.exceptAll(ix2).count() == 0
+
+
+def test_compact_carries_metadata_and_refuses_dv_sources(spark):
+    """snap_compact_optimistic metadata carry (r14, the zorder-DV
+    lesson): (1) survivors keep their stats and dv entries through a
+    compaction of OTHER files; (2) compacting a file that carries DV
+    entries refuses (a raw-read rewrite would resurrect its deletes);
+    (3) staged files enter stats-less (superset-safe)."""
+    from steaminganalysis_spark.operators.storage import (
+        SnapCompactConflict,
+        _snap_add_files,
+        _snap_add_files_with_stats,
+        _snap_commit,
+        _snap_latest_doc,
+        _snap_read,
+        snap_compact_optimistic,
+        snap_delete_optimistic,
+        snap_read_mor,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('cmpcarry')}/t"
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "event_id long, value double"
+    )
+    f0, s0 = _snap_add_files_with_stats(
+        df.repartitionByRange(4, "event_id"), table, "cc0", ["event_id"]
+    )
+    _snap_commit(table, f0, 0, stats=s0)
+    # scatter a DV onto the LOW file only
+    snap_delete_optimistic(
+        spark,
+        table,
+        spark.createDataFrame([(3,), (7,)], "event_id long"),
+        "event_id",
+    )
+    _, doc = _snap_latest_doc(table)
+    dv_files = sorted(doc.get("dv", {}))
+    assert dv_files  # harness: the delete took the DV path
+    clean = [f for f in doc["files"] if f not in doc.get("dv", {})][:2]
+
+    # (1)+(3): compact two DV-free files -> dv + survivor stats carry
+    staged = _snap_add_files(
+        spark.read.parquet(
+            *[f"{table}/data/{f}" for f in clean]
+        ).coalesce(1),
+        table,
+        "ccs",
+    )
+    snap_compact_optimistic(table, clean, staged)
+    _, doc2 = _snap_latest_doc(table)
+    assert sorted(doc2.get("dv", {})) == dv_files  # dv carried
+    survivors = [f for f in doc["files"] if f not in clean]
+    assert all(f in doc2.get("stats", {}) for f in survivors)
+    assert all(f not in doc2.get("stats", {}) for f in staged)
+    assert snap_read_mor(spark, table, "event_id").count() == 198
+
+    # (2): compacting the DV-carrying file refuses
+    staged2 = _snap_add_files(
+        spark.read.parquet(f"{table}/data/{dv_files[0]}").coalesce(1),
+        table,
+        "ccs2",
+    )
+    try:
+        snap_compact_optimistic(table, [dv_files[0]], staged2)
+        raise AssertionError("compacted through a DV-carrying source")
+    except SnapCompactConflict:
+        pass
+    assert snap_read_mor(spark, table, "event_id").count() == 198
