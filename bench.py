@@ -85,6 +85,11 @@ HEADLINE_EXTENDED = [
     # footer stats, tuple + span planning, identity-projected scans),
     # so a regression anywhere in the commit/planning path shows here
     "q_table_two_level_pruning",
+    # round-14: the merge-on-read representative — DV write path,
+    # scoped DV reads, and the DV-aware metadata pushdown in one key;
+    # a regression in the delete/MoR stack (the other half of the
+    # table format that two-level pruning does not touch) shows here
+    "q_table_agg_pushdown_dv",
 ]
 
 
