@@ -617,3 +617,64 @@ def test_zorder_read_single_exchange(spark):
     df = QUERIES["q_table_optimize_zorder"](spark, SF)
     assert count_exchanges(df) <= 2  # rollup + orderBy range exchange
     assert_no_cartesian(df)
+
+
+def test_filtered_topk_prefilters_inside_broadcast_join(spark):
+    """q_sim_topk_filtered: the metadata predicate must ride the JOIN
+    (pre-filtering — candidates restricted before ranking) with the
+    QUERY side broadcast; the corpus must never shuffle for the
+    candidate join and no BNLJ may appear (the equality conjunct
+    makes it a hash join)."""
+    from steaminganalysis_spark.operators.llm import sim_topk_filtered
+
+    plan = physical_plan(sim_topk_filtered(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_transform_pruned_read_scans_only_planned_files(spark):
+    """q_table_partition_transforms planned-file honesty: the frame
+    returned by snap_read_transform_pruned must read EXACTLY the
+    planner's file list (inputFiles), and a predicate on a column
+    with no transform in the spec must prune nothing (superset
+    safety)."""
+    import os
+    import zlib
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_commit_partitioned,
+        snap_add_files_transform_partitioned,
+        snap_read_transform_pruned,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('plantransf')}/t"
+    df = spark.createDataFrame(
+        [(i, i % 40, float(i)) for i in range(400)],
+        "event_id long, user_id long, value double",
+    )
+    transforms = {
+        "ub": {"kind": "bucket", "source": "user_id", "arg": 4},
+    }
+    files, parts = snap_add_files_transform_partitioned(
+        df, table, "pt_stage", transforms
+    )
+    _snap_commit_partitioned(
+        table, files, 0, list(transforms), parts, transforms=transforms
+    )
+
+    scan, planned, total = snap_read_transform_pruned(
+        spark, table, eq={"user_id": 7}
+    )
+    got = sorted(os.path.basename(p) for p in scan.inputFiles())
+    assert got == sorted(planned)
+    want = str(zlib.crc32(b"7") % 4)
+    assert all(parts[f]["ub"] == want for f in planned)
+    assert len(planned) < total
+
+    # no transform for value -> prunes nothing
+    _, planned2, total2 = snap_read_transform_pruned(
+        spark, table, eq={"value": 3.0}
+    )
+    assert len(planned2) == total2
