@@ -706,6 +706,30 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # via the deferred pin). The displaced 14th round-7 stamp
 # (q_observe_metrics) heads the round-14 fill. Round-13 additions go
 # into deferred_to_round14 (tests/test_contract_robustness.py).
+# ROUND-15 WINDOW (planned at the round-14 freeze): canaries
+# q_daily_rollup + q_tpch_q12, then deferred_to_round15 (the ten
+# round-14 additions — q_table_agg_pushdown_dv, q_table_metadata_tables,
+# q_table_refs, q_emb_pca_power_portable, q_cluster_kmeans_portable,
+# q_table_partition_transforms, q_table_auto_optimize,
+# q_sim_topk_filtered, q_stream_table_maintenance are oracled;
+# q_table_ann_index_commits is rows-only by design — include it for a
+# rows-only driver row and relax the all-oracled window assert, or
+# keep the all-oracled discipline and rely on its pinned equivalence
+# tests, composer's choice, recorded either way), then the 9
+# remaining oracled round-7-stamp re-checks in registration order
+# (q_ts_changepoint, q_ts_seasonal_profile, q_ts_autocorr,
+# q_window_slope, q_window_median, q_ts_outlier_mad,
+# q_geo_radius_join, q_geo_grid_density, q_er_blocked_pairs), then
+# the oldest oracled round-8-stamp re-checks in registration order
+# (head: q_agg_minmax_by, q_sql_window_clause, q_mv_incremental,
+# q_dq_profile, q_time_buckets, q_agg_salted, q_agg_mode_bool) to
+# fill 50 — recompute at the freeze, prefer oracled over rows-only,
+# implementation-changed keys outrank unchanged re-checks (the
+# q_graph_triangles rule). Round-14's own execution changes
+# (compaction carry, append extras carry, zorder DV handling, the
+# CAS conversions) are all covered by r14-window rows recorded on
+# the post-change tree, so no execution-change carryover enters
+# round 15 unless round 15 itself changes code.
 ROUND14_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
