@@ -3568,3 +3568,177 @@ def stream_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     KVStore.reset(store_name)
     return out
+
+
+@query(
+    "q_stream_table_epoch_tags",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN event_id % 10 IN (5, 6, 7) THEN 1 END)
+                AS BIGINT) AS v1_rows,
+           CAST(COUNT(*) AS BIGINT) AS head_rows,
+           {SQL_DSUM("value")} AS head_value
+    FROM events
+    WHERE event_id % 10 >= 5
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_table_epoch_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-DATA SNAPSHOTS AS TAGS (r14) — the reproducibility
+    contract an LLM training pipeline needs from its corpus store:
+    streaming ingestion lands epoch 1 (three micro-batch files), the
+    pipeline TAGS the committed snapshot ``train_v1``, ingestion
+    continues (epoch 2), maintenance COMPACTS all the small files
+    (replacing every file the tag's manifest references), and VACUUM
+    runs retaining only the live head — and reading BY TAG must still
+    return exactly the epoch-1 corpus: the tag keeps its manifest
+    alive through snap_expire's ref counting, and the manifest keeps
+    the superseded data files on disk through the shared-file
+    reference count, even though no live version references them
+    (asserted live: the compacted head is 1 file, the tagged files
+    still exist, and the tag read's row count equals epoch 1's).
+    Dropping the tag and re-VACUUMing then actually reclaims both the
+    manifest and the orphaned files (asserted) — retention is a
+    policy you can point at a training run, not a prayer. The frame
+    joins the tag read with the head read per event type and
+    hash-checks both against raw events.
+
+    100 TB: "which exact rows trained model v1" becomes one JSON ref
+    + reference-counted files — no copies, no export, survives every
+    later compaction; cost is the tagged snapshot's storage delta vs
+    the live head. Reference parity: none (SURVEY §2 streaming×table
+    composition; composes q_table_refs, q_stream_table_ingest,
+    q_table_auto_optimize, and VACUUM)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_commit,
+        _snap_latest_doc,
+        _snap_read,
+        _snap_versions,
+        snap_auto_optimize,
+        snap_expire,
+        snap_read_ref,
+        snap_ref_create,
+        snap_ref_drop,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    run = uuid.uuid4().hex[:8]
+    tmp = scratch_dir("stream_tags")
+    table = os.path.join(tmp, "table")
+    _snap_commit(table, [], 0)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    now = time.time()
+
+    def drip(i: int) -> None:
+        d = os.path.join(tmp, f"b{i}")
+        ev.filter(F.expr(f"event_id % 10 = {5 + i}")).coalesce(
+            1
+        ).write.parquet(d)
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now + i, now + i))
+
+    store_name = f"stream_tags_{run}"
+    sink = snapshot_ingest_sink(
+        table, store_name, f"{KEY_PREFIX}tags-last-applied:{run}"
+    )
+    ckpt = os.path.join(tmp, f"ckpt_{run}")
+
+    def run_epoch() -> None:
+        q = (
+            spark.readStream.schema(
+                "event_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # epoch 1: %10 in {5,6,7} -> tag the committed snapshot
+    for i in range(3):
+        drip(i)
+    run_epoch()
+    v1 = snap_ref_create(table, "train_v1", "tag")
+    v1_files = set(_snap_latest_doc(table)[1]["files"])
+    v1_rows = _snap_read(spark, table, v1).count()
+
+    # epoch 2 (%10 in {8,9}), then maintenance replaces EVERY file
+    for i in range(3, 5):
+        drip(i)
+    run_epoch()
+    import pyarrow.parquet as pq
+
+    _, doc = _snap_latest_doc(table)
+    total = sum(
+        pq.ParquetFile(os.path.join(table, "data", f)).metadata.num_rows
+        for f in doc["files"]
+    )
+    rec = snap_auto_optimize(
+        spark, table, small_rows=total + 1, target_rows=total + 1
+    )
+    if rec["n_out"] != 1 or not v1_files <= set(rec["selected"]):
+        raise RuntimeError(f"maintenance did not fold the epochs: {rec}")
+
+    head_v = max(_snap_versions(table))
+    snap_expire(table, [head_v], orphan_grace_seconds=0.0)
+    if v1 not in _snap_versions(table):
+        raise RuntimeError("VACUUM expired the tagged training snapshot")
+    ddir = os.path.join(table, "data")
+    if not all(os.path.exists(os.path.join(ddir, f)) for f in v1_files):
+        raise RuntimeError("VACUUM swept files the tag still references")
+
+    tag_read = snap_read_ref(spark, table, "train_v1")
+    if tag_read.count() != v1_rows:
+        raise RuntimeError("tag read changed after compaction + VACUUM")
+
+    out = (
+        tag_read.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("v1_rows"))
+        .join(
+            _snap_read(spark, table)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("head_rows"),
+                dsum(F.col("value")).alias("head_value"),
+            ),
+            "event_type",
+            "right",
+        )
+        .select(
+            "event_type",
+            F.coalesce("v1_rows", F.lit(0)).alias("v1_rows"),
+            "head_rows",
+            "head_value",
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)
+    )
+
+    # drop the tag -> the next VACUUM actually reclaims
+    snap_ref_drop(table, "train_v1")
+    snap_expire(table, [head_v], orphan_grace_seconds=0.0)
+    if v1 in _snap_versions(table) or any(
+        os.path.exists(os.path.join(ddir, f)) for f in v1_files
+    ):
+        raise RuntimeError("dropped tag did not release its snapshot")
+    if _snap_read(spark, table).count() == 0:
+        raise RuntimeError("reclaim touched the live head")
+
+    KVStore.reset(store_name)
+    return out

@@ -139,6 +139,14 @@ deferred_to_round15: set[str] = {
     # well-sized files byte-untouched, convergence to a no-op, final
     # content hash-checks — the streaming small-file lifecycle)
     "q_stream_table_maintenance",
+    # round-14 additions (streaming/queries.py — training-data
+    # snapshots as tags: a mid-ingestion tag keeps its snapshot alive
+    # through later compaction AND VACUUM via ref + shared-file
+    # reference counting; read-by-tag returns exactly the epoch-1
+    # corpus after everything it referenced was superseded; dropping
+    # the tag releases manifest and files — reproducible "which rows
+    # trained model v1" as one JSON ref)
+    "q_stream_table_epoch_tags",
 }
 
 # Retired: the round-13 additions, absorbed into ROUND14_WINDOW (kept
