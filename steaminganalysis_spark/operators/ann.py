@@ -729,7 +729,230 @@ def compact_ivf_index(
         shutil.rmtree(os.path.join(index_dir, f"delta-v{b}"), ignore_errors=True)
 
 
+# ---------- fixed-point portable k-means (r14)
+
+KMFX_Q = 4096.0  # 2^12 quantization scale (power of two — IEEE-exact)
+KMFX_K = 8
+KMFX_ITERS = 3
+
+
+def _kmfx_ctes(train_where: str = "") -> list[str]:
+    """Chained-MATERIALIZED-CTE restatement of fixed-point Lloyd:
+    quantize FLOOR(x·2^12), seed centroids from the K lowest vec_ids,
+    then per round assign by integer squared distance (ties to the
+    lowest cluster id) and update each centroid as the FLOOR-mean of
+    its members (non-negative divisions only; empty clusters keep
+    their previous centroid). Every step is integer-exact, so any
+    rollup of the final memberships (``asg{KMFX_ITERS-1}``) or of the
+    final centroid relation (``cent{KMFX_ITERS}``) hash-checks across
+    engines. ``train_where`` restricts the TRAINING relation ``e``
+    (the q_table_ann_index_commits oracle trains on the v0 corpus
+    subset, then assigns the full corpus against the frozen model)."""
+    cte = [
+        f"""e AS MATERIALIZED (
+      SELECT vec_id, t.d,
+             CAST(FLOOR(CAST(embedding[t.d + 1] AS DOUBLE) * {KMFX_Q}) AS BIGINT) AS q
+      FROM embeddings, range(64) t(d) {train_where}
+    )""",
+        f"""seed AS MATERIALIZED (
+      SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS k
+      FROM (SELECT DISTINCT vec_id FROM embeddings {train_where}
+            ORDER BY vec_id LIMIT {KMFX_K})
+    )""",
+        """cent0 AS MATERIALIZED (
+      SELECT s.k, e.d, e.q AS m FROM e JOIN seed s USING (vec_id)
+    )""",
+    ]
+    for t in range(KMFX_ITERS):
+        cte.append(
+            f"""dist{t} AS MATERIALIZED (
+      SELECT e.vec_id, c.k,
+             CAST(SUM((e.q - c.m) * (e.q - c.m)) AS BIGINT) AS d2
+      FROM e JOIN cent{t} c ON e.d = c.d GROUP BY 1, 2
+    )"""
+        )
+        cte.append(
+            f"""asg{t} AS MATERIALIZED (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+        FROM dist{t}
+      ) WHERE rn = 1
+    )"""
+        )
+        cte.append(
+            f"""cent{t + 1} AS MATERIALIZED (
+      SELECT c.k, c.d,
+             COALESCE(
+               CAST(CASE WHEN u.s >= 0 THEN u.s // u.n
+                         ELSE -((-u.s + u.n - 1) // u.n) END AS BIGINT),
+               c.m) AS m
+      FROM cent{t} c
+      LEFT JOIN (
+        SELECT a.k, e.d, SUM(e.q) AS s, COUNT(*) AS n
+        FROM e JOIN asg{t} a USING (vec_id) GROUP BY 1, 2
+      ) u ON u.k = c.k AND u.d = c.d
+    )"""
+        )
+    return cte
+
+
+def _kmfx_oracle() -> str:
+    """q_cluster_kmeans_portable's oracle: full-corpus fixed-point
+    Lloyd, membership rollup of the final assignment."""
+    return (
+        "WITH "
+        + ",\n".join(_kmfx_ctes())
+        + f"""
+    SELECT CAST(k AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+    FROM asg{KMFX_ITERS - 1} GROUP BY 1 ORDER BY 1"""
+    )
+
+
+def _annix_oracle() -> str:
+    """q_table_ann_index_commits' oracle: train the fixed-point
+    quantizer on the v0 corpus subset (vec_id % 4 < 2 — exactly the
+    rows the Spark side commits as corpus v0), freeze ``cent{N}`` (the
+    centroids after the final Lloyd update), then assign EVERY corpus
+    vector against the frozen model — the from-scratch restatement of
+    what the incremental index maintenance must converge to."""
+    n = KMFX_ITERS
+    return (
+        "WITH "
+        + ",\n".join(_kmfx_ctes(train_where="WHERE vec_id % 4 < 2"))
+        + f""",
+    eall AS MATERIALIZED (
+      SELECT vec_id, t.d,
+             CAST(FLOOR(CAST(embedding[t.d + 1] AS DOUBLE) * {KMFX_Q}) AS BIGINT) AS q
+      FROM embeddings, range(64) t(d)
+    ),
+    fdist AS MATERIALIZED (
+      SELECT eall.vec_id, c.k,
+             CAST(SUM((eall.q - c.m) * (eall.q - c.m)) AS BIGINT) AS d2
+      FROM eall JOIN cent{n} c ON eall.d = c.d GROUP BY 1, 2
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(k AS INT) AS list_id
+    FROM (
+      SELECT vec_id, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+      FROM fdist
+    ) WHERE rn = 1 ORDER BY vec_id"""
+    )
+
+
+def _kmfx_quantize(df: DataFrame, vcol: str = "v") -> DataFrame:
+    """(vec_id, v:array<double>) → exploded (vec_id, d, q) with
+    q = FLOOR(v[d]·2^12): power-of-two scale, IEEE-exact, so both
+    engines quantize the same doubles to the same int64s."""
+    return df.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col(vcol), lambda x: F.floor(x * F.lit(KMFX_Q)).cast("long")
+            )
+        ).alias("d", "q"),
+    )
+
+
+def _kmfx_centdf(spark: SparkSession, cent: dict, dim: int) -> DataFrame:
+    """The K×dim integer centroid relation (model parameters — the
+    only driver-side data, a few KB), broadcast."""
+    return F.broadcast(
+        spark.createDataFrame(
+            [(k, d, cent[(k, d)]) for k in range(KMFX_K) for d in range(dim)],
+            "k int, d int, m long",
+        )
+    )
+
+
+def _kmfx_argmin(q: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Nearest fixed-point centroid: integer squared distance, ties to
+    the lowest cluster id. min(struct(d2, k)) is the lexicographic min
+    — identical semantics to a (d2, k) row_number ranking, but folded
+    into a hash aggregate so partial aggregation happens map-side and
+    no per-vector window sort ever shuffles (the _assign keep=1
+    lesson). Returns (vec_id, k)."""
+    return (
+        q.join(cdf, "d")
+        .groupBy("vec_id", "k")
+        .agg(
+            F.sum((F.col("q") - F.col("m")) * (F.col("q") - F.col("m"))).alias(
+                "d2"
+            )
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "k"))["k"].alias("k"))
+    )
+
+
+def _kmfx_train(
+    spark: SparkSession, q: DataFrame, dim: int = 64
+) -> tuple[dict, DataFrame]:
+    """Fixed-point Lloyd over an exploded quantized relation: seed
+    from the K lowest vec_ids, run KMFX_ITERS assign+floor-mean-update
+    rounds (empty clusters keep their centroid). Returns the FROZEN
+    integer centroid dict (after the final update — ``cent{N}`` in the
+    oracle CTEs) and the final-round assignment (``asg{N-1}``). Only
+    K×dim integers reach the driver per round."""
+    seed_ids = [
+        r.vec_id
+        for r in q.select("vec_id").distinct().orderBy("vec_id").limit(
+            KMFX_K
+        ).collect()
+    ]
+    rank = {vid: i for i, vid in enumerate(seed_ids)}
+    cent = {
+        (rank[r["vec_id"]], r["d"]): int(r["q"])
+        for r in q.filter(F.col("vec_id").isin(seed_ids)).collect()
+    }
+    asg = None
+    for _ in range(KMFX_ITERS):
+        cdf = _kmfx_centdf(spark, cent, dim)
+        asg = _kmfx_argmin(q, cdf).localCheckpoint()
+        upd = {
+            (r["k"], r["d"]): (int(r["s"]), int(r["n"]))
+            for r in q.join(asg, "vec_id")
+            .groupBy("k", "d")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        cent = {
+            (k, d): (
+                upd[(k, d)][0] // upd[(k, d)][1]  # Python // IS floor
+                if (k, d) in upd
+                else cent[(k, d)]
+            )
+            for k in range(KMFX_K)
+            for d in range(dim)
+        }
+    return cent, asg
+
+
 # ---------- ANN index maintenance as snapshot-table commits (r14)
+
+
+def _frozen_assign(
+    spark: SparkSession, index_dir: str, corpus: DataFrame
+) -> DataFrame:
+    """Assign corpus rows (vec_id, v, …) against the frozen quantizer
+    persisted under ``index_dir``: the FIXED-POINT integer centroids
+    (``centroids_fx``, the oracle-exact kernel) when present, else the
+    float cosine quantizer (``centroids``, the q_stream_ann_index
+    lineage). Returns (vec_id, list_id)."""
+    import os
+
+    if os.path.isdir(f"{index_dir}/centroids_fx"):
+        cdf = F.broadcast(spark.read.parquet(f"{index_dir}/centroids_fx"))
+        return _kmfx_argmin(_kmfx_quantize(corpus), cdf).select(
+            "vec_id", F.col("k").alias("list_id")
+        )
+    cdf = spark.read.parquet(f"{index_dir}/centroids")
+    return _assign(corpus, cdf, keep=1).select(
+        "vec_id", F.col("cid").alias("list_id")
+    )
 
 
 def snap_ann_index_update(
@@ -796,10 +1019,7 @@ def snap_ann_index_update(
         if strategy == "appends-fast-path"
         else []
     )
-    cdf = spark.read.parquet(f"{index_dir}/centroids")
-    assigned = _assign(delta, cdf, keep=1).select(
-        "vec_id", F.col("cid").alias("list_id")
-    )
+    assigned = _frozen_assign(spark, index_dir, delta)
     shards = _snap_add_files(assigned.coalesce(1), index_table, "annix_shard")
     for _ in range(max_retries):
         v, doc = _snap_latest_doc(index_table)
@@ -827,12 +1047,13 @@ def snap_ann_index_update(
     raise RuntimeError(f"index update lost {max_retries} races")
 
 
-@query("q_table_ann_index_commits")  # rows-only: float-centroid assignments
+@query("q_table_ann_index_commits", oracle=_annix_oracle())
 def table_ann_index_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN INDEX MAINTENANCE AS TABLE COMMITS (VERDICT r13 order #6)
-    — the streamed IVF index's LSM discipline re-based onto the
-    snapshot table, composing three existing pieces: the corpus is a
-    snapshot TABLE (v0 = vec_id % 4 < 2, v1 appends the rest), the
+    """ANN INDEX MAINTENANCE AS TABLE COMMITS (VERDICT r13 order #6;
+    ORACLE-EXACT since r15 via the fixed-point kernel, VERDICT r14
+    order #2) — the streamed IVF index's LSM discipline re-based onto
+    the snapshot table, composing three existing pieces: the corpus is
+    a snapshot TABLE (v0 = vec_id % 4 < 2, v1 appends the rest), the
     index is a second snapshot table whose manifest carries a
     ``covers_corpus_version`` marker alongside its shard list (one
     commit = one covered corpus version, the txn-marker pattern), and
@@ -844,10 +1065,17 @@ def table_ann_index_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     the incrementally-maintained index equals a from-scratch
     assignment of the full corpus under the same frozen quantizer,
     row for row (asserted live); a second update call is a committed
-    no-op (idempotence, asserted). Rows-only for the driver: the
-    assignment depends on Lloyd-iterated float centroids no portable
-    SQL restates — the live full-rebuild equality is the
-    certificate (the q_stream_ann_index discipline).
+    no-op (idempotence, asserted).
+
+    The quantizer is the FIXED-POINT Lloyd kernel
+    (q_cluster_kmeans_portable's), trained on the committed v0 read
+    and frozen as an INTEGER centroid relation, so every assignment —
+    seed, incremental, rebuild — is int64-exact and the WHOLE
+    maintained index hash-checks against a from-scratch DuckDB
+    restatement (train on v0, assign all): the ANN-maintenance story
+    is oracle-exact end-to-end, replacing the r14 rows-only row. The
+    float-quantizer path remains in _frozen_assign for the
+    q_stream_ann_index lineage.
 
     100 TB: a day's corpus append costs one assignment pass over that
     day's files + one manifest CAS; the index never rebuilds from
@@ -875,15 +1103,16 @@ def table_ann_index_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     f0 = _snap_add_files(initial.repartition(2), corpus_table, "cx0")
     _snap_commit_cas(corpus_table, f0, 0)
 
-    # frozen quantizer trained on the committed v0 read
-    cents = train_ivf(spark, _snap_read(spark, corpus_table, 0))
-    _centroids_df(spark, cents).write.mode("overwrite").parquet(
-        f"{index_dir}/centroids"
+    # frozen FIXED-POINT quantizer trained on the committed v0 read:
+    # integer centroids persist as the model, so every later
+    # assignment is engine-portable (int64 distances, lowest-k ties)
+    cent, _ = _kmfx_train(
+        spark, _kmfx_quantize(_snap_read(spark, corpus_table, 0))
     )
-    cdf = spark.read.parquet(f"{index_dir}/centroids")
-    seed = _assign(_snap_read(spark, corpus_table, 0), cdf, keep=1).select(
-        "vec_id", F.col("cid").alias("list_id")
+    _kmfx_centdf(spark, cent, 64).write.mode("overwrite").parquet(
+        f"{index_dir}/centroids_fx"
     )
+    seed = _frozen_assign(spark, index_dir, _snap_read(spark, corpus_table, 0))
     s0 = _snap_add_files(seed.coalesce(1), index_table, "ix0")
     _snap_commit_cas(index_table, s0, 0, extra={"covers_corpus_version": 0})
 
@@ -909,11 +1138,12 @@ def table_ann_index_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stream≡batch: incremental index == full rebuild under the same model
     ix = _snap_read(spark, index_table).select(
-        "vec_id", F.col("list_id").cast("int").alias("list_id")
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("list_id").cast("int").alias("list_id"),
     )
-    full = _assign(_snap_read(spark, corpus_table), cdf, keep=1).select(
-        "vec_id", F.col("cid").cast("int").alias("list_id")
-    )
+    full = _frozen_assign(
+        spark, index_dir, _snap_read(spark, corpus_table)
+    ).select("vec_id", F.col("list_id").cast("int").alias("list_id"))
     if ix.count() != full.count() or ix.exceptAll(full).count() != 0:
         raise RuntimeError("incremental index diverged from full rebuild")
 
@@ -922,79 +1152,6 @@ def table_ann_index_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("index manifest marker did not advance")
 
     return ix.orderBy("vec_id").localCheckpoint()
-
-
-# ---------- fixed-point portable k-means (r14)
-
-KMFX_Q = 4096.0  # 2^12 quantization scale (power of two — IEEE-exact)
-KMFX_K = 8
-KMFX_ITERS = 3
-
-
-def _kmfx_oracle() -> str:
-    """Chained-MATERIALIZED-CTE restatement of fixed-point Lloyd:
-    quantize FLOOR(x·2^12), seed centroids from the K lowest vec_ids,
-    then per round assign by integer squared distance (ties to the
-    lowest cluster id) and update each centroid as the FLOOR-mean of
-    its members (non-negative divisions only; empty clusters keep
-    their previous centroid). Every step is integer-exact, so the
-    final membership rollup hash-checks across engines."""
-    cte = [
-        f"""e AS MATERIALIZED (
-      SELECT vec_id, t.d,
-             CAST(FLOOR(CAST(embedding[t.d + 1] AS DOUBLE) * {KMFX_Q}) AS BIGINT) AS q
-      FROM embeddings, range(64) t(d)
-    )""",
-        f"""seed AS MATERIALIZED (
-      SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS k
-      FROM (SELECT DISTINCT vec_id FROM embeddings
-            ORDER BY vec_id LIMIT {KMFX_K})
-    )""",
-        """cent0 AS MATERIALIZED (
-      SELECT s.k, e.d, e.q AS m FROM e JOIN seed s USING (vec_id)
-    )""",
-    ]
-    for t in range(KMFX_ITERS):
-        cte.append(
-            f"""dist{t} AS MATERIALIZED (
-      SELECT e.vec_id, c.k,
-             CAST(SUM((e.q - c.m) * (e.q - c.m)) AS BIGINT) AS d2
-      FROM e JOIN cent{t} c ON e.d = c.d GROUP BY 1, 2
-    )"""
-        )
-        cte.append(
-            f"""asg{t} AS MATERIALIZED (
-      SELECT vec_id, k FROM (
-        SELECT vec_id, k,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
-        FROM dist{t}
-      ) WHERE rn = 1
-    )"""
-        )
-        cte.append(
-            f"""cent{t + 1} AS MATERIALIZED (
-      SELECT c.k, c.d,
-             COALESCE(
-               CAST(CASE WHEN u.s >= 0 THEN u.s // u.n
-                         ELSE -((-u.s + u.n - 1) // u.n) END AS BIGINT),
-               c.m) AS m
-      FROM cent{t} c
-      LEFT JOIN (
-        SELECT a.k, e.d, SUM(e.q) AS s, COUNT(*) AS n
-        FROM e JOIN asg{t} a USING (vec_id) GROUP BY 1, 2
-      ) u ON u.k = c.k AND u.d = c.d
-    )"""
-        )
-    return (
-        "WITH "
-        + ",\n".join(cte)
-        + f"""
-    SELECT CAST(k AS INT) AS k,
-           CAST(COUNT(*) AS BIGINT) AS n_members,
-           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
-           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
-    FROM asg{KMFX_ITERS - 1} GROUP BY 1 ORDER BY 1"""
-    )
 
 
 @query("q_cluster_kmeans_portable", oracle=_kmfx_oracle())
@@ -1024,76 +1181,14 @@ def cluster_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation against the K×dim centroid relation (broadcast-sized) +
     two hash aggregates with map-side combine; only K×dim integers
     reach the driver per round — Lloyd economics unchanged."""
-    from pyspark.sql import Window
-
-    base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     from steaminganalysis_spark.functions import to_double_array
     from steaminganalysis_spark.staging import stage
 
-    q = stage(
-        base.select(
-            "vec_id",
-            F.posexplode(
-                F.transform(
-                    to_double_array("embedding"),
-                    lambda x: F.floor(x * F.lit(KMFX_Q)).cast("long"),
-                )
-            ).alias("d", "q"),
-        ),
-        "kmfx_emb",
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
     )
-    dim = 64
-    seed_ids = [
-        r.vec_id
-        for r in base.select("vec_id").distinct().orderBy("vec_id").limit(
-            KMFX_K
-        ).collect()
-    ]
-    cent = {
-        (k, r["d"]): int(r["q"])
-        for k, vid in enumerate(seed_ids)
-        for r in q.filter(F.col("vec_id") == vid).collect()
-    }
-    asg = None
-    for _ in range(KMFX_ITERS):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(k, d, cent[(k, d)]) for k in range(KMFX_K) for d in range(dim)],
-                "k int, d int, m long",
-            )
-        )
-        dist = (
-            q.join(cdf, "d")
-            .groupBy("vec_id", "k")
-            .agg(
-                F.sum((F.col("q") - F.col("m")) * (F.col("q") - F.col("m"))).alias(
-                    "d2"
-                )
-            )
-        )
-        w = Window.partitionBy("vec_id").orderBy("d2", "k")
-        asg = (
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "k")
-            .localCheckpoint()
-        )
-        upd = {
-            (r["k"], r["d"]): (int(r["s"]), int(r["n"]))
-            for r in q.join(asg, "vec_id")
-            .groupBy("k", "d")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        cent = {
-            (k, d): (
-                upd[(k, d)][0] // upd[(k, d)][1]  # Python // IS floor
-                if (k, d) in upd
-                else cent[(k, d)]
-            )
-            for k in range(KMFX_K)
-            for d in range(dim)
-        }
+    q = stage(_kmfx_quantize(base), "kmfx_emb")
+    _, asg = _kmfx_train(spark, q)
     return (
         asg.groupBy("k")
         .agg(

@@ -2641,7 +2641,8 @@ def snap_compact_optimistic(
                 f"{sorted(srcs - set(files))}"
             )
         dv = doc.get("dv") or {}
-        dv_on_srcs = sorted(set(dv) & srcs)
+        dvb = doc.get("dvb") or {}
+        dv_on_srcs = sorted((set(dv) | set(dvb)) & srcs)
         if dv_on_srcs:
             raise SnapCompactConflict(
                 f"compaction sources carry deletion vectors "
@@ -2656,6 +2657,9 @@ def snap_compact_optimistic(
             else None
         )
         kept_dv = {f: d for f, d in dv.items() if f not in srcs}
+        # bitmap DVs are file-scoped positions: survivors' entries
+        # stay valid verbatim; sources were refused above
+        kept_dvb = {f: e for f, e in dvb.items() if f not in srcs}
         if _snap_commit_cas(
             table,
             survivors + new_files,
@@ -2663,6 +2667,7 @@ def snap_compact_optimistic(
             stats=kept_stats,
             txn=doc.get("txn"),
             dv=kept_dv or None,
+            extra={"dvb": kept_dvb} if kept_dvb else None,
         ):
             return v + 1
     raise RuntimeError(
@@ -2981,6 +2986,11 @@ def snap_read_mor(
         open(os.path.join(table, "manifests", committed[v])).read()
     )
     ddir = os.path.join(table, "data")
+    if manifest.get("dvb"):
+        raise ValueError(
+            "table carries bitmap deletion vectors; read via "
+            "snap_read_mor_bitmap (equality-key MoR would skip them)"
+        )
     df = spark.read.parquet(*[os.path.join(ddir, f) for f in manifest["files"]])
     dv_map = manifest.get("dv", {})
     if not dv_map:
@@ -6176,7 +6186,7 @@ def snap_agg_pushdown(
     doc = json.loads(
         open(os.path.join(table, "manifests", committed[v])).read()
     )
-    if not doc["files"] or doc.get("dv"):
+    if not doc["files"] or doc.get("dv") or doc.get("dvb"):
         return None
     stats = doc.get("stats", {})
     ddir = os.path.join(table, "data")
@@ -6232,8 +6242,8 @@ def snap_agg_pushdown_dv(
     doc = json.loads(
         open(os.path.join(table, "manifests", committed[v])).read()
     )
-    if not doc["files"]:
-        return None
+    if not doc["files"] or doc.get("dvb"):
+        return None  # bitmap-encoded DVs have their own O(files) path
     stats = doc.get("stats", {})
     if any(
         f not in stats or any(c not in stats[f] for c in cols)
@@ -7010,6 +7020,393 @@ def table_null_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_rows"),
             F.min("event_id").cast("long").alias("lo_id"),
             F.max("event_id").cast("long").alias("hi_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------- bitmap-encoded deletion vectors (r15, VERDICT r14 order #4)
+#
+# The r13/r14 DV encoding is PAIR ROWS — one (target_file, key) parquet
+# row per deleted row — which keeps correctness but makes every
+# metadata consumer O(deleted rows): snap_agg_pushdown_dv reads the
+# pair files driver-side, and a large scattered DELETE turns "COUNT
+# from metadata" back into a data-sized read. Iceberg v3 and Delta
+# answer with PER-FILE POSITION BITMAPS (roaring, in puffin/DV files):
+# the manifest carries, per data file, a compressed bitmap over row
+# POSITIONS plus its exact cardinality, so COUNT pushdown is pure
+# manifest arithmetic — O(files), flat in deleted-row count — and
+# double deletes are a bitmap OR (exact by construction, where pair
+# counting had to refuse). Roaring itself isn't in this container;
+# the stand-in is a zlib-compressed plain bitset with the identical
+# contract (position membership, exact cardinality, manifest-grain
+# size), deterministic and dependency-free. Row positions come from
+# Spark's parquet ``_metadata.row_index`` (stable physical position
+# within an immutable file — the Iceberg position-delete coordinate).
+
+
+def _dvb_encode(positions: set[int]) -> dict:
+    """File-scoped row positions → manifest-embeddable entry:
+    {"enc": "zlib-bitset-v1", "b": base64(zlib(bitset)), "card": n}.
+    The bitset is little-endian within each byte (bit i of byte j =
+    position 8j+i), sized to the highest position — deterministic, so
+    equal position sets produce byte-equal entries."""
+    import base64
+    import zlib
+
+    if not positions:
+        return {"enc": "zlib-bitset-v1", "b": "", "card": 0}
+    buf = bytearray(max(positions) // 8 + 1)
+    for p in positions:
+        buf[p >> 3] |= 1 << (p & 7)
+    return {
+        "enc": "zlib-bitset-v1",
+        "b": base64.b64encode(zlib.compress(bytes(buf), 9)).decode("ascii"),
+        "card": len(positions),
+    }
+
+
+def _dvb_decode(entry: dict) -> set[int]:
+    """Inverse of _dvb_encode."""
+    import base64
+    import zlib
+
+    if entry.get("enc") != "zlib-bitset-v1":
+        raise ValueError(f"unknown DV encoding {entry.get('enc')!r}")
+    if not entry["b"]:
+        return set()
+    raw = zlib.decompress(base64.b64decode(entry["b"]))
+    return {
+        (j << 3) | i
+        for j, byte in enumerate(raw)
+        if byte
+        for i in range(8)
+        if byte & (1 << i)
+    }
+
+
+def snap_delete_bitmap(
+    spark: SparkSession, table: str, keys_df: DataFrame, key_col: str
+) -> dict:
+    """Equality DELETE materialized as PER-FILE POSITION BITMAPS —
+    the Iceberg v3 deletion-vector write path on the snapshot table:
+    span-matched files (manifest-stats pruning, same as the pair-rows
+    path) are scanned ONCE with ``_metadata.row_index``, matched rows
+    reduce to per-file position sets, and the successor manifest
+    carries a ``dvb`` map {data file → compressed bitmap + exact
+    cardinality}. ZERO data files rewritten; a file's second delete
+    ORs into its existing bitmap, so overlapping deletes are exact by
+    construction (the pair-counting ambiguity that forced
+    snap_agg_pushdown_dv's overlap refusal cannot exist — a set bit
+    is a set bit). Returns the decision record.
+
+    Cost: the WRITE observes each deleted row once (any delete must)
+    and folds positions into per-file bitmaps — O(deleted rows) once,
+    at write time. Every METADATA READER thereafter is O(files): the
+    cardinality rides next to the bitmap, so COUNT pushdown never
+    decodes anything. That asymmetry is the point (VERDICT r14 order
+    #4): the r13 pair encoding made every pushdown O(deleted rows)
+    forever."""
+    prev_v, doc = _snap_latest_doc(table)
+    files = doc["files"]
+    stats = doc.get("stats", {})
+    if doc.get("dv"):
+        raise ValueError(
+            "table carries pair-rows DVs; mixing encodings is not supported"
+        )
+    ddir = os.path.join(table, "data")
+
+    keys = keys_df.select(F.col(key_col).cast("long").alias("_dvb_key")).distinct()
+    b = keys.agg(F.min("_dvb_key").alias("lo"), F.max("_dvb_key").alias("hi")).first()
+    if b.lo is None:
+        return {"dvb_targets": [], "deleted_rows": 0, "files_rewritten": []}
+    matched = [
+        f
+        for f in files
+        if f not in stats
+        or key_col not in stats[f]
+        or (stats[f][key_col][0] <= b.hi and b.lo <= stats[f][key_col][1])
+    ]
+    if not matched:
+        return {"dvb_targets": [], "deleted_rows": 0, "files_rewritten": []}
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    hits = (
+        spark.read.parquet(*[os.path.join(ddir, f) for f in matched])
+        .select(
+            F.col(key_col).cast("long").alias("_dvb_key"),
+            fname.alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        .join(F.broadcast(keys), "_dvb_key")
+        .groupBy("_file")
+        .agg(F.collect_list("_pos").alias("_positions"))
+        .collect()
+    )
+    # driver-side fold into the manifest (the writer holds its own
+    # bitmaps in memory — the Iceberg DV-writer shape); one entry per
+    # touched file, merged by OR into any existing entry
+    dvb = {f: dict(e) for f, e in (doc.get("dvb") or {}).items()}
+    new_rows = 0
+    targets = []
+    for r in hits:
+        pos = set(int(p) for p in r._positions)
+        prev = _dvb_decode(dvb[r._file]) if r._file in dvb else set()
+        merged = prev | pos
+        new_rows += len(merged) - len(prev)
+        dvb[r._file] = _dvb_encode(merged)
+        targets.append(r._file)
+    if not _snap_commit_cas(
+        table,
+        files,
+        prev_v + 1,
+        stats=doc.get("stats"),
+        txn=doc.get("txn"),
+        extra={
+            **{
+                k: v
+                for k, v in doc.items()
+                if k not in ("version", "files", "stats", "txn", "dv", "dvb")
+            },
+            "dvb": dvb,
+        },
+    ):
+        raise RuntimeError("single-writer bitmap delete lost a CAS race")
+    return {
+        "dvb_targets": sorted(targets),
+        "deleted_rows": new_rows,
+        "files_rewritten": [],
+    }
+
+
+def snap_read_mor_bitmap(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Merge-on-read over bitmap DVs: plan the manifest's files, scan
+    them WITH ``_metadata.row_index``, and anti-join against the
+    deleted-position relation. The driver handles only the manifest's
+    O(files) (file, bitmap) entries; bitmap DECODE happens
+    executor-side in one Arrow-batched mapInPandas over that tiny
+    relation — the Iceberg executor-decodes-the-DV-next-to-the-scan
+    shape — and the expanded positions broadcast into a single
+    anti-join. No rewrite, no shuffle of data rows."""
+    import json
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    if v not in committed:
+        raise ValueError(f"snapshot v{v} is not committed (have {sorted(committed)})")
+    manifest = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    ddir = os.path.join(table, "data")
+    df = spark.read.parquet(*[os.path.join(ddir, f) for f in manifest["files"]])
+    dvb = {
+        f: e
+        for f, e in (manifest.get("dvb") or {}).items()
+        if f in set(manifest["files"]) and e.get("card", 0) > 0
+    }
+    if not dvb:
+        return df
+    ent = spark.createDataFrame(
+        [(f, e["b"]) for f, e in sorted(dvb.items())], "_file string, _b string"
+    )
+
+    def _expand(batches):
+        import base64
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            fs: list = []
+            ps: list = []
+            for f, b64 in zip(pdf["_file"], pdf["_b"]):
+                raw = np.frombuffer(
+                    zlib.decompress(base64.b64decode(b64)), dtype=np.uint8
+                )
+                # little-endian within the byte, matching _dvb_encode
+                pos = np.nonzero(np.unpackbits(raw, bitorder="little"))[0]
+                fs.extend([f] * len(pos))
+                ps.extend(pos.astype("int64").tolist())
+            yield pd.DataFrame({"_file": fs, "_pos": ps})
+
+    deleted = ent.mapInPandas(_expand, "_file string, _pos long")
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    return (
+        df.withColumn("_file", fname)
+        .withColumn("_pos", F.col("_metadata.row_index"))
+        .join(F.broadcast(deleted), ["_file", "_pos"], "left_anti")
+        .drop("_file", "_pos")
+    )
+
+
+def snap_agg_pushdown_bitmap(
+    table: str, cols: list[str], version: int | None = None
+) -> dict | None:
+    """Aggregate pushdown over bitmap DVs — the O(files) refinement
+    VERDICT r14 order #4 asked for: COUNT(*) = Σ parquet footer rows −
+    Σ manifest bitmap CARDINALITIES. The cardinality rides in the
+    manifest next to each bitmap, so the COUNT path reads ZERO delete
+    data — no pair files, no bitmap decodes — and its cost is flat in
+    deleted-row count (the pair-rows path's O(deleted rows) driver
+    read was the declared next bottleneck). Overlapping deletes
+    cannot over-subtract: the writer ORs bitmaps and stores the
+    popcount, so 'deleted rows' is exact by construction and the
+    pair path's overlap refusal has nothing to refuse.
+
+    MIN/MAX keep snap_agg_pushdown_dv's per-aggregate proof rule: an
+    aggregate is provable iff some file attaining the global bound
+    carries NO deletes (bitmap or pair); otherwise it is omitted and
+    the caller scans. Any file lacking stats for a requested column
+    refuses outright, as does an empty table or a pair-DV manifest
+    (that encoding has its own path)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    doc = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    if not doc["files"] or doc.get("dv"):
+        return None
+    stats = doc.get("stats", {})
+    if any(
+        f not in stats or any(c not in stats[f] for c in cols)
+        for f in doc["files"]
+    ):
+        return None
+    ddir = os.path.join(table, "data")
+    dvb = {
+        f: e
+        for f, e in (doc.get("dvb") or {}).items()
+        if f in set(doc["files"])
+    }
+    n_rows = sum(
+        pq.ParquetFile(os.path.join(ddir, f)).metadata.num_rows
+        for f in doc["files"]
+    )
+    out: dict = {"n_rows": n_rows - sum(e["card"] for e in dvb.values())}
+    dirty = set(dvb)
+    for c in cols:
+        glo = min(stats[f][c][0] for f in doc["files"])
+        ghi = max(stats[f][c][1] for f in doc["files"])
+        if any(stats[f][c][0] == glo and f not in dirty for f in doc["files"]):
+            out[f"min_{c}"] = glo
+        if any(stats[f][c][1] == ghi and f not in dirty for f in doc["files"]):
+            out[f"max_{c}"] = ghi
+    return out
+
+
+@query(
+    "q_table_merge_dv_bitmap",
+    oracle="""
+    WITH kept AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE NOT (event_id % 7 = 3 OR event_id % 5 = 2)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS lo_id,
+           CAST(MAX(event_id) AS BIGINT) AS hi_id,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM kept GROUP BY event_type ORDER BY event_type
+    """,
+)
+def table_merge_dv_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP-ENCODED DELETION VECTORS (VERDICT r14 order #4) — the
+    Iceberg-v3/Delta DV shape replacing pair rows: two overlapping
+    scattered DELETEs (event_id % 7 = 3, then % 5 = 2) land as
+    per-file compressed position bitmaps in the manifest, ZERO data
+    files rewritten (names and sizes asserted byte-untouched), and
+    the second delete ORs into the first's bitmaps so the manifest's
+    summed cardinality equals the TRUE distinct deleted-row count
+    (asserted live — the exact-overlap case the pair-rows pushdown
+    must refuse). COUNT pushdown is then pure manifest arithmetic —
+    footer rows minus stored cardinalities, O(files) with zero delete
+    data read (asserted: equals the MoR scan count) — while MIN/MAX
+    are omitted per the proof rule (every file carries deletes here;
+    asserted) and answered by the scan. The returned per-type rollup
+    of the merge-on-read bitmap scan hash-checks against raw events
+    with both deletes stated in SQL: a wrong bit, a mis-scoped
+    position, or an over/under-counted cardinality mismatches.
+
+    100 TB: a backfill deleting 1% of a petabyte is ~10 TB of pair
+    rows but only O(files) bitmaps; every dashboard COUNT thereafter
+    stays manifest-sized instead of re-reading delete data. SURVEY §2
+    B.1 extension; the r14 pair-rows keys stay as the low-churn path."""
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapdvb')}/table"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    files, stats = _snap_add_files_with_stats(
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        table,
+        "dvb_base",
+        ["event_id"],
+    )
+    _snap_commit(table, files, 0, stats=stats)
+    ddir = os.path.join(table, "data")
+    sizes0 = {f: os.path.getsize(os.path.join(ddir, f)) for f in files}
+
+    rec1 = snap_delete_bitmap(
+        spark, table, ev.filter(F.col("event_id") % 7 == 3), "event_id"
+    )
+    rec2 = snap_delete_bitmap(
+        spark, table, ev.filter(F.col("event_id") % 5 == 2), "event_id"
+    )
+    if rec1["files_rewritten"] or rec2["files_rewritten"]:
+        raise RuntimeError("bitmap delete rewrote data files")
+    _, doc = _snap_latest_doc(table)
+    if sorted(doc["files"]) != sorted(files) or any(
+        os.path.getsize(os.path.join(ddir, f)) != sizes0[f] for f in files
+    ):
+        raise RuntimeError("data files changed under a metadata-only delete")
+
+    # exact-overlap accounting: Σ manifest cardinalities == TRUE
+    # distinct deleted rows (ids matching either predicate), even
+    # though the two key sets overlap — the pair-rows refusal case
+    true_deleted = ev.filter(
+        (F.col("event_id") % 7 == 3) | (F.col("event_id") % 5 == 2)
+    ).count()
+    card_sum = sum(e["card"] for e in doc["dvb"].values())
+    if card_sum != true_deleted:
+        raise RuntimeError(
+            f"bitmap cardinalities {card_sum} != true deleted {true_deleted}"
+        )
+    if len(doc["dvb"]) > len(files):
+        raise RuntimeError("dvb map grew beyond O(files)")
+
+    # metadata COUNT: O(files), zero delete data read; other paths refuse
+    if snap_agg_pushdown(table, ["event_id"]) is not None:
+        raise RuntimeError("plain pushdown answered on a bitmap-DV table")
+    pushed = snap_agg_pushdown_bitmap(table, ["event_id"])
+    if pushed is None:
+        raise RuntimeError("bitmap pushdown refused unexpectedly")
+    if "min_event_id" in pushed or "max_event_id" in pushed:
+        raise RuntimeError(
+            "MIN/MAX proven although every file carries deletes"
+        )
+
+    mor = snap_read_mor_bitmap(spark, table)
+    if int(pushed["n_rows"]) != mor.count():
+        raise RuntimeError(
+            f"metadata COUNT {pushed['n_rows']} != MoR scan {mor.count()}"
+        )
+
+    return (
+        mor.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("event_id").cast("long").alias("lo_id"),
+            F.max("event_id").cast("long").alias("hi_id"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
         )
         .orderBy("event_type")
     )

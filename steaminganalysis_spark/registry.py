@@ -730,6 +730,63 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # CAS conversions) are all covered by r14-window rows recorded on
 # the post-change tree, so no execution-change carryover enters
 # round 15 unless round 15 itself changes code.
+# ROUND-15 WINDOW (composed round 15, executing the plan above):
+# canaries, then the ELEVEN round-14 additions in registration order —
+# all eleven now oracled: round 15 converted q_table_ann_index_commits
+# to ORACLE-EXACT by re-basing its frozen quantizer on the fixed-point
+# Lloyd kernel (VERDICT r14 order #2), so the window keeps the
+# all-oracled discipline with no relaxed assert (the composer's-choice
+# branch the plan recorded) — then the 9 remaining oracled
+# round-7-stamp re-checks and the 28 oldest oracled round-8-stamp
+# re-checks in registration order to fill 50. Execution changes this
+# round (the _kmfx_argmin min-struct refactor shared by
+# q_cluster_kmeans_portable, and _frozen_assign inside
+# snap_ann_index_update) are all inside window keys already;
+# q_stream_ann_index also routes through snap_ann_index_update but is
+# rows-only by design (float lineage) and keeps its pinned
+# stream≡batch equality tests instead. Round-15 additions go into
+# deferred_to_round16 (tests/test_contract_robustness.py).
+ROUND15_WINDOW = [
+    # Canaries (2): flagship + the HUGEINT-class sentinel.
+    "q_daily_rollup",
+    "q_tpch_q12",
+    # --- the 11 round-14 additions (former deferred_to_round15 pin,
+    # never driver-checked; the 10 oracled ones judge-verified in the
+    # r14 VERDICT, q_table_ann_index_commits converted oracle-exact
+    # this round), registration order ---
+    "q_table_partition_transforms",
+    "q_table_refs",
+    "q_table_metadata_tables",
+    "q_table_auto_optimize",
+    "q_table_agg_pushdown_dv",
+    "q_stream_table_maintenance",
+    "q_stream_table_epoch_tags",
+    "q_sim_topk_filtered",
+    "q_emb_pca_power_portable",
+    "q_table_ann_index_commits",
+    "q_cluster_kmeans_portable",
+    # --- the 9 remaining oracled round-7-stamp re-checks,
+    # registration order ---
+    "q_ts_changepoint", "q_ts_seasonal_profile", "q_ts_autocorr",
+    "q_window_slope", "q_window_median", "q_ts_outlier_mad",
+    "q_geo_radius_join", "q_geo_grid_density", "q_er_blocked_pairs",
+    # --- the 28 oldest oracled round-8-stamp re-checks, registration
+    # order (q_multimodal_phash is round-8-stamped but rows-only by
+    # design — skipped under the all-oracled discipline; the
+    # remaining 17 round-8 stamps head the round-16 fill) ---
+    "q_agg_minmax_by", "q_sql_window_clause", "q_mv_incremental",
+    "q_time_buckets", "q_agg_salted", "q_agg_mode_bool",
+    "q_agg_grouping_flags", "q_agg_product", "q_dq_profile",
+    "q_stream_topk", "q_sample_weighted", "q_crossval_folds",
+    "q_vocab_prune", "q_dedup_url", "q_fn_string", "q_fn_datetime",
+    "q_fn_math", "q_fn_array", "q_json_parse", "q_fn_map",
+    "q_json_malformed", "q_fn_array2", "q_fn_datetime2",
+    "q_fn_string2", "q_dedup_exact", "q_sim_topk", "q_text_stats",
+    "q_text_tokens",
+]
+
+# Retired round-14 window, for the record (50/50 green in
+# CORRECTNESS_r14.json):
 ROUND14_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
@@ -1155,7 +1212,7 @@ ROUND4_WINDOW = [
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every operator module (side effect: registration), then
-    reorder so ROUND14_WINDOW occupies the first 50 registration slots
+    reorder so ROUND15_WINDOW occupies the first 50 registration slots
     — the slice the driver's correctness gate checks this round."""
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import tpch  # noqa: F401  isort: skip
@@ -1182,11 +1239,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import curation  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import retrieval  # noqa: F401  isort: skip
 
-    missing = [k for k in ROUND14_WINDOW if k not in QUERIES]
+    missing = [k for k in ROUND15_WINDOW if k not in QUERIES]
     if missing:
-        raise RuntimeError(f"ROUND14_WINDOW names unregistered queries: {missing}")
-    window = set(ROUND14_WINDOW)
-    ordered = ROUND14_WINDOW + [k for k in QUERIES if k not in window]
+        raise RuntimeError(f"ROUND15_WINDOW names unregistered queries: {missing}")
+    window = set(ROUND15_WINDOW)
+    ordered = ROUND15_WINDOW + [k for k in QUERIES if k not in window]
     reordered = {k: QUERIES[k] for k in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -69,13 +69,26 @@ def test_demo_app_accumulates_day_totals(spark):
             assert h["fee_cents"] == 0
 
 
-# Keys registered AFTER the round-14 window froze — exempt from the
-# rotation-closure check below, pinned here so they head the round-15
-# window (the same bookkeeping rounds 2-14 used). Every new @query
-# registration this round MUST be added here. The round-14 window
-# absorbed the ENTIRE former deferred_to_round14 set (the 24
-# round-13 additions), so this set restarts from round-14 additions.
-deferred_to_round15: set[str] = {
+# Keys registered AFTER the round-15 window froze — exempt from the
+# rotation-closure check below, pinned here so they head the round-16
+# window (the same bookkeeping rounds 2-15 used). Every new @query
+# registration this round MUST be added here. The round-15 window
+# absorbed the ENTIRE former deferred_to_round15 set (the 11
+# round-14 additions, list retired below), so this set restarts from
+# round-15 additions.
+deferred_to_round16: set[str] = {
+    # round-15 additions (operators/storage.py — bitmap-encoded
+    # deletion vectors, VERDICT r14 order #4: per-file compressed
+    # position bitmaps + exact cardinalities in the manifest replace
+    # pair rows; overlapping deletes OR exactly, COUNT pushdown is
+    # O(files) manifest arithmetic with zero delete-data reads, MoR
+    # read decodes bitmaps executor-side via mapInPandas)
+    "q_table_merge_dv_bitmap",
+}
+
+# Retired: the round-14 additions, absorbed into ROUND15_WINDOW (kept
+# for the historical record of what each key pinned).
+_absorbed_round14_additions: set[str] = {
     # round-14 additions (operators/storage.py — DV-aware aggregate
     # pushdown: COUNT(*) = footer rows − manifest-scoped DV pair rows
     # (one pair per deleted row, exact), per-aggregate MIN/MAX proof
@@ -332,31 +345,28 @@ _absorbed_round12_additions: set[str] = {
 }
 
 
-def test_round14_correctness_window_composition():
+def test_round15_correctness_window_composition():
     """The driver verifies the FIRST ~50 registered queries; the
-    round-14 window is the explicit ROUND14_WINDOW key list — the two
-    canaries, ALL 24 round-13 additions (former deferred_to_round14
-    pin, never driver-checked; judge-verified oracle-exact in the r13
-    VERDICT — converting those to driver rows is VERDICT r13 order
-    #1), three execution-changed re-checks under the
-    q_graph_triangles rule (q_stream_table_ingest: sink commit
-    upgraded to CAS-with-retry; q_table_vacuum: snap_expire gained
-    ref-head retention; q_table_concurrent_commit: the oldest-stamped
-    representative of snap_append_optimistic's new carry-all-keys
-    behavior), and the 21 oldest oracled round-7-stamp re-checks in
-    registration order. Pin it so a stray registration (or an import
-    reorder) cannot silently displace queries out of the checked
-    window before the driver runs. Update deliberately on each
+    round-15 window is the explicit ROUND15_WINDOW key list — the two
+    canaries, ALL 11 round-14 additions (former deferred_to_round15
+    pin, never driver-checked; 10 judge-verified oracle-exact in the
+    r14 VERDICT, q_table_ann_index_commits converted oracle-exact this
+    round via the fixed-point kernel so the all-oracled discipline
+    holds with no relaxed assert), the 9 remaining oracled
+    round-7-stamp re-checks, and the 28 oldest oracled round-8-stamp
+    re-checks in registration order. Pin it so a stray registration
+    (or an import reorder) cannot silently displace queries out of the
+    checked window before the driver runs. Update deliberately on each
     round's rotation."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND14_WINDOW, collect_queries
+    from steaminganalysis_spark.registry import ROUND15_WINDOW, collect_queries
 
     QUERIES, ORACLE = collect_queries()
     first50 = list(QUERIES)[:50]
-    assert len(ROUND14_WINDOW) == 50
-    assert first50 == ROUND14_WINDOW
+    assert len(ROUND15_WINDOW) == 50
+    assert first50 == ROUND15_WINDOW
     # the canaries must sit inside the window
     for k in (
         "q_daily_rollup",
@@ -364,23 +374,23 @@ def test_round14_correctness_window_composition():
     ):
         assert k in first50, k
     # Rotation closure: after this round, every key that existed when
-    # the round-14 window froze has a driver CORRECTNESS row — the
-    # window must cover everything the union of CORRECTNESS_r01..r13
-    # did not, except the pinned new keys in deferred_to_round15.
+    # the round-15 window froze has a driver CORRECTNESS row — the
+    # window must cover everything the union of CORRECTNESS_r01..r14
+    # did not, except the pinned new keys in deferred_to_round16.
     # (Glob is two-digit-safe: r0[1-9] broke at CORRECTNESS_r10.json.)
     checked = set()
     for p in sorted(
         Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")
     ):
         checked |= set(json.loads(p.read_text()))
-    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round15]
+    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round16]
     assert set(never) <= set(first50), sorted(set(never) - set(first50))
-    assert deferred_to_round15 <= set(QUERIES)
-    assert deferred_to_round15.isdisjoint(first50)
-    # every key in the round-14 window is registered with an oracle —
-    # the 24 former deferred keys are all oracle-exact by design and
-    # the stamp re-check fills were drawn from the oracled backlog
-    # only (rows-only keys keep their pinned invariant tests instead).
+    assert deferred_to_round16 <= set(QUERIES)
+    assert deferred_to_round16.isdisjoint(first50)
+    # every key in the round-15 window is registered with an oracle —
+    # the 11 former deferred keys are all oracle-exact and the stamp
+    # re-check fills were drawn from the oracled backlog only
+    # (rows-only keys keep their pinned invariant tests instead).
     rows_only_in_window = {k for k in first50 if k not in ORACLE}
     assert rows_only_in_window == set(), rows_only_in_window
 

@@ -67,7 +67,6 @@ ROWS_ONLY_DOCUMENTED = {
         "q_multimodal_phash",  # binary synthesis not SQL-expressible; brute-force completeness pinned
         "q_emb_pca_topk",  # float summation order; per-component cosine vs numpy pinned
         "q_stream_ann_index",  # k-means floats; stream≡batch assignment equality pinned
-        "q_table_ann_index_commits",  # k-means floats; full-rebuild equality asserted live + crash/rewrite pins
 }
 
 

@@ -2575,3 +2575,124 @@ def test_compact_carries_metadata_and_refuses_dv_sources(spark):
     except SnapCompactConflict:
         pass
     assert snap_read_mor(spark, table, "event_id").count() == 198
+
+
+def test_dvb_bitmap_encode_decode_roundtrip():
+    """Bitmap DV encoding pins: byte-level determinism (equal sets →
+    equal entries), exact roundtrip at edge positions (0, byte
+    boundaries, sparse high positions), empty set, and cardinality
+    always matching the decoded set."""
+    from steaminganalysis_spark.operators.storage import _dvb_decode, _dvb_encode
+
+    for pos in (
+        set(),
+        {0},
+        {7, 8, 9},  # byte boundary
+        {0, 1, 2, 63, 64, 65},
+        set(range(0, 1000, 7)),
+        {123456},  # sparse high position
+    ):
+        e = _dvb_encode(pos)
+        assert e["card"] == len(pos)
+        assert _dvb_decode(e) == pos
+        assert _dvb_encode(set(pos)) == e  # deterministic
+    # unknown encodings refuse instead of silently mis-decoding
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _dvb_decode({"enc": "roaring-v1", "b": "", "card": 0})
+
+
+def test_dvb_lifecycle_compact_refusal_carry_and_append(spark):
+    """Bitmap-DV lifecycle pins (the dv-map lessons re-applied):
+    (1) compacting a dvb-carrying file REFUSES (raw-read rewrite
+    would resurrect its deletes); (2) compacting OTHER files carries
+    survivors' dvb entries verbatim; (3) an append carries the dvb
+    map forward untouched (the r14 carry-all discipline); (4) the
+    equality-key MoR reader refuses dvb tables loudly; (5) the MoR
+    bitmap read over the post-compaction table still equals the
+    expected survivor set."""
+    import os
+
+    import pytest as _pytest
+
+    from steaminganalysis_spark.operators.storage import (
+        SnapCompactConflict,
+        _snap_add_files,
+        _snap_add_files_with_stats,
+        _snap_commit,
+        _snap_latest_doc,
+        snap_append_optimistic,
+        snap_compact_optimistic,
+        snap_delete_bitmap,
+        snap_read_mor,
+        snap_read_mor_bitmap,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = os.path.join(scratch_dir("dvb_pin"), "table")
+    rows = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+    )
+    files, stats = _snap_add_files_with_stats(
+        rows.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        table,
+        "dvbp_base",
+        ["k"],
+    )
+    _snap_commit(table, files, 0, stats=stats)
+
+    # delete k % 10 == 1 from the FIRST file's span only (k < 100 is
+    # within file spans; restrict so some files stay clean)
+    snap_delete_bitmap(
+        spark,
+        table,
+        spark.range(0, 100).select(F.col("id").alias("k")).filter(
+            F.col("id") % 10 == 1
+        ),
+        "k",
+    )
+    _, doc = _snap_latest_doc(table)
+    dirty = sorted(doc["dvb"])
+    clean = sorted(set(doc["files"]) - set(dirty))
+    assert dirty and clean
+
+    # (4) equality-key MoR refuses
+    with _pytest.raises(ValueError):
+        snap_read_mor(spark, table, "k")
+
+    # (1) compacting a dirty file refuses
+    staged = _snap_add_files(rows.limit(1), table, "dvbp_reject")
+    with _pytest.raises(SnapCompactConflict):
+        snap_compact_optimistic(table, [dirty[0]], staged)
+
+    # (2) compacting clean files carries survivors' dvb verbatim
+    clean_df = spark.read.parquet(
+        *[os.path.join(table, "data", f) for f in clean]
+    )
+    merged = _snap_add_files(clean_df.coalesce(1), table, "dvbp_merge")
+    snap_compact_optimistic(table, clean, merged)
+    _, doc2 = _snap_latest_doc(table)
+    assert doc2["dvb"] == doc["dvb"]
+
+    # (3) append carries dvb untouched
+    extra = _snap_add_files(
+        spark.range(1000, 1010).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+        ),
+        table,
+        "dvbp_extra",
+    )
+    snap_append_optimistic(table, extra)
+    _, doc3 = _snap_latest_doc(table)
+    assert doc3["dvb"] == doc["dvb"]
+
+    # (5) MoR bitmap read: original minus deletes plus append
+    got = sorted(
+        r.k for r in snap_read_mor_bitmap(spark, table).select("k").collect()
+    )
+    expect = sorted(
+        [k for k in range(400) if not (k % 10 == 1 and k < 100)]
+        + list(range(1000, 1010))
+    )
+    assert got == expect
