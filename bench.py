@@ -90,6 +90,12 @@ HEADLINE_EXTENDED = [
     # a regression in the delete/MoR stack (the other half of the
     # table format that two-level pruning does not touch) shows here
     "q_table_agg_pushdown_dv",
+    # round-15 (VERDICT r14 order #7): the round-14 LLM-surface
+    # representative — filtered vector search times the broadcast
+    # query-side join with the predicate pruning inside it, so a
+    # regression in the similarity hot path (dot-product kernel,
+    # broadcast shape, pre-filter placement) gets a trend line
+    "q_sim_topk_filtered",
 ]
 
 

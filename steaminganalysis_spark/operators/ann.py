@@ -1199,3 +1199,621 @@ def cluster_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").cast("int").alias("k"), "n_members", "min_vec_id", "sum_vec_id")
         .orderBy("k")
     )
+
+
+# ---------- fixed-point portable ANN quartet (r15, VERDICT r14 order #3)
+#
+# The float quartet (q_sim_ann_ivf/pq/ivfpq/lsh) is rows-only: Lloyd
+# float centroids and engine-internal hashes make the outputs
+# engine-specific, so their evidence is recall-floor pins. These four
+# twins re-express the SAME index structures in pure int64 arithmetic
+# — FLOOR(x·2^12) quantization, integer squared-L2 distances, the
+# lowbias32 mixer for hyperplanes, floor-mean Lloyd — so BOTH engines
+# compute identical routings, codes, shortlists, and final top-k, and
+# the driver hash-checks the declared 100 TB ANN scale path
+# end-to-end. Distances are L2 over the quantized vectors (integer,
+# exact); the float keys keep the cosine spelling. Meaningfulness is
+# pinned separately: each portable variant's top-k must overlap the
+# exact integer-L2 brute force above a recall floor.
+
+ANNP_QN = 16  # query vectors (vec_id < ANNP_QN)
+ANNP_PROBES = 2  # coarse lists probed per query
+ANNP_TOPK = 5
+PQFX_M = 4  # subspaces
+PQFX_SUB = 16  # dims per subspace (4 × 16 = 64)
+PQFX_K = 8  # codewords per subspace
+PQFX_ITERS = 2  # per-subspace Lloyd rounds
+PQFX_SHORTLIST = 20  # ADC shortlist re-ranked exactly
+LSHP_J = 16  # hyperplane bits (4 bands × 4 bits)
+
+_FX_E_CTE = f"""e AS MATERIALIZED (
+      SELECT vec_id, t.d,
+             CAST(FLOOR(CAST(embedding[t.d + 1] AS DOUBLE) * {KMFX_Q}) AS BIGINT) AS q
+      FROM embeddings, range(64) t(d)
+    )"""
+
+
+def _fx_exact_tail() -> str:
+    """Shared oracle tail: exact integer-L2 re-rank of a ``cand``
+    CTE (query_id, neighbor_id) against the quantized relation ``e``,
+    top-ANNP_TOPK per query, ties to the lowest neighbor_id."""
+    return f""",
+    pd2 AS MATERIALIZED (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM((ea.q - eb.q) * (ea.q - eb.q)) AS BIGINT) AS d2
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.query_id
+      JOIN e eb ON eb.vec_id = c.neighbor_id AND eb.d = ea.d
+      GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(d2 AS BIGINT) AS d2,
+           CAST(rn AS INT) AS rn
+    FROM (
+      SELECT query_id, neighbor_id, d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+      FROM pd2
+    ) WHERE rn <= {ANNP_TOPK}
+    ORDER BY query_id, rn"""
+
+
+def _annp_ivf_route_ctes() -> str:
+    """Coarse fixed-point IVF plumbing shared by the portable IVF and
+    IVFPQ oracles: full-corpus assignment against the frozen cent{N}
+    (fasg) and per-query ANNP_PROBES-nearest-list routing (route)."""
+    n = KMFX_ITERS
+    return f""",
+    fdist AS MATERIALIZED (
+      SELECT e.vec_id, c.k,
+             CAST(SUM((e.q - c.m) * (e.q - c.m)) AS BIGINT) AS d2
+      FROM e JOIN cent{n} c ON e.d = c.d GROUP BY 1, 2
+    ),
+    fasg AS MATERIALIZED (
+      SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+        FROM fdist
+      ) WHERE rn = 1
+    ),
+    route AS MATERIALIZED (
+      SELECT vec_id AS query_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+        FROM fdist WHERE vec_id < {ANNP_QN}
+      ) WHERE rn <= {ANNP_PROBES}
+    )"""
+
+
+def _annp_ivf_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_kmfx_ctes())
+        + _annp_ivf_route_ctes()
+        + """,
+    cand AS MATERIALIZED (
+      SELECT r.query_id, a.vec_id AS neighbor_id
+      FROM route r JOIN fasg a ON a.k = r.k AND a.vec_id <> r.query_id
+    )"""
+        + _fx_exact_tail()
+    )
+
+
+def _pqfx_ctes() -> list[str]:
+    """Per-subspace fixed-point Lloyd, the whole codebook trained in
+    ONE CTE chain by adding the subspace id ``m`` to every group key:
+    es splits the quantized relation into PQFX_M 16-dim subvectors,
+    seeds are the PQFX_K lowest vec_ids' subvectors, each round
+    assigns per (vec_id, m) by integer squared distance (ties to the
+    lowest codeword) and floor-mean-updates per (m, k, d); pcode is
+    the final assignment against the frozen pcent{N}."""
+    cte = [
+        f"""pes AS MATERIALIZED (
+      SELECT vec_id, d // {PQFX_SUB} AS m, d, q FROM e
+    )""",
+        f"""pseed AS MATERIALIZED (
+      SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS k
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            ORDER BY vec_id LIMIT {PQFX_K})
+    )""",
+        """pcent0 AS MATERIALIZED (
+      SELECT s.k, t.m, t.d, t.q AS c FROM pes t JOIN pseed s USING (vec_id)
+    )""",
+    ]
+    for t in range(PQFX_ITERS):
+        cte.append(
+            f"""pdist{t} AS MATERIALIZED (
+      SELECT t.vec_id, c.m, c.k,
+             CAST(SUM((t.q - c.c) * (t.q - c.c)) AS BIGINT) AS d2
+      FROM pes t JOIN pcent{t} c ON c.m = t.m AND c.d = t.d
+      GROUP BY 1, 2, 3
+    )"""
+        )
+        cte.append(
+            f"""pasg{t} AS MATERIALIZED (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+        FROM pdist{t}
+      ) WHERE rn = 1
+    )"""
+        )
+        cte.append(
+            f"""pcent{t + 1} AS MATERIALIZED (
+      SELECT c.m, c.k, c.d,
+             COALESCE(
+               CAST(CASE WHEN u.s >= 0 THEN u.s // u.n
+                         ELSE -((-u.s + u.n - 1) // u.n) END AS BIGINT),
+               c.c) AS c
+      FROM pcent{t} c
+      LEFT JOIN (
+        SELECT a.m, a.k, t.d, SUM(t.q) AS s, COUNT(*) AS n
+        FROM pes t JOIN pasg{t} a ON a.vec_id = t.vec_id AND a.m = t.m
+        GROUP BY 1, 2, 3
+      ) u ON u.m = c.m AND u.k = c.k AND u.d = c.d
+    )"""
+        )
+    n = PQFX_ITERS
+    cte.append(
+        f"""pcode AS MATERIALIZED (
+      SELECT vec_id, m, k FROM (
+        SELECT t.vec_id, c.m, c.k,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.vec_id, c.m
+                 ORDER BY SUM((t.q - c.c) * (t.q - c.c)), c.k) AS rn
+        FROM pes t JOIN pcent{n} c ON c.m = t.m AND c.d = t.d
+        GROUP BY t.vec_id, c.m, c.k
+      ) WHERE rn = 1
+    )"""
+    )
+    cte.append(
+        f"""qd AS MATERIALIZED (
+      SELECT t.vec_id AS query_id, c.m, c.k,
+             CAST(SUM((t.q - c.c) * (t.q - c.c)) AS BIGINT) AS d2q
+      FROM pes t JOIN pcent{n} c ON c.m = t.m AND c.d = t.d
+      WHERE t.vec_id < {ANNP_QN}
+      GROUP BY 1, 2, 3
+    )"""
+    )
+    return cte
+
+
+def _annp_pq_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n".join([_FX_E_CTE] + _pqfx_ctes())
+        + f""",
+    adc AS MATERIALIZED (
+      SELECT q.query_id, n.vec_id AS neighbor_id, SUM(q.d2q) AS adc
+      FROM pcode n JOIN qd q ON q.m = n.m AND q.k = n.k
+      WHERE n.vec_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY adc, neighbor_id) AS srn
+        FROM adc
+      ) WHERE srn <= {PQFX_SHORTLIST}
+    )"""
+        + _fx_exact_tail()
+    )
+
+
+def _annp_ivfpq_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_kmfx_ctes() + _pqfx_ctes())
+        + _annp_ivf_route_ctes()
+        + f""",
+    cand0 AS MATERIALIZED (
+      SELECT r.query_id, a.vec_id AS neighbor_id
+      FROM route r JOIN fasg a ON a.k = r.k AND a.vec_id <> r.query_id
+    ),
+    adc AS MATERIALIZED (
+      SELECT c0.query_id, c0.neighbor_id, SUM(q.d2q) AS adc
+      FROM cand0 c0
+      JOIN pcode n ON n.vec_id = c0.neighbor_id
+      JOIN qd q ON q.query_id = c0.query_id AND q.m = n.m AND q.k = n.k
+      GROUP BY 1, 2
+    ),
+    cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY adc, neighbor_id) AS srn
+        FROM adc
+      ) WHERE srn <= {PQFX_SHORTLIST}
+    )"""
+        + _fx_exact_tail()
+    )
+
+
+def _lshp_h_sql(xor: str, div: str) -> str:
+    """Hyperplane sign h(j, d) ∈ {+1, −1}: parity of the lowbias32
+    mixer over the (j, d) cell index — engine-portable, deterministic,
+    and empirically balanced (the mixer's avalanche property)."""
+    from steaminganalysis_spark.operators.aggregates import _hllp_hash_sql
+
+    return (
+        f"CASE WHEN ({_hllp_hash_sql(xor, div, 'j * 64 + d + 1')}) % 2 = 1 "
+        "THEN 1 ELSE -1 END"
+    )
+
+
+def _annp_lsh_oracle() -> str:
+    h = _lshp_h_sql("xor({a}, {b})", "//")
+    return (
+        f"""WITH {_FX_E_CTE},
+    hp AS MATERIALIZED (
+      SELECT j.j, d.d, {h} AS h
+      FROM range({LSHP_J}) j(j), range(64) d(d)
+    ),
+    sig AS MATERIALIZED (
+      SELECT e.vec_id, hp.j,
+             CASE WHEN SUM(hp.h * e.q) >= 0 THEN 1 ELSE 0 END AS s
+      FROM e JOIN hp ON hp.d = e.d GROUP BY 1, 2
+    ),
+    band AS MATERIALIZED (
+      SELECT vec_id, j // 4 AS band,
+             SUM(s * (CASE (j % 4) WHEN 0 THEN 1 WHEN 1 THEN 2
+                                   WHEN 2 THEN 4 ELSE 8 END)) AS bv
+      FROM sig GROUP BY 1, 2
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM band a
+      JOIN band b ON b.band = a.band AND b.bv = a.bv
+                 AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {ANNP_QN}
+    )"""
+        + _fx_exact_tail()
+    )
+
+
+def _fx_pair_d2(cand: DataFrame, q: DataFrame) -> DataFrame:
+    """Exact integer squared-L2 over candidate pairs: the corpus-side
+    exploded relation streams through ONE equi-join against the
+    BROADCAST candidate list and ONE against the BROADCAST query
+    vectors (ANNP_QN × 64 rows) — data rows never shuffle before the
+    final pair-grain hash aggregate."""
+    qa = q.filter(F.col("vec_id") < ANNP_QN).select(
+        F.col("vec_id").alias("query_id"), "d", F.col("q").alias("qa")
+    )
+    qb = q.select(
+        F.col("vec_id").alias("neighbor_id"), "d", F.col("q").alias("qb")
+    )
+    return (
+        qb.join(F.broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(qa), ["query_id", "d"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
+            ).alias("d2")
+        )
+    )
+
+
+def _fx_rank_topk(scored: DataFrame) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANNP_TOPK)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            F.col("d2").cast("long").alias("d2"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+def _fx_quantized(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
+    from steaminganalysis_spark.functions import to_double_array
+    from steaminganalysis_spark.staging import stage
+
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    return stage(_kmfx_quantize(base), tag)
+
+
+@query("q_sim_ann_ivf_portable", oracle=_annp_ivf_oracle())
+def sim_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT IVF ANN (VERDICT r14 order #3) — the hash-checked
+    twin of rows-only q_sim_ann_ivf: the coarse quantizer is the
+    fixed-point Lloyd kernel (q_cluster_kmeans_portable's, frozen
+    after KMFX_ITERS rounds), queries route to their ANNP_PROBES
+    nearest lists by integer squared distance, and candidates within
+    probed lists re-rank by EXACT integer L2 (ties to the lowest
+    neighbor_id) — every step int64, so both engines emit the
+    identical top-5. Recall vs exact integer-L2 brute force is pinned
+    in tests (exactness is not bought with meaninglessness).
+
+    Scale shape unchanged from the float IVF: the corpus never leaves
+    the cluster (assignment is a broadcast-centroid argmin folded into
+    a hash aggregate), probing scans ≈ P/K of it, and the re-rank
+    joins stream the corpus relation against two broadcast sides."""
+    q = _fx_quantized(spark, sf_dir, "annp_ivf_emb")
+    cent, _ = _kmfx_train(spark, q)
+    cdf = _kmfx_centdf(spark, cent, 64)
+    fasg = _kmfx_argmin(q, cdf)
+    qdist = (
+        q.filter(F.col("vec_id") < ANNP_QN)
+        .join(cdf, "d")
+        .groupBy("vec_id", "k")
+        .agg(
+            F.sum((F.col("q") - F.col("m")) * (F.col("q") - F.col("m"))).alias(
+                "d2"
+            )
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "k")
+    route = (
+        qdist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANNP_PROBES)
+        .select(F.col("vec_id").alias("query_id"), "k")
+    )
+    cand = (
+        fasg.select(F.col("vec_id").alias("neighbor_id"), "k")
+        .join(F.broadcast(route), "k")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return _fx_rank_topk(_fx_pair_d2(cand, q))
+
+
+@query("q_sim_ann_lsh_portable", oracle=_annp_lsh_oracle())
+def sim_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT hyperplane-LSH ANN — the hash-checked twin of
+    rows-only q_sim_ann_lsh: LSHP_J hyperplanes whose ±1 weights are
+    the PARITY of the lowbias32 mixer over the (j, d) cell (shared
+    literal SQL, so both engines build the identical planes),
+    signature bit j = sign of the integer dot product Σ h(j,d)·q(d),
+    candidates from 4-band × 4-bit bucket equi-joins (never
+    all-pairs), exact integer-L2 re-rank to top-5. All integer, both
+    engines byte-identical; recall floor pinned in tests.
+
+    Scale: signatures leave the scan as LSHP_J bits per vector;
+    the band join shuffles (band, value) cells only."""
+    q = _fx_quantized(spark, sf_dir, "annp_lsh_emb")
+    hp = (
+        spark.range(LSHP_J)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("d")))
+        .withColumn("h", F.expr(_lshp_h_sql("({a} ^ {b})", "DIV")))
+    )
+    sig = (
+        q.join(F.broadcast(hp), "d")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.when(F.sum(F.col("h") * F.col("q")) >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("s")
+        )
+    )
+    band = sig.groupBy(
+        "vec_id", F.expr("j DIV 4").alias("band")
+    ).agg(
+        F.sum(
+            F.col("s")
+            * F.expr(
+                "CASE (j % 4) WHEN 0 THEN 1 WHEN 1 THEN 2 "
+                "WHEN 2 THEN 4 ELSE 8 END"
+            )
+        ).alias("bv")
+    ).localCheckpoint()
+    cand = (
+        band.select(F.col("vec_id").alias("neighbor_id"), "band", "bv")
+        .join(
+            F.broadcast(
+                band.filter(F.col("vec_id") < ANNP_QN).select(
+                    F.col("vec_id").alias("query_id"), "band", "bv"
+                )
+            ),
+            ["band", "bv"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _fx_rank_topk(_fx_pair_d2(cand, q))
+
+
+def _pqfx_es(q: DataFrame) -> DataFrame:
+    return q.select(
+        "vec_id", F.expr(f"CAST(d DIV {PQFX_SUB} AS INT)").alias("m"), "d", "q"
+    )
+
+
+def _pqfx_centdf(spark: SparkSession, cent: dict) -> DataFrame:
+    return F.broadcast(
+        spark.createDataFrame(
+            [
+                (m, k, d, cent[(m, k, d)])
+                for m in range(PQFX_M)
+                for k in range(PQFX_K)
+                for d in range(m * PQFX_SUB, (m + 1) * PQFX_SUB)
+            ],
+            "m int, k int, d int, c long",
+        )
+    )
+
+
+def _pqfx_assign(es: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Per-subspace nearest codeword: (vec_id, m, k), ties to the
+    lowest k — min(struct) folded into hash aggregates (map-side
+    combine, no per-vector window shuffle)."""
+    return (
+        es.join(cdf, ["m", "d"])
+        .groupBy("vec_id", "m", "k")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
+                "d2"
+            )
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "k"))["k"].alias("k"))
+    )
+
+
+def _pqfx_train(spark: SparkSession, es: DataFrame) -> dict:
+    """Per-subspace fixed-point Lloyd: all PQFX_M codebooks trained in
+    the same DataFrame jobs by carrying the subspace id in the group
+    keys; returns the frozen {(m, k, d): c} dict after PQFX_ITERS
+    floor-mean updates (empty codewords keep their centroid). Only
+    M×K×SUB integers reach the driver per round."""
+    seed_ids = [
+        r.vec_id
+        for r in es.select("vec_id").distinct().orderBy("vec_id").limit(
+            PQFX_K
+        ).collect()
+    ]
+    rank = {vid: i for i, vid in enumerate(seed_ids)}
+    cent = {
+        (r["m"], rank[r["vec_id"]], r["d"]): int(r["q"])
+        for r in es.filter(F.col("vec_id").isin(seed_ids)).collect()
+    }
+    for _ in range(PQFX_ITERS):
+        cdf = _pqfx_centdf(spark, cent)
+        asg = _pqfx_assign(es, cdf).localCheckpoint()
+        upd = {
+            (r["m"], r["k"], r["d"]): (int(r["s"]), int(r["n"]))
+            for r in es.join(asg, ["vec_id", "m"])
+            .groupBy("m", "k", "d")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        cent = {
+            (m, k, d): (
+                upd[(m, k, d)][0] // upd[(m, k, d)][1]
+                if (m, k, d) in upd
+                else cent[(m, k, d)]
+            )
+            for m in range(PQFX_M)
+            for k in range(PQFX_K)
+            for d in range(m * PQFX_SUB, (m + 1) * PQFX_SUB)
+        }
+    return cent
+
+
+def _pqfx_qd(es: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Query-to-codeword distance table: (query_id, m, k, d2q) — the
+    ADC lookup table, ANNP_QN × M × K rows (broadcast-sized)."""
+    return (
+        es.filter(F.col("vec_id") < ANNP_QN)
+        .join(cdf, ["m", "d"])
+        .groupBy(F.col("vec_id").alias("query_id"), "m", "k")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
+                "d2q"
+            )
+        )
+    )
+
+
+@query("q_sim_ann_pq_portable", oracle=_annp_pq_oracle())
+def sim_ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT product-quantization ANN — the hash-checked twin
+    of rows-only q_sim_ann_pq: PQFX_M per-subspace codebooks trained
+    by the fixed-point Lloyd kernel IN ONE CTE/DataFrame chain (the
+    subspace id rides the group keys — same rounds, wider keys, no
+    per-subspace loop), corpus vectors encode as M integer codes,
+    queries scan the asymmetric-distance (ADC) table Σ_m d2(query_m,
+    codeword) — all int64 — shortlist PQFX_SHORTLIST by (adc, id),
+    and the shortlist re-ranks by exact integer L2. Both engines emit
+    identical codes, shortlists, and top-5; recall floor pinned.
+
+    Scale shape unchanged from float PQ: codes are M small ints per
+    vector (the 64-dim corpus never re-materializes for scoring),
+    the ADC table is ANNP_QN × M × K rows and broadcasts."""
+    q = _fx_quantized(spark, sf_dir, "annp_pq_emb")
+    es = _pqfx_es(q)
+    cent = _pqfx_train(spark, es)
+    cdf = _pqfx_centdf(spark, cent)
+    code = _pqfx_assign(es, cdf)
+    qd = _pqfx_qd(es, cdf)
+    adc = (
+        code.select(F.col("vec_id").alias("neighbor_id"), "m", "k")
+        .join(F.broadcast(qd), ["m", "k"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2q").alias("adc"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    cand = (
+        adc.withColumn("srn", F.row_number().over(w))
+        .filter(F.col("srn") <= PQFX_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    return _fx_rank_topk(_fx_pair_d2(cand, q))
+
+
+@query("q_sim_ann_ivfpq_portable", oracle=_annp_ivfpq_oracle())
+def sim_ann_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT IVF+PQ ANN — the hash-checked twin of rows-only
+    q_sim_ann_ivfpq, composing the two portable stages: coarse
+    fixed-point IVF routing restricts each query to ANNP_PROBES
+    lists, PQ ADC (integer, per-subspace codes over the RAW quantized
+    vectors — the non-residual IVFADC variant; classic residual
+    encoding is a float-recall refinement the float key keeps) ranks
+    the routed candidates, the top PQFX_SHORTLIST re-rank by exact
+    integer L2. Identical routings, codes, shortlists, and top-5 on
+    both engines; recall floor pinned in tests.
+
+    Scale: the scanned fraction is ≈ P/K of the corpus and scoring
+    within it touches M-int codes, not vectors — the inverted-list ×
+    code-compression multiplication that makes billion-scale ANN
+    serveable."""
+    q = _fx_quantized(spark, sf_dir, "annp_ivfpq_emb")
+    cent, _ = _kmfx_train(spark, q)
+    cdf = _kmfx_centdf(spark, cent, 64)
+    fasg = _kmfx_argmin(q, cdf)
+    qdist = (
+        q.filter(F.col("vec_id") < ANNP_QN)
+        .join(cdf, "d")
+        .groupBy("vec_id", "k")
+        .agg(
+            F.sum((F.col("q") - F.col("m")) * (F.col("q") - F.col("m"))).alias(
+                "d2"
+            )
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "k")
+    route = (
+        qdist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANNP_PROBES)
+        .select(F.col("vec_id").alias("query_id"), "k")
+    )
+    cand0 = (
+        fasg.select(F.col("vec_id").alias("neighbor_id"), "k")
+        .join(F.broadcast(route), "k")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    es = _pqfx_es(q)
+    pcent = _pqfx_train(spark, es)
+    pcdf = _pqfx_centdf(spark, pcent)
+    code = _pqfx_assign(es, pcdf)
+    qd = _pqfx_qd(es, pcdf)
+    adc = (
+        cand0.join(
+            code.select(F.col("vec_id").alias("neighbor_id"), "m", "k"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qd), ["query_id", "m", "k"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2q").alias("adc"))
+    )
+    ws = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    cand = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= PQFX_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    return _fx_rank_topk(_fx_pair_d2(cand, q))

@@ -84,6 +84,16 @@ deferred_to_round16: set[str] = {
     # O(files) manifest arithmetic with zero delete-data reads, MoR
     # read decodes bitmaps executor-side via mapInPandas)
     "q_table_merge_dv_bitmap",
+    # round-15 additions (operators/ann.py — the portable ANN quartet,
+    # VERDICT r14 order #3: fixed-point twins of the rows-only float
+    # quartet; int64 quantization/distances/Lloyd/lowbias32 hyperplanes
+    # make routings, codes, shortlists, and final top-5 identical on
+    # both engines — ORACLE-EXACT; recall floors + exact-distance
+    # reporting pinned in test_portable_ann_quartet_recall_vs_exact)
+    "q_sim_ann_ivf_portable",
+    "q_sim_ann_lsh_portable",
+    "q_sim_ann_pq_portable",
+    "q_sim_ann_ivfpq_portable",
 }
 
 # Retired: the round-14 additions, absorbed into ROUND15_WINDOW (kept

@@ -820,3 +820,70 @@ def test_kmeans_portable_aligns_with_float_lloyd(spark):
         n, mn, sm = ref.get(k, (0, None, 0))
         ref[k] = (n + 1, i if mn is None else min(mn, i), sm + i)
     assert got == ref
+
+
+def _exact_int_l2_top5(sf_dir: str) -> set[tuple[int, int]]:
+    """Exact integer-L2 top-5 pairs for query vec_ids < 16 over the
+    FLOOR(x·2^12)-quantized embeddings — the ground truth the portable
+    ANN quartet approximates (independent numpy implementation)."""
+    import duckdb
+    import numpy as np
+
+    t = duckdb.sql(
+        f"select vec_id, embedding from read_parquet('{sf_dir}/embeddings.parquet')"
+        " order by vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in t])
+    V = np.floor(np.array([r[1] for r in t], dtype=np.float64) * 4096).astype(
+        np.int64
+    )
+    exact: set[tuple[int, int]] = set()
+    for qi in range(len(ids)):
+        if ids[qi] >= 16:
+            continue
+        d2 = ((V - V[qi]) ** 2).sum(axis=1)
+        order = sorted(
+            (int(d2[j]), int(ids[j])) for j in range(len(ids)) if j != qi
+        )[:5]
+        exact |= {(int(ids[qi]), nid) for _dd, nid in order}
+    return exact
+
+
+def test_portable_ann_quartet_recall_vs_exact(spark):
+    """The portable ANN quartet is ORACLE-EXACT (hash-checked), so its
+    remaining risk is meaninglessness — an index that agrees with its
+    own restatement but finds nothing. Pin recall vs the exact
+    integer-L2 top-5 (independent numpy brute force): measured at
+    sf0.01 ivf 0.688 / lsh 0.512 / pq 0.400 / ivfpq 0.425; floors set
+    below to absorb fixture drift. Also pin that every reported pair's
+    d2 is the TRUE integer distance (approximation may miss neighbors
+    but must never mis-score one)."""
+    import duckdb
+    import numpy as np
+
+    sf = "/root/testdata/sf0.01"
+    exact = _exact_int_l2_top5(sf)
+    t = duckdb.sql(
+        f"select vec_id, embedding from read_parquet('{sf}/embeddings.parquet')"
+        " order by vec_id"
+    ).fetchall()
+    byid = {
+        r[0]: np.floor(np.array(r[1], dtype=np.float64) * 4096).astype(np.int64)
+        for r in t
+    }
+    floors = {
+        "q_sim_ann_ivf_portable": 0.5,
+        "q_sim_ann_lsh_portable": 0.35,
+        "q_sim_ann_pq_portable": 0.3,
+        "q_sim_ann_ivfpq_portable": 0.3,
+    }
+    for key, floor in floors.items():
+        rows = QUERIES[key](spark, sf).collect()
+        got = {(r.query_id, r.neighbor_id) for r in rows}
+        recall = len(got & exact) / len(exact)
+        assert recall >= floor, (key, recall, floor)
+        for r in rows:  # reported distances are exact, never estimated
+            true_d2 = int(
+                ((byid[r.query_id] - byid[r.neighbor_id]) ** 2).sum()
+            )
+            assert r.d2 == true_d2, (key, r.query_id, r.neighbor_id)
