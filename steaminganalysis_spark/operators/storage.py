@@ -7410,3 +7410,291 @@ def table_merge_dv_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------- type widening + default values (r15, VERDICT r14 order #5)
+#
+# q_table_schema_evolution covers add-column; real lakehouse users hit
+# INT→LONG WIDENING and ALTER TABLE ... ADD COLUMN ... DEFAULT weekly
+# (Iceberg v3 type promotion / Delta type widening + initial-defaults).
+# These v3 functions SUPERSET the r12 schema machinery without touching
+# it (the r12 key's execution stays byte-identical — window
+# discipline): schema entries become (name, type, default) triples,
+# commit validation accepts safely-widenable footer types for a
+# declared wider column while still rejecting narrowing and genuine
+# conflicts, and the reader materializes the declared DEFAULT for
+# files whose footer predates the column — which is NOT a
+# null-coalesce: a post-evolution file's explicit NULL stays NULL
+# (Iceberg's initial-default is per-FILE, decided from the footer).
+
+_WIDEN_OK = {
+    ("int32", "int64"),  # Iceberg v3 int → long
+    ("float", "double"),  # Iceberg v3 float → double
+}
+_ARROW_TO_SPARK = {
+    "int32": "int",
+    "int64": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+}
+
+
+def _snap_commit_schema_wide(
+    table: str,
+    files: list[str],
+    version: int,
+    schema: list[tuple[str, str, object]],
+    new_files: list[str] | None = None,
+) -> None:
+    """Manifest commit carrying (column, arrow-type, default) triples.
+    Footer validation per appended file: unknown columns reject; a
+    column typed EXACTLY as declared or safely WIDENABLE to it
+    (_WIDEN_OK) passes; anything else — including narrowing, the
+    silent-corruption direction — rejects. Missing columns are fine
+    (evolution); their rows resolve to the declared default at read.
+    O(new files) footer reads, zero data pages."""
+    import json
+
+    declared = {name: (t, d) for name, t, d in schema}
+    for n in new_files or []:
+        got = _parquet_file_schema(os.path.join(table, "data", n))
+        unknown = sorted(set(got) - set(declared))
+        if unknown:
+            raise ValueError(
+                f"file {n} carries columns not in the table schema: {unknown}"
+            )
+        bad = sorted(
+            c
+            for c, t in got.items()
+            if t != declared[c][0] and (t, declared[c][0]) not in _WIDEN_OK
+        )
+        if bad:
+            raise ValueError(
+                f"file {n} type-conflicts with the table schema on: {bad} "
+                f"({[(c, got[c], declared[c][0]) for c in bad]})"
+            )
+    mdir = os.path.join(table, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{version}.json.inprogress")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": version,
+                "files": sorted(files),
+                "schema": [list(p) for p in schema],
+                "schema_rev": 3,
+            },
+            f,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mdir, f"v{version}.json"))
+
+
+def _snap_read_schema_wide(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Schema-resolved read with widening casts and per-file
+    initial-defaults: files GROUP by which declared columns their
+    footer lacks (O(files) metadata, the same grain commit validation
+    already pays); each group scans once, absent-with-default columns
+    materialize the default, absent-without-default NULL-fill, and
+    every projected column CASTS to the declared (possibly widened)
+    type — so int32-footer files read as int64 under a widened schema
+    with no rewrite. Groups union by name; within a group parquet
+    column pruning reaches every file."""
+    import json
+
+    committed = _snap_versions(table)
+    v = max(committed) if version is None else version
+    if v not in committed:
+        raise ValueError(f"snapshot v{v} is not committed (have {sorted(committed)})")
+    manifest = json.loads(
+        open(os.path.join(table, "manifests", committed[v])).read()
+    )
+    schema = [tuple(p) for p in manifest["schema"]]
+    ddir = os.path.join(table, "data")
+    # group by the full footer signature of declared columns (name →
+    # physical type or absent): a widened table legitimately holds
+    # int32-footer and int64-footer generations of the same column,
+    # which one mergeSchema scan refuses to unify — per-signature
+    # scans cast each generation to the declared type instead
+    groups: dict[tuple, list[str]] = {}
+    for f in manifest["files"]:
+        got = _parquet_file_schema(os.path.join(ddir, f))
+        sig = tuple(got.get(n) for n, _t, _d in schema)
+        groups.setdefault(sig, []).append(f)
+    parts = []
+    for sig, fs in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(ddir, f) for f in fs]
+        )
+        cols = []
+        for (name, t, default), present in zip(schema, sig):
+            st = _ARROW_TO_SPARK[t]
+            if present is not None:
+                cols.append(F.col(name).cast(st).alias(name))
+            elif default is not None:
+                cols.append(F.lit(default).cast(st).alias(name))
+            else:
+                cols.append(F.lit(None).cast(st).alias(name))
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "q_table_schema_widening",
+    oracle="""
+    WITH rows AS (
+      SELECT CAST(event_id AS BIGINT) AS eid,
+             CAST(FLOOR(value * 100) AS INT) AS cents,
+             'unassigned' AS region
+      FROM events WHERE event_id % 10 < 8
+      UNION ALL
+      SELECT event_id + 3000000000, CAST(FLOOR(value * 100) AS INT),
+             'unassigned'
+      FROM events WHERE event_id % 10 = 8
+      UNION ALL
+      SELECT event_id + 3000000000, CAST(FLOOR(value * 100) AS INT),
+             CASE WHEN event_id % 2 = 0 THEN NULL
+                  ELSE 'r' || CAST(event_id % 3 AS VARCHAR) END
+      FROM events WHERE event_id % 10 = 9
+    )
+    SELECT COALESCE(region, '(null)') AS region_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(eid) AS BIGINT) AS sum_eid,
+           CAST(MIN(eid) AS BIGINT) AS min_eid,
+           CAST(MAX(eid) AS BIGINT) AS max_eid,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM rows GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING + DEFAULT-VALUE EVOLUTION (VERDICT r14 order #5)
+    — the two schema changes real lakehouse users hit weekly, on the
+    snapshot table with ZERO rewrites: v0 commits int32 event_ids;
+    v1 WIDENS event_id to int64 as a metadata-only commit (old narrow
+    footers read correctly under the widened manifest schema —
+    asserted: the v1 append carries ids ABOVE INT32 MAX, storable
+    only as int64, and both generations scan in one read); v2 adds
+    ``region string DEFAULT 'unassigned'`` — pre-evolution files
+    MATERIALIZE the default without rewrite while the v2 append's
+    explicit NULL regions STAY NULL (default ≠ null-coalesce;
+    Iceberg's per-file initial-default, decided from footers). Fault
+    injections asserted live: committing a schema that NARROWS
+    event_id back to int32 over the wide file rejects, as does a
+    genuinely conflicting type; v0 time travel still serves int32.
+    The final rollup hash-checks against the raw table with all three
+    generations stated in SQL — a dropped cast, a coalesced NULL, or
+    a default leaking into post-evolution rows mismatches.
+
+    100 TB: both evolutions are ONE manifest commit regardless of
+    table size; reads group files by footer signature (O(files)
+    metadata the commit path already touches) and parquet pruning
+    reaches every file. Iceberg v3 type promotion + initial-defaults
+    shape. SURVEY §2 B.1 extension."""
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapwide')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    cents = F.floor(F.col("value") * 100).cast("int").alias("cents")
+
+    base = _snap_add_files(
+        ev.filter(F.col("event_id") % 10 < 8).select(
+            F.col("event_id").cast("int").alias("event_id"), cents
+        ),
+        table,
+        "wide_base",
+    )
+    schema_v0 = [("event_id", "int32", None), ("cents", "int32", None)]
+    _snap_commit_schema_wide(table, base, 0, schema_v0, new_files=base)
+
+    # v1: WIDEN event_id → int64 (metadata-only), then append ids
+    # above INT32 MAX — only representable under the widened type
+    schema_v1 = [("event_id", "int64", None), ("cents", "int32", None)]
+    _snap_commit_schema_wide(table, base, 1, schema_v1)
+    wide1 = _snap_add_files(
+        ev.filter(F.col("event_id") % 10 == 8).select(
+            (F.col("event_id") + F.lit(3000000000)).alias("event_id"), cents
+        ),
+        table,
+        "wide_delta1",
+    )
+    _snap_commit_schema_wide(
+        table, base + wide1, 2, schema_v1, new_files=wide1
+    )
+    # narrowing back over the wide file must REJECT (the
+    # silent-corruption direction), as must a genuine conflict
+    try:
+        _snap_commit_schema_wide(
+            table, base + wide1, 3, schema_v0, new_files=wide1
+        )
+        raise RuntimeError("narrowing commit was accepted")
+    except ValueError:
+        pass
+    badtype = _snap_add_files(
+        ev.limit(5).select(
+            F.col("event_id").cast("double").alias("event_id"), cents
+        ),
+        table,
+        "wide_badtype",
+    )
+    try:
+        _snap_commit_schema_wide(
+            table, base + wide1 + badtype, 3, schema_v1, new_files=badtype
+        )
+        raise RuntimeError("double-typed event_id was accepted under int64")
+    except ValueError:
+        pass
+
+    # v3: ADD COLUMN region STRING DEFAULT 'unassigned' (metadata-only),
+    # then append explicit regions INCLUDING NULLs
+    schema_v2 = schema_v1 + [("region", "string", "unassigned")]
+    _snap_commit_schema_wide(table, base + wide1, 3, schema_v2)
+    wide2 = _snap_add_files(
+        ev.filter(F.col("event_id") % 10 == 9).select(
+            (F.col("event_id") + F.lit(3000000000)).alias("event_id"),
+            cents,
+            F.when(
+                F.col("event_id") % 2 == 0, F.lit(None).cast("string")
+            )
+            .otherwise(F.concat(F.lit("r"), (F.col("event_id") % 3)))
+            .alias("region"),
+        ),
+        table,
+        "wide_delta2",
+    )
+    _snap_commit_schema_wide(
+        table, base + wide1 + wide2, 4, schema_v2, new_files=wide2
+    )
+
+    # v0 time travel serves the ORIGINAL narrow schema
+    v0 = _snap_read_schema_wide(spark, table, 0)
+    if [f.dataType.simpleString() for f in v0.schema.fields] != ["int", "int"]:
+        raise RuntimeError(f"v0 time travel leaked widening: {v0.schema}")
+
+    cur = _snap_read_schema_wide(spark, table)
+    if [f.dataType.simpleString() for f in cur.schema.fields] != [
+        "bigint",
+        "int",
+        "string",
+    ]:
+        raise RuntimeError(f"widened read has wrong types: {cur.schema}")
+
+    return (
+        cur.groupBy(
+            F.coalesce(F.col("region"), F.lit("(null)")).alias("region_key")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_eid"),
+            F.min("event_id").cast("long").alias("min_eid"),
+            F.max("event_id").cast("long").alias("max_eid"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("region_key")
+    )

@@ -94,6 +94,21 @@ deferred_to_round16: set[str] = {
     "q_sim_ann_lsh_portable",
     "q_sim_ann_pq_portable",
     "q_sim_ann_ivfpq_portable",
+    # round-15 additions (operators/storage.py — type widening +
+    # default-value schema evolution, VERDICT r14 order #5: int32→
+    # int64 widening as a metadata-only commit with old narrow
+    # footers read under the widened schema, ADD COLUMN ... DEFAULT
+    # materializing per-file initial-defaults without rewrite while
+    # explicit NULLs stay NULL; narrowing and type conflicts reject
+    # at commit from footers)
+    "q_table_schema_widening",
+    # round-15 additions (streaming/queries.py — rate-limited
+    # table-as-streaming-source, VERDICT r14 order #6: a five-file
+    # backfill commit drains across three max_files=2 micro-batches
+    # with offsets indexing the deterministic append-file log; a
+    # mid-backfill crash replays into the manifest-txn skip arm with
+    # nothing re-applied; non-append commits refuse)
+    "q_stream_from_table_cdf_ratelimited",
 }
 
 # Retired: the round-14 additions, absorbed into ROUND15_WINDOW (kept
