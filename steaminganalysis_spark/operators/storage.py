@@ -7698,3 +7698,218 @@ def table_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_key")
     )
+
+
+def snap_rewrite_bitmap_deletes(
+    spark: SparkSession, table: str, stats_cols: list[str] | None = None
+) -> dict:
+    """DV COMPACTION for bitmap tables — Iceberg's
+    rewrite-position-deletes maintenance action: every data file
+    carrying a ``dvb`` entry rewrites WITH its bitmap applied (scan
+    with ``_metadata.row_index``, anti-join the decoded positions),
+    and the successor manifest drops the folded entries — clearing
+    the table's delete debt so plain reads, stats-only pushdown, and
+    compaction (which all refuse dvb-dirty files) become eligible
+    again. Clean files are untouched by name and byte; rewritten
+    files enter WITH fresh footer stats when ``stats_cols`` is given
+    (the Iceberg rewrite-action contract — writers report bounds), or
+    stats-less otherwise (superset-safe). Returns {"rewritten",
+    "replacements", "version"}.
+
+    Cost: O(rows of dirty files) — the deliberate, scheduled payment
+    that converts accumulated metadata deletes into clean data files;
+    the write path (snap_delete_bitmap) stays rewrite-free precisely
+    because this action exists to amortize the fold. Idempotent: a
+    second run finds no dvb entries and commits nothing."""
+    prev_v, doc = _snap_latest_doc(table)
+    dvb = {
+        f: e
+        for f, e in (doc.get("dvb") or {}).items()
+        if f in set(doc["files"]) and e.get("card", 0) > 0
+    }
+    if not dvb:
+        return {"rewritten": [], "replacements": [], "version": prev_v}
+    ddir = os.path.join(table, "data")
+    dirty = sorted(dvb)
+    ent = spark.createDataFrame(
+        [(f, dvb[f]["b"]) for f in dirty], "_file string, _b string"
+    )
+
+    def _expand(batches):
+        import base64
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            fs: list = []
+            ps: list = []
+            for f, b64 in zip(pdf["_file"], pdf["_b"]):
+                raw = np.frombuffer(
+                    zlib.decompress(base64.b64decode(b64)), dtype=np.uint8
+                )
+                pos = np.nonzero(np.unpackbits(raw, bitorder="little"))[0]
+                fs.extend([f] * len(pos))
+                ps.extend(pos.astype("int64").tolist())
+            yield pd.DataFrame({"_file": fs, "_pos": ps})
+
+    deleted = ent.mapInPandas(_expand, "_file string, _pos long")
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    survivor = (
+        spark.read.parquet(*[os.path.join(ddir, f) for f in dirty])
+        .withColumn("_file", fname)
+        .withColumn("_pos", F.col("_metadata.row_index"))
+        .join(F.broadcast(deleted), ["_file", "_pos"], "left_anti")
+        .drop("_file", "_pos")
+    )
+    if stats_cols:
+        replacements, rstats = _snap_add_files_with_stats(
+            survivor, table, "dvb_fold", stats_cols
+        )
+    else:
+        replacements, rstats = _snap_add_files(survivor, table, "dvb_fold"), {}
+    survivors = [f for f in doc["files"] if f not in set(dirty)]
+    stats = doc.get("stats") or {}
+    kept_stats = {f: stats[f] for f in survivors if f in stats}
+    kept_stats.update(rstats)
+    kept_dvb = {
+        f: e for f, e in (doc.get("dvb") or {}).items() if f not in set(dirty)
+    }
+    if not _snap_commit_cas(
+        table,
+        survivors + replacements,
+        prev_v + 1,
+        stats=kept_stats or None,
+        txn=doc.get("txn"),
+        extra={
+            **{
+                k: v
+                for k, v in doc.items()
+                if k not in ("version", "files", "stats", "txn", "dv", "dvb")
+            },
+            **({"dvb": kept_dvb} if kept_dvb else {}),
+        },
+    ):
+        raise RuntimeError("single-writer DV rewrite lost a CAS race")
+    return {
+        "rewritten": dirty,
+        "replacements": replacements,
+        "version": prev_v + 1,
+    }
+
+
+@query(
+    "q_table_dv_bitmap_rewrite",
+    oracle="""
+    WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+    kept AS (
+      SELECT event_id, event_type FROM events
+      WHERE NOT (event_id <= (SELECT m // 2 FROM mx)
+                 AND (event_id % 11 = 4 OR event_id % 3 = 1))
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS lo_id,
+           CAST(MAX(event_id) AS BIGINT) AS hi_id,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM kept GROUP BY event_type ORDER BY event_type
+    """,
+)
+def table_dv_bitmap_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP-DV REWRITE/FOLD (the lifecycle completion of
+    q_table_merge_dv_bitmap — Iceberg's rewrite-position-deletes):
+    two overlapping DELETEs land as position bitmaps on the LOWER
+    half of a range-clustered table (upper-half files provably
+    clean), then the maintenance action rewrites EXACTLY the dirty
+    files with their bitmaps applied and drops the entries. Asserted
+    live: only dirty files rewrote (clean files byte-untouched by
+    name/size), the post-fold manifest carries NO dvb map, the
+    post-fold PLAIN scan equals the pre-fold merge-on-read bitmap
+    scan row-for-row (the fold changed layout, not content), plain
+    COUNT pushdown — which refuses dvb tables — answers again after
+    the fold, compaction of a previously-dirty file — refused before
+    — succeeds after, and a second fold is a committed NO-OP
+    (maintenance converges). The final rollup hash-checks against raw
+    events with both deletes stated in SQL.
+
+    100 TB: deletes accumulate rewrite-free at metadata cost
+    (snap_delete_bitmap), and this scheduled action pays the
+    O(dirty-file rows) fold once — the LSM-style debt amortization
+    every MoR format needs. SURVEY §2 B.1 extension."""
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snapdvbfold')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    files, stats = _snap_add_files_with_stats(
+        ev.repartitionByRange(8, "event_id").sortWithinPartitions("event_id"),
+        table,
+        "fold_base",
+        ["event_id"],
+    )
+    _snap_commit(table, files, 0, stats=stats)
+    ddir = os.path.join(table, "data")
+
+    cut = int(ev.agg(F.max("event_id")).first()[0]) // 2
+    low = F.col("event_id") <= cut
+    snap_delete_bitmap(
+        spark, table, ev.filter(low & (F.col("event_id") % 11 == 4)), "event_id"
+    )
+    snap_delete_bitmap(
+        spark, table, ev.filter(low & (F.col("event_id") % 3 == 1)), "event_id"
+    )
+    _, doc = _snap_latest_doc(table)
+    dirty = sorted(doc["dvb"])
+    clean = sorted(set(files) - set(dirty))
+    if not dirty or not clean:
+        raise RuntimeError(f"harness broke: dirty={len(dirty)} clean={len(clean)}")
+    sizes0 = {f: os.path.getsize(os.path.join(ddir, f)) for f in clean}
+    before = snap_read_mor_bitmap(spark, table).localCheckpoint(eager=True)
+
+    rec = snap_rewrite_bitmap_deletes(spark, table, stats_cols=["event_id"])
+    if sorted(rec["rewritten"]) != dirty:
+        raise RuntimeError(f"fold rewrote {rec['rewritten']}, wanted {dirty}")
+    _, doc1 = _snap_latest_doc(table)
+    if doc1.get("dvb"):
+        raise RuntimeError("fold left dvb entries behind")
+    if any(
+        os.path.getsize(os.path.join(ddir, f)) != sizes0[f] for f in clean
+    ):
+        raise RuntimeError("fold touched a clean file")
+    after = spark.read.parquet(*[os.path.join(ddir, f) for f in doc1["files"]])
+    if (
+        after.count() != before.count()
+        or after.exceptAll(before).count() != 0
+    ):
+        raise RuntimeError("fold changed table content")
+    pushed = snap_agg_pushdown(table, ["event_id"])
+    if pushed is None or int(pushed["n_rows"]) != before.count():
+        raise RuntimeError(f"plain pushdown still refuses after fold: {pushed}")
+
+    # a previously-dirty span is now compactable (was refused before)
+    merged = _snap_add_files(
+        spark.read.parquet(
+            os.path.join(ddir, rec["replacements"][0])
+        ).coalesce(1),
+        table,
+        "fold_compact",
+    )
+    snap_compact_optimistic(table, [rec["replacements"][0]], merged)
+
+    rec2 = snap_rewrite_bitmap_deletes(spark, table)
+    if rec2["rewritten"] or rec2["version"] != rec["version"] + 1:
+        raise RuntimeError(f"second fold was not a no-op: {rec2}")
+
+    final = spark.read.parquet(
+        *[os.path.join(ddir, f) for f in _snap_latest_doc(table)[1]["files"]]
+    )
+    return (
+        final.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("event_id").cast("long").alias("lo_id"),
+            F.max("event_id").cast("long").alias("hi_id"),
+            F.sum("event_id").cast("long").alias("sum_id"),
+        )
+        .orderBy("event_type")
+    )

@@ -109,6 +109,12 @@ deferred_to_round16: set[str] = {
     # mid-backfill crash replays into the manifest-txn skip arm with
     # nothing re-applied; non-append commits refuse)
     "q_stream_from_table_cdf_ratelimited",
+    # round-15 additions (operators/storage.py — bitmap-DV
+    # rewrite/fold, Iceberg's rewrite-position-deletes: dirty files
+    # rewrite with their bitmaps applied and drop the entries; clean
+    # files byte-untouched, content preserved, plain pushdown and
+    # compaction eligible again, second fold a committed no-op)
+    "q_table_dv_bitmap_rewrite",
 }
 
 # Retired: the round-14 additions, absorbed into ROUND15_WINDOW (kept

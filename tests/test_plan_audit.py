@@ -678,3 +678,84 @@ def test_transform_pruned_read_scans_only_planned_files(spark):
         spark, table, eq={"value": 3.0}
     )
     assert len(planned2) == total2
+
+
+def test_bitmap_mor_read_is_broadcast_anti_join(spark):
+    """q_table_merge_dv_bitmap's read path: the deleted-position
+    relation (expanded executor-side from the O(files) manifest
+    entries) must apply as a BROADCAST anti-join on (file, row_index)
+    — never a sort-merge. At 100 TB a shuffle of the corpus to apply
+    a 0.1% position-delete set is the anti-pattern DVs exist to
+    avoid (the q_corpus_curation_commits pin, on the bitmap path)."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files_with_stats,
+        _snap_commit,
+        snap_delete_bitmap,
+        snap_read_mor_bitmap,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('planbm')}/t"
+    df = spark.range(2000).selectExpr(
+        "id AS event_id", "CAST(id AS DOUBLE) AS value"
+    )
+    f, s = _snap_add_files_with_stats(
+        df.coalesce(2), table, "pbm", ["event_id"]
+    )
+    _snap_commit(table, f, 0, stats=s)
+    keys = spark.createDataFrame([(7,), (1500,)], "event_id long")
+    snap_delete_bitmap(spark, table, keys, "event_id")
+    plan = physical_plan(snap_read_mor_bitmap(spark, table))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_portable_ann_rerank_never_shuffles_corpus(spark):
+    """The portable ANN quartet's exact re-rank (_fx_pair_d2): the
+    corpus-side exploded relation must stream through BROADCAST
+    equi-joins (candidate list + query vectors are the small sides) —
+    no SortMergeJoin, no CartesianProduct — so at 100 TB data rows
+    never shuffle before the pair-grain aggregate. Pinned on the IVF
+    twin; the other three share the identical helper."""
+    from steaminganalysis_spark.plans import assert_no_cartesian
+
+    df = QUERIES["q_sim_ann_ivf_portable"](spark, SF)
+    plan = physical_plan(df)
+    assert_no_cartesian(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_widened_read_groups_scan_disjoint_file_sets(spark):
+    """q_table_schema_widening's reader: file-signature groups must
+    each scan EXACTLY their own files (inputFiles of the union =
+    manifest files, disjointly partitioned) — the per-generation cast
+    plan, not a mergeSchema blowup over everything."""
+    import os
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit_schema_wide,
+        _snap_read_schema_wide,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('planwide')}/t"
+    a = _snap_add_files(
+        spark.range(100).selectExpr("CAST(id AS INT) AS k"), table, "pw_a"
+    )
+    _snap_commit_schema_wide(table, a, 0, [("k", "int32", None)], new_files=a)
+    _snap_commit_schema_wide(table, a, 1, [("k", "int64", None)])
+    b = _snap_add_files(
+        spark.range(100, 200).selectExpr("CAST(id AS BIGINT) AS k"),
+        table,
+        "pw_b",
+    )
+    _snap_commit_schema_wide(
+        table, a + b, 2, [("k", "int64", None)], new_files=b
+    )
+    df = _snap_read_schema_wide(spark, table)
+    got = sorted(os.path.basename(p) for p in df.inputFiles())
+    assert got == sorted(a + b)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["bigint"]
+    assert df.count() == 200
