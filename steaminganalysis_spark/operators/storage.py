@@ -7913,3 +7913,150 @@ def table_dv_bitmap_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------- timestamp time travel (r15)
+
+
+def snap_resolve_as_of(table: str, ts: int) -> int:
+    """Resolve ``AS OF <timestamp>`` to a snapshot version: the
+    LATEST committed version whose manifest ``commit_ts`` is ≤ ts —
+    Delta's `timestampAsOf` / Iceberg's snapshot-log lookup, reduced
+    to manifest arithmetic. Manifests without a ``commit_ts`` (older
+    commits) are treated as unreachable by timestamp (version travel
+    still serves them). Raises when ts predates every timestamped
+    commit — "time travel to before the table existed" must be loud,
+    not silently-latest."""
+    import json
+
+    committed = _snap_versions(table)
+    best = None
+    for v in sorted(committed):
+        doc = json.loads(
+            open(os.path.join(table, "manifests", committed[v])).read()
+        )
+        cts = doc.get("commit_ts")
+        if cts is not None and int(cts) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no snapshot of {table} committed at or before ts={ts}"
+        )
+    return best
+
+
+def snap_commit_ts_append(
+    table: str, new_files: list[str], ts: int, max_retries: int = 20
+) -> int:
+    """Append with a MONOTONIC commit timestamp riding the manifest:
+    a commit whose ts is not strictly greater than its predecessor's
+    REJECTS (the clock-skew guard — a non-monotonic log makes
+    AS-OF-timestamp resolution ambiguous; Delta documents this
+    footgun on file mtimes, the manifest field removes it). Same CAS
+    retry algebra as snap_append_optimistic, metadata carried."""
+    import json
+
+    for _ in range(max_retries):
+        v, doc = _snap_latest_doc(table)
+        prev_ts = doc.get("commit_ts")
+        if prev_ts is not None and int(ts) <= int(prev_ts):
+            raise ValueError(
+                f"commit_ts {ts} is not after predecessor's {prev_ts}"
+            )
+        if _snap_commit_cas(
+            table,
+            doc["files"] + new_files,
+            v + 1,
+            stats=doc.get("stats"),
+            txn=doc.get("txn"),
+            dv=doc.get("dv"),
+            extra={
+                **{
+                    k: val
+                    for k, val in doc.items()
+                    if k
+                    not in ("version", "files", "stats", "txn", "dv", "commit_ts")
+                },
+                "commit_ts": int(ts),
+            },
+        ):
+            return v + 1
+    raise RuntimeError(
+        f"timestamped append lost {max_retries} consecutive races on {table}"
+    )
+
+
+@query(
+    "q_table_time_travel_timestamp",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events
+    WHERE event_id % 3 = 0 OR event_id % 3 = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def table_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP TIME TRAVEL (`AS OF <ts>`) — the half of time travel
+    q_table_snapshot_read's version travel doesn't cover, and the one
+    users actually type: commit timestamps ride the manifests
+    (monotonicity ENFORCED at commit — the clock-skew footgun Delta
+    documents on file mtimes is rejected, not absorbed), and AS-OF
+    resolution is pure manifest arithmetic (latest commit_ts ≤ ts).
+    The harness commits v0/v1/v2 at ts 1000/2000/3000 (thirds of the
+    events table), then asserts the resolution semantics live:
+    AS OF 2500 → v1 (between commits reads the earlier one), AS OF
+    2000 → v1 (boundary inclusive), AS OF 3000 → v2 (latest), AS OF
+    999 → raises (before the table existed — loud, never
+    silently-latest), and a ts=1500 fourth commit REJECTS
+    (non-monotonic). The returned frame is the AS OF 2500 read — v1's
+    two-thirds slice — hash-checked against the raw table with the
+    slice stated in SQL; an off-by-one in the ≤ or a
+    silently-latest fallback mismatches.
+
+    100 TB: resolution reads O(versions) manifest headers, never
+    data; the same arithmetic serves retention questions ("which
+    snapshot was live at incident time T") that drive real
+    time-travel usage. Delta timestampAsOf / Iceberg snapshot-log
+    shape. SURVEY §2 B.1 extension."""
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = f"{scratch_dir('snaptts')}/table"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+
+    f0 = _snap_add_files(ev.filter(F.col("event_id") % 3 == 0), table, "tts0")
+    _snap_commit_cas(table, f0, 0, extra={"commit_ts": 1000})
+    f1 = _snap_add_files(ev.filter(F.col("event_id") % 3 == 1), table, "tts1")
+    snap_commit_ts_append(table, f1, 2000)
+    f2 = _snap_add_files(ev.filter(F.col("event_id") % 3 == 2), table, "tts2")
+    snap_commit_ts_append(table, f2, 3000)
+
+    if (
+        snap_resolve_as_of(table, 2500) != 1
+        or snap_resolve_as_of(table, 2000) != 1
+        or snap_resolve_as_of(table, 3000) != 2
+        or snap_resolve_as_of(table, 10**9) != 2
+    ):
+        raise RuntimeError("AS OF resolution arithmetic is wrong")
+    try:
+        snap_resolve_as_of(table, 999)
+        raise RuntimeError("AS OF before the first commit did not raise")
+    except ValueError:
+        pass
+    try:
+        snap_commit_ts_append(table, f0[:1], 1500)
+        raise RuntimeError("non-monotonic commit_ts was accepted")
+    except ValueError:
+        pass
+
+    v = snap_resolve_as_of(table, 2500)
+    return (
+        _snap_read(spark, table, v)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_id"),
+        )
+        .orderBy("event_type")
+    )

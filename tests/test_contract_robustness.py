@@ -115,6 +115,11 @@ deferred_to_round16: set[str] = {
     # files byte-untouched, content preserved, plain pushdown and
     # compaction eligible again, second fold a committed no-op)
     "q_table_dv_bitmap_rewrite",
+    # round-15 additions (operators/storage.py — AS OF <timestamp>
+    # time travel: monotonic commit_ts enforced at commit, resolution
+    # = latest commit_ts ≤ ts by manifest arithmetic, before-first-
+    # commit raises, boundary inclusive — all asserted live)
+    "q_table_time_travel_timestamp",
 }
 
 # Retired: the round-14 additions, absorbed into ROUND15_WINDOW (kept
