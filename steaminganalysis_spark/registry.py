@@ -730,6 +730,26 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # CAS conversions) are all covered by r14-window rows recorded on
 # the post-change tree, so no execution-change carryover enters
 # round 15 unless round 15 itself changes code.
+# ROUND-16 WINDOW (planned at the round-15 freeze): canaries
+# q_daily_rollup + q_tpch_q12, then deferred_to_round16 (the nine
+# round-15 additions, ALL oracled — q_table_merge_dv_bitmap,
+# q_sim_ann_ivf_portable, q_sim_ann_lsh_portable,
+# q_sim_ann_pq_portable, q_sim_ann_ivfpq_portable,
+# q_table_schema_widening, q_stream_from_table_cdf_ratelimited,
+# q_table_dv_bitmap_rewrite, q_table_time_travel_timestamp), then
+# THREE execution-changed re-checks under the q_graph_triangles rule
+# (round 15 added dvb-awareness to shared storage paths:
+# q_table_optimize_concurrent is the oldest-stamped representative of
+# snap_compact_optimistic's dvb-refusal/carry change,
+# q_table_merge_dv of snap_read_mor's dvb guard, q_table_agg_pushdown
+# of the pushdown dvb refusals — each displacing one stamp fill),
+# then the 17 remaining oracled round-8-stamp re-checks in
+# registration order (head: q_text_langid — q_multimodal_phash is
+# round-8-stamped but rows-only by design, skipped under the
+# all-oracled discipline), then the oldest oracled round-9-stamp
+# re-checks in registration order to fill 50 — recompute at the
+# freeze, prefer oracled over rows-only, implementation-changed keys
+# outrank unchanged re-checks.
 # ROUND-15 WINDOW (composed round 15, executing the plan above):
 # canaries, then the ELEVEN round-14 additions in registration order —
 # all eleven now oracled: round 15 converted q_table_ann_index_commits
