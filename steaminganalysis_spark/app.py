@@ -59,6 +59,14 @@ def run_demo(duration_s: float = 6.0, rows_per_second: int = 200) -> dict[str, d
         # rate-source data never stops arriving, so processAllAvailable
         # would chase its tail — run for the requested wall time instead
         time.sleep(duration_s)
+        # cold-start grace: the FIRST micro-batch pays JVM/codegen
+        # warmup and can exceed a short duration_s on a busy box —
+        # wait (bounded) for at least one committed batch so the demo
+        # reports pipeline health, not scheduler warmup luck
+        store = KVStore.instance(store_name)
+        deadline = time.time() + 30.0
+        while not store.keys() and time.time() < deadline:
+            time.sleep(0.5)
     finally:
         q.stop()
     store = KVStore.instance(store_name)
