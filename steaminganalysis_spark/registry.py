@@ -766,6 +766,70 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # rows-only by design (float lineage) and keeps its pinned
 # stream≡batch equality tests instead. Round-15 additions go into
 # deferred_to_round16 (tests/test_contract_robustness.py).
+# ROUND-16 WINDOW (composed round 16, executing the plan above):
+# canaries, then the nine round-15 additions (all oracled — the
+# former deferred_to_round16 pin, judge-verified both-SF in the r15
+# VERDICT but never driver-checked), then FOUR execution-changed
+# re-checks under the q_graph_triangles rule — the three the plan
+# named (q_table_optimize_concurrent for snap_compact_optimistic's
+# r15 dvb-refusal/carry change, q_table_merge_dv for snap_read_mor's
+# dvb guard, q_table_agg_pushdown for the pushdown dvb refusals)
+# PLUS q_table_auto_optimize, whose execution round 16 itself
+# changes (the VERDICT r15 weak-flag fix: DV-aware fold-then-compact
+# selection instead of crashing on bitmap-DV-dirty candidates) —
+# then the 17 remaining oracled round-8-stamp re-checks in
+# registration order (head: q_text_langid; q_multimodal_phash is
+# round-8-stamped but rows-only by design, skipped under the
+# all-oracled discipline), then the oldest oracled round-9-stamp
+# re-checks in registration order (the join family head) to fill 50.
+# Round 16's other execution changes are ALREADY window-covered: the
+# commit_ts carry fix (ADVICE r15) and the DV sidecar write path
+# land inside q_table_time_travel_timestamp / q_table_merge_dv_bitmap
+# / q_table_dv_bitmap_rewrite, all in slots 3-11; the schema-widening
+# NULL-region fix (ADVICE r15) changes q_table_schema_widening's own
+# harness+oracle, also in-window. Round-16 additions go into
+# deferred_to_round17 (tests/test_contract_robustness.py).
+ROUND16_WINDOW = [
+    # Canaries (2): flagship + the HUGEINT-class sentinel.
+    "q_daily_rollup",
+    "q_tpch_q12",
+    # --- the 9 round-15 additions (former deferred_to_round16 pin),
+    # registration order ---
+    "q_table_merge_dv_bitmap",
+    "q_sim_ann_ivf_portable",
+    "q_sim_ann_lsh_portable",
+    "q_sim_ann_pq_portable",
+    "q_sim_ann_ivfpq_portable",
+    "q_table_schema_widening",
+    "q_stream_from_table_cdf_ratelimited",
+    "q_table_dv_bitmap_rewrite",
+    "q_table_time_travel_timestamp",
+    # --- execution-changed re-checks (the q_graph_triangles rule):
+    # the three r15 shared-path dvb guards named by the plan, plus
+    # the round-16 DV-aware auto-OPTIMIZE rewrite of its own key ---
+    "q_table_optimize_concurrent",
+    "q_table_merge_dv",
+    "q_table_agg_pushdown",
+    "q_table_auto_optimize",
+    # --- the 17 remaining oracled round-8-stamp re-checks,
+    # registration order ---
+    "q_text_langid", "q_text_quality", "q_text_tfidf", "q_emb_centroid",
+    "q_text_fingerprint", "q_text_entropy", "q_emb_quantize",
+    "q_pack_sequences", "q_text_collocations", "q_graph_jaccard_neighbors",
+    "q_graph_k_core", "q_graph_link_predict", "q_ts_decayed_sum",
+    "q_ts_gapfill_interpolate", "q_er_clusters", "q_text_bm25",
+    "q_emb_knn_classify",
+    # --- the 18 oldest oracled round-9-stamp re-checks, registration
+    # order (q_tpch_q14 onward rolls to the round-17 fill) ---
+    "q_join_inner", "q_join_broadcast", "q_join_outer",
+    "q_join_full_outer", "q_join_semi", "q_join_anti", "q_join_theta",
+    "q_join_asof", "q_join_range", "q_join_cross",
+    "q_join_asof_tolerance", "q_join_nullsafe", "q_tpch_q3",
+    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10", "q_tpch_q13",
+]
+
+# Retired round-15 window, for the record (50/50 green in
+# CORRECTNESS_r15.json):
 ROUND15_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
@@ -1232,7 +1296,7 @@ ROUND4_WINDOW = [
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every operator module (side effect: registration), then
-    reorder so ROUND15_WINDOW occupies the first 50 registration slots
+    reorder so ROUND16_WINDOW occupies the first 50 registration slots
     — the slice the driver's correctness gate checks this round."""
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import tpch  # noqa: F401  isort: skip
@@ -1259,11 +1323,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import curation  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import retrieval  # noqa: F401  isort: skip
 
-    missing = [k for k in ROUND15_WINDOW if k not in QUERIES]
+    missing = [k for k in ROUND16_WINDOW if k not in QUERIES]
     if missing:
-        raise RuntimeError(f"ROUND15_WINDOW names unregistered queries: {missing}")
-    window = set(ROUND15_WINDOW)
-    ordered = ROUND15_WINDOW + [k for k in QUERIES if k not in window]
+        raise RuntimeError(f"ROUND16_WINDOW names unregistered queries: {missing}")
+    window = set(ROUND16_WINDOW)
+    ordered = ROUND16_WINDOW + [k for k in QUERIES if k not in window]
     reordered = {k: QUERIES[k] for k in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

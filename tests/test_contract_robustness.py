@@ -69,14 +69,18 @@ def test_demo_app_accumulates_day_totals(spark):
             assert h["fee_cents"] == 0
 
 
-# Keys registered AFTER the round-15 window froze — exempt from the
-# rotation-closure check below, pinned here so they head the round-16
-# window (the same bookkeeping rounds 2-15 used). Every new @query
-# registration this round MUST be added here. The round-15 window
-# absorbed the ENTIRE former deferred_to_round15 set (the 11
-# round-14 additions, list retired below), so this set restarts from
-# round-15 additions.
-deferred_to_round16: set[str] = {
+# Keys registered AFTER the round-16 window froze — exempt from the
+# rotation-closure check below, pinned here so they head the round-17
+# window (the same bookkeeping rounds 2-16 used). Every new @query
+# registration this round MUST be added here. The round-16 window
+# absorbed the ENTIRE former deferred_to_round16 set (the 9 round-15
+# additions, list retired below), so this set restarts from round-16
+# additions.
+deferred_to_round17: set[str] = set()
+
+# Retired: the round-15 additions, absorbed into ROUND16_WINDOW (kept
+# for the historical record of what each key pinned).
+_absorbed_round15_additions: set[str] = {
     # round-15 additions (operators/storage.py — bitmap-encoded
     # deletion vectors, VERDICT r14 order #4: per-file compressed
     # position bitmaps + exact cardinalities in the manifest replace
@@ -381,28 +385,29 @@ _absorbed_round12_additions: set[str] = {
 }
 
 
-def test_round15_correctness_window_composition():
+def test_round16_correctness_window_composition():
     """The driver verifies the FIRST ~50 registered queries; the
-    round-15 window is the explicit ROUND15_WINDOW key list — the two
-    canaries, ALL 11 round-14 additions (former deferred_to_round15
-    pin, never driver-checked; 10 judge-verified oracle-exact in the
-    r14 VERDICT, q_table_ann_index_commits converted oracle-exact this
-    round via the fixed-point kernel so the all-oracled discipline
-    holds with no relaxed assert), the 9 remaining oracled
-    round-7-stamp re-checks, and the 28 oldest oracled round-8-stamp
-    re-checks in registration order. Pin it so a stray registration
-    (or an import reorder) cannot silently displace queries out of the
-    checked window before the driver runs. Update deliberately on each
-    round's rotation."""
+    round-16 window is the explicit ROUND16_WINDOW key list — the two
+    canaries, ALL 9 round-15 additions (former deferred_to_round16
+    pin, never driver-checked; judge-verified oracle-exact at both
+    SFs in the r15 VERDICT), FOUR execution-changed re-checks (the
+    three r15 shared-path dvb guards the plan named, plus
+    q_table_auto_optimize whose execution round 16 itself rewrote —
+    the DV-aware fold-then-compact weak-flag fix), the 17 remaining
+    oracled round-8-stamp re-checks, and the 18 oldest oracled
+    round-9-stamp re-checks in registration order. Pin it so a stray
+    registration (or an import reorder) cannot silently displace
+    queries out of the checked window before the driver runs. Update
+    deliberately on each round's rotation."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND15_WINDOW, collect_queries
+    from steaminganalysis_spark.registry import ROUND16_WINDOW, collect_queries
 
     QUERIES, ORACLE = collect_queries()
     first50 = list(QUERIES)[:50]
-    assert len(ROUND15_WINDOW) == 50
-    assert first50 == ROUND15_WINDOW
+    assert len(ROUND16_WINDOW) == 50
+    assert first50 == ROUND16_WINDOW
     # the canaries must sit inside the window
     for k in (
         "q_daily_rollup",
@@ -410,21 +415,21 @@ def test_round15_correctness_window_composition():
     ):
         assert k in first50, k
     # Rotation closure: after this round, every key that existed when
-    # the round-15 window froze has a driver CORRECTNESS row — the
-    # window must cover everything the union of CORRECTNESS_r01..r14
-    # did not, except the pinned new keys in deferred_to_round16.
+    # the round-16 window froze has a driver CORRECTNESS row — the
+    # window must cover everything the union of CORRECTNESS_r01..r15
+    # did not, except the pinned new keys in deferred_to_round17.
     # (Glob is two-digit-safe: r0[1-9] broke at CORRECTNESS_r10.json.)
     checked = set()
     for p in sorted(
         Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")
     ):
         checked |= set(json.loads(p.read_text()))
-    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round16]
+    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round17]
     assert set(never) <= set(first50), sorted(set(never) - set(first50))
-    assert deferred_to_round16 <= set(QUERIES)
-    assert deferred_to_round16.isdisjoint(first50)
-    # every key in the round-15 window is registered with an oracle —
-    # the 11 former deferred keys are all oracle-exact and the stamp
+    assert deferred_to_round17 <= set(QUERIES)
+    assert deferred_to_round17.isdisjoint(first50)
+    # every key in the round-16 window is registered with an oracle —
+    # the 9 former deferred keys are all oracle-exact and the stamp
     # re-check fills were drawn from the oracled backlog only
     # (rows-only keys keep their pinned invariant tests instead).
     rows_only_in_window = {k for k in first50 if k not in ORACLE}
