@@ -1240,7 +1240,15 @@ def snap_append_optimistic(
     the appended files' missing entries superset-safely — without the
     carry, one append silently threw away every ANALYZE/bloom commit.
     The appended files themselves enter stats-less (conservatively
-    planned — superset safe)."""
+    planned — superset safe).
+
+    EXCEPTION — ``commit_ts`` is commit-scoped, never carried (ADVICE
+    r15): copying the predecessor's timestamp into a successor that
+    contains NEW data would make snap_resolve_as_of(ts) return rows
+    committed AFTER ts. A non-timestamped successor is simply
+    unreachable by AS-OF-timestamp (version travel still serves it);
+    writers that want timestamp reachability use
+    snap_commit_ts_append, which stamps a fresh monotonic ts."""
     for _ in range(max_retries):
         v, doc = _snap_latest_doc(table)
         if _snap_commit_cas(
@@ -1253,7 +1261,7 @@ def snap_append_optimistic(
             extra={
                 k: val
                 for k, val in doc.items()
-                if k not in ("version", "files", "stats", "txn", "dv")
+                if k not in ("version", "files", "stats", "txn", "dv", "commit_ts")
             },
         ):
             return v + 1
@@ -4328,7 +4336,7 @@ def snap_analyze_ndv(
         extra = {
             k: val
             for k, val in doc.items()
-            if k not in ("version", "files", "stats", "txn", "dv")
+            if k not in ("version", "files", "stats", "txn", "dv", "commit_ts")
         }
         extra["ndv"] = {
             "group_col": group_col,
@@ -4679,7 +4687,7 @@ def snap_bloom_build(spark: SparkSession, table: str, col: str) -> int:
         extra = {
             k: val
             for k, val in doc.items()
-            if k not in ("version", "files", "stats", "txn", "dv")
+            if k not in ("version", "files", "stats", "txn", "dv", "commit_ts")
         }
         extra["bloom"] = {
             "col": col,
@@ -6893,7 +6901,7 @@ def snap_commit_with_nulls(
         extra = {
             k: val
             for k, val in doc.items()
-            if k not in ("version", "files", "stats", "txn", "dv")
+            if k not in ("version", "files", "stats", "txn", "dv", "commit_ts")
         }
         nulls = dict(doc.get("nulls", {}))
         nulls.update(new_nulls)
@@ -7165,7 +7173,7 @@ def snap_delete_bitmap(
             **{
                 k: v
                 for k, v in doc.items()
-                if k not in ("version", "files", "stats", "txn", "dv", "dvb")
+                if k not in ("version", "files", "stats", "txn", "dv", "dvb", "commit_ts")
             },
             "dvb": dvb,
         },
@@ -7453,10 +7461,49 @@ def _snap_commit_schema_wide(
     (_WIDEN_OK) passes; anything else — including narrowing, the
     silent-corruption direction — rejects. Missing columns are fine
     (evolution); their rows resolve to the declared default at read.
-    O(new files) footer reads, zero data pages."""
+    The declared schema itself also validates against the PREVIOUS
+    committed schema (identical or _WIDEN_OK per column, no drops) so
+    a metadata-only narrowing commit rejects too (ADVICE r15).
+    O(new files) footer reads + one prior manifest, zero data pages."""
     import json
 
     declared = {name: (t, d) for name, t, d in schema}
+    # Validate the DECLARED schema against the previous manifest's
+    # (ADVICE r15): a metadata-only commit that NARROWS a column
+    # (new_files=None, so footer validation never sees it) would make
+    # _snap_read_schema_wide silently cast long→int over existing
+    # wide files — the silent-corruption direction. Only identical or
+    # _WIDEN_OK transitions pass; dropping a declared column rejects
+    # too (this surface has no DROP COLUMN — losing a column silently
+    # is the same corruption class). O(1): one prior-manifest read.
+    mdir = os.path.join(table, "manifests")
+    prior = [
+        v
+        for v in (_snap_versions(table) if os.path.isdir(mdir) else {})
+        if v < version
+    ]
+    if prior:
+        prev_doc = json.loads(
+            open(os.path.join(mdir, _snap_versions(table)[max(prior)])).read()
+        )
+        prev_schema = {n: t for n, t, _d in (tuple(p) for p in prev_doc.get("schema") or [])}
+        bad_tr = sorted(
+            n
+            for n, t in prev_schema.items()
+            if n in declared
+            and declared[n][0] != t
+            and (t, declared[n][0]) not in _WIDEN_OK
+        )
+        if bad_tr:
+            raise ValueError(
+                f"declared schema narrows/conflicts with committed schema on: "
+                f"{[(n, prev_schema[n], declared[n][0]) for n in bad_tr]}"
+            )
+        dropped = sorted(set(prev_schema) - set(declared))
+        if dropped:
+            raise ValueError(
+                f"declared schema drops committed columns: {dropped}"
+            )
     for n in new_files or []:
         got = _parquet_file_schema(os.path.join(table, "data", n))
         unknown = sorted(set(got) - set(declared))
@@ -7560,7 +7607,7 @@ def _snap_read_schema_wide(
       FROM events WHERE event_id % 10 = 8
       UNION ALL
       SELECT event_id + 3000000000, CAST(FLOOR(value * 100) AS INT),
-             CASE WHEN event_id % 2 = 0 THEN NULL
+             CASE WHEN (event_id // 10) % 2 = 0 THEN NULL
                   ELSE 'r' || CAST(event_id % 3 AS VARCHAR) END
       FROM events WHERE event_id % 10 = 9
     )
@@ -7636,6 +7683,15 @@ def table_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("narrowing commit was accepted")
     except ValueError:
         pass
+    # the METADATA-ONLY narrowing (new_files=None — footer validation
+    # never sees it) must also reject from the committed-schema
+    # transition check (ADVICE r15): accepted, it would silently cast
+    # long→int over the wide file at every read
+    try:
+        _snap_commit_schema_wide(table, base + wide1, 3, schema_v0)
+        raise RuntimeError("metadata-only narrowing commit was accepted")
+    except ValueError:
+        pass
     badtype = _snap_add_files(
         ev.limit(5).select(
             F.col("event_id").cast("double").alias("event_id"), cents
@@ -7659,8 +7715,12 @@ def table_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 10 == 9).select(
             (F.col("event_id") + F.lit(3000000000)).alias("event_id"),
             cents,
+            # NULL gate on (id div 10) parity — satisfiable under the
+            # % 10 == 9 slice (ADVICE r15: the old % 2 == 0 gate never
+            # fired on all-odd ids, so 'explicit NULL stays NULL' was
+            # vacuously green); non-emptiness asserted below
             F.when(
-                F.col("event_id") % 2 == 0, F.lit(None).cast("string")
+                F.expr("(event_id div 10) % 2 = 0"), F.lit(None).cast("string")
             )
             .otherwise(F.concat(F.lit("r"), (F.col("event_id") % 3)))
             .alias("region"),
@@ -7684,6 +7744,11 @@ def table_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         "string",
     ]:
         raise RuntimeError(f"widened read has wrong types: {cur.schema}")
+    # the default≠null-coalesce claim needs a non-empty NULL region: a
+    # reader that coalesced post-evolution NULLs to the default would
+    # otherwise pass the hash-check undetected (ADVICE r15)
+    if cur.filter(F.col("region").isNull()).count() == 0:
+        raise RuntimeError("no explicit-NULL region rows were written")
 
     return (
         cur.groupBy(
@@ -7786,7 +7851,7 @@ def snap_rewrite_bitmap_deletes(
             **{
                 k: v
                 for k, v in doc.items()
-                if k not in ("version", "files", "stats", "txn", "dv", "dvb")
+                if k not in ("version", "files", "stats", "txn", "dv", "dvb", "commit_ts")
             },
             **({"dvb": kept_dvb} if kept_dvb else {}),
         },
@@ -7915,28 +7980,94 @@ def table_dv_bitmap_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------- timestamp time travel (r15)
+# ---------- timestamp time travel (r15; snapshot-log sidecar r16)
+
+
+def _snap_ts_log_path(table: str) -> str:
+    return os.path.join(table, "manifests", "_snapshot_log.jsonl")
+
+
+def _snap_ts_log_read(table: str) -> dict[int, int | None]:
+    """Parse the version→commit_ts log sidecar: one JSON line per
+    covered version ({"version": v, "commit_ts": ts-or-null}); later
+    lines win (concurrent self-heal appends may duplicate a version —
+    manifests are immutable, so duplicates agree). Missing file →
+    empty dict (legacy table; callers self-heal)."""
+    import json
+
+    out: dict[int, int | None] = {}
+    try:
+        with open(_snap_ts_log_path(table)) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    e = json.loads(line)
+                    out[int(e["version"])] = (
+                        None if e["commit_ts"] is None else int(e["commit_ts"])
+                    )
+    except FileNotFoundError:
+        pass
+    return out
+
+
+def _snap_ts_log_append(table: str, entries: list[tuple[int, int | None]]) -> None:
+    import json
+
+    if not entries:
+        return
+    with open(_snap_ts_log_path(table), "a") as f:
+        for v, cts in entries:
+            f.write(json.dumps({"version": v, "commit_ts": cts}) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def _snap_ts_log_covering(table: str) -> dict[int, int | None]:
+    """The log, self-healed to cover every committed version: any
+    committed version ABOVE the log's max (a plain append — which
+    never stamps commit_ts — or a crash between CAS and log append,
+    or a legacy pre-log table) gets its manifest read ONCE and a
+    catch-up line appended, so the NEXT resolution is back to one
+    log read. Expired versions lingering in the log are filtered
+    against the committed set (a directory listing, zero opens)."""
+    import json
+
+    committed = _snap_versions(table)
+    log = _snap_ts_log_read(table)
+    covered = max(log) if log else -1
+    missing = sorted(v for v in committed if v > covered)
+    if missing:
+        catch_up = []
+        for v in missing:
+            doc = json.loads(
+                open(os.path.join(table, "manifests", committed[v])).read()
+            )
+            cts = doc.get("commit_ts")
+            catch_up.append((v, None if cts is None else int(cts)))
+        _snap_ts_log_append(table, catch_up)
+        log.update(dict(catch_up))
+    return {v: cts for v, cts in log.items() if v in committed}
 
 
 def snap_resolve_as_of(table: str, ts: int) -> int:
     """Resolve ``AS OF <timestamp>`` to a snapshot version: the
-    LATEST committed version whose manifest ``commit_ts`` is ≤ ts —
-    Delta's `timestampAsOf` / Iceberg's snapshot-log lookup, reduced
-    to manifest arithmetic. Manifests without a ``commit_ts`` (older
-    commits) are treated as unreachable by timestamp (version travel
-    still serves them). Raises when ts predates every timestamped
-    commit — "time travel to before the table existed" must be loud,
-    not silently-latest."""
-    import json
-
-    committed = _snap_versions(table)
+    LATEST committed version whose ``commit_ts`` is ≤ ts — Delta's
+    `timestampAsOf` / Iceberg's snapshot-log lookup. Since r16 the
+    lookup reads the version→commit_ts LOG SIDECAR (one small file)
+    instead of opening every manifest (VERDICT r15 order #5 — the
+    O(versions) full-document reads per resolution); versions the log
+    doesn't cover yet self-heal once via _snap_ts_log_covering, so
+    steady-state resolution is ONE file open regardless of history
+    depth. Versions without a ``commit_ts`` (plain appends, legacy
+    commits) are unreachable by timestamp (version travel still
+    serves them). Raises when ts predates every timestamped commit —
+    "time travel to before the table existed" must be loud, not
+    silently-latest."""
+    log = _snap_ts_log_covering(table)
     best = None
-    for v in sorted(committed):
-        doc = json.loads(
-            open(os.path.join(table, "manifests", committed[v])).read()
-        )
-        cts = doc.get("commit_ts")
-        if cts is not None and int(cts) <= ts:
+    for v in sorted(log):
+        cts = log[v]
+        if cts is not None and cts <= ts:
             best = v
     if best is None:
         raise ValueError(
@@ -7949,19 +8080,34 @@ def snap_commit_ts_append(
     table: str, new_files: list[str], ts: int, max_retries: int = 20
 ) -> int:
     """Append with a MONOTONIC commit timestamp riding the manifest:
-    a commit whose ts is not strictly greater than its predecessor's
-    REJECTS (the clock-skew guard — a non-monotonic log makes
-    AS-OF-timestamp resolution ambiguous; Delta documents this
-    footgun on file mtimes, the manifest field removes it). Same CAS
-    retry algebra as snap_append_optimistic, metadata carried."""
-    import json
-
+    a commit whose ts is not strictly greater than every PREVIOUSLY
+    STAMPED commit_ts REJECTS (the clock-skew guard — a non-monotonic
+    log makes AS-OF-timestamp resolution ambiguous; Delta documents
+    this footgun on file mtimes, the manifest field removes it).
+    Since r16 the guard compares against the snapshot-log sidecar's
+    MAX stamped ts, not merely the predecessor manifest's — after the
+    commit_ts-scoping fix (ADVICE r15) untimestamped successors sit
+    between stamped commits, and a predecessor-only check would let a
+    stale clock stamp a ts EARLIER than an existing stamped commit
+    (AS OF would then resolve the later version for the earlier
+    time). The successful commit appends its own log line, keeping
+    resolution one-read. Same CAS retry algebra as
+    snap_append_optimistic, metadata carried."""
+    stamped = [
+        cts for cts in _snap_ts_log_covering(table).values() if cts is not None
+    ]
+    max_stamped = max(stamped) if stamped else None
     for _ in range(max_retries):
         v, doc = _snap_latest_doc(table)
         prev_ts = doc.get("commit_ts")
         if prev_ts is not None and int(ts) <= int(prev_ts):
             raise ValueError(
                 f"commit_ts {ts} is not after predecessor's {prev_ts}"
+            )
+        if max_stamped is not None and int(ts) <= max_stamped:
+            raise ValueError(
+                f"commit_ts {ts} is not after the latest stamped "
+                f"commit_ts {max_stamped}"
             )
         if _snap_commit_cas(
             table,
@@ -7980,6 +8126,7 @@ def snap_commit_ts_append(
                 "commit_ts": int(ts),
             },
         ):
+            _snap_ts_log_append(table, [(v + 1, int(ts))])
             return v + 1
     raise RuntimeError(
         f"timestamped append lost {max_retries} consecutive races on {table}"

@@ -2696,3 +2696,153 @@ def test_dvb_lifecycle_compact_refusal_carry_and_append(spark):
         + list(range(1000, 1010))
     )
     assert got == expect
+
+
+def test_commit_ts_is_commit_scoped_not_carried(spark):
+    """commit_ts mixed-writer soundness (ADVICE r15): the carry-all
+    spreads in snap_append_optimistic / snap_delete_bitmap /
+    snap_rewrite_bitmap_deletes must NOT copy the predecessor's
+    commit_ts into the successor — a plain append after a timestamped
+    commit would otherwise make snap_resolve_as_of(ts) return rows
+    committed AFTER ts (AS OF reading the future). Pin: successors of
+    every non-timestamping writer carry NO commit_ts, AS OF still
+    resolves to the timestamped version, and the timestamped-append
+    writer itself keeps stamping monotonically afterwards."""
+    import os
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_add_files_with_stats,
+        _snap_commit_cas,
+        _snap_latest_doc,
+        snap_append_optimistic,
+        snap_commit_ts_append,
+        snap_delete_bitmap,
+        snap_resolve_as_of,
+        snap_rewrite_bitmap_deletes,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = os.path.join(scratch_dir("ctsmix"), "table")
+    rows = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("val")
+    )
+    files, stats = _snap_add_files_with_stats(
+        rows.repartitionByRange(3, "k").sortWithinPartitions("k"),
+        table,
+        "cts_base",
+        ["k"],
+    )
+    assert _snap_commit_cas(table, files, 0, stats=stats, extra={"commit_ts": 1000})
+
+    # plain append: new data, NO timestamp — must not inherit ts=1000
+    extra = _snap_add_files(
+        spark.range(5000, 5050).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("val")
+        ),
+        table,
+        "cts_plain",
+    )
+    snap_append_optimistic(table, extra)
+    _, doc1 = _snap_latest_doc(table)
+    assert "commit_ts" not in doc1, doc1.get("commit_ts")
+
+    # bitmap delete: ditto
+    snap_delete_bitmap(
+        spark,
+        table,
+        spark.range(0, 100).select(F.col("id").alias("k")).filter(
+            F.col("id") % 7 == 2
+        ),
+        "k",
+    )
+    _, doc2 = _snap_latest_doc(table)
+    assert "commit_ts" not in doc2
+
+    # DV fold: ditto
+    snap_rewrite_bitmap_deletes(spark, table)
+    _, doc3 = _snap_latest_doc(table)
+    assert "commit_ts" not in doc3
+
+    # AS OF any ts >= 1000 resolves to the v0 timestamped snapshot,
+    # never to the later untimestamped versions holding future rows
+    assert snap_resolve_as_of(table, 1000) == 0
+    assert snap_resolve_as_of(table, 10**9) == 0
+
+    # the timestamping writer still stamps fresh monotonic values on
+    # top of untimestamped successors (its monotonic check compares
+    # against the latest STAMPED predecessor... the latest doc has no
+    # ts, so any ts is accepted; the log of stamped commits stays
+    # monotonic by construction of this writer)
+    more = _snap_add_files(
+        spark.range(9000, 9010).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("val")
+        ),
+        table,
+        "cts_more",
+    )
+    v = snap_commit_ts_append(table, more, 2000)
+    assert snap_resolve_as_of(table, 2000) == v
+    assert snap_resolve_as_of(table, 1999) == 0
+
+
+def test_as_of_resolution_reads_one_log_file_steady_state(spark):
+    """Snapshot-log sidecar (VERDICT r15 order #5): AS-OF-timestamp
+    resolution must be O(1) file opens in steady state — ONE read of
+    manifests/_snapshot_log.jsonl — not O(versions) manifest
+    documents. The first resolution after out-of-band commits may
+    self-heal (catch-up manifest reads, once); the next resolution
+    opens exactly the log. Monotonicity vs the log's max stamped ts
+    (not merely the predecessor's) is pinned too: after untimestamped
+    successors, a stale-clock stamp at/below an earlier stamped
+    commit still rejects."""
+    import builtins
+    import os
+
+    import pytest as _pytest
+
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit_cas,
+        snap_append_optimistic,
+        snap_commit_ts_append,
+        snap_resolve_as_of,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = os.path.join(scratch_dir("tslog"), "table")
+    mk = lambda lo, hi, tag: _snap_add_files(
+        spark.range(lo, hi).select(F.col("id").alias("k")), table, tag
+    )
+    assert _snap_commit_cas(table, mk(0, 50, "tl0"), 0, extra={"commit_ts": 100})
+    snap_commit_ts_append(table, mk(50, 80, "tl1"), 200)
+    snap_append_optimistic(table, mk(80, 90, "tl2"))  # untimestamped
+    snap_commit_ts_append(table, mk(90, 95, "tl3"), 300)
+
+    # warm-up resolution self-heals the log (v0 and the plain append
+    # entered out-of-band); correctness first
+    assert snap_resolve_as_of(table, 250) == 1
+    assert snap_resolve_as_of(table, 300) == 3
+
+    real_open = builtins.open
+    opened: list[str] = []
+
+    def counting_open(path, *a, **kw):
+        p = str(path)
+        if p.startswith(table):
+            opened.append(p)
+        return real_open(path, *a, **kw)
+
+    builtins.open = counting_open
+    try:
+        assert snap_resolve_as_of(table, 250) == 1
+    finally:
+        builtins.open = real_open
+    assert len(opened) == 1 and opened[0].endswith("_snapshot_log.jsonl"), opened
+
+    # stale clock: ts=150 is above NO stamped commit's predecessor
+    # check (latest doc ts=300 catches it), but also pin the log-max
+    # guard through an untimestamped head: append plain, then try 250
+    snap_append_optimistic(table, mk(95, 99, "tl4"))
+    with _pytest.raises(ValueError):
+        snap_commit_ts_append(table, mk(99, 100, "tl5"), 250)
