@@ -76,7 +76,19 @@ def test_demo_app_accumulates_day_totals(spark):
 # absorbed the ENTIRE former deferred_to_round16 set (the 9 round-15
 # additions, list retired below), so this set restarts from round-16
 # additions.
-deferred_to_round17: set[str] = set()
+deferred_to_round17: set[str] = {
+    # round-16 additions (operators/storage.py — DV-aware
+    # auto-OPTIMIZE, the VERDICT r15 weak-flag fix: fold-then-compact
+    # in one commit over bitmap-DV-dirty small files, live-row output
+    # sizing, pair-dv select-skip surfaced in the decision record,
+    # convergence + crash-shape regression pinned)
+    "q_table_auto_optimize_dv",
+    # round-16 additions (operators/storage.py — concurrent bitmap
+    # deletes: optimistic retry-merge ORs the loser's sidecars with
+    # the winner's entries executor-side; both commit, cardinalities
+    # exact; dead-layout conflict raises SnapDeleteConflict)
+    "q_table_dv_bitmap_concurrent",
+}
 
 # Retired: the round-15 additions, absorbed into ROUND16_WINDOW (kept
 # for the historical record of what each key pinned).

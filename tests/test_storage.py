@@ -2846,3 +2846,214 @@ def test_as_of_resolution_reads_one_log_file_steady_state(spark):
     snap_append_optimistic(table, mk(95, 99, "tl4"))
     with _pytest.raises(ValueError):
         snap_commit_ts_append(table, mk(99, 100, "tl5"), 250)
+
+
+def test_auto_optimize_dv_crash_shape_converges_and_advance_conflicts(spark):
+    """The r15 weak flag, pinned from both sides: (1) the exact shape
+    that used to CRASH the maintenance loop — a small file carrying a
+    bitmap DV selected by footer row count — now folds-then-compacts
+    in one commit (deletes applied, dvb entry dropped, content
+    preserved); (2) the dv_applied arm of snap_compact_optimistic
+    CONFLICTS when a source's bitmap ADVANCES between the staged fold
+    and the CAS (a concurrent delete added bits the staged bytes
+    still contain — retrying through would resurrect them); (3) a
+    pair-rows-dv small file is select-SKIPPED with the skip surfaced
+    in the decision record, never crashed on."""
+    import os
+
+    import pytest as _pytest
+
+    from steaminganalysis_spark.operators.storage import (
+        SnapCompactConflict,
+        _snap_add_files,
+        _snap_add_files_with_stats,
+        _snap_commit,
+        _snap_latest_doc,
+        snap_auto_optimize,
+        snap_compact_optimistic,
+        snap_delete_bitmap,
+        snap_read_mor_bitmap,
+    )
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = os.path.join(scratch_dir("aodvpin"), "table")
+    rows = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    big = _snap_add_files(
+        rows.filter(F.col("k") < 900).repartitionByRange(2, "k"),
+        table,
+        "aop_big",
+    )
+    tiny = _snap_add_files(
+        rows.filter(F.col("k") >= 900).coalesce(1), table, "aop_tiny"
+    )
+    _snap_commit(table, big + tiny, 0)
+    snap_delete_bitmap(
+        spark,
+        table,
+        spark.range(900, 1000).select(F.col("id").alias("k")).filter(
+            F.col("id") % 3 == 0
+        ),
+        "k",
+    )
+    _, doc = _snap_latest_doc(table)
+    assert sorted(doc["dvb"]) == sorted(tiny)
+    before = sorted(
+        r.k for r in snap_read_mor_bitmap(spark, table).select("k").collect()
+    )
+
+    # (1) the r15 crash shape: selection catches the dvb-dirty tiny
+    # file; the policy must fold+compact, not raise
+    rec = snap_auto_optimize(spark, table, small_rows=150, target_rows=10**6)
+    assert rec["folded"] == sorted(tiny) and rec["selected"] == sorted(tiny)
+    _, doc1 = _snap_latest_doc(table)
+    assert not doc1.get("dvb")
+    from steaminganalysis_spark.operators.storage import _snap_read
+
+    after = sorted(r.k for r in _snap_read(spark, table).select("k").collect())
+    assert after == before
+
+    # (2) concurrent-advance conflict: stage a fold of the compacted
+    # output file, then let a concurrent bitmap delete advance its DV
+    # before the CAS — the commit must refuse, not resurrect
+    target = [f for f in doc1["files"] if f not in set(big)]
+    assert len(target) == 1
+    snap_delete_bitmap(
+        spark,
+        table,
+        spark.range(901, 903).select(F.col("id").alias("k")),
+        "k",
+    )
+    _, doc2 = _snap_latest_doc(table)
+    applied = {target[0]: dict(doc2["dvb"][target[0]])}
+    staged = _snap_add_files(
+        snap_read_mor_bitmap(spark, table)
+        .filter(F.col("k") >= 900)
+        .coalesce(1),
+        table,
+        "aop_staged",
+    )
+    snap_delete_bitmap(  # the DV advances AFTER the fold was staged
+        spark,
+        table,
+        spark.range(904, 906).select(F.col("id").alias("k")),
+        "k",
+    )
+    with _pytest.raises(SnapCompactConflict, match="advanced"):
+        snap_compact_optimistic(table, target, staged, dv_applied=applied)
+
+    # (3) pair-rows-dv small files are select-skipped, surfaced
+    table2 = os.path.join(scratch_dir("aodvpin2"), "table")
+    t2 = _snap_add_files(rows.filter(F.col("k") >= 990).coalesce(1), table2, "p2")
+    _snap_commit(table2, t2, 0)
+    import json as _json
+
+    v, d2 = _snap_latest_doc(table2)
+    # hand-plant a pair-rows dv entry (the r13 encoding)
+    from steaminganalysis_spark.operators.storage import _snap_commit_cas
+
+    assert _snap_commit_cas(
+        table2, d2["files"], v + 1, extra={"dv": {t2[0]: ["fake_dv.parquet"]}}
+    )
+    rec2 = snap_auto_optimize(spark, table2, small_rows=150, target_rows=10**6)
+    assert rec2["skipped_dv"] == t2 and rec2["selected"] == []
+
+
+def test_bitmap_delete_retry_merge_deterministic_and_dead_layout_conflict(spark, monkeypatch):
+    """Deterministic pins for the r16 bitmap-delete concurrency arms:
+    (1) a FORCED CAS loss (a competitor's delete injected to land the
+    contested version first) drives the retry-merge path — the loser
+    ORs its sidecars with the winner's entries and the final manifest
+    holds exactly the union, same-file rows included; (2) the
+    non-commuting case — the target file compacted away between the
+    scan and the CAS — raises SnapDeleteConflict rather than
+    replaying positions onto a dead layout."""
+    import os
+
+    import pytest as _pytest
+
+    import steaminganalysis_spark.operators.storage as st
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = os.path.join(scratch_dir("dvbrace"), "table")
+    rows = spark.range(0, 600).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+    )
+    files, stats = st._snap_add_files_with_stats(
+        rows.repartitionByRange(3, "k").sortWithinPartitions("k"),
+        table,
+        "dvbr_base",
+        ["k"],
+    )
+    st._snap_commit(table, files, 0, stats=stats)
+
+    orig_cas = st._snap_commit_cas
+    state = {"armed": True}
+
+    def racing_cas(t, f, v, **kw):
+        if state["armed"] and t == table:
+            state["armed"] = False
+            # the competitor lands the contested version FIRST —
+            # deletes k % 10 == 7 across all three files
+            st.snap_delete_bitmap(
+                spark,
+                table,
+                spark.range(0, 600).select(F.col("id").alias("k")).filter(
+                    F.col("id") % 10 == 7
+                ),
+                "k",
+            )
+        return orig_cas(t, f, v, **kw)
+
+    monkeypatch.setattr(st, "_snap_commit_cas", racing_cas)
+    rec = st.snap_delete_bitmap(
+        spark,
+        table,
+        spark.range(0, 600).select(F.col("id").alias("k")).filter(
+            F.col("id") % 10 == 3
+        ),
+        "k",
+    )
+    monkeypatch.setattr(st, "_snap_commit_cas", orig_cas)
+    assert rec["deleted_rows"] == 60  # ours only, relative to winner
+    v, doc = st._snap_latest_doc(table)
+    assert v == 2
+    card_sum = sum(e["card"] for e in doc["dvb"].values())
+    assert card_sum == 120  # union of both writers, no double count
+    got = sorted(
+        r.k for r in st.snap_read_mor_bitmap(spark, table).select("k").collect()
+    )
+    assert got == [k for k in range(600) if k % 10 not in (3, 7)]
+
+    # (2) dead layout: compact a target file away mid-delete
+    state2 = {"armed": True}
+    target_doc = doc
+
+    def compacting_cas(t, f, v, **kw):
+        if state2["armed"] and t == table:
+            state2["armed"] = False
+            # fold DVs then compact EVERYTHING into one file — every
+            # original target of the in-flight delete disappears
+            st.snap_rewrite_bitmap_deletes(spark, table)
+            _, d = st._snap_latest_doc(table)
+            merged = st._snap_add_files(
+                spark.read.parquet(
+                    *[os.path.join(table, "data", x) for x in d["files"]]
+                ).coalesce(1),
+                table,
+                "dvbr_squash",
+            )
+            st.snap_compact_optimistic(table, d["files"], merged)
+        return orig_cas(t, f, v, **kw)
+
+    monkeypatch.setattr(st, "_snap_commit_cas", compacting_cas)
+    with _pytest.raises(st.SnapDeleteConflict):
+        st.snap_delete_bitmap(
+            spark,
+            table,
+            spark.range(0, 600).select(F.col("id").alias("k")).filter(
+                F.col("id") % 10 == 9
+            ),
+            "k",
+        )
