@@ -88,6 +88,13 @@ deferred_to_round17: set[str] = {
     # the winner's entries executor-side; both commit, cardinalities
     # exact; dead-layout conflict raises SnapDeleteConflict)
     "q_table_dv_bitmap_concurrent",
+    # round-16 additions (streaming/queries.py — signed file-grain
+    # consumption of REWRITE commits: removed files enter the
+    # deterministic log as -1 entries, adds as +1, so a MERGE rewrite
+    # or compaction drains across bounded batches with exactly-once
+    # replay; additive-MV soundness, sub-commit mid-state, and
+    # net-zero compaction all asserted live)
+    "q_stream_from_table_rewrite_ratelimited",
 }
 
 # Retired: the round-15 additions, absorbed into ROUND16_WINDOW (kept
