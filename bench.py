@@ -96,6 +96,12 @@ HEADLINE_EXTENDED = [
     # regression in the similarity hot path (dot-product kernel,
     # broadcast shape, pre-filter placement) gets a trend line
     "q_sim_topk_filtered",
+    # round-16 (VERDICT r15 order #7): the bitmap-DV representative —
+    # build + two overlapping bitmap deletes (executor-side sidecar
+    # encode) + O(files) COUNT pushdown + MoR bitmap read in one key,
+    # so the r15/r16 deletion-vector stack (the costing model the
+    # agg_pushdown_dv entry set, now with sidecars) gets a trend line
+    "q_table_merge_dv_bitmap",
 ]
 
 
