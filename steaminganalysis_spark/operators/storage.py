@@ -8265,7 +8265,17 @@ def snap_rewrite_bitmap_deletes(
     that converts accumulated metadata deletes into clean data files;
     the write path (snap_delete_bitmap) stays rewrite-free precisely
     because this action exists to amortize the fold. Idempotent: a
-    second run finds no dvb entries and commits nothing."""
+    second run finds no dvb entries and commits nothing.
+
+    Concurrency (r16): the fold COMMUTES with appends — an append
+    never touches the dirty files — so a lost CAS race against one
+    retries with a successor carrying the winner's files (the
+    compaction conflict algebra). It does NOT commute with commits
+    that touched the dirty set: a dirty file gone from the latest
+    manifest (another rewrite/compaction) or a dvb entry that
+    ADVANCED after this fold's scan (a concurrent delete whose rows
+    our staged replacements still contain) raises
+    SnapCompactConflict instead of retrying through."""
     prev_v, doc = _snap_latest_doc(table)
     dvb = {
         f: e
@@ -8291,34 +8301,51 @@ def snap_rewrite_bitmap_deletes(
         )
     else:
         replacements, rstats = _snap_add_files(survivor, table, "dvb_fold"), {}
-    survivors = [f for f in doc["files"] if f not in set(dirty)]
-    stats = doc.get("stats") or {}
-    kept_stats = {f: stats[f] for f in survivors if f in stats}
-    kept_stats.update(rstats)
-    kept_dvb = {
-        f: e for f, e in (doc.get("dvb") or {}).items() if f not in set(dirty)
-    }
-    if not _snap_commit_cas(
-        table,
-        survivors + replacements,
-        prev_v + 1,
-        stats=kept_stats or None,
-        txn=doc.get("txn"),
-        extra={
-            **{
-                k: v
-                for k, v in doc.items()
-                if k not in ("version", "files", "stats", "txn", "dv", "dvb", "commit_ts")
+    for _ in range(20):
+        cur_v, cur = _snap_latest_doc(table)
+        gone = sorted(set(dirty) - set(cur["files"]))
+        if gone:
+            raise SnapCompactConflict(
+                f"fold sources left the manifest: {gone}"
+            )
+        cur_dvb = cur.get("dvb") or {}
+        advanced = sorted(f for f in dirty if cur_dvb.get(f) != dvb[f])
+        if advanced:
+            raise SnapCompactConflict(
+                f"fold sources' deletion vectors advanced since the scan: "
+                f"{advanced} — the staged replacements still contain the "
+                "newly-deleted rows"
+            )
+        survivors = [f for f in cur["files"] if f not in set(dirty)]
+        stats = cur.get("stats") or {}
+        kept_stats = {f: stats[f] for f in survivors if f in stats}
+        kept_stats.update(rstats)
+        kept_dvb = {
+            f: e for f, e in cur_dvb.items() if f not in set(dirty)
+        }
+        if _snap_commit_cas(
+            table,
+            survivors + replacements,
+            cur_v + 1,
+            stats=kept_stats or None,
+            txn=cur.get("txn"),
+            extra={
+                **{
+                    k: v
+                    for k, v in cur.items()
+                    if k not in ("version", "files", "stats", "txn", "dv", "dvb", "commit_ts")
+                },
+                **({"dvb": kept_dvb} if kept_dvb else {}),
             },
-            **({"dvb": kept_dvb} if kept_dvb else {}),
-        },
-    ):
-        raise RuntimeError("single-writer DV rewrite lost a CAS race")
-    return {
-        "rewritten": dirty,
-        "replacements": replacements,
-        "version": prev_v + 1,
-    }
+        ):
+            return {
+                "rewritten": dirty,
+                "replacements": replacements,
+                "version": cur_v + 1,
+            }
+    raise RuntimeError(
+        f"DV rewrite lost 20 consecutive races on {table}"
+    )
 
 
 @query(

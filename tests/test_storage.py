@@ -3057,3 +3057,90 @@ def test_bitmap_delete_retry_merge_deterministic_and_dead_layout_conflict(spark,
             ),
             "k",
         )
+
+
+def test_dv_fold_commutes_with_append_and_conflicts_on_advance(spark, monkeypatch):
+    """r16: snap_rewrite_bitmap_deletes retries through a lost race
+    against an APPEND (the fold never touches appended files — the
+    compaction commute algebra), carrying the winner's files into its
+    successor; a concurrent bitmap delete ADVANCING a dirty file's DV
+    after the fold's scan conflicts instead (the staged replacements
+    still contain those rows)."""
+    import os
+
+    import pytest as _pytest
+
+    import steaminganalysis_spark.operators.storage as st
+    from steaminganalysis_spark.scratch import scratch_dir
+
+    table = os.path.join(scratch_dir("dvfoldrace"), "table")
+    rows = spark.range(0, 400).select(F.col("id").alias("k"))
+    files, stats = st._snap_add_files_with_stats(
+        rows.repartitionByRange(2, "k").sortWithinPartitions("k"),
+        table,
+        "dfr_base",
+        ["k"],
+    )
+    st._snap_commit(table, files, 0, stats=stats)
+    st.snap_delete_bitmap(
+        spark,
+        table,
+        spark.range(0, 400).select(F.col("id").alias("k")).filter(
+            F.col("id") % 8 == 1
+        ),
+        "k",
+    )
+
+    orig_cas = st._snap_commit_cas
+    state = {"armed": True}
+    appended: list[str] = []
+
+    def racing_cas(t, f, v, **kw):
+        if state["armed"] and t == table:
+            state["armed"] = False
+            extra = st._snap_add_files(
+                spark.range(5000, 5020).select(F.col("id").alias("k")),
+                table,
+                "dfr_extra",
+            )
+            appended.extend(extra)
+            st.snap_append_optimistic(table, extra)
+        return orig_cas(t, f, v, **kw)
+
+    monkeypatch.setattr(st, "_snap_commit_cas", racing_cas)
+    rec = st.snap_rewrite_bitmap_deletes(spark, table, stats_cols=["k"])
+    monkeypatch.setattr(st, "_snap_commit_cas", orig_cas)
+    _, doc = st._snap_latest_doc(table)
+    assert not doc.get("dvb")
+    assert set(appended) <= set(doc["files"])  # winner's append carried
+    got = sorted(r.k for r in st._snap_read(spark, table).select("k").collect())
+    assert got == [k for k in range(400) if k % 8 != 1] + list(range(5000, 5020))
+
+    # advance conflict: delete more rows between the fold's scan and
+    # its CAS — the fold must refuse
+    st.snap_delete_bitmap(
+        spark,
+        table,
+        spark.range(0, 400).select(F.col("id").alias("k")).filter(
+            F.col("id") % 8 == 2
+        ),
+        "k",
+    )
+    state2 = {"armed": True}
+
+    def advancing_cas(t, f, v, **kw):
+        if state2["armed"] and t == table:
+            state2["armed"] = False
+            st.snap_delete_bitmap(
+                spark,
+                table,
+                spark.range(0, 400).select(F.col("id").alias("k")).filter(
+                    F.col("id") % 8 == 3
+                ),
+                "k",
+            )
+        return orig_cas(t, f, v, **kw)
+
+    monkeypatch.setattr(st, "_snap_commit_cas", advancing_cas)
+    with _pytest.raises(st.SnapCompactConflict, match="advanced"):
+        st.snap_rewrite_bitmap_deletes(spark, table)
