@@ -806,11 +806,19 @@ ROUND16_WINDOW = [
     "q_table_time_travel_timestamp",
     # --- execution-changed re-checks (the q_graph_triangles rule):
     # the three r15 shared-path dvb guards named by the plan, plus
-    # the round-16 DV-aware auto-OPTIMIZE rewrite of its own key ---
+    # TWO round-16 execution changes — the DV-aware auto-OPTIMIZE
+    # rewrite of its own key, and q_table_vacuum for snap_expire's
+    # new DV-sidecar sweep branch (each displacing one stamp fill).
+    # Round 16's one-token commit_ts exclusions in the ndv/bloom/
+    # nulls carry spreads are zero-delta in those harnesses (no
+    # commit_ts ever present there); the only harnesses where the
+    # field exists are the time-travel/bitmap keys already in slots
+    # 3-11, so no further displacement ---
     "q_table_optimize_concurrent",
     "q_table_merge_dv",
     "q_table_agg_pushdown",
     "q_table_auto_optimize",
+    "q_table_vacuum",
     # --- the 17 remaining oracled round-8-stamp re-checks,
     # registration order ---
     "q_text_langid", "q_text_quality", "q_text_tfidf", "q_emb_centroid",
@@ -819,13 +827,13 @@ ROUND16_WINDOW = [
     "q_graph_k_core", "q_graph_link_predict", "q_ts_decayed_sum",
     "q_ts_gapfill_interpolate", "q_er_clusters", "q_text_bm25",
     "q_emb_knn_classify",
-    # --- the 18 oldest oracled round-9-stamp re-checks, registration
-    # order (q_tpch_q14 onward rolls to the round-17 fill) ---
+    # --- the 17 oldest oracled round-9-stamp re-checks, registration
+    # order (q_tpch_q13 onward rolls to the round-17 fill) ---
     "q_join_inner", "q_join_broadcast", "q_join_outer",
     "q_join_full_outer", "q_join_semi", "q_join_anti", "q_join_theta",
     "q_join_asof", "q_join_range", "q_join_cross",
     "q_join_asof_tolerance", "q_join_nullsafe", "q_tpch_q3",
-    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10", "q_tpch_q13",
+    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10",
 ]
 
 # Retired round-15 window, for the record (50/50 green in

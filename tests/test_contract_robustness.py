@@ -409,11 +409,12 @@ def test_round16_correctness_window_composition():
     round-16 window is the explicit ROUND16_WINDOW key list — the two
     canaries, ALL 9 round-15 additions (former deferred_to_round16
     pin, never driver-checked; judge-verified oracle-exact at both
-    SFs in the r15 VERDICT), FOUR execution-changed re-checks (the
+    SFs in the r15 VERDICT), FIVE execution-changed re-checks (the
     three r15 shared-path dvb guards the plan named, plus
     q_table_auto_optimize whose execution round 16 itself rewrote —
-    the DV-aware fold-then-compact weak-flag fix), the 17 remaining
-    oracled round-8-stamp re-checks, and the 18 oldest oracled
+    the DV-aware fold-then-compact weak-flag fix — and q_table_vacuum
+    for snap_expire's new DV-sidecar sweep), the 17 remaining
+    oracled round-8-stamp re-checks, and the 17 oldest oracled
     round-9-stamp re-checks in registration order. Pin it so a stray
     registration (or an import reorder) cannot silently displace
     queries out of the checked window before the driver runs. Update
