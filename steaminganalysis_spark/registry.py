@@ -766,6 +766,26 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # rows-only by design (float lineage) and keeps its pinned
 # stream≡batch equality tests instead. Round-15 additions go into
 # deferred_to_round16 (tests/test_contract_robustness.py).
+# ROUND-17 WINDOW (planned at the round-16 freeze): canaries
+# q_daily_rollup + q_tpch_q12, then deferred_to_round17 (the three
+# round-16 additions, ALL oracled — q_table_auto_optimize_dv,
+# q_table_dv_bitmap_concurrent,
+# q_stream_from_table_rewrite_ratelimited), then the 30 remaining
+# oracled round-9-stamp re-checks in registration order (head:
+# q_tpch_q13, q_tpch_q14, ... — the TPC-H tail, the window/agg
+# completions, q_knn_graph_selective, q_graph_cc_stars,
+# q_retrieval_hybrid_rrf; q_emb_pca_topk and q_stream_ann_index are
+# round-9/10-stamped but rows-only by design, skipped under the
+# all-oracled discipline), then the oldest oracled round-10-stamp
+# re-checks in registration order (head: q_window_percent_rank,
+# q_topk_with_ties, q_scan_parquet, ...) to fill 50 — recompute at
+# the freeze, prefer oracled over rows-only, implementation-changed
+# keys outrank unchanged re-checks (the q_graph_triangles rule).
+# Round-16's own execution changes (DV sidecars, commit_ts scoping,
+# snapshot-log resolution, fold retry, dv_applied compaction,
+# snap_expire sidecar sweep) are all covered by r16-window rows
+# recorded on the post-change tree, so no execution-change carryover
+# enters round 17 unless round 17 itself changes code.
 # ROUND-16 WINDOW (composed round 16, executing the plan above):
 # canaries, then the nine round-15 additions (all oracled — the
 # former deferred_to_round16 pin, judge-verified both-SF in the r15
