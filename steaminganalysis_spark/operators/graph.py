@@ -1807,7 +1807,9 @@ _BUTTERFLY_ORACLE = """
 BUTTERFLY_HUB_DEGREE_CAP = 256
 
 
-def _butterfly_wedges(inc: DataFrame, center: str, item: str, cap: int) -> DataFrame:
+def _butterfly_wedges(
+    inc: DataFrame, center: str, item: str, cap: int, max_deg: int | None = None
+) -> DataFrame:
     """Wedge rows ``(center, e1, e2)`` with ``e1 < e2`` — one row per
     (center node, unordered pair of its incident items). Skew-guarded:
     centers with ``deg <= cap`` pair up in a plain self-join on the
@@ -1817,7 +1819,30 @@ def _butterfly_wedges(inc: DataFrame, center: str, item: str, cap: int) -> DataF
     instead of a single straggler task. Each side of a hub pair carries
     its own deterministic fragment id ``ob = xxhash64(item) mod s`` and
     is replicated s× against the OTHER side's fragment axis, so pair
-    (x, y) meets exactly once — at join key (center, ob(x), ob(y))."""
+    (x, y) meets exactly once — at join key (center, ob(x), ob(y)).
+
+    ``max_deg``: the caller's already-measured maximum center degree
+    (the registered query gets it for free from the same one-job probe
+    that prices the center choice — r17). When it proves every center
+    is under the cap, the hub branch is PROVABLY empty and the whole
+    degree-annotate + filter + salted-join + union apparatus is elided:
+    the executed plan is just the plain self-join. Same rows out
+    (pinned by test_butterfly_hub_peel_and_center_choice_equivalence);
+    roughly half the codegen/JIT surface and two fewer aggregates on
+    the common (no viral hub) case. ``None`` (the direct-call/test
+    path) keeps the unconditional guarded plan."""
+    if max_deg is not None and max_deg <= cap:
+        lo = inc.select(center, item)
+        a, b = lo.alias("a"), lo.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{center}") == F.col(f"b.{center}"))
+            & (F.col(f"a.{item}") < F.col(f"b.{item}")),
+        ).select(
+            F.col(f"a.{center}").alias("w_c"),
+            F.col(f"a.{item}").alias("e1"),
+            F.col(f"b.{item}").alias("e2"),
+        )
     deg = inc.groupBy(center).agg(F.count("*").alias("deg"))
     # inc arrives hash-partitioned on the center key and deg derives
     # from it, so this join adds no exchange
@@ -1859,7 +1884,9 @@ def _butterfly_wedges(inc: DataFrame, center: str, item: str, cap: int) -> DataF
     return lo_wedges.unionAll(hub_wedges)
 
 
-def _butterfly_counts(inc: DataFrame, center: str, cap: int) -> DataFrame:
+def _butterfly_counts(
+    inc: DataFrame, center: str, cap: int, max_deg: int | None = None
+) -> DataFrame:
     """Per-part butterfly counts with the wedge pivot on ``center``
     ('c' or 'p'). Customer-centered: wedge endpoints are part pairs —
     count wedges per (p1, p2), each pair shared by cnt customers
@@ -1871,7 +1898,7 @@ def _butterfly_counts(inc: DataFrame, center: str, cap: int) -> DataFrame:
     i.e. per-part butterflies = Σ (cnt − 1), each butterfly counted
     once per endpoint part. Identical output either way (pinned)."""
     item = "p" if center == "c" else "c"
-    wedges = _butterfly_wedges(inc, center, item, cap)
+    wedges = _butterfly_wedges(inc, center, item, cap, max_deg)
     if center == "c":
         pair_counts = (
             wedges.groupBy(F.col("e1").alias("p1"), F.col("e2").alias("p2"))
@@ -1976,21 +2003,35 @@ def graph_butterfly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(),
         "butterfly_inc",
     )
-    # center-side choice: one tiny aggregate per side (a single long
-    # each crosses the driver link). C(n,2) products are always even →
-    # DIV 2 exact.
-    wedge_cost = {
-        side: inc.groupBy(side)
-        .agg(F.count("*").alias("n"))
-        .select(F.sum(F.expr("(n * (n - 1)) DIV 2")).alias("w"))
-        .collect()[0]["w"]
-        or 0
-        for side in ("c", "p")
+    # center-side choice: ONE probe job over the staged incidence
+    # relation (r17 — was two separate collect jobs) prices BOTH sides'
+    # wedge volumes and, in the same pass, their max degrees (two slim
+    # rows cross the driver link). C(n,2) products are always even →
+    # DIV 2 exact. The max degree feeds the hub-peel elision in
+    # ``_butterfly_wedges``: when no center exceeds the cap the salted
+    # hub branch is provably empty and the executed plan is just the
+    # plain self-join.
+    probe = {
+        r["side"]: r
+        for r in (
+            inc.select(F.lit("c").alias("side"), F.col("c").alias("k"))
+            .unionAll(inc.select(F.lit("p").alias("side"), F.col("p").alias("k")))
+            .groupBy("side", "k")
+            .agg(F.count("*").alias("n"))
+            .groupBy("side")
+            .agg(
+                F.sum(F.expr("(n * (n - 1)) DIV 2")).alias("w"),
+                F.max("n").alias("max_deg"),
+            )
+            .collect()
+        )
     }
+    wedge_cost = {s: (probe[s]["w"] or 0) if s in probe else 0 for s in ("c", "p")}
     # part-centered attribution join-back re-shuffles the wedge
     # relation once more, so the part side must win by 2× to pivot
     center = "p" if 2 * wedge_cost["p"] < wedge_cost["c"] else "c"
-    return _butterfly_counts(inc, center, BUTTERFLY_HUB_DEGREE_CAP)
+    max_deg = probe[center]["max_deg"] if center in probe else None
+    return _butterfly_counts(inc, center, BUTTERFLY_HUB_DEGREE_CAP, max_deg)
 
 
 # ------------------------------------- strongly connected components
