@@ -2931,9 +2931,13 @@ def snap_delete_optimistic(
     ddir = os.path.join(table, "data")
 
     keys = keys_df.select(F.col(key_col).cast("long").alias("_dv_key")).distinct()
-    b = keys.agg(
-        F.min("_dv_key").alias("lo"), F.max("_dv_key").alias("hi")
-    ).first()
+    # bounds from the RAW key frame: min/max are distinct-invariant, so
+    # this job skips the dedup exchange (one map-side agg — r17)
+    b = (
+        keys_df.select(F.col(key_col).cast("long").alias("_dv_key"))
+        .agg(F.min("_dv_key").alias("lo"), F.max("_dv_key").alias("hi"))
+        .first()
+    )
     if b.lo is None:
         return {"dv_files": [], "cow_rewritten": [], "dv_targets": []}
     matched = [
@@ -4095,8 +4099,15 @@ def table_two_level_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranging at 3× the day count splits every day into ~3 files with
     # disjoint id sub-spans — the layout a range-clustered ingest
     # produces naturally
-    m = int(ev.agg(F.max("event_id")).first()[0])
-    days = sorted(r[0] for r in ev.select("day").distinct().collect())
+    # ONE probe job (r17 — was a max job + a distinct-days job): the
+    # id ceiling and the bounded day domain (~O(days) strings) come
+    # back from a single map-side-partial aggregate.
+    probe = ev.agg(
+        F.max("event_id").alias("m"),
+        F.sort_array(F.collect_set("day")).alias("days"),
+    ).first()
+    m = int(probe["m"])
+    days = list(probe["days"])
     df = ev.repartitionByRange(3 * len(days), "event_id").sortWithinPartitions(
         "day", "event_id"
     )
@@ -7405,6 +7416,16 @@ def _dvb_write_sidecar(table: str, comp: bytes) -> str:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+    else:
+        # Content-addressed HIT: the byte-identical sidecar may be an
+        # ORPHAN from an earlier fold+expire cycle whose mtime already
+        # aged past snap_expire's orphan grace. Between this return and
+        # the delete's CAS, a concurrent snap_expire could sweep the
+        # old-mtime file and leave a committed manifest pointing at a
+        # missing dv/*.dvb (r16 ADVICE, medium). Touching it re-arms
+        # the grace window, making the stage-then-commit race identical
+        # to the fresh-write case.
+        os.utime(path, None)
     return rel
 
 
@@ -7573,7 +7594,14 @@ def snap_delete_bitmap(
     ddir = os.path.join(table, "data")
 
     keys = keys_df.select(F.col(key_col).cast("long").alias("_dvb_key")).distinct()
-    b = keys.agg(F.min("_dvb_key").alias("lo"), F.max("_dvb_key").alias("hi")).first()
+    # span bounds from the RAW key frame: min/max are distinct-invariant,
+    # so this job skips the dedup exchange the broadcast build below
+    # still needs — one map-side agg instead of shuffle+agg (r17)
+    b = (
+        keys_df.select(F.col(key_col).cast("long").alias("_dvb_key"))
+        .agg(F.min("_dvb_key").alias("lo"), F.max("_dvb_key").alias("hi"))
+        .first()
+    )
     if b.lo is None:
         return {"dvb_targets": [], "deleted_rows": 0, "files_rewritten": []}
     matched = [
@@ -8688,11 +8716,16 @@ def snap_commit_ts_append(
     time). The successful commit appends its own log line, keeping
     resolution one-read. Same CAS retry algebra as
     snap_append_optimistic, metadata carried."""
-    stamped = [
-        cts for cts in _snap_ts_log_covering(table).values() if cts is not None
-    ]
-    max_stamped = max(stamped) if stamped else None
     for _ in range(max_retries):
+        # re-read the stamped ceiling INSIDE the retry loop (r16 ADVICE,
+        # low): a concurrent stamped commit followed by an untimestamped
+        # append clears the predecessor's commit_ts, and a ceiling
+        # computed once at entry would let a lower ts commit, producing
+        # a non-monotonic log that breaks AS-OF resolution.
+        stamped = [
+            cts for cts in _snap_ts_log_covering(table).values() if cts is not None
+        ]
+        max_stamped = max(stamped) if stamped else None
         v, doc = _snap_latest_doc(table)
         prev_ts = doc.get("commit_ts")
         if prev_ts is not None and int(ts) <= int(prev_ts):

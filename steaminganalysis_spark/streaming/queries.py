@@ -3813,12 +3813,21 @@ def table_cdf_backfill_step(
     pending = log[offset:]
     if not pending:
         return {"arm": "idle", "consumed": [], "offset": offset}
-    batch = pending[:max_files]
-    new_offset = offset + len(batch)
 
     mv_v, mv_doc = _snap_latest_doc(mv_table)
     mv_txn = mv_doc.get("txn", {})
-    if int(mv_txn.get(marker, -1)) >= new_offset:
+    # Exactly-once across restarts with a DIFFERENT max_files (r16
+    # ADVICE): after a crash-before-watermark the MV's txn marker can
+    # sit strictly between offset and offset+max_files; an unclamped
+    # slice would pass the skipped-txn guard below and re-apply entries
+    # [offset, marker) the MV already absorbed. Clamp the batch so
+    # new_offset never crosses a marker ahead of the watermark — the
+    # skipped-txn arm then catches the store up to the marker first.
+    _m = int(mv_txn.get(marker, -1))
+    take = (_m - offset) if offset < _m < offset + max_files else max_files
+    batch = pending[:take]
+    new_offset = offset + len(batch)
+    if _m >= new_offset:
         # crash landed between the MV commit and the watermark advance:
         # the MV already holds exactly this slice (the log is
         # deterministic, so the replayed batch IS the committed batch)
@@ -4101,12 +4110,18 @@ def table_cdf_signed_step(
     pending = log[offset:]
     if not pending:
         return {"arm": "idle", "consumed": [], "offset": offset}
-    batch = pending[:max_files]
-    new_offset = offset + len(batch)
 
     mv_v, mv_doc = _snap_latest_doc(mv_table)
     mv_txn = mv_doc.get("txn", {})
-    if int(mv_txn.get(marker, -1)) >= new_offset:
+    # clamp the slice at a txn marker ahead of the watermark (r16
+    # ADVICE, low — see table_cdf_backfill_step): a restart with a
+    # larger max_files after a crash-before-watermark must not re-apply
+    # entries [offset, marker) the MV already absorbed.
+    _m = int(mv_txn.get(marker, -1))
+    take = (_m - offset) if offset < _m < offset + max_files else max_files
+    batch = pending[:take]
+    new_offset = offset + len(batch)
+    if _m >= new_offset:
         store.apply_batch(new_offset, [], marker)
         return {
             "arm": "skipped-txn",

@@ -3144,3 +3144,30 @@ def test_dv_fold_commutes_with_append_and_conflicts_on_advance(spark, monkeypatc
     monkeypatch.setattr(st, "_snap_commit_cas", advancing_cas)
     with _pytest.raises(st.SnapCompactConflict, match="advanced"):
         st.snap_rewrite_bitmap_deletes(spark, table)
+
+
+def test_dvb_sidecar_content_hit_rearms_orphan_grace(tmp_path):
+    """r17 fix (r16 ADVICE, medium): a content-addressed sidecar HIT
+    must refresh the existing file's mtime. snap_expire's sidecar
+    sweep protects pre-CAS staged sidecars only via the orphan-grace
+    mtime check, so a byte-identical sidecar orphaned by an earlier
+    fold+expire cycle would otherwise be sweepable between staging and
+    the delete's CAS — leaving a committed manifest pointing at a
+    missing dv/*.dvb."""
+    import os
+    import time
+    import zlib
+
+    from steaminganalysis_spark.operators.storage import _dvb_write_sidecar
+
+    table = str(tmp_path / "t")
+    comp = zlib.compress(b"\x0f\x00\x01", 9)
+    rel = _dvb_write_sidecar(table, comp)
+    path = os.path.join(table, rel)
+    old = time.time() - 3600.0
+    os.utime(path, (old, old))  # simulate an aged orphan
+    rel2 = _dvb_write_sidecar(table, comp)
+    assert rel2 == rel
+    assert os.path.getmtime(path) > old + 3000.0, (
+        "content-addressed hit did not re-arm the orphan grace window"
+    )

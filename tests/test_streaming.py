@@ -2654,3 +2654,76 @@ def test_replicate_out_of_order_version_is_noop(spark):
     _, doc2 = _snap_latest_doc(rep)
     assert json.dumps(doc2, sort_keys=True) == before
     KVStore.reset(store_name)
+
+
+def test_cdf_step_restart_with_larger_max_files_clamps_at_marker(spark):
+    """r17 fix (r16 ADVICE, low): a crash-before-watermark followed by
+    a RESTART WITH A LARGER max_files leaves the MV's txn marker
+    strictly between offset and offset+max_files. The consumer must
+    clamp its slice at the marker (skipped-txn catch-up first), never
+    re-apply entries [offset, marker) the MV already absorbed — an
+    unclamped slice double-counts the additive MV. Pinned for BOTH
+    bounded consumers (backfill and signed)."""
+    from steaminganalysis_spark.operators.storage import (
+        _snap_add_files,
+        _snap_commit,
+        _snap_read,
+    )
+    from steaminganalysis_spark.registry import to_cents
+    from steaminganalysis_spark.scratch import scratch_dir
+    from steaminganalysis_spark.streaming.queries import (
+        table_cdf_backfill_step,
+        table_cdf_signed_step,
+    )
+    from steaminganalysis_spark.streaming.sinks import KEY_PREFIX, KVStore
+
+    for tag, step in (
+        ("clampbf", table_cdf_backfill_step),
+        ("clampsg", table_cdf_signed_step),
+    ):
+        src = f"{scratch_dir(tag)}/src"
+        mv = f"{scratch_dir(tag)}/mv"
+        v0 = spark.createDataFrame(
+            [(1, "a", 1.0)], "event_id long, event_type string, value double"
+        )
+        _snap_commit(src, _snap_add_files(v0, src, "c0"), 0)
+        # three append commits -> a 3-entry (+1) log past the MV base
+        rows = [(2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)]
+        for i, row in enumerate(rows):
+            inc = spark.createDataFrame(
+                [row], "event_id long, event_type string, value double"
+            ).coalesce(1)  # exactly ONE file per commit -> a 3-entry log
+            from steaminganalysis_spark.operators.storage import _snap_latest_doc
+
+            v, doc = _snap_latest_doc(src)
+            _snap_commit(
+                src, doc["files"] + _snap_add_files(inc, src, f"c{i+1}"), v + 1
+            )
+
+        marker = f"{KEY_PREFIX}{tag}:x"
+        store_name = f"{tag}_store"
+        mv0 = v0.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(to_cents(F.col("value"))).cast("long").alias("cents"),
+        )
+        _snap_commit(mv, _snap_add_files(mv0, mv, "m0"), 0, txn={marker: 0})
+        KVStore.instance(store_name).apply_batch(0, [], marker)
+
+        # crash: MV commits marker=1, watermark stays 0
+        r = step(
+            spark, src, mv, 1, store_name, marker, crash_before_watermark=True
+        )
+        assert r["arm"] == "applied" and r["offset"] == 1
+        # restart with LARGER max_files: must clamp at the marker and
+        # catch the store up WITHOUT re-applying entry 0
+        r2 = step(spark, src, mv, 3, store_name, marker)
+        assert r2["arm"] == "skipped-txn" and r2["offset"] == 1
+        # drain the rest; MV must equal the full aggregate exactly once
+        r3 = step(spark, src, mv, 3, store_name, marker)
+        assert r3["arm"] == "applied" and r3["offset"] == 3
+        got = {
+            r.event_type: (r.n_rows, r.cents)
+            for r in _snap_read(spark, mv).collect()
+        }
+        assert got == {"a": (2, 300), "b": (2, 700)}, (tag, got)
+        KVStore.reset(store_name)
