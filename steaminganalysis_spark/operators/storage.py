@@ -1704,7 +1704,14 @@ def _parquet_file_stats(path: str, cols: list[str]) -> dict:
     from metadata the writer already produced."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    return _parquet_stats_from_metadata(pq.ParquetFile(path).metadata, cols)
+
+
+def _parquet_stats_from_metadata(md, cols: list[str]) -> dict:
+    """``_parquet_file_stats`` over an already-opened pyarrow
+    FileMetaData — lets callers that also need ``num_rows`` (the
+    empty-file drop in ``_snap_add_files_with_stats``) read each
+    footer exactly once."""
     if md.num_rows == 0:
         return {}  # empty file: no bounds -> reader keeps it (superset)
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
@@ -1741,11 +1748,14 @@ def _snap_add_files_with_stats(
     kept, stats = [], {}
     for n in names:
         path = os.path.join(ddir, n)
-        if pq.ParquetFile(path).metadata.num_rows == 0:
+        # ONE footer open per file (r17 — was two: an emptiness check
+        # plus a separate stats read); metadata pages only either way.
+        md = pq.ParquetFile(path).metadata
+        if md.num_rows == 0:
             os.remove(path)
             continue
         kept.append(n)
-        s = _parquet_file_stats(path, stats_cols)
+        s = _parquet_stats_from_metadata(md, stats_cols)
         if s:
             stats[n] = s
     return kept, stats
