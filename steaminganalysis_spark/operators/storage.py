@@ -6715,9 +6715,10 @@ def table_agg_pushdown_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentile under range clustering) stays DV-free, so MIN stays
     # provable while MAX's file takes DVs — both asserted below
     cut = int(ghi) // 2
-    keys = ev.filter(
-        (F.col("event_id") % 13 == 5) & (F.col("event_id") > cut)
-    ).distinct()
+    # no .distinct() here (r17): event_id is unique and the delete path
+    # dedups its key frame itself — the caller-side distinct only added
+    # a second exchange in front of the broadcast build.
+    keys = ev.filter((F.col("event_id") % 13 == 5) & (F.col("event_id") > cut))
     snap_delete_optimistic(spark, table, keys, "event_id")
 
     _, doc = _snap_latest_doc(table)
