@@ -229,6 +229,12 @@ def main() -> None:
                 "extended_total_sec": ext_total,
                 "extended_regressions": ext_regressions,
                 "sf": sf_val,
+                # Contract visibility (round-17 judge order #2): echo the
+                # honored core count and the resulting master so the
+                # driver's scaling heuristic can tell honored-but-flat
+                # from ignored. Additions only — list/order unchanged.
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "master": spark.sparkContext.master,
                 "spread_pct": spreads,
                 "loadavg_1m": loadavg_1m,
                 "load_gate_waited_s": waited,

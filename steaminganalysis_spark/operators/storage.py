@@ -7435,8 +7435,20 @@ def _dvb_write_sidecar(table: str, comp: bytes) -> str:
         # old-mtime file and leave a committed manifest pointing at a
         # missing dv/*.dvb (r16 ADVICE, medium). Touching it re-arms
         # the grace window, making the stage-then-commit race identical
-        # to the fresh-write case.
-        os.utime(path, None)
+        # to the fresh-write case. The touch itself races the same
+        # sweep (r17 ADVICE, low): if the sidecar vanishes between the
+        # exists() check and the utime, fall through to a fresh write —
+        # which fully closes the window instead of failing the delete.
+        try:
+            os.utime(path, None)
+        except FileNotFoundError:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.{_uuid.uuid4().hex[:8]}.inprogress"
+            with open(tmp, "wb") as f:
+                f.write(comp)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
     return rel
 
 

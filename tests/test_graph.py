@@ -713,6 +713,37 @@ def test_butterfly_hub_peel_and_center_choice_equivalence(spark, monkeypatch):
     assert forced == base
 
 
+def test_butterfly_packed_key_equivalence_both_pivots_and_int32(spark):
+    """r18 pin for the packed 64-bit pair key (ADVICE r17, medium):
+    (a) ``pack_keys=True`` equals ``pack_keys=False`` on BOTH pivots —
+    the part-centered join-back packs too since r18; (b) with the
+    incidence keys downcast to int32 (a plausible 100 TB producer
+    encoding), the pack still matches, schema included. Spark's
+    shiftleft on an IntegerType column masks the shift amount mod 32,
+    so without the explicit ``.cast('long')`` before shifting the
+    packed pair would silently collapse to e1 + e2 while the probe's
+    value-bounds guard still passed — this is the test that fails if
+    that cast is ever dropped."""
+    from steaminganalysis_spark.operators import graph as G
+
+    inc = _butterfly_inc(spark)
+    inc32 = inc.select(
+        F.col("c").cast("int").alias("c"), F.col("p").cast("int").alias("p")
+    ).localCheckpoint(eager=True)
+    cap = G.BUTTERFLY_HUB_DEGREE_CAP
+    for tag, frame in (("long", inc), ("int32", inc32)):
+        for center in ("c", "p"):
+            plain_df = G._butterfly_counts(frame, center, cap)
+            packed_df = G._butterfly_counts(frame, center, cap, pack_keys=True)
+            assert [(f.name, f.dataType) for f in packed_df.schema.fields] == [
+                (f.name, f.dataType) for f in plain_df.schema.fields
+            ], (tag, center)
+            plain = {tuple(r) for r in plain_df.collect()}
+            packed = {tuple(r) for r in packed_df.collect()}
+            assert plain, (tag, center, "vacuous pin")
+            assert packed == plain, (tag, center)
+
+
 def test_butterfly_hub_fragment_bound_sub_quadratic(spark):
     """The salted hub pass bounds per-join-key work: for every hub
     center (deg > cap) the fragment split s = ceil(deg/cap) with
