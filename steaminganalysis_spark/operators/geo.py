@@ -73,6 +73,25 @@ def _poi_count(spark: SparkSession, sf_dir: str) -> int:
     return _POI_COUNT_CACHE[sf_dir]
 
 
+# Customer-key bounds per sf_dir (r18): the radius-join argmin pack
+# needs MIN/MAX of the key column once to prove the 34-bit packing
+# safe. Answered from parquet FOOTER STATS (aggregate pushdown — no
+# data scan) and cached like the POI count above; on a real deployment
+# this is the same catalog-statistics lookup.
+_CUST_KEY_BOUNDS_CACHE: dict[str, tuple[int | None, int]] = {}
+
+
+def _cust_key_bounds(spark: SparkSession, sf_dir: str) -> tuple[int | None, int]:
+    if sf_dir not in _CUST_KEY_BOUNDS_CACHE:
+        row = (
+            load(spark, sf_dir, "customer")
+            .agg(F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi"))
+            .collect()[0]
+        )
+        _CUST_KEY_BOUNDS_CACHE[sf_dir] = (row["lo"], row["hi"] or 0)
+    return _CUST_KEY_BOUNDS_CACHE[sf_dir]
+
+
 def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "customer").selectExpr(
         "c_custkey AS id",
@@ -118,7 +137,21 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     local density, not N². Emits per-point neighbor count plus the
     nearest neighbor (squared-distance argmin, id tie-break, all exact
     BIGINT arithmetic). Cell pitch == radius guarantees completeness:
-    any pair within R is at most one cell apart on each axis."""
+    any pair within R is at most one cell apart on each axis.
+
+    Argmin pack (r18, guide §2.3 — the butterfly packed-key recipe):
+    ``min(struct(dist2, nid))`` forces a SortAggregate (struct
+    aggregation buffers are not hash-aggregable), i.e. a full sort on
+    BOTH sides of the candidate exchange. The candidate filter already
+    bounds ``dist2 ≤ RADIUS2`` (< 2²⁹) at compile time, so when the
+    neighbor ids are proven in ``[0, 2³⁴)`` (one footer-stats MIN/MAX
+    probe on the key column — parquet aggregate pushdown, no data
+    scan; cached per fixture dir like the POI-count statistics
+    lookup), the ordered pair packs into ONE long
+    ``(dist2 << 34) | nid`` whose natural order IS the lexicographic
+    order — plain ``min`` over a long, HashAggregate on both sides of
+    the exchange, zero sorts. Unpack restores the exact columns;
+    unprovable key bounds keep the struct argmin."""
     pts = _customer_points(spark, sf_dir).selectExpr(
         "*", f"lat div {CELL} AS cx", f"lon div {CELL} AS cy"
     )
@@ -146,6 +179,32 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "nid", dist2.alias("dist2"))
         .filter(F.col("dist2") <= RADIUS2)
     )
+    lo, hi = _cust_key_bounds(spark, sf_dir)
+    if (
+        lo is not None
+        and lo >= 0
+        and hi < (1 << 34)
+        and RADIUS2 <= ((1 << 63) - 1) >> 34
+    ):
+        nid_dt = pts.schema["id"].dataType
+        packed = (
+            F.shiftleft(F.col("dist2").cast("long"), 34)
+            + F.col("nid").cast("long")
+        ).alias("pm")
+        return (
+            cand.select("id", packed)
+            .groupBy("id")
+            .agg(
+                F.count("*").alias("n_neighbors"),
+                F.min("pm").alias("m"),
+            )
+            .select(
+                "id",
+                "n_neighbors",
+                F.col("m").bitwiseAND(F.lit((1 << 34) - 1)).cast(nid_dt).alias("nearest_id"),
+                F.shiftrightunsigned(F.col("m"), 34).alias("nearest_dist2"),
+            )
+        )
     return (
         cand.groupBy("id")
         .agg(

@@ -53,6 +53,37 @@ def test_radius_join_no_cartesian(spark):
     assert_no_cartesian(QUERIES["q_geo_radius_join"](spark, SF))
 
 
+def test_radius_join_argmin_pack_hash_aggregate_and_fallback(spark):
+    """r18 argmin pack pins: (a) with provable key bounds the packed
+    path aggregates with HashAggregate — no SortAggregate, no Sort
+    around the candidate exchange (the pack's whole point); (b) the
+    struct-argmin FALLBACK (unprovable bounds) returns the identical
+    result, so the runtime guard can take either branch safely."""
+    from steaminganalysis_spark.operators import geo as GEO
+
+    # sf0.01: the only fixture SF dense enough for within-radius pairs
+    sf = "/root/testdata/sf0.01"
+    packed_df = QUERIES["q_geo_radius_join"](spark, sf)
+    plan = physical_plan(packed_df)
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+    packed = {tuple(r) for r in packed_df.collect()}
+    assert packed, "radius join empty at fixture SF — vacuous pin"
+
+    # poison the cached bounds so the guard refuses the pack
+    old = GEO._CUST_KEY_BOUNDS_CACHE.get(sf)
+    GEO._CUST_KEY_BOUNDS_CACHE[sf] = (None, 0)
+    try:
+        fb_df = QUERIES["q_geo_radius_join"](spark, sf)
+        assert "SortAggregate" in physical_plan(fb_df)
+        assert {tuple(r) for r in fb_df.collect()} == packed
+    finally:
+        if old is None:
+            GEO._CUST_KEY_BOUNDS_CACHE.pop(sf, None)
+        else:
+            GEO._CUST_KEY_BOUNDS_CACHE[sf] = old
+
+
 def test_grid_density_smoothing_conserves_mass(spark):
     """Each cell scatters its count to 9 targets: summing n over every
     cell a point contributes to must equal 9 × total points minus the
