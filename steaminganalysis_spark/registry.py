@@ -809,6 +809,55 @@ def SQL_DSUM(expr: str, scale: int = 2) -> str:
 # NULL-region fix (ADVICE r15) changes q_table_schema_widening's own
 # harness+oracle, also in-window. Round-16 additions go into
 # deferred_to_round17 (tests/test_contract_robustness.py).
+# Round-18 window (optimization round 2): VERDICT r17 order #3 —
+# the three r17-optimized keys verified only by builder probes last
+# round headline it, plus this round's execution-changed keys, the
+# three never-driver-stamped oracled keys, DV-family re-checks for
+# the r18 shared-path changes (co-located bitmap application above
+# the cardinality cap; sidecar utime fallback), and the oldest
+# round-9/10-stamp re-checks as rotation fill.
+ROUND18_WINDOW = [
+    # Canaries (2): flagship + the HUGEINT-class sentinel.
+    "q_daily_rollup",
+    "q_tpch_q12",
+    # --- VERDICT r17 item 3: r17-optimized, builder-only-verified ---
+    "q_graph_butterfly",
+    "q_table_two_level_pruning",
+    "q_table_agg_pushdown_dv",
+    # --- r18 execution-changed keys (single-pass MoR rollup +
+    # co-located DV read; packed argmin) ---
+    "q_table_merge_dv_bitmap",
+    "q_geo_radius_join",
+    # --- never driver-stamped oracled keys (absent from every
+    # CORRECTNESS_r*.json) ---
+    "q_table_auto_optimize_dv",
+    "q_table_dv_bitmap_concurrent",
+    "q_stream_from_table_rewrite_ratelimited",
+    # --- DV-family re-checks: every bitmap-delete writer shares the
+    # r18 sidecar utime fallback; MoR readers share the cardinality
+    # guard (below the cap their execution is byte-identical, these
+    # re-stamp that) ---
+    "q_table_dv_bitmap_rewrite",
+    "q_table_optimize_concurrent",
+    "q_table_vacuum",
+    # --- rotation fill: the 30 oldest oracled round-9-stamp
+    # re-checks, registration order ---
+    "q_tpch_q13", "q_tpch_q14", "q_tpch_q16", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q22", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_tpch_q11", "q_tpch_q15", "q_tpch_q17", "q_tpch_q2",
+    "q_tpch_q20", "q_tpch_q21", "q_window_rank", "q_window_lag_lead",
+    "q_window_running", "q_window_range", "q_topk_per_group",
+    "q_fn_explode", "q_agg_stats", "q_agg_percentile",
+    "q_stream_mv_maintenance", "q_text_extract_html",
+    "q_fn_explode_outer", "q_dedup_containment",
+    "q_knn_graph_selective", "q_graph_cc_stars",
+    "q_retrieval_hybrid_rrf",
+    # --- rotation fill continued: oldest round-10 stamps ---
+    "q_window_percent_rank", "q_topk_with_ties", "q_scan_parquet",
+    "q_scan_json", "q_project_cast", "q_filter_basic",
+    "q_filter_in_between_like",
+]
+
 ROUND16_WINDOW = [
     # Canaries (2): flagship + the HUGEINT-class sentinel.
     "q_daily_rollup",
@@ -1324,7 +1373,7 @@ ROUND4_WINDOW = [
 
 def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every operator module (side effect: registration), then
-    reorder so ROUND16_WINDOW occupies the first 50 registration slots
+    reorder so ROUND18_WINDOW occupies the first 50 registration slots
     — the slice the driver's correctness gate checks this round."""
     from steaminganalysis_spark.operators import joins  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import tpch  # noqa: F401  isort: skip
@@ -1351,11 +1400,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steaminganalysis_spark.operators import curation  # noqa: F401  isort: skip
     from steaminganalysis_spark.operators import retrieval  # noqa: F401  isort: skip
 
-    missing = [k for k in ROUND16_WINDOW if k not in QUERIES]
+    missing = [k for k in ROUND18_WINDOW if k not in QUERIES]
     if missing:
-        raise RuntimeError(f"ROUND16_WINDOW names unregistered queries: {missing}")
-    window = set(ROUND16_WINDOW)
-    ordered = ROUND16_WINDOW + [k for k in QUERIES if k not in window]
+        raise RuntimeError(f"ROUND18_WINDOW names unregistered queries: {missing}")
+    window = set(ROUND18_WINDOW)
+    ordered = ROUND18_WINDOW + [k for k in QUERIES if k not in window]
     reordered = {k: QUERIES[k] for k in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

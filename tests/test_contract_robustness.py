@@ -404,53 +404,57 @@ _absorbed_round12_additions: set[str] = {
 }
 
 
-def test_round16_correctness_window_composition():
+def test_round18_correctness_window_composition():
     """The driver verifies the FIRST ~50 registered queries; the
-    round-16 window is the explicit ROUND16_WINDOW key list — the two
-    canaries, ALL 9 round-15 additions (former deferred_to_round16
-    pin, never driver-checked; judge-verified oracle-exact at both
-    SFs in the r15 VERDICT), FIVE execution-changed re-checks (the
-    three r15 shared-path dvb guards the plan named, plus
-    q_table_auto_optimize whose execution round 16 itself rewrote —
-    the DV-aware fold-then-compact weak-flag fix — and q_table_vacuum
-    for snap_expire's new DV-sidecar sweep), the 17 remaining
-    oracled round-8-stamp re-checks, and the 17 oldest oracled
-    round-9-stamp re-checks in registration order. Pin it so a stray
-    registration (or an import reorder) cannot silently displace
-    queries out of the checked window before the driver runs. Update
-    deliberately on each round's rotation."""
+    round-18 window is the explicit ROUND18_WINDOW key list — the two
+    canaries, the three r17-optimized keys the r17 VERDICT flagged as
+    builder-only-verified (item 3), this round's execution-changed
+    keys (single-pass MoR rollup, packed radius-join argmin), the
+    ENTIRE former deferred_to_round17 set (the three oracled keys
+    never driver-stamped — absorbed, the r15→r16 precedent), three
+    DV-family re-checks for the r18 shared-path changes, and the
+    oldest round-9/10-stamp re-checks as rotation fill. Pin it so a
+    stray registration (or an import reorder) cannot silently
+    displace queries out of the checked window before the driver
+    runs. Update deliberately on each round's rotation."""
     import json
     from pathlib import Path
 
-    from steaminganalysis_spark.registry import ROUND16_WINDOW, collect_queries
+    from steaminganalysis_spark.registry import ROUND18_WINDOW, collect_queries
 
     QUERIES, ORACLE = collect_queries()
     first50 = list(QUERIES)[:50]
-    assert len(ROUND16_WINDOW) == 50
-    assert first50 == ROUND16_WINDOW
+    assert len(ROUND18_WINDOW) == 50
+    assert first50 == ROUND18_WINDOW
     # the canaries must sit inside the window
     for k in (
         "q_daily_rollup",
         "q_tpch_q12",  # HUGEINT-class sentinel (round 2's one red row)
     ):
         assert k in first50, k
-    # Rotation closure: after this round, every key that existed when
-    # the round-16 window froze has a driver CORRECTNESS row — the
-    # window must cover everything the union of CORRECTNESS_r01..r15
-    # did not, except the pinned new keys in deferred_to_round17.
+    # the r17 VERDICT's three builder-only-verified optimized keys
+    # and this round's execution-changed keys head the window
+    for k in (
+        "q_graph_butterfly",
+        "q_table_two_level_pruning",
+        "q_table_agg_pushdown_dv",
+        "q_table_merge_dv_bitmap",
+        "q_geo_radius_join",
+    ):
+        assert k in first50, k
+    # Rotation closure: every key never stamped by any driver
+    # CORRECTNESS row must be inside this round's window (the former
+    # deferred_to_round17 set is exactly that residue — absorbed).
     # (Glob is two-digit-safe: r0[1-9] broke at CORRECTNESS_r10.json.)
     checked = set()
     for p in sorted(
         Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")
     ):
         checked |= set(json.loads(p.read_text()))
-    never = [k for k in QUERIES if k not in checked and k not in deferred_to_round17]
+    never = [k for k in QUERIES if k not in checked and k in ORACLE]
     assert set(never) <= set(first50), sorted(set(never) - set(first50))
-    assert deferred_to_round17 <= set(QUERIES)
-    assert deferred_to_round17.isdisjoint(first50)
-    # every key in the round-16 window is registered with an oracle —
-    # the 9 former deferred keys are all oracle-exact and the stamp
-    # re-check fills were drawn from the oracled backlog only
+    assert deferred_to_round17 <= set(first50)
+    # every key in the round-18 window is registered with an oracle
     # (rows-only keys keep their pinned invariant tests instead).
     rows_only_in_window = {k for k in first50 if k not in ORACLE}
     assert rows_only_in_window == set(), rows_only_in_window

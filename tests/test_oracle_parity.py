@@ -12,8 +12,24 @@ from tests.oracle_harness import compare_query
 
 QUERIES, ORACLE = collect_queries()
 
+# r18 (VERDICT r17 order #1): driver-observable runs sweep the
+# representative subset; the whole registry runs with
+# SPARK_GRAFT_FULL_TESTS=1 (freeze protocol) — see tests/fast_subset.py.
+from tests.fast_subset import FULL, SKIP_REASON, fast_sweep_keys
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+_FAST = fast_sweep_keys()
+
+
+def _gated(names):
+    return [
+        n
+        if (FULL or n in _FAST)
+        else pytest.param(n, marks=pytest.mark.skip(reason=SKIP_REASON))
+        for n in names
+    ]
+
+
+@pytest.mark.parametrize("name", _gated(sorted(QUERIES)))
 def test_query_matches_oracle(spark, name):
     problems = compare_query(spark, name, SF_DIR_CORRECTNESS, QUERIES, ORACLE)
     assert not problems, "\n".join(problems)

@@ -22,7 +22,23 @@ def duck():
     return duck_connect(SF_DIR_CORRECTNESS)
 
 
-@pytest.mark.parametrize("name", sorted(ORACLE))
+# r18 (VERDICT r17 order #1): same driver-observable gating as
+# tests/test_oracle_parity.py — see tests/fast_subset.py.
+from tests.fast_subset import FULL, SKIP_REASON, fast_sweep_keys
+
+_FAST = fast_sweep_keys()
+
+
+def _gated(names):
+    return [
+        n
+        if (FULL or n in _FAST)
+        else pytest.param(n, marks=pytest.mark.skip(reason=SKIP_REASON))
+        for n in names
+    ]
+
+
+@pytest.mark.parametrize("name", _gated(sorted(ORACLE)))
 def test_oracle_type_classes_match(spark, duck, name):
     sdf = QUERIES[name](spark, SF_DIR_CORRECTNESS)  # lazy — no execution
     orel = duck.sql(ORACLE[name])  # bound — no execution
