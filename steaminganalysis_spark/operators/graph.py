@@ -124,6 +124,27 @@ def iter_vector_join(
     return left.join(F.broadcast(vector), cond, how)
 
 
+def _sym_edges(pairs, ca: str, cb: str, extra: list[str] | None = None):
+    """Both directed edges of each undirected pair in ONE pass via a
+    generator (r18, guide §2.4 — the butterfly "explode, not union"
+    lesson): the two-branch symmetrization union re-executes whatever
+    feeds it once per branch. AQE's stage reuse dedups the exchange-
+    topped PREFIX, but everything above the last exchange — the
+    reduce-side final aggregate, the c>=2 filter — still ran twice,
+    and the codegen surface doubled. The explode emits (a→b) and
+    (b→a) from one execution; identical rows."""
+    extra = list(extra or [])
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(ca).alias("src"), F.col(cb).alias("dst")),
+                F.struct(F.col(cb).alias("src"), F.col(ca).alias("dst")),
+            )
+        ).alias("e"),
+        *extra,
+    ).select("e.src", "e.dst", *extra)
+
+
 def _pagerank_oracle() -> str:
     """Unrolled PageRank CTE chain: r0 = 1.0, r_{k+1}(v) = 0.15 +
     0.85 * Σ_{(u,v)∈E} r_k(u) · w(u,v)/outw(u)."""
@@ -752,9 +773,7 @@ def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     edges = stage(
-        pairs.selectExpr("pa AS src", "pb AS dst").unionAll(
-            pairs.selectExpr("pb AS src", "pa AS dst")
-        ),
+        _sym_edges(pairs, "pa", "pb"),
         "wcc_edges",
         bucket_col="src",
     )
@@ -1034,9 +1053,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 2)
     )
     edges = stage(
-        pairs.selectExpr("pa AS src", "pb AS dst", "w").unionAll(
-            pairs.selectExpr("pb AS src", "pa AS dst", "w")
-        ),
+        _sym_edges(pairs, "pa", "pb", ["w"]),
         "lpa_edges",
         bucket_col="src",
     )
@@ -1143,9 +1160,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     edges = stage(
-        pairs.selectExpr("pa AS src", "pb AS dst").unionAll(
-            pairs.selectExpr("pb AS src", "pa AS dst")
-        ),
+        _sym_edges(pairs, "pa", "pb"),
         "kcore_edges",
         bucket_col="src",
     )
@@ -1525,11 +1540,9 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
             )
         )
     live = rewired.filter(F.col("a") != F.col("b"))
-    return (
-        live.selectExpr("a AS src", "b AS dst")
-        .unionAll(live.selectExpr("b AS src", "a AS dst"))
-        .distinct()
-    )
+    # _sym_edges, not a union: the union re-ran the round's mins
+    # aggregate + rewire join once per direction, EVERY round (r18)
+    return _sym_edges(live, "a", "b").distinct()
 
 
 @query("q_graph_cc_stars", oracle=_wcc_oracle(_CC_ORACLE_ROUNDS))
@@ -1576,9 +1589,7 @@ def graph_cc_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     edges = stage(
-        pairs.selectExpr("pa AS src", "pb AS dst").unionAll(
-            pairs.selectExpr("pb AS src", "pa AS dst")
-        ),
+        _sym_edges(pairs, "pa", "pb"),
         "cc_stars_edges",
         bucket_col="src",
     )

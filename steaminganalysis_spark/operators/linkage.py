@@ -156,10 +156,10 @@ def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and without materialization each round would replan (and at fact
     # scale re-execute) the blocking join — the same reason
     # q_graph_wcc stages its co-purchase edges.
+    from steaminganalysis_spark.operators.graph import _sym_edges
+
     edges = stage(
-        pairs.selectExpr("name_a AS src", "name_b AS dst").unionAll(
-            pairs.selectExpr("name_b AS src", "name_a AS dst")
-        ),
+        _sym_edges(pairs, "name_a", "name_b"),
         "er_edges",
         bucket_col="src",
     )
