@@ -69,13 +69,12 @@ def test_demo_app_accumulates_day_totals(spark):
             assert h["fee_cents"] == 0
 
 
-# Keys registered AFTER the round-16 window froze — exempt from the
-# rotation-closure check below, pinned here so they head the round-17
-# window (the same bookkeeping rounds 2-16 used). Every new @query
-# registration this round MUST be added here. The round-16 window
-# absorbed the ENTIRE former deferred_to_round16 set (the 9 round-15
-# additions, list retired below), so this set restarts from round-16
-# additions.
+# Keys registered AFTER the round-16 window froze — the round-18
+# window absorbed this ENTIRE set (rounds 17/18 were optimization
+# rounds and registered no new keys; the r17 window kept the r16
+# list, so these three stayed unstamped until now). Every new @query
+# registration in a future build round MUST be added to a fresh
+# deferred set (the same bookkeeping rounds 2-16 used).
 deferred_to_round17: set[str] = {
     # round-16 additions (operators/storage.py — DV-aware
     # auto-OPTIMIZE, the VERDICT r15 weak-flag fix: fold-then-compact
